@@ -1,0 +1,76 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * CLI facade mirroring the reference's JobDriver tool registry
+ * (/root/reference/src/main/java/org/archive/hadoop/jobs/JobDriver.java:25-131)
+ * so operational parity is scriptable. Spark-first: each tool is a thin
+ * main over the library operators.
+ */
+object GraftCli {
+
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.CdxFunctions.register(spark)
+    spark
+  }
+
+  /** Scan CDX text (LF-only lines, CR is data) into the parsed CDX table. */
+  def readCdx(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.option("lineSep", "\n").textFile(path)
+    lines.flatMap(graft.model.Cdx.parseLine _).toDF()
+      .toDF(graft.model.Cdx.columnNames: _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val tool = args.head
+    val rest = args.tail
+    tool match {
+      case "cdx-parse" =>
+        // cdx-parse <input> [limit]  — parse CDX lines, print as a table
+        val spark = session("cdx-parse")
+        val n = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
+        readCdx(spark, rest(0)).show(n, truncate = false)
+        spark.stop()
+      case "surt" =>
+        // surt <url> — canonicalize one URL (smoke/debug)
+        println(graft.functions.Surt.surtLenient(rest(0)))
+      case "cluster-build" =>
+        val spark = session("cluster-build")
+        graft.operators.ClusterOps.buildFromArgs(spark, rest)
+        spark.stop()
+      case "cluster-merge" =>
+        val spark = session("cluster-merge")
+        graft.operators.ClusterOps.mergeFromArgs(spark, rest)
+        spark.stop()
+      case "cluster-range" =>
+        val spark = session("cluster-range")
+        graft.operators.ClusterOps.rangeFromArgs(spark, rest)
+        spark.stop()
+      case other =>
+        System.err.println(s"unknown tool: $other"); usage(); sys.exit(2)
+    }
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: GraftCli <tool> [args]
+      |  cdx-parse <path> [n]                   parse+show CDX lines
+      |  surt <url>                             canonicalize a URL
+      |  cluster-build <splits|-> <in> <out>    sorted ZipNum cluster from CDX text
+      |  cluster-merge <out> <in1> <in2...>     merge clusters (global-cdx rules)
+      |  cluster-range <start> <end> <in...>    key-range dump
+      |""".stripMargin)
+}

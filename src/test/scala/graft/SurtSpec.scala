@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Surt, CdxFunctions}
+
+/** SURT vectors derived from the reference CDX fixtures (FIXTURES.md §7) —
+  * urlkey column is the expected surt(original_url). */
+class SurtSpec extends AnyFunSuite {
+
+  test("IP hosts are reversed like domains") {
+    assert(Surt.surt("http://109.123.78.101/robots.txt") == "101,78,123,109)/robots.txt")
+  }
+
+  test("root URL keeps the trailing slash") {
+    assert(Surt.surt("http://219.136.125.131/") == "131,125,136,219)/")
+  }
+
+  test("www stripped and non-root trailing slash dropped") {
+    assert(Surt.surt("http://www.nuernberger.de/rente/") == "de,nuernberger)/rente")
+  }
+
+  test("lowercasing of host and path") {
+    assert(Surt.surt("HTTP://WWW.Example.COM/Foo/Bar") == "com,example)/foo/bar")
+  }
+
+  test("default ports dropped, explicit kept") {
+    assert(Surt.surt("http://example.com:80/x") == "com,example)/x")
+    assert(Surt.surt("https://example.com:443/x") == "com,example)/x")
+    assert(Surt.surt("http://example.com:8080/x") == "com,example:8080)/x")
+  }
+
+  test("query params sorted, session ids dropped, empty query dropped") {
+    assert(Surt.surt("http://a.com/p?b=2&a=1") == "com,a)/p?a=1&b=2")
+    assert(Surt.surt("http://a.com/p?jsessionid=XYZ&a=1") == "com,a)/p?a=1")
+    assert(Surt.surt("http://a.com/p?jsessionid=XYZ") == "com,a)/p")
+  }
+
+  test("path jsessionid stripped") {
+    assert(Surt.surt("http://a.com/p;jsessionid=123ABC/q") == "com,a)/p/q")
+  }
+
+  test("userinfo and fragment stripped") {
+    assert(Surt.surt("http://user:pw@a.com/p#frag") == "com,a)/p")
+  }
+
+  test("www2 stripped; host-only gets root path") {
+    assert(Surt.surt("http://www2.a.com") == "com,a)/")
+  }
+
+  test("lenient variant repairs missing scheme") {
+    assert(Surt.surtLenient("example.com/x") == "com,example)/x")
+  }
+
+  test("idempotent on canonical output? no — but stable on re-parse of URL") {
+    // canonicalization is applied to URLs, not to SURT keys; verify stability
+    val s1 = Surt.surt("http://www.Example.com/A/?z=1&jsessionid=ID")
+    assert(s1 == "com,example)/a?z=1")
+  }
+
+  test("url_resolve vectors (URLResolverFuncTest.java:6-46)") {
+    val f = CdxFunctions.resolveUrl _
+    assert(f("", "", "http://x.com/") == "http://x.com/")
+    assert(f("http://y.com/", "", "http://x.com/") == "http://x.com/")
+    assert(f("http://y.com/", "http://z.com/", "http://x.com/") == "http://x.com/")
+    assert(f("http://y.com/", "http://z.com/", "/") == "http://z.com/")
+    assert(f("http://y.com/", null, "/") == "http://y.com/")
+    assert(f("http://y.com/", null, "/images/") == "http://y.com/images/")
+    assert(f("http://z.com/", "http://y.com/", "/images/") == "http://y.com/images/")
+    assert(f("http://z.com/", "http://y.com/images", "foo.gif") == "http://y.com/foo.gif")
+    assert(f("http://z.com/images", null, "foo.gif") == "http://z.com/foo.gif")
+    assert(f("http://z.com/images/", null, "foo.gif") == "http://z.com/images/foo.gif")
+    assert(f("http://z.com/", "http://y.com/images/", "foo.gif") == "http://y.com/images/foo.gif")
+    assert(f("http://z.com/", "http://y.com/images/", "/z/foo.gif") == "http://y.com/z/foo.gif")
+  }
+}
