@@ -1,13 +1,436 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for the correctness
+ * gate.
+ *
+ * Cross-engine exactness strategy: any aggregate over a double column is
+ * reduced to integer cents per-row (`round(x*100)::bigint`) BEFORE summing —
+ * per-row double expressions are bit-identical across engines when the
+ * expression shape matches, and integer sums are order-independent — so
+ * hash-compares are exact, never tolerance-based.
+ */
 object SparkEntry {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects by default; read nanos as LONG and truncate to micros (same
+    // second-level values the oracle sees).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** round(x*100) as BIGINT — exact, order-independent summand. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_join_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Synthesized CDX lines from the documents table (deterministic): lets
+  // the CDX parser, cleanup and ZipNum paths run under the DuckDB oracle
+  // gate even though the driver tables aren't web-archive data.
+  // ---------------------------------------------------------------------
+  private def cdxLines(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    d.select(concat_ws(" ",
+      concat(lit("org,site"), col("doc_id") % 23, lit(")/p/"), col("doc_id")),
+      concat(lit("201201"),
+        lpad((col("doc_id") % 5 + 1).cast("string"), 2, "0"),
+        lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit("0000")),
+      concat(lit("http://site"), col("doc_id") % 23, lit(".org/p/"), col("doc_id")),
+      when(col("doc_id") % 11 === 0, "warc/revisit").otherwise("text/html"),
+      when(col("doc_id") % 13 === 0, "xx")
+        .when(col("doc_id") % 7 === 0, "502")
+        .when(col("doc_id") % 7 === 1, "504")
+        .when(col("doc_id") % 7 === 2, "404").otherwise("200"),
+      md5(col("text")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("http://r.org/a "), col("doc_id"))).otherwise(lit("-")),
+      when(col("doc_id") % 17 === 0, "A-").otherwise("-"),
+      col("n_chars").cast("string"),
+      when(col("doc_id") % 19 === 0, lit("zz"))
+        .otherwise((col("doc_id") * 1000).cast("string")),
+      when(col("doc_id") % 3 === 0, "live-20120101-c/live.arc.gz")
+        .otherwise(lit("crawl/w.warc.gz"))
+    ).as("line"))
+  }
+
+  /** The same synthesis in DuckDB SQL (kept textually parallel). */
+  private val cdxLinesSql: String =
+    """SELECT concat_ws(' ',
+      |  'org,site' || (doc_id % 23) || ')/p/' || doc_id,
+      |  '201201' || lpad(CAST(doc_id % 5 + 1 AS VARCHAR), 2, '0')
+      |           || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '0000',
+      |  'http://site' || (doc_id % 23) || '.org/p/' || doc_id,
+      |  CASE WHEN doc_id % 11 = 0 THEN 'warc/revisit' ELSE 'text/html' END,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'xx'
+      |       WHEN doc_id % 7 = 0 THEN '502'
+      |       WHEN doc_id % 7 = 1 THEN '504'
+      |       WHEN doc_id % 7 = 2 THEN '404' ELSE '200' END,
+      |  md5(text),
+      |  CASE WHEN doc_id % 5 = 0 THEN 'http://r.org/a ' || doc_id ELSE '-' END,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'A-' ELSE '-' END,
+      |  CAST(n_chars AS VARCHAR),
+      |  CASE WHEN doc_id % 19 = 0 THEN 'zz' ELSE CAST(doc_id * 1000 AS VARCHAR) END,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'live-20120101-c/live.arc.gz' ELSE 'crawl/w.warc.gz' END
+      |) AS line FROM documents""".stripMargin
+
+  /** Parsed-CDX oracle CTE: field expressions instead of re-parsing. */
+  private val cdxParsedSql: String =
+    """SELECT
+      |  'org,site' || (doc_id % 23) || ')/p/' || doc_id AS urlkey,
+      |  '201201' || lpad(CAST(doc_id % 5 + 1 AS VARCHAR), 2, '0')
+      |           || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '0000' AS timestamp,
+      |  'http://site' || (doc_id % 23) || '.org/p/' || doc_id AS original_url,
+      |  CASE WHEN doc_id % 11 = 0 THEN 'warc/revisit' ELSE 'text/html' END AS mimetype,
+      |  TRY_CAST(CASE WHEN doc_id % 13 = 0 THEN 'xx'
+      |       WHEN doc_id % 7 = 0 THEN '502'
+      |       WHEN doc_id % 7 = 1 THEN '504'
+      |       WHEN doc_id % 7 = 2 THEN '404' ELSE '200' END AS INTEGER) AS statuscode,
+      |  md5(text) AS digest,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'http://r.org/a ' || doc_id ELSE NULL END AS redirect_url,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'A-' ELSE NULL END AS meta_flags,
+      |  CAST(n_chars AS BIGINT) AS compressed_size,
+      |  TRY_CAST(CASE WHEN doc_id % 19 = 0 THEN 'zz' ELSE CAST(doc_id * 1000 AS VARCHAR) END AS BIGINT) AS "offset",
+      |  CASE WHEN doc_id % 3 = 0 THEN 'live-20120101-c/live.arc.gz' ELSE 'crawl/w.warc.gz' END AS filename
+      |FROM documents""".stripMargin
+
+  private def parsedCdx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = cdxLines(s, dir).as[String]
+    val parsed = lines.flatMap(graft.model.Cdx.parseLine _)
+    parsed.toDF(graft.model.Cdx.columnNames: _*)
+  }
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.7 group-by aggregation (Pig-supplied relational core → Spark built-in)
+    "q01_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    }),
+
+    // §2.7 joins — dims broadcast, fact side never shuffled for the join
+    "q02_join_agg" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // §2.7 ORDER BY + LIMIT (top-k)
+    "q03_sort_limit" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // O4e — per-(key, day) capture cap as an explicit window (day-cap)
+    "q04_day_cap" -> ((s, dir) => {
+      val day = date_format(col("ts"), "yyyyMMdd")
+      val w = Window.partitionBy(col("user_id"), day).orderBy(col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .groupBy(col("user_id"), day.as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("val_cents"))
+    }),
+
+    // P5 — dedup of identical keys post-sort (deterministic keep-first)
+    "q05_dedup_exact" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(min(col("l_linenumber")).as("first_line"),
+          count(lit(1)).as("n_dups"))
+    }),
+
+    // P6 — sorted distinct bag per group (collect_set + sort_array)
+    "q06_sorted_set" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+    }),
+
+    // P4/S11 — merge of sorted inputs ≈ union (order restored downstream)
+    "q07_sorted_union" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val a = o.where(col("o_orderstatus") === "O")
+      val b = o.where(col("o_orderstatus") === "F")
+      a.unionByName(b)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // Q1/Q2 — key-range query, start inclusive / end exclusive
+    "q08_range_query" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .where(col("l_orderkey") >= 1000 && col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+    }),
+
+    // O5 — prefix-list filter
+    "q09_prefix_filter" -> ((s, dir) => {
+      graft.operators.PrefixFilter(
+        tbl(s, dir, "part"), "p_name", Seq("a", "bl", "co"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    }),
+
+    // O4 a–e — global-CDX cleanup over synthesized CDX (parser included)
+    "q10_cdx_cleanup" -> ((s, dir) => {
+      val cleaned = graft.operators.GlobalCdxCleanup(parsedCdx(s, dir), dayLimit = 2)
+      cleaned.select(col("urlkey"), col("timestamp"), col("statuscode"),
+        col("digest"), col("filename"))
+    }),
+
+    // F4 — JSON map extraction
+    "q11_json" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      tbl(s, dir, "events")
+        .select(k.as("k"))
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
+    // F3 — 14-digit timestamp → epoch millis round-trip
+    "q12_datetime14" -> ((s, dir) => {
+      val ts14 = date_format(col("ts"), "yyyyMMddHHmmss")
+      tbl(s, dir, "events")
+        .select(col("event_type"),
+          graft.functions.CdxFunctions.timestamp14ToMillis(ts14).as("millis"))
+        .groupBy(col("event_type"))
+        .agg(min(col("millis")).as("min_ms"), max(col("millis")).as("max_ms"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §2.7 grouping sets / rollup
+    "q13_rollup" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("total_cents"))
+    }),
+
+    // §2.7 window top-k per group
+    "q14_topk_group" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+      joined.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    }),
+
+    // §2.7 semi join (EXISTS)
+    "q15_semi_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust_with_orders"))
+    }),
+
+    // §2.7 anti join (NOT EXISTS) — customers with no urgent orders
+    "q16_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust_no_urgent"))
+    }),
+
+    // S4 — crawl-log parse (col-8 start+duration split, '-'-size → -1)
+    "q17_crawl_log" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val line = concat_ws(" ",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        when(col("event_type") === "error", "503").otherwise(lit("200")),
+        when(col("event_type") === "signup", lit("-"))
+          .otherwise(round(col("value") * 100).cast("long").cast("string")),
+        concat(lit("http://example.com/u/"), col("user_id"), lit("/e/"), col("event_id")),
+        lit("LLP"), lit("-"), lit("text/html"),
+        concat(lit("#"), (col("user_id") % 10)),
+        when(col("event_type") === "error", lit("-"))
+          .otherwise(concat(date_format(col("ts"), "yyyyMMddHHmmss"), lit("+"),
+            round(col("value")).cast("long"))),
+        lit("sha1:ABC"), lit("-"), lit("-"))
+      graft.model.CrawlLog.fromLines(e.select(line.as("line")))
+        .select(col("uri"), col("status"), col("size"),
+          col("fetch_start"), col("fetch_duration"))
+    }),
+
+    // S3 — distributed CDX-11 parse (incl. unescaped-space redirect merge)
+    "q18_cdx_parse" -> ((s, dir) => {
+      parsedCdx(s, dir).select(col("urlkey"), col("timestamp"),
+        col("original_url"), col("mimetype"), col("statuscode"),
+        col("digest"), col("redirect_url"), col("meta_flags"),
+        col("compressed_size"), col("offset"), col("filename"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q03_sort_limit" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_day_cap" ->
+      """SELECT user_id, strftime(ts, '%Y%m%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM (SELECT * FROM events
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
+        |                                 ORDER BY event_id) <= 5)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q05_dedup_exact" ->
+      """SELECT l_orderkey, l_partkey, min(l_linenumber) AS first_line,
+        |  count(*) AS n_dups
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q06_sorted_set" ->
+      """SELECT c_mktsegment,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q07_sorted_union" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'O'
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
+
+    "q08_range_query" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000""".stripMargin,
+
+    "q09_prefix_filter" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE 'a%' OR p_name LIKE 'bl%' OR p_name LIKE 'co%'""".stripMargin,
+
+    "q10_cdx_cleanup" ->
+      (s"WITH cdx AS ($cdxParsedSql)\n" +
+        """SELECT urlkey, timestamp, statuscode,
+        |  CASE WHEN length(digest) > 3 THEN substr(digest, 1, 3) ELSE digest END AS digest,
+        |  filename
+        |FROM cdx
+        |WHERE NOT (meta_flags IS NOT NULL AND meta_flags LIKE '%A%')
+        |  AND NOT (NOT (mimetype IS NOT NULL AND mimetype LIKE '%warc/%') AND statuscode IS NULL)
+        |  AND NOT (statuscode IN (502, 504) AND filename LIKE 'live-20%' AND filename LIKE '%.arc.gz')
+        |  AND "offset" IS NOT NULL
+        |QUALIFY row_number() OVER (PARTITION BY urlkey, substr(timestamp, 1, 8)
+        |                           ORDER BY timestamp, "offset") <= 2""".stripMargin),
+
+    "q11_json" ->
+      """SELECT (k % 10) AS bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(props->>'k' AS INTEGER) AS k FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q12_datetime14" ->
+      """SELECT event_type,
+        |  min(epoch_ms(strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S'))) AS min_ms,
+        |  max(epoch_ms(strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S'))) AS max_ms,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)""".stripMargin,
+
+    "q14_topk_group" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q15_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n_cust_with_orders
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q16_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_cust_no_urgent
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    "q17_crawl_log" ->
+      """SELECT
+        |  'http://example.com/u/' || user_id || '/e/' || event_id AS uri,
+        |  CAST(CASE WHEN event_type = 'error' THEN '503' ELSE '200' END AS INTEGER) AS status,
+        |  CAST(CASE WHEN event_type = 'signup' THEN -1
+        |       ELSE CAST(round(value * 100) AS BIGINT) END AS BIGINT) AS size,
+        |  CASE WHEN event_type = 'error' THEN NULL
+        |       ELSE strftime(ts, '%Y%m%d%H%M%S') END AS fetch_start,
+        |  CASE WHEN event_type = 'error' THEN NULL
+        |       ELSE CAST(CAST(round(value) AS BIGINT) AS VARCHAR) END AS fetch_duration
+        |FROM events""".stripMargin,
+
+    "q18_cdx_parse" ->
+      ("""SELECT urlkey, timestamp, original_url, mimetype, statuscode, digest,
+        |  redirect_url, meta_flags, compressed_size, "offset", filename
+        |""".stripMargin + s"FROM ($cdxParsedSql)")
+  )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The "global CDX" cleanup (SURVEY §2 O4) as a composable, declarative
+ * Dataset transformer. Reference semantics:
+ * /root/reference/src/main/java/org/archive/hadoop/mapreduce/GlobalWaybackMergeMapper.java:100-134
+ * and GlobalWaybackCDXReducer.java:47-134:
+ *
+ *  (a) drop rows whose robot flags contain 'A' (noarchive);
+ *  (b) drop rows with non-numeric statuscode (unless mimetype is a warc
+ *      record type, which legitimately has none) or non-numeric offset;
+ *  (c) drop 502/504 captures whose filename is live-20*.arc.gz;
+ *  (d) truncate digest to 3 chars;
+ *  (e) cap captures per (urlkey, day) at `dayLimit` (default 111).
+ *
+ * The reference implements (e) with order-dependent mapper/reducer state that
+ * silently assumes globally sorted input; here it is an explicit window —
+ * `row_number over (partition by urlkey, day order by timestamp)` — which is
+ * correct under any partitioning and shuffles once on the natural key. At
+ * 100 TB the window's hash partitioning on (urlkey, day) is the same shuffle
+ * the range-repartition for cluster output needs anyway; AQE coalesces or
+ * splits skewed (urlkey, day) groups.
+ */
+object GlobalCdxCleanup {
+
+  val DefaultDayLimit = 111 // GlobalWaybackCDXReducer.java:19-20
+
+  /** (a)–(c): row filters. Typed columns make (b) a null check: the CDX
+    * reader already nulls non-numeric statuscode/offset. */
+  def filters(dayLimit: Int = DefaultDayLimit)(df: DataFrame): DataFrame = {
+    val noArchive = col("meta_flags").isNotNull && col("meta_flags").contains("A")
+    val warc = col("mimetype").isNotNull && col("mimetype").contains("warc/")
+    val badStatus = !warc && col("statuscode").isNull
+    val liveError = col("statuscode").isin(502, 504) &&
+      col("filename").startsWith("live-20") && col("filename").endsWith(".arc.gz")
+    val badOffset = col("offset").isNull
+    df.where(!noArchive && !badStatus && !liveError && !badOffset)
+  }
+
+  /** (d): 3-char digest for the "global" layout. */
+  def truncateDigest(df: DataFrame): DataFrame =
+    df.withColumn("digest",
+      when(length(col("digest")) > 3, substring(col("digest"), 1, 3))
+        .otherwise(col("digest")))
+
+  /** (e): keep at most `dayLimit` captures per (urlkey, day of timestamp). */
+  def dayCap(dayLimit: Int = DefaultDayLimit)(df: DataFrame): DataFrame = {
+    if (dayLimit == 0) return df
+    val w = Window
+      .partitionBy(col("urlkey"), substring(col("timestamp"), 1, 8))
+      .orderBy(col("timestamp"), col("offset"))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= dayLimit)
+      .drop("__rn")
+  }
+
+  /** Full pipeline: filters → digest truncation → day cap. */
+  def apply(df: DataFrame, dayLimit: Int = DefaultDayLimit): DataFrame =
+    dayCap(dayLimit)(truncateDigest(filters(dayLimit)(df)))
+}

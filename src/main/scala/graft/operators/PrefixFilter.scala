@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL-prefix list filter (SURVEY §2 O5) — the reference filters a merged CDX
+ * stream by a prefix list loaded from a file, with optional SURT transform
+ * of the list (/root/reference/src/main/java/org/archive/hadoop/mapreduce/
+ * SortMergeInputFormat.java:278-311, TransformingPrefixStringFilter).
+ *
+ * Spark-first: small lists compile to an OR-chain of `startsWith` columns —
+ * codegen'd, no UDF, no broadcast needed because the predicate itself ships
+ * in the plan. Large lists (beyond ~100 prefixes) should pre-sort the list
+ * and use a range/broadcast join instead: see [[prefixJoin]].
+ */
+object PrefixFilter {
+
+  /** Predicate: `c` starts with any of `prefixes` (after optional SURT
+    * transform of the list entries, mirroring TransformingPrefixStringFilter). */
+  def predicate(c: Column, prefixes: Seq[String], surtList: Boolean = false): Column = {
+    val ps = if (surtList) prefixes.map(graft.functions.Surt.surtLenient) else prefixes
+    ps.map(p => c.startsWith(p)).reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  def apply(df: DataFrame, column: String, prefixes: Seq[String],
+            surtList: Boolean = false): DataFrame =
+    df.where(predicate(col(column), prefixes, surtList))
+
+  /**
+   * Scale path for big prefix lists: broadcast-join each row against the
+   * sorted prefix table on first-char bucket, then verify with startsWith.
+   * One broadcast, no shuffle of the big side.
+   */
+  def prefixJoin(df: DataFrame, column: String, prefixes: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = prefixes.toDF("__prefix").withColumn("__b", substring(col("__prefix"), 1, 1))
+    df.withColumn("__b", substring(col(column), 1, 1))
+      .join(broadcast(p), Seq("__b"))
+      .where(col(column).startsWith(col("__prefix")))
+      .drop("__b", "__prefix")
+      .dropDuplicates(df.columns.toIndexedSeq) // a row may match several prefixes
+  }
+}
