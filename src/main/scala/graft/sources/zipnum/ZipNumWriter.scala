@@ -1,0 +1,99 @@
+package graft.sources.zipnum
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.util.SerializableConfiguration
+
+/**
+ * Distributed ZipNum cluster writer (SURVEY §2 K1/K2/K5, §3.1 step 6-7).
+ *
+ * Input: a Dataset[String] of CDX lines whose partitioning IS the shard
+ * layout — each partition must already be range-partitioned and sorted
+ * (see [[graft.operators.ClusterOps.build]]). Every task writes its own
+ * `part-a-NNNNN.gz` + `-idx` pair directly (no driver bottleneck, scales
+ * with executors); the driver then folds the per-shard indexes into
+ * `ALL.summary` + `manifest.txt` — the reference's separate
+ * SummaryGenerator/ManifestAggregator post-passes
+ * (/root/reference/src/main/java/org/archive/hadoop/cdx/SummaryGenerator.java:46-122,
+ * ManifestAggregator.java:34-81) folded into the commit phase.
+ *
+ * Tasks write to `_tmp/` and the commit renames into place — same
+ * .TMP→rename discipline as the reference's jobs
+ * (hadoop/jobs/CDXGenerator.java:171-179).
+ */
+object ZipNumWriter {
+
+  def write(lines: Dataset[String], outDir: String,
+            linesPerBlock: Int = ZipNumFormat.DefaultLinesPerBlock,
+            partPrefix: String = "part-a-"): Unit = {
+    val spark = lines.sparkSession
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(conf.value)
+    fs.delete(out, true)
+    fs.mkdirs(new Path(out, "_tmp"))
+
+    // Each partition → one shard, written executor-side.
+    val shardInfos = lines.rdd.mapPartitionsWithIndex { (pid, iter) =>
+      if (iter.isEmpty) Iterator.empty
+      else {
+        val part = f"$partPrefix$pid%05d"
+        val fs = new Path(outDir).getFileSystem(conf.value)
+        val gzPath = new Path(s"$outDir/_tmp/$part.gz")
+        val idxPath = new Path(s"$outDir/_tmp/$part-idx")
+        val gzOut = fs.create(gzPath, true)
+        val idxOut = fs.create(idxPath, true)
+        var offset = 0L
+        val blockLines = new java.io.ByteArrayOutputStream(1 << 20)
+        var firstKey: String = null
+        var count = 0
+        var nLines = 0L
+
+        def flushBlock(): Unit = if (count > 0) {
+          val member = ZipNumFormat.gzipMember(blockLines.toByteArray)
+          gzOut.write(member)
+          val b = ZipNumFormat.Block(firstKey, part, offset, member.length.toLong)
+          idxOut.write((ZipNumFormat.formatSummaryLine(b) + "\n").getBytes(UTF_8))
+          offset += member.length
+          blockLines.reset(); firstKey = null; count = 0
+        }
+
+        iter.foreach { line =>
+          if (count == 0) firstKey = ZipNumFormat.summaryKey(line)
+          blockLines.write(line.getBytes(UTF_8))
+          blockLines.write('\n')
+          count += 1; nLines += 1
+          if (count == linesPerBlock) flushBlock()
+        }
+        flushBlock()
+        gzOut.close(); idxOut.close()
+        Iterator.single((pid, part, nLines))
+      }
+    }.collect().sortBy(_._1)
+
+    // Commit: rename shards into place, concatenate -idx → ALL.summary.
+    val summary = fs.create(new Path(out, "ALL.summary"), true)
+    shardInfos.foreach { case (_, part, _) =>
+      fs.rename(new Path(s"$outDir/_tmp/$part.gz"), new Path(out, s"$part.gz"))
+      val idxTmp = new Path(s"$outDir/_tmp/$part-idx")
+      val in = fs.open(idxTmp)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { summary.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      fs.rename(idxTmp, new Path(out, s"$part-idx"))
+    }
+    summary.close()
+
+    val manifest = fs.create(new Path(out, "manifest.txt"), true)
+    shardInfos.foreach { case (_, part, _) =>
+      manifest.write(s"$part.gz\n".getBytes(UTF_8))
+    }
+    manifest.close()
+    fs.delete(new Path(out, "_tmp"), true)
+  }
+}
