@@ -1,24 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main — one JSON line with per-query wall times.
+ *
+ * Measurement discipline (round-2 fixes):
+ *  - every query is materialized through the `noop` sink, so ALL columns are
+ *    computed — a bare `.count()` would let Catalyst prune the very columns
+ *    whose computation is being measured;
+ *  - one untimed warmup query absorbs JVM/session/codegen startup, so the
+ *    first timed query isn't charged for it;
+ *  - failures are NOT swallowed: a failed query records `-1` AND the error
+ *    is reported in an `errors` map (a broken query must never bench green);
+ *  - AQE + UTC session config matches GraftCli.session.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    // Warmup: a cheap scan+agg, untimed.
+    materialize("q01_agg")
+
+    var errors = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(name); true }
+        catch { case e: Throwable =>
+          errors ::= (name -> e.toString.takeWhile(_ != '\n').take(200))
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Optional local comparison denominator (tools/duck_bench.py output).
+    val duck = scala.util.Try(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_DUCK_BENCH", "/root/repo/DUCK_BENCH.json"))).trim)
+      .toOption.filter(_.nonEmpty)
+    val duckField = duck.map(d => s""","duckdb_baseline":$d""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$duckField}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -192,7 +192,8 @@ object SparkEntry {
           sum(cents(col("o_totalprice"))).as("total_cents"))
     }),
 
-    // Q1/Q2 — key-range query, start inclusive / end exclusive
+    // Key-range predicate over parquet (stock row-group pruning — NOT the
+    // Q1/Q2 ZipNum block-pruned path; that is q19_zipnum_roundtrip).
     "q08_range_query" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .where(col("l_orderkey") >= 1000 && col("l_orderkey") < 2000)
@@ -267,11 +268,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust_with_orders"))
     }),
 
-    // §2.7 anti join (NOT EXISTS) — customers with no urgent orders
+    // §2.7 anti join (NOT EXISTS) — customers with no urgent orders.
+    // The filtered orders side is small → broadcast hint: the probe side
+    // (customers) never shuffles for this join, at any scale.
     "q16_anti_join" -> ((s, dir) => {
       val c = tbl(s, dir, "customer")
       val o = tbl(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      c.join(broadcast(o), c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust_no_urgent"))
     }),

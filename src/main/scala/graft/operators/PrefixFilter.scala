@@ -28,18 +28,21 @@ object PrefixFilter {
     df.where(predicate(col(column), prefixes, surtList))
 
   /**
-   * Scale path for big prefix lists: broadcast-join each row against the
-   * sorted prefix table on first-char bucket, then verify with startsWith.
-   * One broadcast, no shuffle of the big side.
+   * Scale path for big prefix lists: LEFT SEMI broadcast-join with the
+   * startsWith predicate in the join condition — a row matching several
+   * prefixes still emits exactly once, and pre-existing duplicate rows in
+   * the input (legitimate in CDX streams) are preserved. The first-char
+   * equi-key keeps it a BroadcastHashJoin (hash probe + residual predicate)
+   * instead of a nested-loop scan of the whole list per row. One broadcast,
+   * no shuffle of the big side.
    */
   def prefixJoin(df: DataFrame, column: String, prefixes: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = prefixes.toDF("__prefix").withColumn("__b", substring(col("__prefix"), 1, 1))
-    df.withColumn("__b", substring(col(column), 1, 1))
-      .join(broadcast(p), Seq("__b"))
-      .where(col(column).startsWith(col("__prefix")))
-      .drop("__b", "__prefix")
-      .dropDuplicates(df.columns.toIndexedSeq) // a row may match several prefixes
+    df.join(broadcast(p),
+      substring(col(column), 1, 1) === col("__b") &&
+        col(column).startsWith(col("__prefix")),
+      "left_semi")
   }
 }

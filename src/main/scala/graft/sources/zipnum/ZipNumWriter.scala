@@ -28,17 +28,32 @@ object ZipNumWriter {
 
   def write(lines: Dataset[String], outDir: String,
             linesPerBlock: Int = ZipNumFormat.DefaultLinesPerBlock,
-            partPrefix: String = "part-a-"): Unit = {
-    val spark = lines.sparkSession
+            partPrefix: String = "part-a-",
+            overwrite: Boolean = false): Unit =
+    writeRdd(lines.sparkSession, lines.rdd, outDir, linesPerBlock, partPrefix,
+      overwrite)
+
+  /** RDD surface — used when the partitioning was produced by
+    * [[graft.operators.BoundaryPartitioner]] (repartitionAndSortWithinPartitions
+    * yields an RDD; a Dataset hop would discard the custom partitioner). */
+  def writeRdd(spark: org.apache.spark.sql.SparkSession,
+               lines: org.apache.spark.rdd.RDD[String], outDir: String,
+               linesPerBlock: Int = ZipNumFormat.DefaultLinesPerBlock,
+               partPrefix: String = "part-a-",
+               overwrite: Boolean = false): Unit = {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf.value)
-    fs.delete(out, true)
+    if (fs.exists(out)) {
+      require(overwrite, s"ZipNumWriter: target $outDir exists; " +
+        "pass overwrite=true to replace it")
+      fs.delete(out, true)
+    }
     fs.mkdirs(new Path(out, "_tmp"))
 
     // Each partition → one shard, written executor-side.
-    val shardInfos = lines.rdd.mapPartitionsWithIndex { (pid, iter) =>
+    val shardInfos = lines.mapPartitionsWithIndex { (pid, iter) =>
       if (iter.isEmpty) Iterator.empty
       else {
         val part = f"$partPrefix$pid%05d"
