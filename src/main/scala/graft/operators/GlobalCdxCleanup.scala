@@ -61,4 +61,43 @@ object GlobalCdxCleanup {
   /** Full pipeline: filters → digest truncation → day cap. */
   def apply(df: DataFrame, dayLimit: Int = DefaultDayLimit): DataFrame =
     dayCap(dayLimit)(truncateDigest(filters(dayLimit)(df)))
+
+  /**
+   * Line-level streaming form for SORTED streams — the zero-shuffle merge
+   * path. Same per-(urlkey, day) sequential counting as the reference
+   * reducer (GlobalWaybackCDXReducer.java:47-76); the reference silently
+   * assumed sorted input, here the ZipNum merge guarantees it by
+   * construction (partitions are key-aligned and heap-merged). Malformed
+   * lines are dropped, matching the mapper's parse-or-skip behavior.
+   */
+  def streamingLine(dayLimit: Int = DefaultDayLimit): Iterator[String] => Iterator[String] = { in =>
+    var curKey: String = null
+    var curDay: String = null
+    var count = 0
+    in.flatMap { line =>
+      graft.model.Cdx.parseLine(line) match {
+        case None => None
+        case Some(r) =>
+          val noArchive = r.metaFlags.exists(_.contains("A"))
+          val warc = Option(r.mimetype).exists(_.contains("warc/"))
+          val badStatus = !warc && r.statuscode.isEmpty
+          val liveError = r.statuscode.exists(s => s == 502 || s == 504) &&
+            r.filename != null && r.filename.startsWith("live-20") &&
+            r.filename.endsWith(".arc.gz")
+          if (noArchive || badStatus || liveError || r.offset.isEmpty) None
+          else {
+            val day = r.timestamp.take(8)
+            if (r.urlkey == curKey && day == curDay) count += 1
+            else { curKey = r.urlkey; curDay = day; count = 1 }
+            if (dayLimit > 0 && count > dayLimit) None
+            else {
+              val digest =
+                if (r.digest != null && r.digest.length > 3) r.digest.take(3)
+                else r.digest
+              Some(graft.model.Cdx.formatLine(r.copy(digest = digest)))
+            }
+          }
+      }
+    }
+  }
 }
