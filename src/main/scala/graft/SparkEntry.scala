@@ -305,6 +305,27 @@ object SparkEntry {
         col("original_url"), col("mimetype"), col("statuscode"),
         col("digest"), col("redirect_url"), col("meta_flags"),
         col("compressed_size"), col("offset"), col("filename"))
+    }),
+
+    // S5/Q1/Q2/K1/K2 — THE spine: build a real ZipNum cluster from the
+    // synthesized CDX (fixed sampled boundaries → sorted block-gzip shards
+    // + ALL.summary), then answer a key-range query through the zipnum
+    // DataSource V2 — urlkey predicates prune gzip blocks via the summary
+    // before any task launches (CDXCluster.java:31-35 semantics).
+    "q19_zipnum_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = "/root/repo/target/tmp/zipnum_q19_" +
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val lines = cdxLines(s, dir).as[String].rdd
+      graft.operators.ClusterOps.build(s, lines, out,
+        graft.operators.Boundaries.sample(lines, 8),
+        linesPerBlock = 500, overwrite = true)
+      s.read.format("zipnum").load(out)
+        .where(col("urlkey") >= "org,site1" && col("urlkey") < "org,site2")
+        .select(col("urlkey"), col("timestamp"), col("original_url"),
+          col("mimetype"), col("statuscode"), col("digest"),
+          col("redirect_url"), col("meta_flags"), col("compressed_size"),
+          col("offset"), col("filename"))
     })
   )
 
@@ -434,6 +455,12 @@ object SparkEntry {
     "q18_cdx_parse" ->
       ("""SELECT urlkey, timestamp, original_url, mimetype, statuscode, digest,
         |  redirect_url, meta_flags, compressed_size, "offset", filename
-        |""".stripMargin + s"FROM ($cdxParsedSql)")
+        |""".stripMargin + s"FROM ($cdxParsedSql)"),
+
+    "q19_zipnum_roundtrip" ->
+      ("""SELECT urlkey, timestamp, original_url, mimetype, statuscode, digest,
+        |  redirect_url, meta_flags, compressed_size, "offset", filename
+        |""".stripMargin + s"FROM ($cdxParsedSql)\n" +
+        "WHERE urlkey >= 'org,site1' AND urlkey < 'org,site2'")
   )
 }
