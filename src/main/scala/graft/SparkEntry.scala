@@ -326,8 +326,151 @@ object SparkEntry {
           col("mimetype"), col("statuscode"), col("digest"),
           col("redirect_url"), col("meta_flags"), col("compressed_size"),
           col("offset"), col("filename"))
+    }),
+
+    // ------------------------------------------------------------------
+    // LLM-training-data pipeline operators (beyond-reference surface).
+    // Corpus trick: derived duplicates/near-duplicates are injected with
+    // deterministic arithmetic so the DuckDB oracle reproduces them.
+    // ------------------------------------------------------------------
+
+    // Exact content dedup: digest groupBy, keep-first (P5 at document
+    // granularity — one hash-partitioned aggregation, map-side combinable).
+    "q20_doc_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      d.unionByName(dups)
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash-LSH near-dup candidates: shingle → 6 minhashes → 3 banded
+    // bucket keys → equi-join inside buckets only (never all-pairs).
+    "q21_minhash_lsh" -> ((s, dir) => {
+      graft.operators.llm.MinHashLsh(nearDupCorpus(s, dir), "doc_id", "text")
+    }),
+
+    // Exact n-gram Jaccard over known near-dup pairs (the verify stage
+    // after LSH candidate generation) — integer counts + basis points.
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      val sh = graft.operators.llm.Shingles
+        .explodeShingles(nearDupCorpus(s, dir), "doc_id", "text", 3).distinct()
+      val orig = sh.where(col("doc_id") < 1000000L && col("doc_id") % 7 === 0)
+      val varnt = sh.where(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"), col("shingle"))
+      val na = orig.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+      val nb = varnt.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+      val common = orig.join(varnt, Seq("doc_id", "shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("common"))
+      na.join(nb, "doc_id").join(common, "doc_id")
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1000000L).as("doc_b"),
+          col("common"),
+          (col("n_a") + col("n_b") - col("common")).as("union_cnt"),
+          expr("CAST(common * 10000 DIV (n_a + n_b - common) AS BIGINT)")
+            .as("jaccard_bp"))
+    }),
+
+    // SimHash 32-bit fingerprint — single agg pass, ±1 nibble-bit votes.
+    "q23_simhash" -> ((s, dir) =>
+      graft.operators.llm.SimHash(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")),
+
+    // ANN brute-force baseline: integer-quantized inner-product top-10 for
+    // 3 query vectors; queries broadcast, candidates never shuffle.
+    "q24_ann_topk" -> ((s, dir) =>
+      graft.operators.llm.AnnOps.bruteTopK(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 3, k = 10)),
+
+    // ANN scale path: IVF-shaped bucketed probe (coarse bucket = label),
+    // top-3 within the query's bucket only.
+    "q25_ann_ivf" -> ((s, dir) =>
+      graft.operators.llm.AnnOps.bucketedTopK(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") < 10, k = 3)),
+
+    // Text analysis: per-(lang, source) doc/char/token stats.
+    "q26_text_stats" -> ((s, dir) => {
+      val toks = graft.operators.llm.TextAnalysis.tokenCount(col("text"))
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(toks).as("sum_tokens"),
+          max(toks).as("max_tokens"))
+    }),
+
+    // Language-ID heuristic shape: marker-token frequency argmax vs the
+    // metadata lang label (the synthetic vocab is language-free, so the
+    // markers are vocab words; the operator is the scoring pipeline).
+    "q27_langid" -> ((s, dir) => {
+      import graft.operators.llm.TextAnalysis.countToken
+      val c1 = countToken(col("text"), "the")
+      val c2 = countToken(col("text"), "value")
+      val c3 = countToken(col("text"), "table")
+      val pred = when(c1 >= greatest(c2, c3), lit("the"))
+        .when(c2 >= c3, lit("value")).otherwise(lit("table"))
+      tbl(s, dir, "documents")
+        .select(col("lang"), pred.as("top_marker"))
+        .groupBy(col("lang"), col("top_marker"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Quality scoring: integer features + stopword-rate basis points.
+    "q28_quality" -> ((s, dir) => {
+      import graft.operators.llm.TextAnalysis.{countToken, tokenCount}
+      val stop = countToken(col("text"), "the") +
+        countToken(col("text"), "a") + countToken(col("text"), "and")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          stop.as("n_stop"), col("n_chars"))
+        .withColumn("score_bp",
+          expr("CAST(CAST(n_stop AS BIGINT) * 10000 DIV n_tokens AS BIGINT)"))
+        .withColumn("keep",
+          col("n_chars").between(100, 2000) && col("score_bp") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          col("score_bp"), col("keep"))
+    }),
+
+    // Winnowing-style content-defined fingerprint (1/16 gram sample).
+    "q29_fingerprint" -> ((s, dir) =>
+      graft.operators.llm.TextAnalysis.fingerprint(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")),
+
+    // Multimodal plumbing: binary payload + typed metadata, batch-decoded
+    // executor-side (decode itself stubbed deterministically).
+    "q30_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .as[(Long, String, Long)]
+        .map { case (id, text, n) =>
+          graft.operators.llm.MultimodalOps.MediaRecord(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            if (id % 2 == 0) "png" else "jpg", (n % 640).toInt,
+            (id % 480).toInt)
+        }
+      graft.operators.llm.MultimodalOps.decode(media)
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("decoded_bytes")).as("sum_bytes"),
+          countDistinct(col("thumb_hash")).as("n_hashes"))
     })
   )
+
+  /** Near-dup corpus: originals + every 7th doc re-inserted with 3 words
+    * appended — high-Jaccard pairs the oracle can reproduce. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = d.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft extra appended")).as("text"))
+    d.unionByName(variants)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -461,6 +604,153 @@ object SparkEntry {
       ("""SELECT urlkey, timestamp, original_url, mimetype, statuscode, digest,
         |  redirect_url, meta_flags, compressed_size, "offset", filename
         |""".stripMargin + s"FROM ($cdxParsedSql)\n" +
-        "WHERE urlkey >= 'org,site1' AND urlkey < 'org,site2'")
+        "WHERE urlkey >= 'org,site1' AND urlkey < 'org,site2'"),
+
+    "q20_doc_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |      WHERE doc_id % 10 = 0)
+        |GROUP BY 1""".stripMargin,
+
+    "q21_minhash_lsh" ->
+      (s"WITH corpus AS ($nearDupCorpusSql),\n" +
+        """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+          |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+          |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          |       FROM w WHERE len(w) >= 3),
+          |sig AS (SELECT doc_id,
+          |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+          |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+          |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+          |FROM sh GROUP BY 1),
+          |bands AS (SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+          |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+          |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig)
+          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM bands a JOIN bands b
+          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin),
+
+    "q22_ngram_jaccard" ->
+      (s"WITH corpus AS ($nearDupCorpusSql),\n" +
+        """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+          |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w)-1),
+          |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          |       FROM w WHERE len(w) >= 3),
+          |orig AS (SELECT * FROM sh WHERE doc_id < 1000000 AND doc_id % 7 = 0),
+          |var AS (SELECT doc_id - 1000000 AS doc_id, s FROM sh WHERE doc_id >= 1000000),
+          |na AS (SELECT doc_id, count(*) AS n_a FROM orig GROUP BY 1),
+          |nb AS (SELECT doc_id, count(*) AS n_b FROM var GROUP BY 1),
+          |c AS (SELECT o.doc_id, count(*) AS common FROM orig o
+          |      JOIN var v ON o.doc_id = v.doc_id AND o.s = v.s GROUP BY 1)
+          |SELECT na.doc_id AS doc_a, na.doc_id + 1000000 AS doc_b, common,
+          |  n_a + n_b - common AS union_cnt,
+          |  (common * 10000) // (n_a + n_b - common) AS jaccard_bp
+          |FROM na JOIN nb ON na.doc_id = nb.doc_id
+          |JOIN c ON na.doc_id = c.doc_id""".stripMargin),
+
+    "q23_simhash" -> simhashSql,
+
+    "q24_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 3),
+        |d AS (SELECT query_id, e.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * e.q[i])) AS BIGINT) AS dot
+        |  FROM e, qs WHERE e.vec_id <> query_id)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q25_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, label AS qb, q AS qv
+        |  FROM e WHERE vec_id < 10),
+        |d AS (SELECT query_id, e.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * e.q[i])) AS BIGINT) AS dot
+        |  FROM e JOIN qs ON e.label = qb AND e.vec_id <> query_id)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q26_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(max(len(string_split(text, ' '))) AS INTEGER) AS max_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q27_langid" ->
+      """WITH t AS (SELECT lang,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'the')) AS c1,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'value')) AS c2,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'table')) AS c3
+        |FROM documents)
+        |SELECT lang,
+        |  CASE WHEN c1 >= greatest(c2, c3) THEN 'the'
+        |       WHEN c2 >= c3 THEN 'value' ELSE 'table' END AS top_marker,
+        |  count(*) AS n
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "q28_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |     + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+        |     + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+        |    AS INTEGER) AS n_stop
+        |FROM documents)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  CAST((CAST(n_stop AS BIGINT) * 10000) // n_tokens AS BIGINT) AS score_bp,
+        |  n_chars >= 100 AND n_chars <= 2000
+        |    AND (CAST(n_stop AS BIGINT) * 10000) // n_tokens > 0 AS keep
+        |FROM t""".stripMargin,
+
+    "q29_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+        |       FROM w WHERE len(w) >= 4),
+        |h AS (SELECT doc_id, md5(s) AS hh FROM sh)
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list(hh)), ',')) AS fingerprint,
+        |  count(*) AS n_sampled
+        |FROM h WHERE substr(hh, 1, 1) = '0' GROUP BY 1""".stripMargin,
+
+    "q30_multimodal" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
+        |  count(*) AS n,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        |  count(DISTINCT md5(text)) AS n_hashes
+        |FROM documents GROUP BY 1""".stripMargin
   )
+
+  /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */
+  private val nearDupCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' graft extra appended'
+      |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** DuckDB rendering of [[graft.operators.llm.SimHash]] (generated for the
+    * 32 bit positions, same ±1 nibble-vote definition). */
+  private val simhashSql: String = {
+    val sums = (0 until 32).map(j =>
+      s"sum(CASE WHEN strpos('89abcdef', substr(md5(word), ${j + 1}, 1)) > 0 " +
+        s"THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+    val bits = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |agg AS (SELECT doc_id,
+       |  $sums
+       |FROM w GROUP BY 1)
+       |SELECT doc_id, $bits AS simhash FROM agg""".stripMargin
+  }
 }

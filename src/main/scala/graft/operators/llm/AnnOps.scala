@@ -1,0 +1,68 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (beyond-reference surface).
+ *
+ * Scores are inner products over INTEGER-quantized vectors
+ * (round(x*1000) per dimension): integer sums are order-independent and
+ * bit-exact across engines, so top-k results hash-compare exactly — a
+ * float dot product would be reduction-order-dependent and unverifiable.
+ *
+ * Two plans:
+ *  - [[bruteTopK]] — exact baseline: broadcast the (small) query set over
+ *    the candidate scan; one pass, no candidate-side shuffle, the window
+ *    top-k shuffles only (query_id, score) pairs.
+ *  - [[bucketedTopK]] — the scale path (IVF shape): candidates are probed
+ *    only within the query's coarse bucket (here a precomputed partition
+ *    label; in production the nearest centroid id), cutting the scored
+ *    pairs by the bucket fan-out. Same broadcast-join shape, bucket
+ *    equality in the join key.
+ */
+object AnnOps {
+
+  /** Float vector → integer-quantized vector (×1000, rounded). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer inner product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** Exact top-k: every query scored against every candidate (minus self). */
+  def bruteTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int): DataFrame = {
+    val e = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+    val qs = e.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__q").as("__qv"))
+    val scored = e.crossJoin(broadcast(qs))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        dot(col("__qv"), col("__q")).as("dot"))
+    topK(scored, k)
+  }
+
+  /** Bucketed top-k: probe only candidates sharing the query's bucket. */
+  def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   bucketCol: String, queryPred: Column, k: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(bucketCol).as("__b"),
+      quantize(col(vecCol)).as("__q"))
+    val qs = e.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__b").as("__qb"),
+        col("__q").as("__qv"))
+    val scored = e.join(broadcast(qs),
+        col("__b") === col("__qb") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        dot(col("__qv"), col("__q")).as("dot"))
+    topK(scored, k)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-pipeline operators for training-data curation (beyond-reference
+ * surface; the brief's dedup / fingerprint / analysis set). All hashing is
+ * plain md5 over explicit strings so ANY engine (the DuckDB oracle
+ * included) can recompute identical values — no engine-private hash
+ * functions in results.
+ *
+ * Scale notes: every operator here is a projection + one hash-partitioned
+ * aggregation/join on a derived key (shingle, band hash, bucket) — no
+ * all-pairs products anywhere. Candidate generation is confined to LSH
+ * buckets; at 100 TB the band `groupBy` is the only shuffle and AQE
+ * handles skewed buckets.
+ */
+object Shingles {
+
+  /** Single-space split, empties kept — textually identical to DuckDB's
+    * `string_split(text, ' ')` so oracles recompute the same token list. */
+  def words(text: Column): Column = split(text, " ", -1)
+
+  /** Explode word k-grams: (idCol, "shingle"). Documents shorter than k
+    * words contribute nothing (both engines guard identically). */
+  def explodeShingles(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val gram = (0 until k).map(j => s"__w[i+$j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    df.select(col(idCol), words(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= k)
+      .selectExpr(idCol,
+        s"explode(transform(sequence(0, size(__w)-$k), i -> $gram)) AS shingle")
+  }
+}
+
+/**
+ * MinHash + banded LSH near-duplicate candidate generation
+ * (shingle → minhash signature → band hash → bucket equi-join).
+ * hash_j(s) = md5("j|" + s); a band's key is the md5 of its member hashes.
+ */
+object MinHashLsh {
+
+  def minhash(j: Int, shingle: Column): Column =
+    md5(concat(lit(s"$j|"), shingle))
+
+  /** One aggregation pass computes all `numHashes` min-hashes. */
+  def signature(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(j => min(minhash(j, col("shingle"))).as(s"h$j"))
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** numHashes/rowsPerBand bands; two docs are candidates iff they agree on
+    * ALL hashes of at least one band. */
+  def bands(sig: DataFrame, idCol: String, numHashes: Int,
+            rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val rows = (0 until nBands).map { b =>
+      val members = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+        .mkString("concat(", ", ", ")")
+      s"$b, md5($members)"
+    }.mkString(s"stack($nBands, ", ", ", ") AS (band, bh)")
+    sig.selectExpr(idCol, rows)
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) from shared buckets — an
+    * equi-join on (band, bh): hash join keyed by bucket, never all-pairs. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.as("a")
+    val b = bandsDf.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** End-to-end: corpus (idCol, textCol) → candidate pairs. */
+  def apply(corpus: DataFrame, idCol: String, textCol: String,
+            shingleLen: Int = 3, numHashes: Int = 6,
+            rowsPerBand: Int = 2): DataFrame = {
+    val sh = Shingles.explodeShingles(corpus, idCol, textCol, shingleLen)
+    candidatePairs(bands(signature(sh, idCol, numHashes), idCol, numHashes,
+      rowsPerBand), idCol)
+  }
+}
+
+/**
+ * SimHash document fingerprint: 32 bits, bit j = sign of the sum over word
+ * occurrences of ±1, where +1 iff the high bit of md5(word)'s j-th nibble
+ * is set. Near-dups differ in few bits; the signature is a single
+ * aggregation pass (map-side combinable).
+ */
+object SimHash {
+  val Bits = 32
+  val HighNibbles: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = df.select(col(idCol),
+      explode(Shingles.words(col(textCol))).as("__word"))
+    val h = md5(col("__word"))
+    val sums = (0 until Bits).map { j =>
+      sum(when(substring(h, j + 1, 1).isin(HighNibbles: _*), 1).otherwise(-1))
+        .as(s"__s$j")
+    }
+    val agg = w.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val bits = concat((0 until Bits)
+      .map(j => when(col(s"__s$j") > 0, "1").otherwise("0")): _*)
+    agg.select(col(idCol), bits.as("simhash"))
+  }
+}
+
+/** Token counting, marker-frequency scoring, and quality heuristics —
+  * integer-valued so cross-engine comparison is exact. */
+object TextAnalysis {
+
+  def tokenCount(text: Column): Column = size(Shingles.words(text))
+
+  /** Occurrences of an exact token. */
+  def countToken(text: Column, token: String): Column =
+    size(filter(Shingles.words(text), _ === lit(token)))
+
+  /** Winnowing-style fingerprint: distinct word-k-gram md5s sampled where
+    * the hash's first hex char is '0' (1/16 of grams, content-defined —
+    * robust to local edits), sorted and re-hashed. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4): DataFrame = {
+    val sh = Shingles.explodeShingles(df, idCol, textCol, k).distinct()
+    sh.select(col(idCol), md5(col("shingle")).as("__h"))
+      .where(substring(col("__h"), 1, 1) === "0")
+      .groupBy(col(idCol))
+      .agg(md5(concat_ws(",", sort_array(collect_set(col("__h")))))
+        .as("fingerprint"),
+        count(lit(1)).as("n_sampled"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.llm._
+
+class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  test("shingles: k-grams in order, short docs dropped") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Shingles.explodeShingles(df, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSeq
+    assert(sh == Seq((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash-lsh: identical docs always pair; disjoint docs never do") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely here nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLsh(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text ⇒ identical 32-bit signature") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sigs = SimHash(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).length == 32 && sigs(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("ann dot product: integer quantization is exact") {
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(0.5f, -1.0f)),
+      (2L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = AnnOps.bruteTopK(df, "vec_id", "embedding",
+      col("vec_id") === 0, k = 2)
+      .select("cand_id", "dot").as[(Long, Long)].collect().toMap
+    // q=(1000,2000): dot with (500,-1000) = -1_500_000; with (1000,1000) = 3_000_000
+    assert(top == Map(2L -> 3000000L, 1L -> -1500000L))
+  }
+
+  test("multimodal: binary payload survives the batch decode plumbing") {
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, Array[Byte](1, 2, 3), "png", 10, 10),
+      MultimodalOps.MediaRecord(2L, "hello".getBytes("UTF-8"), "jpg", 5, 5))
+    val out = MultimodalOps.decode(spark.createDataset(recs))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(1L).decoded_bytes == 3L)
+    assert(out(2L).decoded_bytes == 5L)
+    // md5("hello")
+    assert(out(2L).thumb_hash == "5d41402abc4b2a76b9719d911017c592")
+  }
+}
