@@ -459,6 +459,57 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("decoded_bytes")).as("sum_bytes"),
           countDistinct(col("thumb_hash")).as("n_hashes"))
+    }),
+
+    // F1/F2 — SURT canonicalization under the oracle: eight messy-URL
+    // shapes (case, default/explicit ports, wwwN prefix, trailing slash,
+    // userinfo, fragment, path ;jsessionid, query sort + session-param
+    // drop, scheme-less) with the EXPECTED key built from string ops in
+    // DuckDB — canonicalization drift fails the hash compare.
+    "q31_surt" -> ((s, dir) => {
+      val id = col("doc_id")
+      val m = id % 23
+      val url = when(id % 8 === 0,
+          concat(lit("http://WWW.Site"), m, lit(".ORG/Alpha/"), id, lit("/")))
+        .when(id % 8 === 1,
+          concat(lit("https://site"), m, lit(".org:443/p/"), id, lit("?b=2&a=1")))
+        .when(id % 8 === 2,
+          concat(lit("http://www2.Site"), m, lit(".org:80/P/"), id))
+        .when(id % 8 === 3,
+          concat(lit("http://site"), m, lit(".org:8080/p/"), id))
+        .when(id % 8 === 4,
+          concat(lit("http://user@site"), m, lit(".org/p/"), id, lit("#frag")))
+        .when(id % 8 === 5,
+          concat(lit("http://site"), m, lit(".org/p/"), id, lit(";jsessionid=ABC123")))
+        .when(id % 8 === 6,
+          concat(lit("http://site"), m, lit(".org/p/"), id,
+            lit("?jsessionid=xx&z=1&utm_source=t")))
+        .otherwise(concat(lit("site"), m, lit(".org/p/"), id))
+      val surtUdf = udf((u: String) => graft.functions.Surt.surtLenient(u))
+      tbl(s, dir, "documents")
+        .select(id.as("doc_id"), url.as("url"))
+        .withColumn("surtkey", surtUdf(col("url")))
+    }),
+
+    // O1 — legacy CDX-9 → CDX-11 conversion (re-key with fresh SURT,
+    // scheme repair for scheme-less originals, null compressed_size).
+    "q32_legacy_convert" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val m = id % 23
+      val orig = when(id % 2 === 0,
+          concat(lit("Site"), m, lit(".ORG/p/"), id)) // scheme-less → repair
+        .otherwise(concat(lit("http://Site"), m, lit(".ORG/p/"), id))
+      val line = concat_ws(" ",
+        concat(lit("site"), m, lit(".org/p/"), id), // legacy key (ignored)
+        concat(lit("2012010"), id % 9 + 1, lit("000000")),
+        orig, lit("text/html"), lit("200"), concat(lit("DIG"), id),
+        concat(lit("http://r.org/"), id), // redirect (blanked by default)
+        (id * 10).cast("string"),
+        concat(lit("f-"), id, lit(".arc.gz")))
+      tbl(s, dir, "documents").select(line.as("line")).as[String]
+        .flatMap(graft.model.Cdx.convertLegacy(_))
+        .toDF(graft.model.Cdx.columnNames: _*)
     })
   )
 
@@ -729,7 +780,44 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
         |  count(DISTINCT md5(text)) AS n_hashes
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q31_surt" ->
+      """WITH u AS (SELECT doc_id, doc_id % 23 AS m, doc_id % 8 AS v FROM documents)
+        |SELECT doc_id,
+        |  CASE v
+        |    WHEN 0 THEN 'http://WWW.Site' || m || '.ORG/Alpha/' || doc_id || '/'
+        |    WHEN 1 THEN 'https://site' || m || '.org:443/p/' || doc_id || '?b=2&a=1'
+        |    WHEN 2 THEN 'http://www2.Site' || m || '.org:80/P/' || doc_id
+        |    WHEN 3 THEN 'http://site' || m || '.org:8080/p/' || doc_id
+        |    WHEN 4 THEN 'http://user@site' || m || '.org/p/' || doc_id || '#frag'
+        |    WHEN 5 THEN 'http://site' || m || '.org/p/' || doc_id || ';jsessionid=ABC123'
+        |    WHEN 6 THEN 'http://site' || m || '.org/p/' || doc_id || '?jsessionid=xx&z=1&utm_source=t'
+        |    ELSE 'site' || m || '.org/p/' || doc_id END AS url,
+        |  CASE v
+        |    WHEN 0 THEN 'org,site' || m || ')/alpha/' || doc_id
+        |    WHEN 1 THEN 'org,site' || m || ')/p/' || doc_id || '?a=1&b=2'
+        |    WHEN 3 THEN 'org,site' || m || ':8080)/p/' || doc_id
+        |    WHEN 6 THEN 'org,site' || m || ')/p/' || doc_id || '?z=1'
+        |    ELSE 'org,site' || m || ')/p/' || doc_id END AS surtkey
+        |FROM u""".stripMargin,
+
+    "q32_legacy_convert" ->
+      """WITH u AS (SELECT doc_id, doc_id % 23 AS m FROM documents)
+        |SELECT
+        |  'org,site' || m || ')/p/' || doc_id AS urlkey,
+        |  '2012010' || (doc_id % 9 + 1) || '000000' AS timestamp,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'http://site' || m || '.org/p/' || doc_id
+        |       ELSE 'http://Site' || m || '.ORG/p/' || doc_id END AS original_url,
+        |  'text/html' AS mimetype,
+        |  200 AS statuscode,
+        |  'DIG' || doc_id AS digest,
+        |  CAST(NULL AS VARCHAR) AS redirect_url,
+        |  CAST(NULL AS VARCHAR) AS meta_flags,
+        |  CAST(NULL AS BIGINT) AS compressed_size,
+        |  CAST(doc_id * 10 AS BIGINT) AS "offset",
+        |  'f-' || doc_id || '.arc.gz' AS filename
+        |FROM u""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */
