@@ -60,6 +60,14 @@ object GraftCli {
         val spark = session("cluster-range")
         graft.operators.ClusterOps.rangeFromArgs(spark, rest)
         spark.stop()
+      case "warc-extract" =>
+        // warc-extract <outDir> <warc...> [--soft] — one .cdx per input
+        val spark = session("warc-extract")
+        val (flags, pos) = rest.partition(_.startsWith("--"))
+        val n = graft.operators.WarcExtract.extractToFiles(spark,
+          pos.tail.toSeq, pos.head, soft = flags.contains("--soft"))
+        println(s"extracted $n cdx lines -> ${pos.head}")
+        spark.stop()
       case other =>
         System.err.println(s"unknown tool: $other"); usage(); sys.exit(2)
     }
@@ -72,5 +80,6 @@ object GraftCli {
       |  cluster-build <splits|-> <in> <out>    sorted ZipNum cluster from CDX text
       |  cluster-merge <out> <in1> <in2...>     merge clusters (global-cdx rules)
       |  cluster-range <start> <end> <in...>    key-range dump
+      |  warc-extract <out> <warc...> [--soft]  WARC -> per-file .cdx
       |""".stripMargin)
 }

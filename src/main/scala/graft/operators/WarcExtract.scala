@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.{LongAccumulator, SerializableConfiguration}
+
+import graft.sources.warc.{GzipMembers, WarcRecords}
+
+/**
+ * WARC → CDX extraction (SURVEY §3.4; jobs/CDXGenerator.java:186-273).
+ * One FILE per task — the FilenameInputFormat shape (S1): gzip members are
+ * not splittable mid-file, and per-file outputs keep operational parity.
+ * Fault tolerance mirrors `-soft` (CDXGenerator.java:222-238): bad members
+ * are counted in an accumulator instead of failing the task; with
+ * soft=false the first bad member fails the job.
+ */
+object WarcExtract {
+
+  /** One CDX-shaped row per extractable record. */
+  final case class CdxRow(
+      urlkey: String, timestamp: String, original_url: String,
+      mimetype: String, statuscode: Option[Int], digest: String,
+      compressed_size: Long, offset: Long, filename: String)
+
+  final case class Extraction(rows: Dataset[CdxRow],
+                              badMembers: LongAccumulator)
+
+  /** Extract response/resource records of `paths` (one task per file). */
+  def extract(spark: SparkSession, paths: Seq[String],
+              soft: Boolean = false): Extraction = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bad = spark.sparkContext.longAccumulator("warc.bad.members")
+    val rows = spark.createDataset(paths)
+      .repartition(math.max(1, paths.size))
+      .mapPartitions { pathIter =>
+        pathIter.flatMap { pathStr =>
+          val p = new Path(pathStr)
+          val name = p.getName
+          val in = p.getFileSystem(conf.value).open(p)
+          val members =
+            if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
+            else GzipMembers.iterate(in)
+          members.flatMap { m =>
+            WarcRecords.parse(m.payload).flatMap { rec =>
+              if (rec.warcType != "response" && rec.warcType != "resource") None
+              else for {
+                uri <- rec.targetUri
+                ts <- rec.timestamp14
+              } yield {
+                val (status, httpMime) = rec.httpStatusAndMime
+                val body =
+                  if (status.isDefined) httpBody(rec.payload) else rec.payload
+                CdxRow(
+                  urlkey = graft.functions.Surt.surtLenient(uri),
+                  timestamp = ts,
+                  original_url = uri,
+                  mimetype = httpMime
+                    .orElse(rec.contentType.map(_.split(";")(0).trim))
+                    .getOrElse("unk"),
+                  statuscode = status,
+                  digest = WarcRecords.sha1Base32(body),
+                  compressed_size = m.length,
+                  offset = m.offset,
+                  filename = name)
+              }
+            }
+          }
+        }
+      }
+    Extraction(rows, bad)
+  }
+
+  /** Write one `<basename>.cdx` next to nothing in particular — per-input
+    * side outputs with the .TMP→rename commit of CDXGenerator.java:171-179. */
+  def extractToFiles(spark: SparkSession, paths: Seq[String], outDir: String,
+                     soft: Boolean = false): Long = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val ex = extract(spark, paths, soft)
+    val n = spark.sparkContext.longAccumulator("warc.cdx.lines")
+    ex.rows.foreachPartition { (it: Iterator[CdxRow]) =>
+      val byFile = it.toSeq.groupBy(_.filename)
+      byFile.foreach { case (name, rows) =>
+        val fs = new Path(outDir).getFileSystem(conf.value)
+        val tmp = new Path(outDir, s"$name.cdx.TMP")
+        val dst = new Path(outDir, s"$name.cdx")
+        val out = fs.create(tmp, true)
+        rows.sortBy(r => (r.urlkey, r.timestamp)).foreach { r =>
+          val line = Seq(r.urlkey, r.timestamp, r.original_url, r.mimetype,
+            r.statuscode.map(_.toString).getOrElse("-"), r.digest, "-", "-",
+            r.compressed_size.toString, r.offset.toString, r.filename)
+            .mkString(" ")
+          out.write((line + "\n").getBytes("UTF-8"))
+          n.add(1)
+        }
+        out.close()
+        fs.delete(dst, false)
+        fs.rename(tmp, dst)
+      }
+    }
+    n.value
+  }
+
+  /** Payload after the HTTP header block (digest covers the entity body,
+    * not the headers). */
+  private def httpBody(payload: Array[Byte]): Array[Byte] = {
+    val sep = "\r\n\r\n".getBytes
+    var i = 0
+    while (i <= payload.length - sep.length) {
+      var j = 0
+      while (j < sep.length && payload(i + j) == sep(j)) j += 1
+      if (j == sep.length)
+        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+      i += 1
+    }
+    payload
+  }
+}

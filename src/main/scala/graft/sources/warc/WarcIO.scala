@@ -1,0 +1,246 @@
+package graft.sources.warc
+
+import java.io.InputStream
+import java.util.zip.Inflater
+
+/**
+ * W/ARC member-level IO (SURVEY §1.3, §3.4). The reference treats a W/ARC
+ * as a series of gzip members, one record per member, and measures each
+ * member's COMPRESSED extent to enable range repackaging
+ * (/root/reference/src/main/java/org/archive/hadoop/jobs/ArchiveFileExtractor.java:173-181);
+ * that member walk lived in webarchive-commons, so it is re-implemented
+ * here from the gzip spec (RFC 1952): parse each member header, inflate
+ * raw deflate while tracking consumed bytes, verify the ISIZE footer.
+ */
+object GzipMembers {
+
+  /** One gzip member: byte extent within the file + inflated payload. */
+  final case class Member(offset: Long, length: Long, payload: Array[Byte])
+
+  /** Iterate members of a (possibly multi-member) gzip stream. Throws on a
+    * corrupt member — callers wanting `-soft` semantics catch per-member
+    * via [[iterateSoft]]. */
+  def iterate(in: InputStream): Iterator[Member] = new Iterator[Member] {
+    private val feeder = new Feeder(in)
+    private var offset = 0L
+    private var nextMember: Member = _
+    private var done = false
+
+    private def advance(): Unit = {
+      if (done || nextMember != null) return
+      if (feeder.atEof) { done = true; return }
+      val start = offset
+      val headerLen = parseHeader(feeder)
+      val (payload, deflateLen) = inflateRaw(feeder)
+      val footer = new Array[Byte](8)
+      feeder.readFully(footer)
+      val isize = le32(footer, 4)
+      require(isize == (payload.length & 0xffffffffL),
+        s"gzip ISIZE mismatch at offset $start")
+      val total = headerLen + deflateLen + 8
+      offset += total
+      nextMember = Member(start, total, payload)
+    }
+
+    override def hasNext: Boolean = { advance(); nextMember != null }
+    override def next(): Member = {
+      if (!hasNext) throw new NoSuchElementException
+      val m = nextMember; nextMember = null; m
+    }
+  }
+
+  /** Per-member fault tolerance: a corrupt member stops the file scan (the
+    * stream cannot be resynchronized without an index) but reports how
+    * many members were recovered; `onBad` observes the failure. */
+  def iterateSoft(in: InputStream, onBad: Throwable => Unit): Iterator[Member] = {
+    val it = iterate(in)
+    new Iterator[Member] {
+      private var failed = false
+      override def hasNext: Boolean =
+        !failed && (try it.hasNext catch {
+          case e: Exception => onBad(e); failed = true; false
+        })
+      override def next(): Member = it.next()
+    }
+  }
+
+  /** RFC 1952 header: magic, CM, FLG, MTIME, XFL, OS + optional FEXTRA /
+    * FNAME / FCOMMENT / FHCRC. Returns the header's byte length. */
+  private def parseHeader(f: Feeder): Long = {
+    var n = 0L
+    def rb(): Int = { n += 1; f.readByte() }
+    val m0 = rb(); val m1 = rb()
+    require(m0 == 0x1f && m1 == 0x8b, f"bad gzip magic $m0%02x$m1%02x")
+    val cm = rb()
+    require(cm == 8, s"unsupported compression method $cm")
+    val flg = rb()
+    (0 until 6).foreach(_ => rb()) // MTIME, XFL, OS
+    if ((flg & 4) != 0) { // FEXTRA (e.g. our SL subfield)
+      val xlen = rb() | (rb() << 8)
+      (0 until xlen).foreach(_ => rb())
+    }
+    if ((flg & 8) != 0) while (rb() != 0) () // FNAME, NUL-terminated
+    if ((flg & 16) != 0) while (rb() != 0) () // FCOMMENT
+    if ((flg & 2) != 0) { rb(); rb() } // FHCRC
+    n
+  }
+
+  /** Inflate one raw-deflate stream; returns (payload, compressed length).
+    * Over-read bytes are pushed back to the feeder. */
+  private def inflateRaw(f: Feeder): (Array[Byte], Long) = {
+    val inf = new Inflater(true)
+    val inBuf = new Array[Byte](8192)
+    val outBuf = new Array[Byte](16384)
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    var fed = 0L
+    var lastN = 0
+    try {
+      while (!inf.finished()) {
+        if (inf.needsInput) {
+          val n = f.readChunk(inBuf)
+          require(n > 0, "truncated deflate stream")
+          inf.setInput(inBuf, 0, n)
+          fed += n; lastN = n
+        }
+        val m = inf.inflate(outBuf)
+        out.write(outBuf, 0, m)
+        if (m == 0 && inf.needsDictionary())
+          throw new IllegalStateException("deflate dictionary unsupported")
+      }
+      // over-read tail of the last chunk belongs to the footer/next member
+      val remaining = inf.getRemaining
+      if (remaining > 0) f.unread(inBuf, lastN - remaining, remaining)
+      (out.toByteArray, fed - remaining)
+    } finally inf.end()
+  }
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** InputStream wrapper with unread support (deflate over-read pushback). */
+  private final class Feeder(in: InputStream) {
+    private var back: Array[Byte] = Array.emptyByteArray
+    private var backPos = 0
+
+    def unread(buf: Array[Byte], off: Int, len: Int): Unit = {
+      val keep = back.length - backPos
+      val merged = new Array[Byte](keep + len)
+      System.arraycopy(buf, off, merged, 0, len)
+      System.arraycopy(back, backPos, merged, len, keep)
+      back = merged; backPos = 0
+    }
+
+    def atEof: Boolean = {
+      if (backPos < back.length) return false
+      val b = in.read()
+      if (b < 0) true else { unread(Array(b.toByte), 0, 1); false }
+    }
+
+    def readByte(): Int = {
+      if (backPos < back.length) { val b = back(backPos) & 0xff; backPos += 1; b }
+      else {
+        val b = in.read()
+        require(b >= 0, "unexpected EOF in gzip member")
+        b
+      }
+    }
+
+    def readChunk(buf: Array[Byte]): Int = {
+      if (backPos < back.length) {
+        val n = math.min(buf.length, back.length - backPos)
+        System.arraycopy(back, backPos, buf, 0, n); backPos += n; n
+      } else in.read(buf)
+    }
+
+    def readFully(buf: Array[Byte]): Unit = {
+      var i = 0
+      while (i < buf.length) { buf(i) = readByte().toByte; i += 1 }
+    }
+  }
+}
+
+/** Minimal WARC record model + parser (header block + payload). The full
+  * parser lives in webarchive-commons for the reference; this covers the
+  * fields the CDX/WAT jobs actually consume. */
+object WarcRecords {
+
+  final case class WarcRecord(
+      warcType: String,
+      targetUri: Option[String],
+      date: Option[String],          // ISO, e.g. 2012-01-03T08:45:08Z
+      contentType: Option[String],   // of the WARC block
+      headers: Map[String, String],
+      payload: Array[Byte]) {
+
+    /** 14-digit timestamp from the WARC-Date. */
+    def timestamp14: Option[String] =
+      date.map(_.filter(_.isDigit)).filter(_.length >= 14).map(_.take(14))
+
+    /** For response records with an HTTP block: (status, Content-Type). */
+    def httpStatusAndMime: (Option[Int], Option[String]) = {
+      val text = new String(payload, 0, math.min(payload.length, 4096),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (!text.startsWith("HTTP/")) (None, None)
+      else {
+        val lines = text.split("\r\n")
+        val status = lines.head.split(" ").lift(1).flatMap(_.toIntOption)
+        val mime = lines.tail.takeWhile(_.nonEmpty)
+          .find(_.toLowerCase.startsWith("content-type:"))
+          .map(_.split(":", 2)(1).trim.split(";")(0).trim)
+        (status, mime)
+      }
+    }
+  }
+
+  /** Parse one member payload as a WARC record: "WARC/1.x" version line,
+    * CRLF headers, blank line, payload block. */
+  def parse(bytes: Array[Byte]): Option[WarcRecord] = {
+    val sep = indexOf(bytes, "\r\n\r\n".getBytes)
+    if (sep < 0) return None
+    val head = new String(bytes, 0, sep,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val lines = head.split("\r\n")
+    if (!lines.head.startsWith("WARC/")) return None
+    val headers = lines.tail.flatMap { l =>
+      val i = l.indexOf(':')
+      if (i < 0) None else Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
+    }.toMap
+    val ci = headers.map { case (k, v) => k.toLowerCase -> v }
+    Some(WarcRecord(
+      warcType = ci.getOrElse("warc-type", "unknown"),
+      targetUri = ci.get("warc-target-uri").map(_.stripPrefix("<").stripSuffix(">")),
+      date = ci.get("warc-date"),
+      contentType = ci.get("content-type"),
+      headers = headers,
+      payload = java.util.Arrays.copyOfRange(bytes, sep + 4, bytes.length)))
+  }
+
+  /** SHA1 digest in Base32 (RFC 4648, A-Z2-7) — the CDX digest convention. */
+  def sha1Base32(bytes: Array[Byte]): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var buffer = 0L
+    var bits = 0
+    sha.foreach { b =>
+      buffer = (buffer << 8) | (b & 0xffL); bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alphabet(((buffer >> bits) & 0x1f).toInt))
+      }
+    }
+    sb.toString
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i <= hay.length - needle.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}

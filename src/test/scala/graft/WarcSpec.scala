@@ -1,0 +1,112 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.warc.{GzipMembers, WarcRecords}
+import graft.operators.WarcExtract
+
+class WarcSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Standard gzip member (GZIPOutputStream — no SL field) for generality. */
+  private def gz(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(payload); g.close()
+    bos.toByteArray
+  }
+
+  private def warcResponse(uri: String, date: String, body: String): Array[Byte] = {
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\nContent-Length: ${http.length}\r\n\r\n" + http)
+      .getBytes("UTF-8")
+  }
+
+  private def warcinfo: Array[Byte] =
+    "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\n\r\nsoftware: graft\r\n"
+      .getBytes("UTF-8")
+
+  test("gzip member walk: offsets/lengths tile the file; payload exact") {
+    val p1 = warcinfo
+    val p2 = warcResponse("http://example.com/a", "2012-01-03T08:45:08Z", "hello")
+    val m1 = gz(p1); val m2 = gz(p2)
+    // mix in an SL-header member (our writer's format) for header variety
+    val p3 = "plain lines\n".getBytes("UTF-8")
+    val m3 = graft.sources.zipnum.ZipNumFormat.gzipMember(p3)
+    val file = m1 ++ m2 ++ m3
+    val members = GzipMembers.iterate(new ByteArrayInputStream(file)).toSeq
+    assert(members.map(m => (m.offset, m.length)) == Seq(
+      (0L, m1.length.toLong), (m1.length.toLong, m2.length.toLong),
+      ((m1.length + m2.length).toLong, m3.length.toLong)))
+    assert(members(0).payload.toSeq == p1.toSeq)
+    assert(members(1).payload.toSeq == p2.toSeq)
+    assert(members(2).payload.toSeq == p3.toSeq)
+  }
+
+  test("warc record parse: headers, uri, date14, http status/mime") {
+    val rec = WarcRecords.parse(
+      warcResponse("http://example.com/x", "2012-01-03T08:45:08Z", "body")).get
+    assert(rec.warcType == "response")
+    assert(rec.targetUri.contains("http://example.com/x"))
+    assert(rec.timestamp14.contains("20120103084508"))
+    val (status, mime) = rec.httpStatusAndMime
+    assert(status.contains(200) && mime.contains("text/html"))
+  }
+
+  test("sha1Base32 matches the known digest of an empty payload") {
+    // sha1("") = da39a3ee5e6b4b0d3255bfef95601890afd80709
+    assert(WarcRecords.sha1Base32(Array.emptyByteArray) ==
+      "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+  }
+
+  test("extract: response records only, CDX fields populated") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "warc")
+    val f = dir.resolve("test-00000.warc.gz")
+    Files.write(f, gz(warcinfo) ++
+      gz(warcResponse("http://example.com/a", "2012-01-03T08:45:08Z", "aaa")) ++
+      gz(warcResponse("http://WWW.Example.com/B/", "2012-01-04T09:00:00Z", "bbb")))
+    val ex = WarcExtract.extract(spark, Seq(f.toString))
+    val rows = ex.rows.collect().sortBy(_.timestamp)
+    assert(rows.length == 2)
+    assert(rows(0).urlkey == "com,example)/a")
+    assert(rows(1).urlkey == "com,example)/b")
+    assert(rows(0).statuscode.contains(200))
+    assert(rows(0).mimetype == "text/html")
+    assert(rows(0).digest == WarcRecords.sha1Base32("aaa".getBytes("UTF-8")))
+    assert(rows(0).offset == gz(warcinfo).length.toLong)
+    assert(ex.badMembers.value == 0L)
+  }
+
+  test("extract -soft: corrupt member counted, good prefix recovered") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "warcbad")
+    val good = gz(warcResponse("http://ok.org/", "2012-01-03T08:45:08Z", "ok"))
+    val corrupt = gz(warcinfo).take(20) // truncated member
+    val f = dir.resolve("bad-00000.warc.gz")
+    Files.write(f, good ++ corrupt)
+    val ex = WarcExtract.extract(spark, Seq(f.toString), soft = true)
+    assert(ex.rows.collect().length == 1)
+    assert(ex.badMembers.value == 1L)
+    // non-soft: the same file fails the job
+    val hard = WarcExtract.extract(spark, Seq(f.toString))
+    assertThrows[org.apache.spark.SparkException](hard.rows.collect())
+  }
+
+  test("extractToFiles: per-input .cdx side files via TMP->rename") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "warcout")
+    val f = dir.resolve("in-00001.warc.gz")
+    Files.write(f,
+      gz(warcResponse("http://b.org/x", "2012-01-03T08:45:08Z", "x")) ++
+      gz(warcResponse("http://a.org/y", "2012-01-04T08:45:08Z", "y")))
+    val n = WarcExtract.extractToFiles(spark, Seq(f.toString),
+      dir.toString, soft = false)
+    assert(n == 2L)
+    val out = Files.readAllLines(dir.resolve("in-00001.warc.gz.cdx"))
+    assert(out.size == 2)
+    // sorted by (urlkey, timestamp)
+    assert(out.get(0).startsWith("org,a)/y 20120104084508 http://a.org/y text/html 200 "))
+    assert(out.get(1).startsWith("org,b)/x 20120103084508 http://b.org/x text/html 200 "))
+  }
+}
