@@ -510,6 +510,27 @@ object SparkEntry {
       tbl(s, dir, "documents").select(line.as("line")).as[String]
         .flatMap(graft.model.Cdx.convertLegacy(_))
         .toDF(graft.model.Cdx.columnNames: _*)
+    }),
+
+    // O3 — drop dns:/filedesc:/warcinfo: pseudo-captures from a CDX stream.
+    "q33_cdx_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val m = id % 23
+      val key = when(id % 5 === 0, concat(lit("dns:site"), m, lit(".org")))
+        .when(id % 5 === 1, concat(lit("filedesc://f-"), id, lit(".arc")))
+        .when(id % 5 === 2, concat(lit("warcinfo:/f-"), id, lit(".warc")))
+        .otherwise(concat(lit("org,site"), m, lit(")/p/"), id))
+      val df = tbl(s, dir, "documents")
+        .select(id.as("doc_id"), key.as("urlkey"))
+      graft.operators.CdxFilter(df)
+    }),
+
+    // F5 — map/struct → JSON text (ToJsonFunc.java:18-37).
+    "q34_to_json" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .select(col("event_id"), to_json(struct(col("k"))).as("js"))
     })
   )
 
@@ -817,7 +838,24 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS compressed_size,
         |  CAST(doc_id * 10 AS BIGINT) AS "offset",
         |  'f-' || doc_id || '.arc.gz' AS filename
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    "q33_cdx_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'dns:site' || (doc_id % 23) || '.org'
+        |       WHEN doc_id % 5 = 1 THEN 'filedesc://f-' || doc_id || '.arc'
+        |       WHEN doc_id % 5 = 2 THEN 'warcinfo:/f-' || doc_id || '.warc'
+        |       ELSE 'org,site' || (doc_id % 23) || ')/p/' || doc_id END AS urlkey
+        |FROM documents)
+        |SELECT doc_id, urlkey FROM t
+        |WHERE urlkey NOT LIKE 'dns:%' AND urlkey NOT LIKE 'filedesc:%'
+        |  AND urlkey NOT LIKE 'warcinfo:%'""".stripMargin,
+
+    "q34_to_json" ->
+      """SELECT event_id,
+        |  CASE WHEN CAST(props->>'k' AS INTEGER) IS NULL THEN '{}'
+        |       ELSE '{"k":' || CAST(props->>'k' AS INTEGER) || '}' END AS js
+        |FROM events""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wires for the peripheral source/sink rows of SURVEY §2: S14 recursive
+  * listing + extension filter, S15 file-mtime pruning, K6 SequenceFile —
+  * all Spark built-ins; these tests pin the option spellings. */
+class SourcesSpec extends AnyFunSuite with SparkTestSession {
+
+  private def mkTree(): java.nio.file.Path = {
+    val root = Files.createTempDirectory(Paths.get("/root/repo/target"), "lsr")
+    Files.createDirectories(root.resolve("a/b"))
+    Files.writeString(root.resolve("top.cdx"), "top\n")
+    Files.writeString(root.resolve("a/mid.cdx"), "mid\n")
+    Files.writeString(root.resolve("a/b/deep.cdx"), "deep\n")
+    Files.writeString(root.resolve("a/b/skip.txt"), "skip\n")
+    Files.writeString(root.resolve("a/.hidden.cdx"), "hidden\n")
+    root
+  }
+
+  test("S14: recursiveFileLookup + pathGlobFilter (ext + hidden-file rules)") {
+    val root = mkTree()
+    val got = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.cdx")
+      .textFile(root.toString)
+      .collect().toSet
+    // hidden files are skipped by the file index, .txt by the glob
+    assert(got == Set("top", "mid", "deep"))
+  }
+
+  test("S15: modifiedAfter/modifiedBefore prune at the file level") {
+    val root = mkTree()
+    // push one file's mtime into the past
+    Files.setLastModifiedTime(root.resolve("top.cdx"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 24 * 3600 * 1000))
+    val recent = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.cdx")
+      .option("modifiedAfter",
+        java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          .minusHours(1).toString.replace("T", "T"))
+      .textFile(root.toString)
+      .collect().toSet
+    assert(recent == Set("mid", "deep"))
+    val old = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.cdx")
+      .option("modifiedBefore",
+        java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          .minusHours(1).toString)
+      .textFile(root.toString)
+      .collect().toSet
+    assert(old == Set("top"))
+  }
+
+  test("K6: SequenceFile write -> read roundtrip, null-safe") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "seq")
+      .resolve("out").toString
+    val data = Seq(("k1", "v1"), ("k2", "v2"), (null, "v3"))
+    graft.sources.SequenceFileSink.write(data.toDS(), dir)
+    val back = graft.sources.SequenceFileSink.read(spark, dir).collect().toSet
+    assert(back == Set(("k1", "v1"), ("k2", "v2"), ("", "v3")))
+  }
+
+  test("O3: CdxFilter.lines drops header and pseudo-captures") {
+    import spark.implicits._
+    val in = Seq(" CDX N b a m s k r M S V g", "dns:a.org 2012 x",
+      "filedesc://f 2012 x", "warcinfo:/f 2012 x",
+      "org,a)/ 2012 x").toDS()
+    assert(graft.operators.CdxFilter.lines(in).collect().toSeq ==
+      Seq("org,a)/ 2012 x"))
+  }
+}
