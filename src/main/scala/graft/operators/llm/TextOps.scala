@@ -65,17 +65,21 @@ object MinHashLsh {
     sig.selectExpr(idCol, rows)
   }
 
-  /** Distinct candidate pairs (doc_a < doc_b) from shared buckets — an
-    * equi-join on (band, bh): hash join keyed by bucket, never all-pairs. */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.as("a")
-    val b = bandsDf.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+  /** Distinct candidate pairs (doc_a < doc_b) from shared buckets: ONE
+    * shuffle on (band, bh), pairs expanded inside each bucket — the
+    * signature pipeline is computed once (a self-join formulation would
+    * recompute the shingle+minhash lineage on both sides). Buckets are
+    * small by construction; a production deployment would additionally cap
+    * bucket size to bound the quadratic expansion on degenerate buckets. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
+    bandsDf.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .selectExpr("explode(flatten(transform(ids, (a, i) -> " +
+        "transform(slice(ids, i + 2, size(ids)), b -> " +
+        "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))) AS p")
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** End-to-end: corpus (idCol, textCol) → candidate pairs. */
   def apply(corpus: DataFrame, idCol: String, textCol: String,
