@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+/**
+ * W/ARC repackaging (SURVEY §2 K11): copy selected records — as RAW
+ * COMPRESSED gzip members, never re-encoded — from source archives into
+ * new archive files. The reference measures each member's compressed
+ * extent and byte-copies it
+ * (/root/reference/src/main/java/org/archive/hadoop/jobs/
+ * ArchiveFileExtractor.java:109-524, member length at :173-181, .TMP→
+ * rename commit at :355-364). Concatenated gzip members are themselves a
+ * valid archive, so the copy is lossless and cheap.
+ *
+ * One task per destination file (side-effect writes → deterministic
+ * single writer per output, the reason the reference disables speculative
+ * execution for these jobs).
+ */
+object ArchiveRepackage {
+
+  /** Copy `length` bytes at `offset` of `src` into destination `dst`;
+    * `seq` orders members within the destination. */
+  final case class CopyTask(src: String, offset: Long, length: Long,
+                            dst: String, seq: Int)
+
+  /** Executes all tasks; returns (files written, bytes copied). */
+  def repackage(spark: SparkSession, tasks: Dataset[CopyTask],
+                outDir: String,
+                header: Option[Array[Byte]] = None): (Long, Long) = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val files = spark.sparkContext.longAccumulator("repackage.files")
+    val bytes = spark.sparkContext.longAccumulator("repackage.bytes")
+    import spark.implicits._
+    tasks.groupByKey(_.dst).mapGroups { (dst, ts) =>
+      val fs = new Path(outDir).getFileSystem(conf.value)
+      val tmp = new Path(outDir, s"$dst.TMP")
+      val fin = new Path(outDir, dst)
+      val out = fs.create(tmp, true)
+      // synthesized leading record (filedesc/warcinfo analogue), pre-gzipped
+      header.foreach(out.write)
+      var openPath: String = null
+      var in: org.apache.hadoop.fs.FSDataInputStream = null
+      val buf = new Array[Byte](1 << 16)
+      ts.toSeq.sortBy(_.seq).foreach { t =>
+        if (openPath != t.src) {
+          if (in != null) in.close()
+          val p = new Path(t.src)
+          in = p.getFileSystem(conf.value).open(p)
+          openPath = t.src
+        }
+        in.seek(t.offset)
+        var remaining = t.length
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          require(n > 0, s"unexpected EOF copying $t")
+          out.write(buf, 0, n)
+          remaining -= n
+          bytes.add(n)
+        }
+      }
+      if (in != null) in.close()
+      out.close()
+      fs.delete(fin, false)
+      fs.rename(tmp, fin)
+      files.add(1)
+      dst
+    }.collect()
+    (files.value, bytes.value)
+  }
+}

@@ -84,9 +84,9 @@ object ZipNumReader {
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     in.seek(slice.offset)
-    val bounded = new BoundedInputStream(in, slice.length)
+    val bounded = new graft.util.IoUtil.BoundedInputStream(in, slice.length)
     val gz = new GZIPInputStream(bounded, 64 * 1024)
-    val it = new LfLineIterator(gz)
+    val it = new graft.util.IoUtil.LfLineIterator(gz)
     val trimmed = (start, end) match {
       case (None, None) => it
       case _ =>
@@ -97,80 +97,8 @@ object ZipNumReader {
         val hi = end.orNull
         it.filter(l => (lo == null || l >= lo) && (hi == null || l < hi))
     }
-    new AutoCloseIterator(trimmed, () => { gz.close(); in.close() })
-  }
-
-  /** Reads at most `limit` bytes from `in` (does not close it). */
-  private final class BoundedInputStream(in: InputStream, limit: Long)
-      extends InputStream {
-    private var remaining = limit
-    override def read(): Int =
-      if (remaining <= 0) -1
-      else { val b = in.read(); if (b >= 0) remaining -= 1; b }
-    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
-      if (remaining <= 0) return -1
-      val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
-      if (n > 0) remaining -= n
-      n
-    }
-  }
-
-  /** Splits an InputStream's bytes into UTF-8 lines on LF ONLY — CR is data
-    * (LFOnlyLineReader semantics, SURVEY §2 S2). Drops empty lines. */
-  private final class LfLineIterator(in: InputStream) extends Iterator[String] {
-    private val buf = new Array[Byte](64 * 1024)
-    private var len = 0
-    private var pos = 0
-    private var eof = false
-    private val line = new java.io.ByteArrayOutputStream(256)
-    private var nextLine: String = null
-
-    private def fill(): Unit = {
-      len = in.read(buf); pos = 0
-      if (len < 0) eof = true
-    }
-
-    @annotation.tailrec
-    private def advance(): Unit = {
-      if (eof) {
-        nextLine = if (line.size() > 0) {
-          val s = new String(line.toByteArray, UTF_8); line.reset(); s
-        } else null
-        return
-      }
-      if (pos >= len) { fill(); advance() }
-      else {
-        var i = pos
-        while (i < len && buf(i) != '\n') i += 1
-        line.write(buf, pos, i - pos)
-        if (i < len) { // hit LF
-          pos = i + 1
-          if (line.size() > 0) {
-            nextLine = new String(line.toByteArray, UTF_8); line.reset()
-          } else advance() // empty line: skip
-        } else { pos = len; advance() }
-      }
-    }
-
-    override def hasNext: Boolean = {
-      if (nextLine == null && !(eof && line.size() == 0)) advance()
-      nextLine != null
-    }
-    override def next(): String = {
-      if (!hasNext) throw new NoSuchElementException
-      val l = nextLine; nextLine = null; l
-    }
-  }
-
-  private final class AutoCloseIterator(it: Iterator[String], close: () => Unit)
-      extends Iterator[String] {
-    private var closed = false
-    override def hasNext: Boolean = {
-      val h = it.hasNext
-      if (!h && !closed) { closed = true; close() }
-      h
-    }
-    override def next(): String = it.next()
+    new graft.util.IoUtil.AutoCloseIterator(trimmed,
+      () => { gz.close(); in.close() })
   }
 
   /** Partition i ↔ planned spec i: keeps slice order == partition order so
