@@ -60,6 +60,16 @@ object GraftCli {
         val spark = session("cluster-range")
         graft.operators.ClusterOps.rangeFromArgs(spark, rest)
         spark.stop()
+      case "file-search" =>
+        // file-search <sorted-file> <start> [<end>] — binary-searched dump
+        val stf = new graft.sources.SortedTextFile(rest(0),
+          new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(System.out, "UTF-8"), 1 << 16)
+        stf.range(rest(1), rest.lift(2)).foreach { l =>
+          out.write(l); out.write('\n')
+        }
+        out.flush()
       case "warc-extract" =>
         // warc-extract <outDir> <warc...> [--soft] — one .cdx per input
         val spark = session("warc-extract")
@@ -81,5 +91,6 @@ object GraftCli {
       |  cluster-merge <out> <in1> <in2...>     merge clusters (global-cdx rules)
       |  cluster-range <start> <end> <in...>    key-range dump
       |  warc-extract <out> <warc...> [--soft]  WARC -> per-file .cdx
+      |  file-search <file> <start> [<end>]     binary search a sorted file
       |""".stripMargin)
 }

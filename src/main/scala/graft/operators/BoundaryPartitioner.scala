@@ -50,16 +50,24 @@ final class BoundaryPartitioner(interior: IndexedSeq[String]) extends Partitione
   * input, unlike repartitionByRange's per-run sampling). */
 object Boundaries {
 
-  /** AlphaPartitioner split-file format: one boundary string per line,
-    * sorted; a leading empty line (the conventional first-shard boundary)
-    * is dropped — partition 0 is the below-first-boundary range. */
+  /** Split-file loader. Two accepted formats:
+    *  - AlphaPartitioner: one boundary string per line, sorted (a leading
+    *    empty line — the conventional first-shard boundary — is dropped);
+    *  - SplitFile (Q6): `NAME START END` per line → boundaries are the
+    *    non-minimal STARTs. */
   def fromSplitFile(path: String, conf: Configuration): IndexedSeq[String] = {
     val p = new Path(path)
     val in = p.getFileSystem(conf).open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val lines = text.split("\n").toIndexedSeq.filter(_.nonEmpty)
-    require(lines == lines.sorted, s"split file $path must be sorted")
-    lines
+    val threeField = lines.headOption.exists(_.split("\t| ", -1).length == 3)
+    if (threeField)
+      graft.sources.SplitFile.interiorBoundaries(
+        graft.sources.SplitFile.parse(lines))
+    else {
+      require(lines == lines.sorted, s"split file $path must be sorted")
+      lines
+    }
   }
 
   /** Interior boundaries as every (total/n)-th key of the concatenated

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{SortedTextFile, SplitFile}
+
+class SortedTextFileSpec extends AnyFunSuite {
+
+  private val conf = new Configuration()
+
+  private def mkSorted(n: Int): (String, Seq[String]) = {
+    val lines = (0 until n).map(i => f"key$i%06d value-$i")
+    val f = Files.createTempFile(
+      Paths.get("/root/repo/target"), "sorted", ".txt")
+    Files.writeString(f, lines.mkString("", "\n", "\n"))
+    (f.toString, lines)
+  }
+
+  test("iterateFrom finds the first line >= key at any position") {
+    val (path, lines) = mkSorted(5000)
+    val stf = new SortedTextFile(path, conf)
+    // exact hit, mid-file
+    assert(stf.iterateFrom("key002500").next() == lines(2500))
+    // between keys
+    assert(stf.iterateFrom("key002500x").next() == lines(2501))
+    // before first / after last
+    assert(stf.iterateFrom("a").next() == lines.head)
+    assert(!stf.iterateFrom("z").hasNext)
+    // property check across scattered probes
+    (0 until 50).foreach { k =>
+      val key = f"key${k * 97}%06d"
+      val expected = lines.dropWhile(_ < key).headOption
+      val got = stf.iterateFrom(key).take(1).toSeq.headOption
+      assert(got == expected, s"probe $key")
+    }
+  }
+
+  test("range is [start, end) and streams in order") {
+    val (path, lines) = mkSorted(1000)
+    val stf = new SortedTextFile(path, conf)
+    val got = stf.range("key000100", Some("key000105")).toSeq
+    assert(got == lines.slice(100, 105))
+  }
+
+  test("SplitFile parses NAME START END; boundaries drop the minimum") {
+    val ranges = SplitFile.parse(Seq(
+      "shard0  d", "shard1 d m", "shard2 m "))
+    assert(ranges == Seq(
+      SplitFile.SplitRange("shard0", "", "d"),
+      SplitFile.SplitRange("shard1", "d", "m"),
+      SplitFile.SplitRange("shard2", "m", "")))
+    assert(SplitFile.interiorBoundaries(ranges) == IndexedSeq("d", "m"))
+  }
+}
