@@ -531,6 +531,22 @@ object SparkEntry {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .select(col("event_id"), to_json(struct(col("k"))).as("js"))
+    }),
+
+    // O7/F6 — access-control filter: broadcast (prefix → policy) rules,
+    // longest-prefix match, block/block-message dropped; a narrow allow
+    // carves an exception out of a broad block.
+    "q35_access_control" -> ((s, dir) => {
+      val rules = Seq(
+        graft.operators.AccessControl.Rule("org,site1", "block"),
+        graft.operators.AccessControl.Rule("org,site1)/p/1", "allow"),
+        graft.operators.AccessControl.Rule("org,site2)/p/22", "block"),
+        graft.operators.AccessControl.Rule("org,site3", "block-message"))
+      val captures = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("org,site"), col("doc_id") % 23, lit(")/p/"),
+            col("doc_id")).as("urlkey"))
+      graft.operators.AccessControl.allowCaptures(captures, rules)
     })
   )
 
@@ -855,7 +871,19 @@ object SparkEntry {
       """SELECT event_id,
         |  CASE WHEN CAST(props->>'k' AS INTEGER) IS NULL THEN '{}'
         |       ELSE '{"k":' || CAST(props->>'k' AS INTEGER) || '}' END AS js
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q35_access_control" ->
+      """WITH t AS (SELECT doc_id,
+        |  'org,site' || (doc_id % 23) || ')/p/' || doc_id AS urlkey
+        |FROM documents)
+        |SELECT doc_id, urlkey FROM t
+        |WHERE CASE
+        |  WHEN urlkey LIKE 'org,site1)/p/1%' THEN true
+        |  WHEN urlkey LIKE 'org,site3%' THEN false
+        |  WHEN urlkey LIKE 'org,site2)/p/22%' THEN false
+        |  WHEN urlkey LIKE 'org,site1%' THEN false
+        |  ELSE true END""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */
