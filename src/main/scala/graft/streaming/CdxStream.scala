@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{Cdx, CdxRecord}
+
+/**
+ * Structured Streaming over a CDX firehose — an EXTENSION beyond the
+ * reference (its `streaming` package is Hadoop Streaming pipe adapters,
+ * not stream processing; SURVEY §2.7). The operators mirror the batch
+ * semantics so a pipeline can run identically in either mode:
+ * `readStream.text(dir)` → [[parse]] → windowed aggregation or stateful
+ * capping → `writeStream`.
+ */
+object CdxStream {
+
+  /** Streaming-safe CDX parse (same line semantics as the batch reader). */
+  def parse(lines: Dataset[String]): Dataset[CdxRecord] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap(Cdx.parseLine _)
+  }
+
+  /** Captures per (event-time window, host key): event time is the
+    * capture's own 14-digit timestamp; the watermark bounds state so
+    * late/duplicate feeds can't grow it forever. */
+  def windowedHostCounts(cdx: DataFrame, windowDur: String = "1 hour",
+                         watermarkDelay: String = "2 hours"): DataFrame =
+    cdx.withColumn("__ts", to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(window(col("__ts"), windowDur),
+        substring_index(col("urlkey"), ")", 1).as("host"))
+      .agg(count(lit(1)).as("n_captures"))
+      .select(col("window.start").as("window_start"), col("host"),
+        col("n_captures"))
+
+  /** O4e as custom streaming state: cap captures per (urlkey, day) at
+    * `dayLimit` ACROSS micro-batches — the seen-count per key lives in
+    * GroupState, so a capture admitted in batch 1 still counts against
+    * the key's budget in batch 5. */
+  def dayCapStream(cdx: Dataset[CdxRecord], dayLimit: Int): Dataset[CdxRecord] = {
+    import cdx.sparkSession.implicits._
+    cdx.groupByKey(r => (r.urlkey, r.timestamp.take(8)))
+      .flatMapGroupsWithState[Int, CdxRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Int]) =>
+          var seen = state.getOption.getOrElse(0)
+          val admitted = rows.toVector.sortBy(r => (r.timestamp, r.offset))
+            .flatMap { r =>
+              if (seen < dayLimit) { seen += 1; Some(r) } else None
+            }
+          state.update(seen)
+          admitted.iterator
+      }
+  }
+}

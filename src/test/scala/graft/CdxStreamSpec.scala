@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CdxStream
+
+class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
+
+  private def line(key: String, ts: String, off: Long): String =
+    s"$key $ts http://x.org/ text/html 200 DIGESTXX - - 10 $off f.warc.gz"
+
+  test("streaming windowed host counts over a file-backed stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream-in")
+    java.nio.file.Files.writeString(dir.resolve("batch1.cdx"), Seq(
+      line("org,a)/x", "20120101000500", 0),
+      line("org,a)/y", "20120101003000", 1),
+      line("org,b)/z", "20120101010500", 2)).mkString("", "\n", "\n"))
+
+    val lines = spark.readStream.option("lineSep", "\n").text(dir.toString)
+    val parsed = CdxStream.parse(lines.as[String]).toDF()
+    val counts = CdxStream.windowedHostCounts(parsed)
+    val q = counts.writeStream
+      .format("memory").queryName("host_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("host_counts")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, h, n) => (w.toInstant.toString, h, n) }.toSet
+    assert(got == Set(
+      ("2012-01-01T00:00:00Z", "org,a", 2L),
+      ("2012-01-01T01:00:00Z", "org,b", 1L)))
+  }
+
+  test("dayCapStream caps per (urlkey, day) ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[String]
+    val capped = CdxStream.dayCapStream(CdxStream.parse(ms.toDS()), dayLimit = 2)
+    val q = capped.writeStream
+      .format("memory").queryName("capped").outputMode("append").start()
+    // batch 1: three same-key same-day captures → 2 admitted
+    ms.addData(
+      line("org,c)/p", "20120101000100", 0),
+      line("org,c)/p", "20120101000200", 1),
+      line("org,c)/p", "20120101000300", 2))
+    q.processAllAvailable()
+    assert(spark.table("capped").count() == 2)
+    // batch 2: two more same key+day → budget exhausted, 0 admitted;
+    // a different day for the same key → fresh budget
+    ms.addData(
+      line("org,c)/p", "20120101000400", 3),
+      line("org,c)/p", "20120102000100", 4))
+    q.processAllAvailable()
+    val rows = spark.table("capped").as[graft.model.CdxRecord].collect()
+    assert(rows.length == 3)
+    assert(rows.count(_.timestamp.startsWith("20120101")) == 2)
+    assert(rows.count(_.timestamp.startsWith("20120102")) == 1)
+    q.stop()
+  }
+}
