@@ -485,10 +485,10 @@ object SparkEntry {
           concat(lit("http://site"), m, lit(".org/p/"), id,
             lit("?jsessionid=xx&z=1&utm_source=t")))
         .otherwise(concat(lit("site"), m, lit(".org/p/"), id))
-      val surtUdf = udf((u: String) => graft.functions.Surt.surtLenient(u))
       tbl(s, dir, "documents")
         .select(id.as("doc_id"), url.as("url"))
-        .withColumn("surtkey", surtUdf(col("url")))
+        .withColumn("surtkey",
+          graft.functions.CdxFunctions.surtCol(col("url")))
     }),
 
     // O1 — legacy CDX-9 → CDX-11 conversion (re-key with fresh SURT,

@@ -53,16 +53,19 @@ object CdxFunctions {
     } catch { case _: Exception => rel }
   }
 
-  /** Register the UDF surface for both the Column API and SQL. */
+  /** Register the UDF surface (SQL `surt` itself comes from
+    * [[graft.GraftExtensions]] as a native expression — see surtCol). */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("surt", (u: String) => Surt.surtLenient(u))
     spark.udf.register("url_resolve",
       (c: String, b: String, r: String) => resolveUrl(c, b, r))
     spark.udf.register("cdx_format",
       (line: String) => graft.model.Cdx.parseLine(line).map(graft.model.Cdx.formatLine).orNull)
   }
 
-  /** F1/F2 as a Column (Scala UDF — invoked via the registry so plans stay
-    * serializable). */
-  def surtCol(c: Column): Column = call_udf("surt", c)
+  /** F1/F2 as a Column — the NATIVE Catalyst expression (codegen'd; stays
+    * inside whole-stage codegen, unlike a UDF). */
+  def surtCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.SurtExpression(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
 }
