@@ -103,6 +103,62 @@ object WarcExtract {
     n.value
   }
 
+  /** One WAT-shaped row: per-record JSON metadata envelope. */
+  final case class WatRow(urlkey: String, timestamp: String, wat: String)
+
+  /**
+   * K14 — WAT generation: the same record walk as [[extract]], rendering
+   * each record's metadata (WARC headers + HTTP response status/mime +
+   * container offsets) as a nested JSON envelope, the WATGenerator shape
+   * (/root/reference/src/main/java/org/archive/hadoop/jobs/WATGenerator.java:145;
+   * JSON assembled with Spark's codegen'd to_json over a nested struct,
+   * not string concatenation).
+   */
+  def watRows(spark: SparkSession, paths: Seq[String],
+              soft: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bad = spark.sparkContext.longAccumulator("warc.bad.members.wat")
+    val parsed = spark.createDataset(paths)
+      .repartition(math.max(1, paths.size))
+      .mapPartitions { pathIter =>
+        pathIter.flatMap { pathStr =>
+          val p = new Path(pathStr)
+          val name = p.getName
+          val in = p.getFileSystem(conf.value).open(p)
+          val members =
+            if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
+            else GzipMembers.iterate(in)
+          members.flatMap { m =>
+            WarcRecords.parse(m.payload).flatMap { rec =>
+              for { uri <- rec.targetUri; ts <- rec.timestamp14 } yield {
+                val (status, mime) = rec.httpStatusAndMime
+                (graft.functions.Surt.surtLenient(uri), ts, rec.warcType,
+                  rec.headers, status, mime.getOrElse("unk"),
+                  m.offset, m.length, name)
+              }
+            }
+          }
+        }
+      }
+      .toDF("urlkey", "timestamp", "warc_type", "warc_headers",
+        "http_status", "mime", "offset", "length", "filename")
+    parsed.select(col("urlkey"), col("timestamp"),
+      to_json(struct(
+        struct(
+          col("warc_headers").as("WARC-Header-Metadata"),
+          struct(
+            struct(col("http_status").as("Status")).as("Response-Message"),
+            col("mime").as("Content-Type")
+          ).as("HTTP-Response-Metadata")
+        ).as("Envelope"),
+        struct(col("filename").as("Filename"), col("offset").as("Offset"),
+          col("length").as("Length")).as("Container")
+      )).as("wat"))
+  }
+
   /** Payload after the HTTP header block (digest covers the entity body,
     * not the headers). */
   private def httpBody(payload: Array[Byte]): Array[Byte] = {

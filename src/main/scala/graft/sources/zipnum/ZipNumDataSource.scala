@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,7 +42,7 @@ class ZipNumDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[zipnum] class ZipNumTable(props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val dir: String = props.getOrElse("path",
     throw new IllegalArgumentException(
       "zipnum: exactly one cluster directory path is required " +
@@ -49,10 +50,14 @@ private[zipnum] class ZipNumTable(props: Map[String, String])
   override def name(): String = s"zipnum:$dir"
   override def schema(): StructType = Cdx.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZipNumScanBuilder(dir,
       Option(options.get("start")), Option(options.get("end")))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ZipNumWriteBuilder(dir, info)
 }
 
 private[zipnum] class ZipNumScanBuilder(dir: String,

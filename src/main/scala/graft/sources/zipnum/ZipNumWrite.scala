@@ -1,0 +1,156 @@
+package graft.sources.zipnum
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+/**
+ * DSv2 write path: `lines.write.format("zipnum").mode("overwrite").save(dir)`
+ * (SURVEY §2 K4 ZipNumStorage). Input contract matches the reference's
+ * StoreFunc: a single STRING column of CDX lines whose partitioning/order
+ * IS the shard layout (range-partition + sortWithinPartitions upstream,
+ * e.g. via BoundaryPartitioner — same assumption Pig's ordered store made).
+ *
+ * Each task writes its shard + idx under `_tmp/` with a task-attempt
+ * suffix (speculative/retried attempts cannot collide); the driver commit
+ * renames winners into place and folds the per-shard indexes into
+ * ALL.summary + manifest.txt.
+ */
+private[zipnum] class ZipNumWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val schema = info.schema()
+      require(schema.fields.length == 1 &&
+        schema.fields(0).dataType.isInstanceOf[StringType],
+        s"zipnum writes a single STRING column of CDX lines; got ${schema.simpleString}")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val conf = new SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val linesPerBlock = Option(info.options.get("linesPerBlock"))
+        .map(_.toInt).getOrElse(ZipNumFormat.DefaultLinesPerBlock)
+      new ZipNumBatchWrite(dir, conf, linesPerBlock, doTruncate)
+    }
+  }
+}
+
+private[zipnum] case class ZipNumCommit(partitionId: Int, part: String,
+                                        tmpName: String, nLines: Long)
+    extends WriterCommitMessage
+
+private[zipnum] class ZipNumBatchWrite(dir: String,
+                                       conf: SerializableConfiguration,
+                                       linesPerBlock: Int,
+                                       truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val out = new Path(dir)
+    val fs = out.getFileSystem(conf.value)
+    if (fs.exists(out)) {
+      require(truncate,
+        s"zipnum: target $dir exists; use mode(overwrite) to replace it")
+    }
+    fs.mkdirs(new Path(out, "_tmp"))
+    new ZipNumWriterFactory(dir, conf, linesPerBlock)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val out = new Path(dir)
+    val fs = out.getFileSystem(conf.value)
+    // clear any previous cluster files (overwrite), keep fresh _tmp
+    if (truncate) fs.listStatus(out).foreach { st =>
+      if (st.getPath.getName != "_tmp") fs.delete(st.getPath, true)
+    }
+    val winners = messages.collect { case m: ZipNumCommit => m }
+      .sortBy(_.partitionId)
+    val summary = fs.create(new Path(out, "ALL.summary"), true)
+    winners.foreach { m =>
+      fs.rename(new Path(s"$dir/_tmp/${m.tmpName}.gz"),
+        new Path(out, s"${m.part}.gz"))
+      val idxTmp = new Path(s"$dir/_tmp/${m.tmpName}-idx")
+      val in = fs.open(idxTmp)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { summary.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      fs.rename(idxTmp, new Path(out, s"${m.part}-idx"))
+    }
+    summary.close()
+    val manifest = fs.create(new Path(out, "manifest.txt"), true)
+    winners.foreach(m => manifest.write(s"${m.part}.gz\n".getBytes(UTF_8)))
+    manifest.close()
+    fs.delete(new Path(out, "_tmp"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(conf.value)
+    fs.delete(new Path(dir, "_tmp"), true)
+  }
+}
+
+private[zipnum] class ZipNumWriterFactory(dir: String,
+                                          conf: SerializableConfiguration,
+                                          linesPerBlock: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ZipNumDataWriter(dir, conf, linesPerBlock, partitionId, taskId)
+}
+
+private[zipnum] class ZipNumDataWriter(dir: String,
+                                       conf: SerializableConfiguration,
+                                       linesPerBlock: Int,
+                                       partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val part = f"part-a-$partitionId%05d"
+  private val tmpName = s"$part-t$taskId"
+  private val fs = new Path(dir).getFileSystem(conf.value)
+  private val gzOut = fs.create(new Path(s"$dir/_tmp/$tmpName.gz"), true)
+  private val idxOut = fs.create(new Path(s"$dir/_tmp/$tmpName-idx"), true)
+
+  private val blockLines = new java.io.ByteArrayOutputStream(1 << 20)
+  private var firstKey: String = _
+  private var count = 0
+  private var offset = 0L
+  private var nLines = 0L
+
+  private def flushBlock(): Unit = if (count > 0) {
+    val member = ZipNumFormat.gzipMember(blockLines.toByteArray)
+    gzOut.write(member)
+    val b = ZipNumFormat.Block(firstKey, part, offset, member.length.toLong)
+    idxOut.write((ZipNumFormat.formatSummaryLine(b) + "\n").getBytes(UTF_8))
+    offset += member.length
+    blockLines.reset(); firstKey = null; count = 0
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val line = row.getUTF8String(0).toString
+    if (count == 0) firstKey = ZipNumFormat.summaryKey(line)
+    blockLines.write(line.getBytes(UTF_8))
+    blockLines.write('\n')
+    count += 1; nLines += 1
+    if (count == linesPerBlock) flushBlock()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushBlock()
+    gzOut.close(); idxOut.close()
+    ZipNumCommit(partitionId, part, tmpName, nLines)
+  }
+
+  override def abort(): Unit = {
+    gzOut.close(); idxOut.close()
+    fs.delete(new Path(s"$dir/_tmp/$tmpName.gz"), false)
+    fs.delete(new Path(s"$dir/_tmp/$tmpName-idx"), false)
+  }
+
+  override def close(): Unit = ()
+}
