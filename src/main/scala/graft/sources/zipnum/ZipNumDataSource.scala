@@ -110,10 +110,24 @@ private[zipnum] class ZipNumScanBuilder(dir: String,
 
 private[zipnum] class ZipNumScan(dir: String, lo: Option[String],
                                  hi: Option[String], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportOrdering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Each partition streams blocks in cluster key order — report it so
+    * downstream per-partition sorts on (urlkey, timestamp) are elided
+    * (SURVEY §7 "nice": ordered-output reporting). Only reportable when
+    * both key columns survive column pruning. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val names = required.fieldNames.toSet
+    if (names.contains("urlkey") && names.contains("timestamp"))
+      Array(
+        Expressions.sort(Expressions.column("urlkey"), SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column("timestamp"), SortDirection.ASCENDING))
+    else Array.empty
+  }
   override def description(): String =
     s"zipnum $dir [${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}) " +
       s"cols=${required.fieldNames.mkString(",")}"
