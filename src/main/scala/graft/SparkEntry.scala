@@ -547,6 +547,35 @@ object SparkEntry {
           concat(lit("org,site"), col("doc_id") % 23, lit(")/p/"),
             col("doc_id")).as("urlkey"))
       graft.operators.AccessControl.allowCaptures(captures, rules)
+    }),
+
+    // Embedding-cosine near-dup: bucketed pairs (label = coarse bucket)
+    // whose integer-quantized inner product clears a threshold — the
+    // embedding-space analogue of q21's LSH candidates; never all-pairs.
+    "q36_embed_neardup" -> ((s, dir) => {
+      import graft.operators.llm.AnnOps.{dot, quantize}
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("q").as("qa"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"),
+        col("q").as("qb"))
+      a.join(b, Seq("label"))
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("label"),
+          dot(col("qa"), col("qb")).as("dot"))
+        .where(col("dot") >= 300000L)
+    }),
+
+    // Token counting two ways: whitespace tokens + a BPE-ish regex
+    // (letter runs / digit runs / single punctuation).
+    "q37_token_count" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).as("n_ws_tokens"),
+          size(expr(
+            "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("n_bpe_tokens"))
     })
   )
 
@@ -883,7 +912,25 @@ object SparkEntry {
         |  WHEN urlkey LIKE 'org,site3%' THEN false
         |  WHEN urlkey LIKE 'org,site2)/p/22%' THEN false
         |  WHEN urlkey LIKE 'org,site1%' THEN false
-        |  ELSE true END""".stripMargin
+        |  ELSE true END""".stripMargin,
+
+    "q36_embed_neardup" ->
+      """SELECT * FROM (
+        |  WITH e AS (SELECT vec_id, label, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |    FROM embeddings)
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+        |      i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE dot >= 300000""".stripMargin,
+
+    "q37_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS INTEGER) AS n_bpe_tokens
+        |FROM documents""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */
