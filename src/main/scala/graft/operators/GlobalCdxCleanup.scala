@@ -47,13 +47,42 @@ object GlobalCdxCleanup {
       when(length(col("digest")) > 3, substring(col("digest"), 1, 3))
         .otherwise(col("digest")))
 
-  /** (e): keep at most `dayLimit` captures per (urlkey, day of timestamp). */
+  /** (e): keep at most `dayLimit` captures per (urlkey, day of timestamp) —
+    * the `dayLimit` smallest by (timestamp, offset).
+    *
+    * Two phases for skew safety at scale: a hot URL with millions of
+    * same-day captures would otherwise ship them all to one reducer. The
+    * per-partition pre-cap keeps each partition's local `dayLimit`
+    * smallest per (urlkey, day) — a superset of the global winners (the
+    * classic partial top-N invariant) — so the window shuffle carries at
+    * most partitions×dayLimit rows per hot key instead of all of them.
+    * Phase 1 is a local sort (no shuffle); phase 2 is the exact window. */
   def dayCap(dayLimit: Int = DefaultDayLimit)(df: DataFrame): DataFrame = {
     if (dayLimit == 0) return df
+    val spark = df.sparkSession
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex("urlkey")
+    val tsIdx = schema.fieldIndex("timestamp")
+    val localSorted = df.sortWithinPartitions(
+      col("urlkey"), substring(col("timestamp"), 1, 8),
+      col("timestamp"), col("offset"))
+    val preCapped = spark.createDataFrame(
+      localSorted.rdd.mapPartitions { rows =>
+        var curKey: String = null
+        var curDay: String = null
+        var count = 0
+        rows.filter { r =>
+          val key = r.getString(keyIdx)
+          val day = r.getString(tsIdx).take(8)
+          if (key == curKey && day == curDay) count += 1
+          else { curKey = key; curDay = day; count = 1 }
+          count <= dayLimit
+        }
+      }, schema)
     val w = Window
       .partitionBy(col("urlkey"), substring(col("timestamp"), 1, 8))
       .orderBy(col("timestamp"), col("offset"))
-    df.withColumn("__rn", row_number().over(w))
+    preCapped.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= dayLimit)
       .drop("__rn")
   }
