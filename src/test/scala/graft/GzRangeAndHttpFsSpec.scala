@@ -1,0 +1,97 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.{GzRangeClient, GzRangeServer}
+import graft.sources.warc.GzipMembers
+
+class GzRangeAndHttpFsSpec extends AnyFunSuite with SparkTestSession
+    with BeforeAndAfterAll {
+
+  private def gz(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(s.getBytes("UTF-8")); g.close()
+    bos.toByteArray
+  }
+
+  test("K12: server hands out member ranges; client rotates output archives") {
+    val root = Files.createTempDirectory(Paths.get("/root/repo/target"), "gzr")
+    val m = (0 until 5).map(i => gz(s"member-$i\n"))
+    Files.write(root.resolve("src.warc.gz"), m.flatten.toArray)
+    val server = GzRangeServer.start(root.toString)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val outDir = Files.createTempDirectory(
+        Paths.get("/root/repo/target"), "gzrout")
+      // rotate after ~2 members
+      val client = new GzRangeClient(outDir.toString, "rebuilt",
+        maxFileBytes = m.head.length * 2 + 1)
+      var off = 0L
+      m.foreach { mem =>
+        client.fetchAndAppend(base, "src.warc.gz", off, mem.length.toLong)
+        off += mem.length
+      }
+      val files = client.close()
+      assert(files.size >= 2, s"expected rotation, got $files")
+      val payloads = files.flatMap { f =>
+        GzipMembers.iterate(new java.io.FileInputStream(f))
+          .map(mm => new String(mm.payload, "UTF-8")).toSeq
+      }
+      assert(payloads == (0 until 5).map(i => s"member-$i\n"))
+    } finally server.stop(0)
+  }
+
+  test("S18 shape: spark reads grafthttp:// through the seekable HTTP FS") {
+    val content = (0 until 1000).map(i => s"row-$i").mkString("", "\n", "\n")
+    val bytes = content.getBytes("UTF-8")
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/data/t.txt", (x: HttpExchange) => {
+      val range = Option(x.getRequestHeaders.getFirst("Range"))
+      if (x.getRequestMethod == "HEAD") {
+        x.getResponseHeaders.add("Content-Length", bytes.length.toString)
+        x.sendResponseHeaders(200, -1)
+      } else range match {
+        case Some(r) =>
+          val from = r.stripPrefix("bytes=").stripSuffix("-").toLong.toInt
+          val part = java.util.Arrays.copyOfRange(bytes, from, bytes.length)
+          x.getResponseHeaders.add("Content-Range",
+            s"bytes $from-${bytes.length - 1}/${bytes.length}")
+          x.sendResponseHeaders(206, part.length)
+          x.getResponseBody.write(part)
+        case None =>
+          x.sendResponseHeaders(200, bytes.length)
+          x.getResponseBody.write(bytes)
+      }
+      x.close()
+    })
+    http.start()
+    try {
+      val port = http.getAddress.getPort
+      spark.sparkContext.hadoopConfiguration.set(
+        "fs.grafthttp.impl", "graft.sources.HttpFileSystem")
+      val df = spark.read.textFile(s"grafthttp://127.0.0.1:$port/data/t.txt")
+      assert(df.count() == 1000)
+      assert(df.collect().last == "row-999")
+      // direct seek path: backward + small-forward
+      val fs = new org.apache.hadoop.fs.Path(
+        s"grafthttp://127.0.0.1:$port/data/t.txt")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"grafthttp://127.0.0.1:$port/data/t.txt"))
+      in.seek(6) // "row-0\n|row-1"
+      val buf = new Array[Byte](5)
+      in.readFully(buf)
+      assert(new String(buf, "UTF-8") == "row-1")
+      in.seek(0)
+      in.readFully(buf)
+      assert(new String(buf, "UTF-8") == "row-0")
+      in.close()
+    } finally http.stop(0)
+  }
+}
