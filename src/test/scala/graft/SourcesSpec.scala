@@ -67,6 +67,28 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(back == Set(("k1", "v1"), ("k2", "v2"), ("", "v3")))
   }
 
+  test("K7 concept: bulk KV sink shards align with explicit boundaries") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "bulk")
+      .resolve("out").toString
+    val kv = (0 until 100).map(i => (f"k$i%03d", s"v$i"))
+    graft.sources.BulkKvSink.write(
+      scala.util.Random.shuffle(kv).toDS(), dir, IndexedSeq("k030", "k070"))
+    // three shards, each sorted, each within its boundary range
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 3)
+    val back = parts.map(f => graft.sources.SequenceFileSink
+      .read(spark, f.getPath).collect().toSeq)
+    assert(back(0).map(_._1).forall(_ < "k030"))
+    assert(back(1).map(_._1).forall(k => k >= "k030" && k < "k070"))
+    assert(back(2).map(_._1).forall(_ >= "k070"))
+    back.foreach(p => assert(p.map(_._1) == p.map(_._1).sorted))
+    assert(back.flatten.toSet == kv.toSet)
+    assert(Files.readAllLines(Paths.get(dir, "_boundaries")).toString
+      .contains("k030"))
+  }
+
   test("O3: CdxFilter.lines drops header and pseudo-captures") {
     import spark.implicits._
     val in = Seq(" CDX N b a m s k r M S V g", "dns:a.org 2012 x",
