@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,25 +18,23 @@ object AccessControl {
 
   val BlockedPolicies: Set[String] = Set("block", "block-message")
 
-  /** Keep rows whose effective policy allows capture. The rule table is
-    * broadcast; the probe side joins on a startsWith predicate and never
-    * shuffles (row identity for the per-row argmax is an internal id). */
+  /** Effective policy of a key: rules compile to a nested CASE checked
+    * longest-prefix-first — pure codegen'd predicate, so the probe side
+    * NEVER shuffles and there is no per-row eval boundary. (The reference
+    * pre-fetched its whole rule set driver-side too; rule lists beyond
+    * tens of thousands of entries would switch to a broadcast prefix
+    * table + left_semi like PrefixFilter.prefixJoin.) */
+  def policyCol(key: Column, rules: Seq[Rule]): Column =
+    rules.sortBy(r => (-r.prefix.length, r.prefix))
+      .foldRight(lit("allow")) { (r, acc) =>
+        when(key.startsWith(r.prefix), lit(r.policy)).otherwise(acc)
+      }
+
+  /** Keep rows whose effective policy allows capture. */
   def allowCaptures(df: DataFrame, rules: Seq[Rule],
-                    keyCol: String = "urlkey"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val r = rules.toDF("__prefix", "__policy")
-    val withId = df.withColumn("__rid", monotonically_increasing_id())
-    val matched = withId.join(broadcast(r),
-      col(keyCol).startsWith(col("__prefix")), "left")
-    val w = Window.partitionBy(col("__rid"))
-      .orderBy(length(col("__prefix")).desc)
-    matched.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .where(!coalesce(col("__policy"), lit("allow")).isin(
-        BlockedPolicies.toSeq: _*))
-      .select(df.columns.map(col).toIndexedSeq: _*)
-  }
+                    keyCol: String = "urlkey"): DataFrame =
+    df.where(!policyCol(col(keyCol), rules)
+      .isin(BlockedPolicies.toSeq: _*))
 
   /** F6 — the scalar form: (urlkey) → allowed?, longest-prefix match over
     * a driver-supplied rule list (for UDF/streaming call sites). */

@@ -25,16 +25,16 @@ object ArchiveRepackage {
   final case class CopyTask(src: String, offset: Long, length: Long,
                             dst: String, seq: Int)
 
-  /** Executes all tasks; returns (files written, bytes copied). */
+  /** Executes all tasks; returns (files written, bytes copied). Counts
+    * come from the returned results, not accumulators — transformation-
+    * stage accumulator updates double-count under task retries. */
   def repackage(spark: SparkSession, tasks: Dataset[CopyTask],
                 outDir: String,
                 header: Option[Array[Byte]] = None): (Long, Long) = {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val files = spark.sparkContext.longAccumulator("repackage.files")
-    val bytes = spark.sparkContext.longAccumulator("repackage.bytes")
     import spark.implicits._
-    tasks.groupByKey(_.dst).mapGroups { (dst, ts) =>
+    val results = tasks.groupByKey(_.dst).mapGroups { (dst, ts) =>
       val fs = new Path(outDir).getFileSystem(conf.value)
       val tmp = new Path(outDir, s"$dst.TMP")
       val fin = new Path(outDir, dst)
@@ -44,6 +44,7 @@ object ArchiveRepackage {
       var openPath: String = null
       var in: org.apache.hadoop.fs.FSDataInputStream = null
       val buf = new Array[Byte](1 << 16)
+      var copied = 0L
       ts.toSeq.sortBy(_.seq).foreach { t =>
         if (openPath != t.src) {
           if (in != null) in.close()
@@ -58,16 +59,15 @@ object ArchiveRepackage {
           require(n > 0, s"unexpected EOF copying $t")
           out.write(buf, 0, n)
           remaining -= n
-          bytes.add(n)
+          copied += n
         }
       }
       if (in != null) in.close()
       out.close()
       fs.delete(fin, false)
       fs.rename(tmp, fin)
-      files.add(1)
-      dst
+      (dst, copied)
     }.collect()
-    (files.value, bytes.value)
+    (results.length.toLong, results.map(_._2).sum)
   }
 }

@@ -82,7 +82,7 @@ object ClusterOps {
   /** cluster-build <splits|-> <input-text> <out> [--shards N]
     *   [--zipnum-lines N] [--surt-output] [--overwrite] */
   def buildFromArgs(spark: SparkSession, args: Array[String]): Unit = {
-    val (flags, pos) = args.partition(_.startsWith("--"))
+    val (flags, pos) = splitArgs(args, Set("--shards", "--zipnum-lines"))
     require(pos.length == 3,
       "usage: cluster-build <splits|-> <input> <out> [--shards N] " +
         "[--zipnum-lines N] [--surt-output] [--overwrite]")
@@ -105,7 +105,8 @@ object ClusterOps {
   /** cluster-merge <out> <in1> <in2...> [--shards N] [--global-cdx]
     *   [--day-limit N] [--zipnum-lines N] [--overwrite] */
   def mergeFromArgs(spark: SparkSession, args: Array[String]): Unit = {
-    val (flags, pos) = args.partition(_.startsWith("--"))
+    val (flags, pos) = splitArgs(args,
+      Set("--shards", "--day-limit", "--zipnum-lines"))
     require(pos.length >= 2,
       "usage: cluster-merge <out> <in...> [--shards N] [--global-cdx] " +
         "[--day-limit N] [--zipnum-lines N] [--overwrite]")
@@ -145,4 +146,28 @@ object ClusterOps {
     flags.collectFirst {
       case f if f.startsWith(name + "=") => f.substring(name.length + 1)
     }
+
+  /** Flags taking a value: accepts both `--flag=v` and `--flag v` (the
+    * usage strings advertise the space form). Returns (flags normalized
+    * to `--flag=v`, positionals). */
+  private[operators] def splitArgs(args: Array[String],
+                                   valueFlags: Set[String]): (Array[String], Array[String]) = {
+    val flags = Array.newBuilder[String]
+    val pos = Array.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val name = a.takeWhile(_ != '=')
+        if (a.contains('=') || !valueFlags.contains(name)) flags += a
+        else {
+          require(i + 1 < args.length, s"$name needs a value")
+          flags += s"$name=${args(i + 1)}"
+          i += 1
+        }
+      } else pos += a
+      i += 1
+    }
+    (flags.result(), pos.result())
+  }
 }

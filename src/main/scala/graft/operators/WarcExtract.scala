@@ -42,7 +42,8 @@ object WarcExtract {
           val members =
             if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
             else GzipMembers.iterate(in)
-          members.flatMap { m =>
+          new graft.util.IoUtil.AutoCloseIterator(members, () => in.close())
+            .flatMap { m =>
             WarcRecords.parse(m.payload).flatMap { rec =>
               if (rec.warcType != "response" && rec.warcType != "resource") None
               else for {
@@ -76,6 +77,11 @@ object WarcExtract {
     * side outputs with the .TMP→rename commit of CDXGenerator.java:171-179. */
   def extractToFiles(spark: SparkSession, paths: Seq[String], outDir: String,
                      soft: Boolean = false): Long = {
+    // outputs are keyed by input basename — duplicate basenames would
+    // silently overwrite each other's .cdx; fail loudly instead
+    val basenames = paths.map(p => new Path(p).getName)
+    require(basenames.distinct.size == basenames.size,
+      s"duplicate input basenames: ${basenames.diff(basenames.distinct).distinct.mkString(", ")}")
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val ex = extract(spark, paths, soft)
@@ -131,7 +137,8 @@ object WarcExtract {
           val members =
             if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
             else GzipMembers.iterate(in)
-          members.flatMap { m =>
+          new graft.util.IoUtil.AutoCloseIterator(members, () => in.close())
+            .flatMap { m =>
             WarcRecords.parse(m.payload).flatMap { rec =>
               for { uri <- rec.targetUri; ts <- rec.timestamp14 } yield {
                 val (status, mime) = rec.httpStatusAndMime

@@ -25,8 +25,9 @@ object GzRangeServer {
           .split("&").filter(_.contains("="))
           .map { p => val Array(k, v) = p.split("=", 2); k -> v }.toMap
         val f = new File(rootDir, params("file"))
-        require(f.getCanonicalPath.startsWith(new File(rootDir).getCanonicalPath),
-          "path escapes root")
+        val rootPrefix = new File(rootDir).getCanonicalPath + File.separator
+        require(f.getCanonicalPath.startsWith(rootPrefix),
+          "path escapes root") // bare prefix would allow ../root-sibling
         val offset = params("offset").toLong
         val length = params("length").toInt
         val buf = new Array[Byte](length)

@@ -19,9 +19,27 @@ final class SortedTextFile(path: String, conf: Configuration) {
   private val fileLen = fs.getFileStatus(p).getLen
 
   /** Lines from the first line >= key (whole-line byte-wise compare, the
-    * reference's String.compareTo ordering). Caller exhausts or drops the
-    * iterator; the stream closes on exhaustion. */
+    * reference's String.compareTo ordering). The stream closes on
+    * exhaustion; a caller that abandons the iterator mid-way should use
+    * [[range]], which closes on its own bound. */
   def iterateFrom(key: String): Iterator[String] = {
+    val (it, close) = linesFrom(key)
+    new IoUtil.AutoCloseIterator(it, close)
+  }
+
+  /** Lines in [start, end) — inclusive/exclusive, like ClusterRange. The
+    * bound check happens INSIDE the closing wrapper, so hitting `end`
+    * closes the stream (a takeWhile outside it would leak the handle). */
+  def range(start: String, end: Option[String]): Iterator[String] = {
+    val (it, close) = linesFrom(start)
+    val bounded = end match {
+      case None => it
+      case Some(e) => it.takeWhile(_ < e)
+    }
+    new IoUtil.AutoCloseIterator(bounded, close)
+  }
+
+  private def linesFrom(key: String): (Iterator[String], () => Unit) = {
     val in = fs.open(p)
     var lo = 0L
     var hi = fileLen
@@ -36,17 +54,7 @@ final class SortedTextFile(path: String, conf: Configuration) {
     }
     in.seek(lo)
     if (lo > 0) skipPartialLine(in)
-    new IoUtil.AutoCloseIterator(
-      new IoUtil.LfLineIterator(in).dropWhile(_ < key), () => in.close())
-  }
-
-  /** Lines in [start, end) — inclusive/exclusive, like ClusterRange. */
-  def range(start: String, end: Option[String]): Iterator[String] = {
-    val it = iterateFrom(start)
-    end match {
-      case None => it
-      case Some(e) => it.takeWhile(_ < e)
-    }
+    (new IoUtil.LfLineIterator(in).dropWhile(_ < key), () => in.close())
   }
 
   private def skipPartialLine(in: java.io.InputStream): Unit = {

@@ -207,13 +207,19 @@ object WarcRecords {
       if (i < 0) None else Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
     }.toMap
     val ci = headers.map { case (k, v) => k.toLowerCase -> v }
+    // Respect Content-Length: a spec-conformant record ends with \r\n\r\n
+    // INSIDE the member, after the block — without the truncation those
+    // separator bytes would pollute payload digests.
+    val avail = bytes.length - (sep + 4)
+    val blockLen = ci.get("content-length").flatMap(_.toIntOption)
+      .filter(l => l >= 0 && l <= avail).getOrElse(avail)
     Some(WarcRecord(
       warcType = ci.getOrElse("warc-type", "unknown"),
       targetUri = ci.get("warc-target-uri").map(_.stripPrefix("<").stripSuffix(">")),
       date = ci.get("warc-date"),
       contentType = ci.get("content-type"),
       headers = headers,
-      payload = java.util.Arrays.copyOfRange(bytes, sep + 4, bytes.length)))
+      payload = java.util.Arrays.copyOfRange(bytes, sep + 4, sep + 4 + blockLen)))
   }
 
   /** SHA1 digest in Base32 (RFC 4648, A-Z2-7) — the CDX digest convention. */

@@ -38,20 +38,42 @@ object CdxStream {
   /** O4e as custom streaming state: cap captures per (urlkey, day) at
     * `dayLimit` ACROSS micro-batches — the seen-count per key lives in
     * GroupState, so a capture admitted in batch 1 still counts against
-    * the key's budget in batch 5. */
-  def dayCapStream(cdx: Dataset[CdxRecord], dayLimit: Int): Dataset[CdxRecord] = {
-    import cdx.sparkSession.implicits._
-    cdx.groupByKey(r => (r.urlkey, r.timestamp.take(8)))
+    * the key's budget in batch 5. State is BOUNDED: the event-time
+    * watermark (`stateTtl` behind the newest capture) times finished
+    * (urlkey, day) groups out and removes them — without it a long-running
+    * firehose would hold one state entry per key-day forever. */
+  def dayCapStream(cdx: Dataset[CdxRecord], dayLimit: Int,
+                   stateTtlMs: Long = 2L * 86400000L): Dataset[CdxRecord] = {
+    val spark = cdx.sparkSession
+    import spark.implicits._
+    cdx.toDF()
+      .withColumn("__event_ts",
+        to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
+      .withWatermark("__event_ts", s"${stateTtlMs / 1000} seconds")
+      .as[CdxRecord]
+      .groupByKey(r => (r.urlkey, r.timestamp.take(8)))
       .flatMapGroupsWithState[Int, CdxRecord](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[Int]) =>
-          var seen = state.getOption.getOrElse(0)
-          val admitted = rows.toVector.sortBy(r => (r.timestamp, r.offset))
-            .flatMap { r =>
-              if (seen < dayLimit) { seen += 1; Some(r) } else None
-            }
-          state.update(seen)
-          admitted.iterator
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[Int]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(0)
+            val admitted = rows.toVector.sortBy(r => (r.timestamp, r.offset))
+              .flatMap { r =>
+                if (seen < dayLimit) { seen += 1; Some(r) } else None
+              }
+            state.update(seen)
+            // evict once the watermark passes the group's own day end +
+            // TTL (anchoring to the watermark alone would evict young
+            // groups while the watermark is still at its initial zero)
+            val dayEndMs = java.time.LocalDate.parse(key._2,
+              java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+              .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.toEpochMilli
+            state.setTimeoutTimestamp(math.max(dayEndMs + stateTtlMs,
+              state.getCurrentWatermarkMs() + 60000L))
+            admitted.iterator
+          }
       }
   }
 }
