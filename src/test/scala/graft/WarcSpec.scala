@@ -56,6 +56,19 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(status.contains(200) && mime.contains("text/html"))
   }
 
+  test("spec-conformant record: trailing CRLF separators excluded from payload") {
+    // real WARCs terminate each record with \r\n\r\n INSIDE the member;
+    // Content-Length bounds the block, so digests must not include them
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody"
+    val conformant = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://a.org/\r\nWARC-Date: 2012-01-03T08:45:08Z\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n" + http + "\r\n\r\n")
+      .getBytes("UTF-8")
+    val rec = WarcRecords.parse(conformant).get
+    assert(new String(rec.payload, "UTF-8") == http,
+      "payload must stop at Content-Length")
+  }
+
   test("sha1Base32 matches the known digest of an empty payload") {
     // sha1("") = da39a3ee5e6b4b0d3255bfef95601890afd80709
     assert(WarcRecords.sha1Base32(Array.emptyByteArray) ==
