@@ -24,19 +24,25 @@ case class SurtExpression(child: Expression) extends UnaryExpression {
   override def prettyName: String = "surt"
 
   override def nullSafeEval(input: Any): Any =
-    SurtExpression.eval(input.asInstanceOf[UTF8String])
+    SurtCodegen.surt(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.SurtExpression.eval($c)")
+      c => s"graft.functions.SurtCodegen.surt($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SurtExpression =
     copy(child = newChild)
 }
 
-object SurtExpression {
-  /** Static entry point shared by interpreted eval and generated code. */
-  def eval(u: UTF8String): UTF8String =
+/**
+ * Static entry point shared by interpreted eval and generated code.
+ * Deliberately NOT the expression's companion object: a companion whose
+ * class inherits any member named like the helper gets no static
+ * forwarder, so Janino would only see `eval(InternalRow)` and whole-stage
+ * codegen would silently fall back to interpreted mode.
+ */
+object SurtCodegen {
+  def surt(u: UTF8String): UTF8String =
     if (u == null) null
     else UTF8String.fromString(Surt.surtLenient(u.toString))
 }

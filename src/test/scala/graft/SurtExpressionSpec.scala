@@ -37,6 +37,23 @@ class SurtExpressionSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("surt") && !plan.contains("BatchEvalPython"))
   }
 
+  test("generated code actually COMPILES (no silent interpreted fallback)") {
+    // The `*(1) Project` plan-string check below is necessary but not
+    // sufficient: a Janino compile error surfaces only at runtime and
+    // Spark falls back to interpreted eval with just a WARN. Compiling
+    // the projection through the codegen API throws instead.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.SurtExpression(
+      BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val out = proj(InternalRow(UTF8String.fromString("http://WWW.Example.com/A/")))
+    assert(out.getUTF8String(0).toString == "com,example)/a")
+  }
+
   test("projection with surt stays inside WholeStageCodegen") {
     // range source → a real physical projection (a local Seq would be
     // pre-evaluated by ConvertToLocalRelation, which itself proves the
