@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
  *    whose computation is being measured;
  *  - one untimed warmup query absorbs JVM/session/codegen startup, so the
  *    first timed query isn't charged for it;
+ *  - each query runs GRAFT_BENCH_REPS times (default 2) and the MIN is
+ *    reported: single-shot timings at small SF are dominated by GC/JIT
+ *    noise (observed: the same query 5.8s in one run, 0.95s steady-state),
+ *    and min-of-reps measures the steady-state plan cost — the quantity
+ *    that actually extrapolates to a long-running cluster job;
  *  - failures are NOT swallowed: a failed query records `-1` AND the error
  *    is reported in an `errors` map (a broken query must never bench green);
  *  - AQE + UTC session config matches GraftCli.session.
@@ -37,16 +42,18 @@ object Bench {
     // the report — the timed loop will surface the same error in-band.
     try materialize("q01_agg") catch { case _: Throwable => () }
 
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt.max(1)
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(name); true }
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { materialize(name); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           errors ::= (name -> e.toString.takeWhile(_ != '\n').take(200))
-          false
+          None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
 
     def jstr(s: String): String =
