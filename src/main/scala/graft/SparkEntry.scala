@@ -553,18 +553,8 @@ object SparkEntry {
     // whose integer-quantized inner product clears a threshold — the
     // embedding-space analogue of q21's LSH candidates; never all-pairs.
     "q36_embed_neardup" -> ((s, dir) => {
-      import graft.operators.llm.AnnOps.{dot, quantize}
-      val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
-      val a = e.select(col("vec_id").as("vec_a"), col("label"),
-        col("q").as("qa"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label"),
-        col("q").as("qb"))
-      a.join(b, Seq("label"))
-        .where(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), col("label"),
-          dot(col("qa"), col("qb")).as("dot"))
-        .where(col("dot") >= 300000L)
+      graft.operators.llm.AnnOps.withinBucketPairs(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 300000L)
     }),
 
     // Token counting two ways: whitespace tokens + a BPE-ish regex

@@ -51,6 +51,34 @@ object AnnOps {
     topK(scored, k)
   }
 
+  /**
+   * All near-dup pairs within a bucket whose inner product ≥ minDot —
+   * ONE hash shuffle on the bucket key, pairs expanded inside each
+   * bucket task (never an all-pairs product, never a self-join: a join
+   * formulation shuffles and scans the table twice and sort-merges on a
+   * low-cardinality key). `sort_array` on struct(id, …) orders by id, so
+   * expansion yields each unordered pair exactly once with vec_a < vec_b.
+   * Bucket contents must fit a task (the same bounded-bucket contract as
+   * [[MinHashLsh.candidatePairs]]); cap bucket size upstream if not.
+   */
+  def withinBucketPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        bucketCol: String, minDot: Long): DataFrame = {
+    val e = emb.select(col(bucketCol).as("label"),
+      struct(col(idCol).as("id"), quantize(col(vecCol)).as("q")).as("r"))
+    e.groupBy(col("label"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .where(size(col("rs")) > 1)
+      .select(col("label"), explode(expr(
+        """flatten(transform(rs, (a, i) ->
+          |  transform(slice(rs, i + 2, size(rs)), b -> struct(
+          |    a.id AS vec_a, b.id AS vec_b,
+          |    aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L,
+          |              (acc, v) -> acc + v) AS dot))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("label"), col("p.dot").as("dot"))
+      .where(col("dot") >= minDot)
+  }
+
   /** Bucketed top-k: probe only candidates sharing the query's bucket. */
   def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String,
                    bucketCol: String, queryPred: Column, k: Int): DataFrame = {
