@@ -566,8 +566,124 @@ object SparkEntry {
           size(expr(
             "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
             .as("n_bpe_tokens"))
+    }),
+
+    // S8 — pointer-file indirection scan: rows POINT at files; each task
+    // streams the lines of its pointed files. Half the data is written
+    // plain, half gzipped, so both reader branches are under the oracle.
+    "q38_deref_scan" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpDir("q38", dir)
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"),
+        concat_ws("|", col("s_suppkey"), col("s_nationkey"), col("s_name"))
+          .as("value"))
+      sup.where(col("s_suppkey") % 2 === 0).select("value")
+        .write.mode("overwrite").text(s"$base/plain")
+      sup.where(col("s_suppkey") % 2 =!= 0).select("value")
+        .write.mode("overwrite").option("compression", "gzip")
+        .text(s"$base/gz")
+      val pointers = Seq("plain", "gz").flatMap { sub =>
+        new java.io.File(s"$base/$sub").listFiles.toSeq
+          .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath)
+      }.sorted.toDS()
+      val f = split(col("value"), "\\|")
+      graft.sources.IndirectScans.dereferenceLines(pointers).toDF("value")
+        .select(element_at(f, 1).cast("long").as("s_suppkey"),
+          element_at(f, 2).cast("long").as("s_nationkey"),
+          element_at(f, 3).as("s_name"))
+    }),
+
+    // S9/S10 — gzip member-range scan: rows are (path, offset, length)
+    // extents; tasks seek + decompress only those members. The fixture is
+    // a multi-member gzip of `part` rows (40/member, key order); the query
+    // reads only EVEN-indexed members plus one deliberately corrupt extent
+    // under skip-bad — an oracle match proves both the range arithmetic
+    // and the corrupt-member tolerance.
+    "q39_gzip_range" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.IndirectScans.MemberRange
+      val base = tmpDir("q39", dir)
+      val file = new java.io.File(s"$base/members.gz")
+      file.getParentFile.mkdirs()
+      val rows = tbl(s, dir, "part")
+        .select(concat_ws("|", col("p_partkey"), col("p_name"), col("p_brand"))
+          .as("v"), col("p_partkey"))
+        .orderBy(col("p_partkey")).select("v").as[String].collect()
+      val out = new java.io.FileOutputStream(file)
+      val extents = try {
+        var off = 0L
+        rows.grouped(40).map { chunk =>
+          val bytes = graft.sources.zipnum.ZipNumFormat.gzipMember(
+            chunk.mkString("", "\n", "\n").getBytes("UTF-8"))
+          out.write(bytes)
+          val e = MemberRange(file.getAbsolutePath, off, bytes.length)
+          off += bytes.length
+          e
+        }.toVector :+ {
+          val junk = Array.fill[Byte](64)(0x42)
+          out.write(junk)
+          val e = MemberRange(file.getAbsolutePath, off, junk.length)
+          e
+        }
+      } finally out.close()
+      val wanted = extents.zipWithIndex.collect {
+        case (e, i) if i % 2 == 0 => e
+      }
+      val (lines, _) = graft.sources.IndirectScans.gzipMemberRangeLines(
+        s, wanted.toDS(), skipBad = true)
+      val f = split(col("value"), "\\|")
+      lines.toDF("value")
+        .select(element_at(f, 1).cast("long").as("p_partkey"),
+          element_at(f, 2).as("p_name"), element_at(f, 3).as("p_brand"))
+    }),
+
+    // S11/P1 — zero-shuffle k-way merge of pre-sorted runs: three
+    // boundary-aligned sorted runs of `orders` heap-merge back into ONE
+    // totally ordered stream; the output's zipWithIndex sequence must
+    // equal row_number() over the global key order — position-exact proof
+    // that the merge preserved total order without a shuffle.
+    "q40_sorted_merge" -> ((s, dir) => {
+      import s.implicits._
+      val okey = format_string("%012d", col("o_orderkey"))
+      val lines = tbl(s, dir, "orders")
+        .select(concat_ws("\t", okey, col("o_custkey")).as("line"),
+          (col("o_orderkey") % 3).as("run"))
+      val bounds = graft.operators.Boundaries.sample(
+        lines.select("line").as[String].rdd, 8)
+      val bp = new graft.operators.BoundaryPartitioner(bounds)
+      val runs = (0 until 3).map { r =>
+        lines.where(col("run") === r).select("line").as[String].rdd
+          .map(l => (l, null: Null))
+          .repartitionAndSortWithinPartitions(bp).keys
+      }
+      graft.operators.SortedMerge.merge(runs).zipWithIndex()
+        .map { case (l, i) =>
+          val f = l.split("\t", -1)
+          (f(0), f(1).toLong, i)
+        }.toDF("okey", "custkey", "seq")
+    }),
+
+    // K6 — SequenceFile sink/source roundtrip: keyed text records written
+    // with Hadoop Writables, read back, and compared against the table
+    // they came from.
+    "q41_seqfile_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpDir("q41", dir)
+      val path = s"$base/seq"
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val kv = tbl(s, dir, "customer")
+        .select(format_string("%012d", col("c_custkey")).as("_1"),
+          col("c_mktsegment").as("_2")).as[(String, String)]
+      graft.sources.SequenceFileSink.write(kv, path)
+      graft.sources.SequenceFileSink.read(s, path)
+        .toDF("ckey", "mktsegment")
     })
   )
+
+  /** Per-query scratch dir (overwritten on every run; bench reps included). */
+  private def tmpDir(q: String, dir: String): String =
+    s"/root/repo/target/tmp/${q}_" + dir.replaceAll("[^0-9a-zA-Z.]", "_")
 
   /** Near-dup corpus: originals + every 7th doc re-inserted with 3 words
     * appended — high-Jaccard pairs the oracle can reproduce. */
@@ -914,6 +1030,29 @@ object SparkEntry {
         |      i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE dot >= 300000""".stripMargin,
+
+    "q38_deref_scan" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |  CAST(s_nationkey AS BIGINT) AS s_nationkey, s_name
+        |FROM supplier""".stripMargin,
+
+    "q39_gzip_range" ->
+      """WITH r AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+        |    p_brand, row_number() OVER (ORDER BY p_partkey) - 1 AS rn
+        |  FROM part)
+        |SELECT p_partkey, p_name, p_brand FROM r
+        |WHERE ((rn // 40) % 2) = 0""".stripMargin,
+
+    "q40_sorted_merge" ->
+      """SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS okey,
+        |  CAST(o_custkey AS BIGINT) AS custkey,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS seq
+        |FROM orders""".stripMargin,
+
+    "q41_seqfile_roundtrip" ->
+      """SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS ckey,
+        |  c_mktsegment AS mktsegment
+        |FROM customer""".stripMargin,
 
     "q37_token_count" ->
       """SELECT doc_id,
