@@ -678,6 +678,60 @@ object SparkEntry {
       graft.sources.SequenceFileSink.write(kv, path)
       graft.sources.SequenceFileSink.read(s, path)
         .toDF("ckey", "mktsegment")
+    }),
+
+    // §3.4 — WARC → CDX extraction end-to-end under the oracle: a
+    // synthesized multi-member WARC (warcinfo + HTTP responses incl. 404s
+    // + raw resource records + a corrupt tail member) is extracted with
+    // soft tolerance; urlkey (SURT), timestamp14, mimetype and statuscode
+    // must all match DuckDB's recomputation. Digest and member geometry
+    // are pinned by `WarcSpec` (not SQL-expressible).
+    "q42_warc_extract" -> ((s, dir) => {
+      val base = tmpDir("q42", dir)
+      val file = new java.io.File(s"$base/docs.warc.gz")
+      file.getParentFile.mkdirs()
+      val ids = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
+        .collect().map(_.getLong(0))
+      def gz(p: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(p); g.close(); bos.toByteArray
+      }
+      val epoch = java.time.Instant.parse("2020-01-01T00:00:00Z")
+      val out = new java.io.FileOutputStream(file)
+      try {
+        out.write(gz(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "Content-Type: application/warc-fields\r\n\r\nsoftware: graft\r\n")
+          .getBytes("UTF-8")))
+        ids.foreach { id =>
+          val m = id % 5
+          val uri = if (id % 4 == 0) s"http://WWW.Docs$m.ORG/d/$id/"
+                    else s"http://docs$m.org/d/$id"
+          val date = java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(epoch.plusSeconds(id))
+          val rec =
+            if (id % 7 == 0) {
+              val body = s"""{"doc":$id}"""
+              s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: $uri\r\n" +
+                s"WARC-Date: $date\r\nContent-Type: application/json\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n$body"
+            } else {
+              val status = if (id % 5 == 0) "404 Not Found" else "200 OK"
+              val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+                s"\r\ndoc $id body"
+              s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+                s"WARC-Date: $date\r\nContent-Length: ${http.length}\r\n\r\n$http"
+            }
+          out.write(gz(rec.getBytes("UTF-8")))
+        }
+        out.write(Array.fill[Byte](32)(0x13)) // corrupt tail (soft-skipped)
+      } finally out.close()
+      graft.operators.WarcExtract
+        .extract(s, Seq(file.getAbsolutePath), soft = true)
+        .rows.toDF()
+        .select(col("urlkey"), col("timestamp"), col("original_url"),
+          col("mimetype"), col("statuscode").cast("int").as("statuscode"))
     })
   )
 
@@ -1053,6 +1107,20 @@ object SparkEntry {
       """SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS ckey,
         |  c_mktsegment AS mktsegment
         |FROM customer""".stripMargin,
+
+    "q42_warc_extract" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id AS BIGINT) % 5 AS m FROM documents)
+        |SELECT 'org,docs' || m || ')/d/' || id AS urlkey,
+        |  strftime(TIMESTAMP '2020-01-01 00:00:00' + id * INTERVAL 1 SECOND,
+        |           '%Y%m%d%H%M%S') AS timestamp,
+        |  CASE WHEN id % 4 = 0 THEN 'http://WWW.Docs' || m || '.ORG/d/' || id || '/'
+        |       ELSE 'http://docs' || m || '.org/d/' || id END AS original_url,
+        |  CASE WHEN id % 7 = 0 THEN 'application/json'
+        |       ELSE 'text/html' END AS mimetype,
+        |  CAST(CASE WHEN id % 7 = 0 THEN NULL
+        |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode
+        |FROM d""".stripMargin,
 
     "q37_token_count" ->
       """SELECT doc_id,
