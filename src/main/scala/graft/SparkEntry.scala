@@ -392,6 +392,16 @@ object SparkEntry {
         tbl(s, dir, "embeddings"), "vec_id", "embedding", "label",
         col("vec_id") < 10, k = 3)),
 
+    // IVF with REAL centroid assignment: seed vectors (vec_id < 8) act as
+    // centroids; every vector is assigned map-side to its argmax-dot seed,
+    // queries probe only their own bucket. Deterministic seeds keep the
+    // assignment recomputable by the oracle.
+    "q43_ann_ivf_assign" -> ((s, dir) =>
+      graft.operators.llm.AnnOps.ivfTopK(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        seedPred = col("vec_id") < 8,
+        queryPred = col("vec_id") % 97 === 0, k = 3)),
+
     // Text analysis: per-(lang, source) doc/char/token stats.
     "q26_text_stats" -> ((s, dir) => {
       val toks = graft.operators.llm.TextAnalysis.tokenCount(col("text"))
@@ -1107,6 +1117,29 @@ object SparkEntry {
       """SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS ckey,
         |  c_mktsegment AS mktsegment
         |FROM customer""".stripMargin,
+
+    "q43_ann_ivf_assign" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS sid, q AS sq FROM e WHERE vec_id < 8),
+        |sc AS (SELECT e.vec_id, e.q, s.sid,
+        |    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |      i -> e.q[i] * s.sq[i])) AS BIGINT) AS sdot
+        |  FROM e CROSS JOIN seeds s),
+        |assigned AS (SELECT vec_id, q, sid FROM (
+        |    SELECT vec_id, q, sid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sdot DESC, sid) AS rk FROM sc) WHERE rk = 1),
+        |qs AS (SELECT vec_id AS query_id, q AS qv, sid AS qb
+        |  FROM assigned WHERE vec_id % 97 = 0),
+        |d AS (SELECT query_id, a.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * a.q[i])) AS BIGINT) AS dot
+        |  FROM assigned a JOIN qs ON a.sid = qb AND a.vec_id <> query_id)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
+        |WHERE rn <= 3""".stripMargin,
 
     "q42_warc_extract" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,

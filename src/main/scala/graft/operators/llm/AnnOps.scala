@@ -79,6 +79,42 @@ object AnnOps {
       .where(col("dot") >= minDot)
   }
 
+  /**
+   * IVF top-k with REAL centroid assignment (vs [[bucketedTopK]]'s
+   * precomputed label): `seedPred` picks the centroid vectors (in
+   * production: k-means output; here: deterministic seed rows so the
+   * oracle can recompute assignment). Centroids are collected once and
+   * folded into a literal argmax expression — the assignment is MAP-SIDE
+   * (zero shuffle at any scale; an assignment window over a crossJoin
+   * would shuffle every vector ×centroids). Ties go to the lowest seed id
+   * (max over struct(sdot, -sid)). Only the final top-k window shuffles,
+   * and it carries (query, cand, dot) pairs, not vectors.
+   */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              seedPred: Column, queryPred: Column, k: Int): DataFrame = {
+    val e = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+    val seedRows = e.where(seedPred)
+      .select(col(idCol).cast("long"), col("__q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(seedRows.nonEmpty, "seedPred selected no centroid vectors")
+    val scoreStructs = seedRows.map { case (sid, sq) =>
+      struct(dot(col("__q"), typedLit(sq)).as("sdot"),
+        lit(-sid).as("nsid"))
+    }
+    val best = array_max(array(scoreStructs.toIndexedSeq: _*))
+    val assigned = e.select(col(idCol), col("__q"),
+      (-best.getField("nsid")).as("__sid"))
+    val qs = assigned.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__q").as("__qv"),
+        col("__sid").as("__qb"))
+    val scored = assigned.join(broadcast(qs),
+        col("__sid") === col("__qb") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        dot(col("__qv"), col("__q")).as("dot"))
+    topK(scored, k)
+  }
+
   /** Bucketed top-k: probe only candidates sharing the query's bucket. */
   def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String,
                    bucketCol: String, queryPred: Column, k: Int): DataFrame = {
