@@ -690,6 +690,34 @@ object SparkEntry {
         .toDF("ckey", "mktsegment")
     }),
 
+    // O8 — experimental SURT-split layout rewrite (disabled in the
+    // reference's JobDriver, implemented for inventory completeness):
+    // legacy CDX-9/10 lines re-keyed as (public-suffix SURT, canonical
+    // path+query, ts, public prefix, scheme, …); noarchive rows dropped.
+    "q44_cdx_transform" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id").cast("long")
+      val m = id % 23
+      val host = when(id % 3 === 0, concat(lit("WWW.Site"), m, lit(".ORG")))
+        .when(id % 3 === 1, concat(lit("Site"), m, lit(".org")))
+        .otherwise(concat(lit("a.B.site"), m, lit(".CO.UK")))
+      val scheme = when(id % 5 === 0, "https").otherwise(lit("http"))
+      val orig = concat(scheme, lit("://"), host, lit("/p/"), id,
+        lit("?z=2&a=1"))
+      val tenField = id % 2 === 1
+      val flags = when(id % 8 === 3, "A").otherwise(lit("-"))
+      val line = concat_ws(" ",
+        concat(lit("site"), m, lit(".org/p/"), id), // legacy key (ignored)
+        concat(lit("2012010"), id % 9 + 1, lit("000000")),
+        orig, lit("text/html"), lit("200"), concat(lit("DIG"), id),
+        concat(lit("http://r.org/"), id),
+        when(tenField, flags).otherwise(lit(null)), // 9-field when even id
+        (id * 10).cast("string"),
+        concat(lit("f-"), id, lit(".arc.gz")))
+      graft.operators.CdxTransformer(
+        tbl(s, dir, "documents").select(line.as("line")).as[String])
+    }),
+
     // §3.4 — WARC → CDX extraction end-to-end under the oracle: a
     // synthesized multi-member WARC (warcinfo + HTTP responses incl. 404s
     // + raw resource records + a corrupt tail member) is extracted with
@@ -1117,6 +1145,31 @@ object SparkEntry {
       """SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS ckey,
         |  c_mktsegment AS mktsegment
         |FROM customer""".stripMargin,
+
+    "q44_cdx_transform" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id AS BIGINT) % 23 AS m FROM documents),
+        |v AS (SELECT id, m, id % 3 AS hv,
+        |    CASE WHEN id % 5 = 0 THEN 'https' ELSE 'http' END AS scheme
+        |  FROM d WHERE id % 8 <> 3)
+        |SELECT
+        |  CASE WHEN hv = 2 THEN '(uk,co,site' || m
+        |       ELSE '(org,site' || m END AS suffix_surt,
+        |  '/p/' || id || '?a=1&z=2' AS path_query,
+        |  '2012010' || (id % 9 + 1) || '000000' AS timestamp,
+        |  -- leading www. is massaged away by canonicalization BEFORE the
+        |  -- suffix split (DefaultIAURLCanonicalizer semantics) → no prefix
+        |  CASE hv WHEN 2 THEN 'a.b' ELSE '-' END AS public_prefix,
+        |  scheme,
+        |  scheme || '://' ||
+        |    CASE hv WHEN 0 THEN 'WWW.Site' || m || '.ORG'
+        |            WHEN 1 THEN 'Site' || m || '.org'
+        |            ELSE 'a.B.site' || m || '.CO.UK' END ||
+        |    '/p/' || id || '?z=2&a=1' AS original_url,
+        |  'text/html' AS mimetype, '200' AS statuscode,
+        |  'DIG' || id AS digest, 'http://r.org/' || id AS redirect_url,
+        |  id * 10 AS offset, 'f-' || id || '.arc.gz' AS filename
+        |FROM v""".stripMargin,
 
     "q43_ann_ivf_assign" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding,

@@ -80,4 +80,25 @@ class CdxParserSpec extends AnyFunSuite {
     assert(r.originalUrl == "http://example.com")
     assert(r.urlkey == "com,example)/")
   }
+
+  test("SURT-split transform drops noarchive/bad-offset/bad-format rows") {
+    // CDXTransformer.java:72-76 (A flag), :87-93 (offset), :77-80 (format)
+    import graft.operators.CdxTransformer
+    val ok9 = "k 20120103084508 http://www.example.co.uk/a?z=1&b=2 text/html 200 SHA - 1234 f.arc.gz"
+    val r = CdxTransformer.transformLine(ok9).get
+    assert(r.suffix_surt == "(uk,co,example")
+    assert(r.public_prefix == "-") // www. massaged away pre-split
+    assert(r.path_query == "/a?b=2&z=1")
+    assert(r.scheme == "http")
+    assert(r.offset == 1234L)
+    val noarchive = "k 20120103084508 http://e.org/ text/html 200 SHA - A 1234 f.arc.gz"
+    assert(CdxTransformer.transformLine(noarchive).isEmpty)
+    val badOffset = "k 20120103084508 http://e.org/ text/html 200 SHA - XYZ f.arc.gz"
+    assert(CdxTransformer.transformLine(badOffset).isEmpty)
+    val badFormat = "too few fields"
+    assert(CdxTransformer.transformLine(badFormat).isEmpty)
+    val deepSub = CdxTransformer.transformLine(
+      "k 20120103084508 http://a.b.site.org/p text/html 200 SHA - 9 f.arc.gz").get
+    assert(deepSub.suffix_surt == "(org,site" && deepSub.public_prefix == "a.b")
+  }
 }
