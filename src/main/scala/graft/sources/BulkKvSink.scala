@@ -33,4 +33,48 @@ object BulkKvSink {
     out.write(interior.mkString("", "\n", "\n").getBytes("UTF-8"))
     out.close()
   }
+
+  final case class RangeRead(data: Dataset[(String, String)],
+                             filesRead: Int, filesTotal: Int)
+
+  /**
+   * Key-range read that PRUNES shards via the `_boundaries` manifest —
+   * the load-side concept of HBaseStorage's row-key range pushdown
+   * (/root/reference/src/main/java/org/archive/hadoop/pig/HBaseStorage.java:235-248):
+   * only shard files whose key range overlaps [start, end) are opened;
+   * a residual filter trims within the boundary shards. Start inclusive,
+   * end exclusive; None = unbounded.
+   */
+  def readRange(spark: org.apache.spark.sql.SparkSession, dir: String,
+                start: Option[String], end: Option[String]): RangeRead = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val bp = new org.apache.hadoop.fs.Path(dir, "_boundaries")
+    val in = fs.open(bp)
+    val interior = (try new String(in.readAllBytes(), "UTF-8") finally in.close())
+      .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    val part = new BoundaryPartitioner(interior)
+    val lo = start.map(part.getPartition).getOrElse(0)
+    val hi = end.map(part.getPartition).getOrElse(interior.length)
+    val numRe = "\\d+".r
+    val files = fs.listStatus(dirPath)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val kept = files.filter { f =>
+      numRe.findAllIn(f.getName).toSeq.lastOption.exists { s =>
+        val i = s.toInt; i >= lo && i <= hi
+      }
+    }
+    val raw =
+      if (kept.isEmpty) spark.emptyDataset[(String, String)]
+      else spark.sparkContext
+        .sequenceFile(kept.mkString(","), classOf[Text], classOf[Text])
+        .map { case (k, v) => (k.toString, v.toString) }.toDS()
+    val trimmed = raw.filter { case (k, _) =>
+      start.forall(k >= _) && end.forall(k < _)
+    }
+    RangeRead(trimmed, kept.length, files.length)
+  }
 }

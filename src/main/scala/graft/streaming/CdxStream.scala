@@ -35,6 +35,37 @@ object CdxStream {
       .select(col("window.start").as("window_start"), col("host"),
         col("n_captures"))
 
+  /**
+   * Incremental index maintenance: each micro-batch of CDX lines becomes
+   * its own sorted ZipNum cluster GENERATION (`gen-<batchId>` dir) — the
+   * production pattern for a live index: small sorted generations land
+   * continuously and a periodic `ClusterOps.merge` (zero-shuffle k-way
+   * heap merge) compacts them into the main cluster. Returns a started
+   * query; stop it to stop consuming.
+   *
+   * Boundaries: fixed if supplied (generations then partition-align with
+   * the main cluster, making the later merge shuffle-free); otherwise
+   * sampled per batch.
+   */
+  def zipnumGenerations(lines: Dataset[String], outDir: String,
+                        checkpointDir: String, nShards: Int = 4,
+                        linesPerBlock: Int = 3000,
+                        fixedBoundaries: Option[IndexedSeq[String]] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
+        val rdd = batch.rdd
+        if (!rdd.isEmpty()) {
+          val bounds = fixedBoundaries.getOrElse(
+            graft.operators.Boundaries.sample(rdd, nShards))
+          graft.operators.ClusterOps.build(batch.sparkSession, rdd,
+            f"$outDir/gen-$batchId%05d", bounds,
+            linesPerBlock = linesPerBlock, overwrite = true)
+        }
+      }
+      .start()
+
   /** O4e as custom streaming state: cap captures per (urlkey, day) at
     * `dayLimit` ACROSS micro-batches — the seen-count per key lives in
     * GroupState, so a capture admitted in batch 1 still counts against

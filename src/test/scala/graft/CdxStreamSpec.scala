@@ -62,4 +62,36 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.count(_.timestamp.startsWith("20120102")) == 1)
     q.stop()
   }
+
+  test("zipnumGenerations: each micro-batch lands as a queryable cluster") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream-gen")
+    val out = root.resolve("clusters").toString
+    val ms = MemoryStream[String]
+    // fixed boundaries → generations partition-align with each other
+    val q = CdxStream.zipnumGenerations(ms.toDS(), out,
+      root.resolve("ckpt").toString, linesPerBlock = 2,
+      fixedBoundaries = Some(IndexedSeq("org,m")))
+    ms.addData(line("org,a)/1", "20120101000000", 0),
+      line("org,z)/1", "20120101000100", 1))
+    q.processAllAvailable()
+    ms.addData(line("org,b)/2", "20120102000000", 2),
+      line("org,y)/2", "20120102000100", 3))
+    q.processAllAvailable()
+    q.stop()
+    val gens = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getPath).sorted
+    assert(gens.length == 2)
+    // every generation is a real cluster: range-queryable via the DSv2
+    val back = gens.map(g => spark.read.format("zipnum").load(g))
+      .reduce(_ unionByName _)
+    assert(back.count() == 4)
+    val ranged = gens.map(g => spark.read.format("zipnum").load(g))
+      .reduce(_ unionByName _)
+      .where($"urlkey" >= "org,a" && $"urlkey" < "org,c")
+    assert(ranged.select("urlkey").as[String].collect().sorted.toSeq ==
+      Seq("org,a)/1", "org,b)/2"))
+  }
 }

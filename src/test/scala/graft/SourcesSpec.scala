@@ -89,6 +89,30 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       .contains("k030"))
   }
 
+  test("S17 concept: KV range read prunes shards via _boundaries") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "bulkr")
+      .resolve("out").toString
+    val kv = (0 until 100).map(i => (f"k$i%03d", s"v$i"))
+    graft.sources.BulkKvSink.write(
+      scala.util.Random.shuffle(kv).toDS(), dir, IndexedSeq("k030", "k070"))
+    // range inside the middle shard: only 1 of 3 files opened
+    val mid = graft.sources.BulkKvSink.readRange(
+      spark, dir, Some("k040"), Some("k060"))
+    assert(mid.filesTotal == 3 && mid.filesRead == 1)
+    assert(mid.data.collect().map(_._1).sorted.toSeq ==
+      (40 until 60).map(i => f"k$i%03d"))
+    // range spanning a boundary: 2 files; residual trim still exact
+    val span = graft.sources.BulkKvSink.readRange(
+      spark, dir, Some("k025"), Some("k035"))
+    assert(span.filesRead == 2)
+    assert(span.data.collect().map(_._1).sorted.toSeq ==
+      (25 until 35).map(i => f"k$i%03d"))
+    // unbounded: everything, all files
+    val all = graft.sources.BulkKvSink.readRange(spark, dir, None, None)
+    assert(all.filesRead == 3 && all.data.count() == 100)
+  }
+
   test("O3: CdxFilter.lines drops header and pseudo-captures") {
     import spark.implicits._
     val in = Seq(" CDX N b a m s k r M S V g", "dns:a.org 2012 x",
