@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
  *    reported: single-shot timings at small SF are dominated by GC/JIT
  *    noise (observed: the same query 5.8s in one run, 0.95s steady-state),
  *    and min-of-reps measures the steady-state plan cost — the quantity
- *    that actually extrapolates to a long-running cluster job;
+ *    that actually extrapolates to a long-running cluster job; a query
+ *    must succeed on EVERY rep to bench at all (any failed rep → -1);
  *  - failures are NOT swallowed: a failed query records `-1` AND the error
  *    is reported in an `errors` map (a broken query must never bench green);
  *  - AQE + UTC session config matches GraftCli.session.
@@ -43,17 +44,22 @@ object Bench {
     try materialize("q01_agg") catch { case _: Throwable => () }
 
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt.max(1)
-    var errors = List.empty[(String, String)]
+    // first error per query only (duplicate JSON keys would be collapsed
+    // arbitrarily by parsers)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { materialize(name); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          errors ::= (name -> e.toString.takeWhile(_ != '\n').take(200))
+          errors.getOrElseUpdate(name,
+            e.toString.takeWhile(_ != '\n').take(200))
           None
         }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      // EVERY rep must succeed — a query that crashed on any rep benches
+      // -1, never green-by-luckiest-rep
+      name -> (if (times.size == reps) times.min else -1.0)
     }
 
     def jstr(s: String): String =

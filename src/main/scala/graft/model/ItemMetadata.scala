@@ -33,15 +33,16 @@ object ItemMetadata {
       files_count: Option[Long], solo: Option[Boolean],
       properties: Map[String, Seq[String]], files: Seq[ItemFileRow])
 
+  // thread-safe, immutable — shared across rows instead of per-call build
+  private val AddedDateFormat =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
   /** `yyyy-MM-dd HH:mm:ss` (UTC) → epoch millis (ItemMetadata.java:98-107;
     * unparseable → None, where the reference returns 0). */
   def parseDateMs(s: String): Option[Long] =
-    try {
-      val f = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss")
-      Some(java.time.LocalDateTime.parse(s, f)
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
-    } catch { case _: Exception => None }
+    try Some(java.time.LocalDateTime.parse(s, AddedDateFormat)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    catch { case _: Exception => None }
 
   def parseOne(json: String): Option[ItemRow] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -99,12 +100,22 @@ object ItemMetadata {
       properties = props, files = files))
   }
 
-  /** One JSON document per input string → typed item rows; `{}` dropped. */
-  def parse(spark: SparkSession, jsons: Dataset[String]): Dataset[ItemRow] = {
+  /** One JSON document per input string → typed item rows. `{}` (missing
+    * item) and MALFORMED documents (truncated response, HTML error page)
+    * both drop instead of failing the job — malformed-input tolerance is
+    * the point of the `{}` contract; the accumulator reports how many. */
+  def parse(spark: SparkSession, jsons: Dataset[String])
+      : (Dataset[ItemRow], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
-    jsons.mapPartitions { it =>
+    val bad = spark.sparkContext.longAccumulator("itemmeta.bad.docs")
+    val rows = jsons.mapPartitions { it =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      it.flatMap(j => parseNode(mapper.readTree(j)))
+      it.flatMap { j =>
+        val node = try Some(mapper.readTree(j))
+                   catch { case _: Exception => bad.add(1); None }
+        node.flatMap(parseNode)
+      }
     }
+    (rows, bad)
   }
 }

@@ -63,8 +63,12 @@ object AnnOps {
    */
   def withinBucketPairs(emb: DataFrame, idCol: String, vecCol: String,
                         bucketCol: String, minDot: Long): DataFrame = {
-    val e = emb.select(col(bucketCol).as("label"),
-      struct(col(idCol).as("id"), quantize(col(vecCol)).as("q")).as("r"))
+    // NULL buckets match nothing (join semantics) — without this filter,
+    // groupBy would collect every unbucketed row into ONE degenerate
+    // bucket and expand all-pairs inside it
+    val e = emb.where(col(bucketCol).isNotNull)
+      .select(col(bucketCol).as("label"),
+        struct(col(idCol).as("id"), quantize(col(vecCol)).as("q")).as("r"))
     e.groupBy(col("label"))
       .agg(sort_array(collect_list(col("r"))).as("rs"))
       .where(size(col("rs")) > 1)
@@ -89,6 +93,12 @@ object AnnOps {
    * would shuffle every vector ×centroids). Ties go to the lowest seed id
    * (max over struct(sdot, -sid)). Only the final top-k window shuffles,
    * and it carries (query, cand, dot) pairs, not vectors.
+   *
+   * The literal fold is sized for COARSE codebooks: each centroid adds a
+   * dot-product aggregate to one projection, and past a few hundred the
+   * generated method outgrows codegen limits and degrades to interpreted
+   * eval — enforced below; a larger codebook needs a broadcast centroid
+   * table + per-bucket argmax formulation instead.
    */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               seedPred: Column, queryPred: Column, k: Int): DataFrame = {
@@ -98,6 +108,9 @@ object AnnOps {
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
     require(seedRows.nonEmpty, "seedPred selected no centroid vectors")
+    require(seedRows.length <= 256,
+      s"${seedRows.length} centroids: the literal-fold assignment is for " +
+        "coarse codebooks (<= 256); use a broadcast centroid table beyond that")
     val scoreStructs = seedRows.map { case (sid, sq) =>
       struct(dot(col("__q"), typedLit(sq)).as("sdot"),
         lit(-sid).as("nsid"))

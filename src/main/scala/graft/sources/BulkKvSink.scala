@@ -57,7 +57,9 @@ object BulkKvSink {
       .split("\n").toIndexedSeq.filter(_.nonEmpty)
     val part = new BoundaryPartitioner(interior)
     val lo = start.map(part.getPartition).getOrElse(0)
-    val hi = end.map(part.getPartition).getOrElse(interior.length)
+    // end is EXCLUSIVE: a shard starting exactly at `end` holds only keys
+    // >= end and must not be opened → count boundaries STRICTLY below end
+    val hi = end.map(e => interior.count(_ < e)).getOrElse(interior.length)
     val numRe = "\\d+".r
     val files = fs.listStatus(dirPath)
       .map(_.getPath).filter(_.getName.startsWith("part-"))

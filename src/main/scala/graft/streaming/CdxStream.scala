@@ -55,14 +55,19 @@ object CdxStream {
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[String], batchId: Long) =>
-        val rdd = batch.rdd
-        if (!rdd.isEmpty()) {
-          val bounds = fixedBoundaries.getOrElse(
-            graft.operators.Boundaries.sample(rdd, nShards))
-          graft.operators.ClusterOps.build(batch.sparkSession, rdd,
-            f"$outDir/gen-$batchId%05d", bounds,
-            linesPerBlock = linesPerBlock, overwrite = true)
-        }
+        // cache: isEmpty, the optional boundary sample, and the build each
+        // re-evaluate the batch otherwise (re-reading the source per action)
+        val rdd = batch.rdd.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!rdd.isEmpty()) {
+            val bounds = fixedBoundaries.getOrElse(
+              graft.operators.Boundaries.sample(rdd, nShards))
+            graft.operators.ClusterOps.build(batch.sparkSession, rdd,
+              f"$outDir/gen-$batchId%05d", bounds,
+              linesPerBlock = linesPerBlock, overwrite = true)
+          }
+        } finally rdd.unpersist(blocking = false)
       }
       .start()
 

@@ -55,11 +55,14 @@ class ItemMetadataSpec extends AnyFunSuite with SparkTestSession {
     assert(r.mediatype.contains("texts"))
   }
 
-  test("empty object (missing item) drops; distributed parse is typed") {
+  test("empty + malformed objects drop (counted); distributed parse typed") {
     import spark.implicits._
-    val ds = Seq(multiCollection, "{}", singleCollection).toDS()
-    val rows = ItemMetadata.parse(spark, ds).collect()
+    val ds = Seq(multiCollection, "{}", "<html>503 backend error",
+      """{"files":[""", singleCollection).toDS()
+    val (parsed, bad) = ItemMetadata.parse(spark, ds)
+    val rows = parsed.collect()
     assert(rows.length == 2)
+    assert(bad.value == 2) // the two malformed docs; "{}" is valid-but-empty
     val byId = rows.flatMap(r => r.identifier.map(_ -> r)).toMap
     assert(byId("testitem").files.map(_.name.get).sorted ==
       Seq("a.warc.gz", "a_meta.txt"))

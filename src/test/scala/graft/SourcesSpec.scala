@@ -111,6 +111,11 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     // unbounded: everything, all files
     val all = graft.sources.BulkKvSink.readRange(spark, dir, None, None)
     assert(all.filesRead == 3 && all.data.count() == 100)
+    // end EXACTLY on a shard boundary: that shard holds only keys >= end
+    // and must not be opened
+    val toBoundary = graft.sources.BulkKvSink.readRange(
+      spark, dir, None, Some("k070"))
+    assert(toBoundary.filesRead == 2 && toBoundary.data.count() == 70)
   }
 
   test("O3: CdxFilter.lines drops header and pseudo-captures") {
