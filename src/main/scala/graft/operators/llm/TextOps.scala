@@ -68,18 +68,36 @@ object MinHashLsh {
   /** Distinct candidate pairs (doc_a < doc_b) from shared buckets: ONE
     * shuffle on (band, bh), pairs expanded inside each bucket — the
     * signature pipeline is computed once (a self-join formulation would
-    * recompute the shingle+minhash lineage on both sides). Buckets are
-    * small by construction; a production deployment would additionally cap
-    * bucket size to bound the quadratic expansion on degenerate buckets. */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
-    bandsDf.groupBy(col("band"), col("bh"))
+    * recompute the shingle+minhash lineage on both sides).
+    *
+    * `maxBucket` (0 = unlimited) bounds the quadratic expansion on
+    * degenerate buckets — a bucket of boilerplate-identical documents
+    * otherwise expands n²/2 pairs in one task. Capping is NOT silent:
+    * oversized buckets are DROPPED whole (not sampled — a truncated
+    * near-dup graph is worse than an explicit skip-list) and returned in
+    * the second DataFrame as (band, bh, n_ids) for a follow-up pass
+    * (exact dedup handles identical content more cheaply than LSH). */
+  def candidatePairsCapped(bandsDf: DataFrame, idCol: String,
+                           maxBucket: Int): (DataFrame, DataFrame) = {
+    val buckets = bandsDf.groupBy(col("band"), col("bh"))
       .agg(collect_list(col(idCol)).as("ids"))
       .where(size(col("ids")) > 1)
+    val (kept, dropped) =
+      if (maxBucket <= 0) (buckets, buckets.limit(0))
+      else (buckets.where(size(col("ids")) <= maxBucket),
+        buckets.where(size(col("ids")) > maxBucket))
+    val pairs = kept
       .selectExpr("explode(flatten(transform(ids, (a, i) -> " +
         "transform(slice(ids, i + 2, size(ids)), b -> " +
         "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))) AS p")
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+    (pairs, dropped.select(col("band"), col("bh"),
+      size(col("ids")).as("n_ids")))
+  }
+
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
+    candidatePairsCapped(bandsDf, idCol, maxBucket = 0)._1
 
   /** End-to-end: corpus (idCol, textCol) → candidate pairs. */
   def apply(corpus: DataFrame, idCol: String, textCol: String,

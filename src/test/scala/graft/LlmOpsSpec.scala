@@ -27,6 +27,27 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("candidate-pair bucket cap: oversized buckets dropped, REPORTED") {
+    // 6 identical docs land in the same bucket for every band; 2 more
+    // identical docs form a small bucket that must survive the cap
+    val df = ((1L to 6L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8")) ++
+      Seq((10L, "a b c d e f g h i"), (11L, "a b c d e f g h i")))
+      .toDF("doc_id", "text")
+    val bands = MinHashLsh.bands(
+      MinHashLsh.signature(
+        Shingles.explodeShingles(df, "doc_id", "text", 3), "doc_id", 6),
+      "doc_id", 6, 2)
+    val (pairs, dropped) =
+      MinHashLsh.candidatePairsCapped(bands, "doc_id", maxBucket = 4)
+    assert(pairs.as[(Long, Long)].collect().toSet == Set((10L, 11L)))
+    val d = dropped.as[(Int, String, Int)].collect()
+    assert(d.nonEmpty && d.forall(_._3 == 6)) // the 6-doc bucket, per band
+    // uncapped keeps everything
+    val all = MinHashLsh.candidatePairs(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(all.size == 15 + 1) // C(6,2) + the small-bucket pair
+  }
+
   test("simhash: identical text ⇒ identical 32-bit signature") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
