@@ -43,7 +43,9 @@ object Bench {
     // the report — the timed loop will surface the same error in-band.
     try materialize("q01_agg") catch { case _: Throwable => () }
 
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // tolerate a malformed env value: a bench must always emit its report
+    val reps = sys.env.get("GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     // first error per query only (duplicate JSON keys would be collapsed
     // arbitrarily by parsers)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

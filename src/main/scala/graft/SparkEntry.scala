@@ -584,7 +584,7 @@ object SparkEntry {
     "q38_deref_scan" -> ((s, dir) => {
       import s.implicits._
       val base = tmpDir("q38", dir)
-      fixtureOnce(base, "v1") {
+      fixtureOnce(base, "v1", dir, "supplier") {
         val sup = tbl(s, dir, "supplier").select(col("s_suppkey"),
           concat_ws("|", col("s_suppkey"), col("s_nationkey"), col("s_name"))
             .as("value"))
@@ -616,7 +616,7 @@ object SparkEntry {
       import graft.sources.IndirectScans.MemberRange
       val base = tmpDir("q39", dir)
       val file = new java.io.File(s"$base/members.gz")
-      fixtureOnce(base, "v1") {
+      fixtureOnce(base, "v1", dir, "part") {
         val rows = tbl(s, dir, "part")
           .select(concat_ws("|", col("p_partkey"), col("p_name"), col("p_brand"))
             .as("v"), col("p_partkey"))
@@ -743,15 +743,14 @@ object SparkEntry {
     "q42_warc_extract" -> ((s, dir) => {
       val base = tmpDir("q42", dir)
       val file = new java.io.File(s"$base/docs.warc.gz")
-      fixtureOnce(base, "v1") {
+      fixtureOnce(base, "v2", dir, "documents") {
         val ids = tbl(s, dir, "documents")
           .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
           .collect().map(_.getLong(0))
-        def gz(p: Array[Byte]): Array[Byte] = {
-          val bos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(bos)
-          g.write(p); g.close(); bos.toByteArray
-        }
+        // one gzip member per record — same member framing the ZipNum
+        // writer emits (and GzipMembers parses); no second implementation
+        def gz(p: Array[Byte]): Array[Byte] =
+          graft.sources.zipnum.ZipNumFormat.gzipMember(p)
         val epoch = java.time.Instant.parse("2020-01-01T00:00:00Z")
         val out = new java.io.FileOutputStream(file)
         try {
@@ -795,10 +794,15 @@ object SparkEntry {
     s"/root/repo/target/tmp/${q}_" + dir.replaceAll("[^0-9a-zA-Z.]", "_")
 
   /** Build a deterministic fixture ONCE per (query, sfDir): a marker file
-    * records a version tag; bench reps and repeated Verify runs skip the
-    * scaffolding, so timed numbers measure the OPERATOR under test, not
-    * fixture construction. Bump the tag whenever the synthesis changes. */
-  private def fixtureOnce(base: String, tag: String)(build: => Unit): Unit = {
+    * records a version tag PLUS the source parquet's (size, mtime)
+    * identity, so bench reps and repeated Verify runs skip the
+    * scaffolding, while regenerated testdata (same path, new contents)
+    * correctly invalidates the fixture. Bump `version` whenever the
+    * synthesis code changes. */
+  private def fixtureOnce(base: String, version: String, dir: String,
+                          table: String)(build: => Unit): Unit = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val tag = s"$version ${src.length()} ${src.lastModified()}"
     val marker = java.nio.file.Paths.get(base, ".fixture")
     val current = scala.util.Try(
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")).toOption

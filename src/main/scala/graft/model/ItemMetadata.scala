@@ -111,9 +111,13 @@ object ItemMetadata {
     val rows = jsons.mapPartitions { it =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       it.flatMap { j =>
-        val node = try Some(mapper.readTree(j))
+        val node = try Option(mapper.readTree(j))
                    catch { case _: Exception => bad.add(1); None }
-        node.flatMap(parseNode)
+        node match {
+          case Some(n) if n.isObject => parseNode(n) // {} → None, NOT bad
+          case Some(_) => bad.add(1); None // bare string/number/array body
+          case None => None // already counted
+        }
       }
     }
     (rows, bad)

@@ -31,9 +31,14 @@ object CdxTransformer {
     * public-suffix heuristic: `a.b.site.co.uk` → suffix `site.co.uk`). */
   private val SecondLevel = Set("co", "com", "org", "net", "ac", "gov", "edu")
 
-  /** Host labels (normal order) → (publicPrefix or "-", publicSuffix). */
+  /** Host labels (normal order) → (publicPrefix or "-", publicSuffix).
+    * IP-address hosts don't split: there is no registered domain inside an
+    * IP, so the whole address is the suffix (keying '(101,78' for
+    * 109.123.78.101 would collapse all captures under 2-octet keys). */
   def splitHost(host: String): (String, String) = {
     val labels = host.split('.')
+    val isIpv4 = labels.length == 4 && labels.forall(_.forall(_.isDigit))
+    if (isIpv4) return ("-", host)
     val n = labels.length
     val suffixLen =
       if (n >= 3 && labels(n - 1).length == 2 && SecondLevel(labels(n - 2))) 3

@@ -76,7 +76,13 @@ object MinHashLsh {
     * oversized buckets are DROPPED whole (not sampled — a truncated
     * near-dup graph is worse than an explicit skip-list) and returned in
     * the second DataFrame as (band, bh, n_ids) for a follow-up pass
-    * (exact dedup handles identical content more cheaply than LSH). */
+    * (exact dedup handles identical content more cheaply than LSH).
+    *
+    * Cost note: the two outputs are independent plans over the same
+    * bucket aggregation — a caller materializing BOTH at scale should
+    * persist the upstream bands (or signatures) first, or the
+    * shingle→minhash lineage runs twice. With maxBucket = 0 the dropped
+    * side is `limit(0)` and optimizes to an empty relation for free. */
   def candidatePairsCapped(bandsDf: DataFrame, idCol: String,
                            maxBucket: Int): (DataFrame, DataFrame) = {
     val buckets = bandsDf.groupBy(col("band"), col("bh"))

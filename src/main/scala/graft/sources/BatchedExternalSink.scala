@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
  * connection); the actual Cassandra/HBase driver is an external dependency
  * this build intentionally omits.
  *
+ * CONTRACT: the returned `writeBatch` is invoked CONCURRENTLY from up to
+ * `maxInFlight` pool threads of the same task — it must be thread-safe
+ * (async-submission clients like Cassandra's are; a raw single-connection
+ * OutputStream is not — synchronize it or set maxInFlight = 1).
+ *
  * Scale shape: pure `foreachPartition` — no shuffle, no driver data path;
  * backpressure is per-task (a slow store throttles each task at
  * `maxInFlight` batches). A failed batch fails the task (Spark retries),

@@ -51,10 +51,15 @@ object BulkKvSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
+    // NOT Boundaries.fromSplitFile: its `NAME START END` format sniffing
+    // would misparse a store key that happens to contain two separators;
+    // _boundaries is strictly one-boundary-per-line (written above)
     val bp = new org.apache.hadoop.fs.Path(dir, "_boundaries")
     val in = fs.open(bp)
     val interior = (try new String(in.readAllBytes(), "UTF-8") finally in.close())
       .split("\n").toIndexedSeq.filter(_.nonEmpty)
+    require(interior == interior.sorted,
+      s"$bp: boundaries must be sorted")
     val part = new BoundaryPartitioner(interior)
     val lo = start.map(part.getPartition).getOrElse(0)
     // end is EXCLUSIVE: a shard starting exactly at `end` holds only keys
@@ -71,9 +76,7 @@ object BulkKvSink {
     }
     val raw =
       if (kept.isEmpty) spark.emptyDataset[(String, String)]
-      else spark.sparkContext
-        .sequenceFile(kept.mkString(","), classOf[Text], classOf[Text])
-        .map { case (k, v) => (k.toString, v.toString) }.toDS()
+      else SequenceFileSink.read(spark, kept.mkString(","))
     val trimmed = raw.filter { case (k, _) =>
       start.forall(k >= _) && end.forall(k < _)
     }

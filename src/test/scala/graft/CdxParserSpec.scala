@@ -100,5 +100,9 @@ class CdxParserSpec extends AnyFunSuite {
     val deepSub = CdxTransformer.transformLine(
       "k 20120103084508 http://a.b.site.org/p text/html 200 SHA - 9 f.arc.gz").get
     assert(deepSub.suffix_surt == "(org,site" && deepSub.public_prefix == "a.b")
+    // IP hosts have no registered domain — whole address is the suffix
+    val ip = CdxTransformer.transformLine(
+      "k 20120103084508 http://109.123.78.101/robots.txt text/html 404 SHA - 55 f.arc.gz").get
+    assert(ip.suffix_surt == "(101,78,123,109" && ip.public_prefix == "-")
   }
 }
