@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.io.Text
 import org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat
+import org.apache.spark.Partitioner
 import org.apache.spark.sql.Dataset
 
 import graft.operators.BoundaryPartitioner
@@ -25,6 +26,42 @@ object BulkKvSink {
       .map { case (k, v) => (if (k == null) "" else k, if (v == null) "" else v) }
       .repartitionAndSortWithinPartitions(new BoundaryPartitioner(interior))
       .map { case (k, v) => (new Text(k), new Text(v)) }
+      .saveAsNewAPIHadoopFile(outDir, classOf[Text], classOf[Text],
+        classOf[SequenceFileOutputFormat[Text, Text]])
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(outDir, "_boundaries")
+    val out = p.getFileSystem(conf).create(p, true)
+    out.write(interior.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /**
+   * K8 concept — versioned writes: each row carries its own cell
+   * timestamp (the reference's sole delta vs upstream Pig HBaseStorage:
+   * per-row timestamp support, HBaseStorage.java header comment :95-98),
+   * rendered bulk-load-style: shards sorted by (rowkey ASC, timestamp
+   * DESC) — the KV-store cell order, newest version first — with the
+   * timestamp carried in the value as `ts\tvalue`.
+   */
+  def writeVersioned(kv: Dataset[(String, Long, String)], outDir: String,
+                     interior: IndexedSeq[String]): Unit = {
+    val spark = kv.sparkSession
+    val keyPart = new Partitioner {
+      private val bp = new BoundaryPartitioner(interior)
+      override def numPartitions: Int = bp.numPartitions
+      override def getPartition(key: Any): Int =
+        bp.getPartition(key.asInstanceOf[(String, Long)]._1)
+    }
+    // (rowkey, Long.MaxValue - ts): tuple ordering gives ts-descending
+    // within a rowkey without a custom Ordering
+    kv.rdd
+      .map { case (k, ts, v) =>
+        ((if (k == null) "" else k, Long.MaxValue - ts), (ts, v))
+      }
+      .repartitionAndSortWithinPartitions(keyPart)
+      .map { case ((k, _), (ts, v)) =>
+        (new Text(k), new Text(s"$ts\t${if (v == null) "" else v}"))
+      }
       .saveAsNewAPIHadoopFile(outDir, classOf[Text], classOf[Text],
         classOf[SequenceFileOutputFormat[Text, Text]])
     val conf = spark.sparkContext.hadoopConfiguration

@@ -118,6 +118,20 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(toBoundary.filesRead == 2 && toBoundary.data.count() == 70)
   }
 
+  test("K8 concept: versioned bulk writes sort (rowkey asc, ts DESC)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "bulkv")
+      .resolve("out").toString
+    val rows = Seq(("a", 10L, "old"), ("a", 30L, "new"), ("a", 20L, "mid"),
+      ("b", 5L, "only"))
+    graft.sources.BulkKvSink.writeVersioned(
+      scala.util.Random.shuffle(rows).toDS(), dir, IndexedSeq.empty)
+    val back = graft.sources.SequenceFileSink
+      .read(spark, dir + "/part-r-00000").collect().toSeq
+    assert(back == Seq(("a", "30\tnew"), ("a", "20\tmid"),
+      ("a", "10\told"), ("b", "5\tonly")))
+  }
+
   test("O3: CdxFilter.lines drops header and pseudo-captures") {
     import spark.implicits._
     val in = Seq(" CDX N b a m s k r M S V g", "dns:a.org 2012 x",
