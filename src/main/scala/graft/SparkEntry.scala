@@ -677,6 +677,7 @@ object SparkEntry {
       val bounds = graft.operators.Boundaries.sample(
         lines.select("line").as[String].rdd, 8)
       val bp = new graft.operators.BoundaryPartitioner(bounds)
+      implicit val keyOrder: Ordering[String] = graft.util.KeyOrder
       val runs = (0 until 3).map { r =>
         lines.where(col("run") === r).select("line").as[String].rdd
           .map(l => (l, null: Null))

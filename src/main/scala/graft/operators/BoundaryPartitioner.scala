@@ -21,7 +21,8 @@ import org.apache.spark.rdd.RDD
  * "urlkey" boundary is the reference's raw-string compare.
  */
 final class BoundaryPartitioner(interior: IndexedSeq[String]) extends Partitioner {
-  require(interior == interior.sorted, "boundaries must be sorted")
+  require(interior == interior.sorted(graft.util.KeyOrder),
+    "boundaries must be sorted (byte-wise)")
   override val numPartitions: Int = interior.length + 1
 
   override def getPartition(key: Any): Int = {
@@ -30,7 +31,7 @@ final class BoundaryPartitioner(interior: IndexedSeq[String]) extends Partitione
     var lo = 0; var hi = interior.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (interior(mid) <= k) lo = mid + 1 else hi = mid
+      if (graft.util.KeyOrder.lteq(interior(mid), k)) lo = mid + 1 else hi = mid
     }
     lo
   }
@@ -65,7 +66,8 @@ object Boundaries {
       graft.sources.SplitFile.interiorBoundaries(
         graft.sources.SplitFile.parse(lines))
     else {
-      require(lines == lines.sorted, s"split file $path must be sorted")
+      require(lines == lines.sorted(graft.util.KeyOrder),
+        s"split file $path must be sorted (byte-wise)")
       lines
     }
   }
@@ -78,7 +80,7 @@ object Boundaries {
     require(n >= 1, "need at least one partition")
     val keys = dirs.flatMap(d =>
       graft.sources.zipnum.ZipNumIndex.load(d, conf).blocks.map(_.firstKey))
-      .sorted.toIndexedSeq
+      .sorted(graft.util.KeyOrder).toIndexedSeq
     quantiles(keys, n)
   }
 
@@ -89,7 +91,7 @@ object Boundaries {
     require(n >= 1, "need at least one partition")
     if (n == 1) return IndexedSeq.empty
     val keys = lines.takeSample(withReplacement = false, sampleSize, seed)
-      .sorted.toIndexedSeq
+      .sorted(graft.util.KeyOrder).toIndexedSeq
     quantiles(keys, n)
   }
 

@@ -34,6 +34,7 @@ object ClusterOps {
           graft.model.Cdx.convertLegacy(l).map(graft.model.Cdx.formatLine))
       else
         lines.filter(l => l.nonEmpty && !l.startsWith(" CDX "))
+    implicit val keyOrder: Ordering[String] = graft.util.KeyOrder
     val sorted = prepared
       .map((_, null))
       .repartitionAndSortWithinPartitions(new BoundaryPartitioner(interior))

@@ -36,6 +36,7 @@ object SortedMerge {
     * the same key range and is internally sorted ⇒ zero-shuffle merge with
     * the same ranges, still sorted. */
   def merge(rdds: Seq[RDD[String]]): RDD[String] = {
+    implicit val keyOrder: Ordering[String] = graft.util.KeyOrder
     require(rdds.nonEmpty, "nothing to merge")
     val n = rdds.head.getNumPartitions
     require(rdds.forall(_.getNumPartitions == n),

@@ -22,6 +22,7 @@ object BulkKvSink {
   def write(kv: Dataset[(String, String)], outDir: String,
             interior: IndexedSeq[String]): Unit = {
     val spark = kv.sparkSession
+    implicit val keyOrder: Ordering[String] = graft.util.KeyOrder
     kv.rdd
       .map { case (k, v) => (if (k == null) "" else k, if (v == null) "" else v) }
       .repartitionAndSortWithinPartitions(new BoundaryPartitioner(interior))
@@ -54,6 +55,8 @@ object BulkKvSink {
     }
     // (rowkey, Long.MaxValue - ts): tuple ordering gives ts-descending
     // within a rowkey without a custom Ordering
+    implicit val pairOrder: Ordering[(String, Long)] =
+      Ordering.Tuple2(graft.util.KeyOrder, Ordering.Long)
     kv.rdd
       .map { case (k, ts, v) =>
         ((if (k == null) "" else k, Long.MaxValue - ts), (ts, v))
@@ -95,13 +98,14 @@ object BulkKvSink {
     val in = fs.open(bp)
     val interior = (try new String(in.readAllBytes(), "UTF-8") finally in.close())
       .split("\n").toIndexedSeq.filter(_.nonEmpty)
-    require(interior == interior.sorted,
-      s"$bp: boundaries must be sorted")
+    require(interior == interior.sorted(graft.util.KeyOrder),
+      s"$bp: boundaries must be sorted (byte-wise)")
     val part = new BoundaryPartitioner(interior)
     val lo = start.map(part.getPartition).getOrElse(0)
     // end is EXCLUSIVE: a shard starting exactly at `end` holds only keys
     // >= end and must not be opened → count boundaries STRICTLY below end
-    val hi = end.map(e => interior.count(_ < e)).getOrElse(interior.length)
+    val hi = end.map(e => interior.count(graft.util.KeyOrder.lt(_, e)))
+      .getOrElse(interior.length)
     val numRe = "\\d+".r
     val files = fs.listStatus(dirPath)
       .map(_.getPath).filter(_.getName.startsWith("part-"))
@@ -115,7 +119,8 @@ object BulkKvSink {
       if (kept.isEmpty) spark.emptyDataset[(String, String)]
       else SequenceFileSink.read(spark, kept.mkString(","))
     val trimmed = raw.filter { case (k, _) =>
-      start.forall(k >= _) && end.forall(k < _)
+      start.forall(graft.util.KeyOrder.gteq(k, _)) &&
+        end.forall(graft.util.KeyOrder.lt(k, _))
     }
     RangeRead(trimmed, kept.length, files.length)
   }

@@ -34,7 +34,7 @@ final class SortedTextFile(path: String, conf: Configuration) {
     val (it, close) = linesFrom(start)
     val bounded = end match {
       case None => it
-      case Some(e) => it.takeWhile(_ < e)
+      case Some(e) => it.takeWhile(graft.util.KeyOrder.lt(_, e))
     }
     new IoUtil.AutoCloseIterator(bounded, close)
   }
@@ -48,13 +48,14 @@ final class SortedTextFile(path: String, conf: Configuration) {
       in.seek(mid)
       skipPartialLine(in)
       readLine(in) match {
-        case Some(l) if l < key => lo = mid
+        case Some(l) if graft.util.KeyOrder.lt(l, key) => lo = mid
         case _ => hi = mid
       }
     }
     in.seek(lo)
     if (lo > 0) skipPartialLine(in)
-    (new IoUtil.LfLineIterator(in).dropWhile(_ < key), () => in.close())
+    (new IoUtil.LfLineIterator(in).dropWhile(graft.util.KeyOrder.lt(_, key)),
+      () => in.close())
   }
 
   private def skipPartialLine(in: java.io.InputStream): Unit = {

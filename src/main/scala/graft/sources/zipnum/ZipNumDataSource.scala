@@ -72,9 +72,9 @@ private[zipnum] class ZipNumScanBuilder(dir: String,
   private var required: StructType = Cdx.schema
 
   private def tightenLo(v: String): Unit =
-    if (lo.forall(_ < v)) lo = Some(v)
+    if (lo.forall(graft.util.KeyOrder.lt(_, v))) lo = Some(v)
   private def tightenHi(v: String): Unit =
-    if (hi.forall(_ > v)) hi = Some(v)
+    if (hi.forall(graft.util.KeyOrder.lt(v, _))) hi = Some(v)
 
   /** Tight exclusive upper bound for keys <= v / keys starting with v:
     * rightmost non-￿ char incremented, suffix dropped. */

@@ -29,9 +29,10 @@ object ZipNumIndex {
 
   final case class ClusterIndex(dir: String, blocks: IndexedSeq[Block]) {
 
-    /** Blocks possibly containing keys in [start, end). Keys compare as raw
-      * UTF-8/UTF-16 strings — same byte-wise ordering the reference's
-      * String.compareTo uses (SURVEY §7 risk 4). */
+    /** Blocks possibly containing keys in [start, end). Keys compare
+      * byte-wise ([[graft.util.KeyOrder]]) — the ordering the cluster was
+      * sorted with (SURVEY §7 risk 4: Java String order diverges on
+      * supplementary characters). */
     def prune(start: Option[String], end: Option[String]): IndexedSeq[Block] = {
       if (blocks.isEmpty) return blocks
       val from = start match {
@@ -41,7 +42,7 @@ object ZipNumIndex {
           var lo = 0; var hi = blocks.length - 1; var ans = 0
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            if (blocks(mid).firstKey <= s) { ans = mid; lo = mid + 1 }
+            if (graft.util.KeyOrder.lteq(blocks(mid).firstKey, s)) { ans = mid; lo = mid + 1 }
             else hi = mid - 1
           }
           // if even blocks(0).firstKey > s, still start at 0
@@ -54,7 +55,7 @@ object ZipNumIndex {
           var lo = from; var hi = blocks.length; var ans = blocks.length
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
-            if (blocks(mid).firstKey >= e) { ans = mid; hi = mid }
+            if (graft.util.KeyOrder.gteq(blocks(mid).firstKey, e)) { ans = mid; hi = mid }
             else lo = mid + 1
           }
           ans

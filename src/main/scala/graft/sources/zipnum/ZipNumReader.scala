@@ -95,7 +95,8 @@ object ZipNumReader {
         // reference's raw-line bound check.
         val lo = start.orNull
         val hi = end.orNull
-        it.filter(l => (lo == null || l >= lo) && (hi == null || l < hi))
+        it.filter(l => (lo == null || graft.util.KeyOrder.gteq(l, lo)) &&
+          (hi == null || graft.util.KeyOrder.lt(l, hi)))
     }
     new graft.util.IoUtil.AutoCloseIterator(trimmed,
       () => { gz.close(); in.close() })
