@@ -479,21 +479,29 @@ object SparkEntry {
     "q31_surt" -> ((s, dir) => {
       val id = col("doc_id")
       val m = id % 23
-      val url = when(id % 8 === 0,
+      val url = when(id % 12 === 0,
           concat(lit("http://WWW.Site"), m, lit(".ORG/Alpha/"), id, lit("/")))
-        .when(id % 8 === 1,
+        .when(id % 12 === 1,
           concat(lit("https://site"), m, lit(".org:443/p/"), id, lit("?b=2&a=1")))
-        .when(id % 8 === 2,
+        .when(id % 12 === 2,
           concat(lit("http://www2.Site"), m, lit(".org:80/P/"), id))
-        .when(id % 8 === 3,
+        .when(id % 12 === 3,
           concat(lit("http://site"), m, lit(".org:8080/p/"), id))
-        .when(id % 8 === 4,
+        .when(id % 12 === 4,
           concat(lit("http://user@site"), m, lit(".org/p/"), id, lit("#frag")))
-        .when(id % 8 === 5,
+        .when(id % 12 === 5,
           concat(lit("http://site"), m, lit(".org/p/"), id, lit(";jsessionid=ABC123")))
-        .when(id % 8 === 6,
+        .when(id % 12 === 6,
           concat(lit("http://site"), m, lit(".org/p/"), id,
             lit("?jsessionid=xx&z=1&utm_source=t")))
+        .when(id % 12 === 8, // IPv4 host: octets reverse, never split
+          concat(lit("http://109.123.78."), m + 1, lit("/robots.txt")))
+        .when(id % 12 === 9, // %-escapes: hex lowercased, never decoded
+          concat(lit("http://site"), m, lit(".org/A%2Fb/"), id, lit("?X=%2F")))
+        .when(id % 12 === 10, // trailing host dot; interior // preserved
+          concat(lit("http://site"), m, lit(".org./p//"), id, lit("/")))
+        .when(id % 12 === 11, // scheme/host case-insensitive
+          concat(lit("HTTPS://SITE"), m, lit(".ORG/P/"), id))
         .otherwise(concat(lit("site"), m, lit(".org/p/"), id))
       tbl(s, dir, "documents")
         .select(id.as("doc_id"), url.as("url"))
@@ -1084,7 +1092,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q31_surt" ->
-      """WITH u AS (SELECT doc_id, doc_id % 23 AS m, doc_id % 8 AS v FROM documents)
+      """WITH u AS (SELECT doc_id, doc_id % 23 AS m, doc_id % 12 AS v FROM documents)
         |SELECT doc_id,
         |  CASE v
         |    WHEN 0 THEN 'http://WWW.Site' || m || '.ORG/Alpha/' || doc_id || '/'
@@ -1094,12 +1102,19 @@ object SparkEntry {
         |    WHEN 4 THEN 'http://user@site' || m || '.org/p/' || doc_id || '#frag'
         |    WHEN 5 THEN 'http://site' || m || '.org/p/' || doc_id || ';jsessionid=ABC123'
         |    WHEN 6 THEN 'http://site' || m || '.org/p/' || doc_id || '?jsessionid=xx&z=1&utm_source=t'
+        |    WHEN 8 THEN 'http://109.123.78.' || (m + 1) || '/robots.txt'
+        |    WHEN 9 THEN 'http://site' || m || '.org/A%2Fb/' || doc_id || '?X=%2F'
+        |    WHEN 10 THEN 'http://site' || m || '.org./p//' || doc_id || '/'
+        |    WHEN 11 THEN 'HTTPS://SITE' || m || '.ORG/P/' || doc_id
         |    ELSE 'site' || m || '.org/p/' || doc_id END AS url,
         |  CASE v
         |    WHEN 0 THEN 'org,site' || m || ')/alpha/' || doc_id
         |    WHEN 1 THEN 'org,site' || m || ')/p/' || doc_id || '?a=1&b=2'
         |    WHEN 3 THEN 'org,site' || m || ':8080)/p/' || doc_id
         |    WHEN 6 THEN 'org,site' || m || ')/p/' || doc_id || '?z=1'
+        |    WHEN 8 THEN (m + 1) || ',78,123,109)/robots.txt'
+        |    WHEN 9 THEN 'org,site' || m || ')/a%2fb/' || doc_id || '?x=%2f'
+        |    WHEN 10 THEN 'org,site' || m || ')/p//' || doc_id
         |    ELSE 'org,site' || m || ')/p/' || doc_id END AS surtkey
         |FROM u""".stripMargin,
 
