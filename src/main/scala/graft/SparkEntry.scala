@@ -900,8 +900,10 @@ object SparkEntry {
         |  AND NOT (NOT (mimetype IS NOT NULL AND mimetype LIKE '%warc/%') AND statuscode IS NULL)
         |  AND NOT (statuscode IN (502, 504) AND filename LIKE 'live-20%' AND filename LIKE '%.arc.gz')
         |  AND "offset" IS NOT NULL
+        |-- dayLimit 2 ADMITS 3: the reference guard runs before its
+        |-- increment (GlobalWaybackCDXReducer.java:76,134)
         |QUALIFY row_number() OVER (PARTITION BY urlkey, substr(timestamp, 1, 8)
-        |                           ORDER BY timestamp, "offset") <= 2""".stripMargin),
+        |                           ORDER BY timestamp, "offset") <= 3""".stripMargin),
 
     "q11_json" ->
       """SELECT (k % 10) AS bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k

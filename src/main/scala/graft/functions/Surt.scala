@@ -40,17 +40,28 @@ object Surt {
     var url = url0.trim
     if (url.isEmpty) return url
 
-    // split off scheme
-    val schemeEnd = url.indexOf("://")
+    // split off scheme — "://" only counts if it appears BEFORE any
+    // '/', '?' or '#' and the scheme chars are legal, else a scheme-less
+    // URL with an embedded URL in its query ("a.com/?u=http://b.com")
+    // would be split inside the query and keyed under the wrong host
+    val schemeEnd = {
+      val i = url.indexOf("://")
+      val d = url.indexWhere(c => c == '/' || c == '?' || c == '#')
+      if (i > 0 && (d < 0 || i < d) &&
+        url.substring(0, i).forall(c =>
+          c.isLetterOrDigit || c == '+' || c == '-' || c == '.')) i
+      else -1
+    }
     var rest =
       if (schemeEnd >= 0) url.substring(schemeEnd + 3)
       else if (url.startsWith("dns:")) return "dns:" + url.substring(4).toLowerCase(Locale.ROOT)
       else url
 
-    // userinfo
-    val slashIdx0 = rest.indexOf('/')
+    // userinfo: '@' only counts before '/', '?' AND '#' — an email
+    // address in a query of a path-less URL is not userinfo
+    val stopIdx0 = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
     val atIdx = rest.indexOf('@')
-    if (atIdx >= 0 && (slashIdx0 < 0 || atIdx < slashIdx0))
+    if (atIdx >= 0 && (stopIdx0 < 0 || atIdx < stopIdx0))
       rest = rest.substring(atIdx + 1)
 
     // fragment

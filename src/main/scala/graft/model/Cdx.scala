@@ -141,7 +141,10 @@ object Cdx {
       keyMaker: String => String = graft.functions.Surt.surt
   ): Option[CdxRecord] = {
     if (line.startsWith(" CDX ")) return None
-    val parts = line.split(" ")
+    // CRLF input: explicit lineSep="\n" readers keep the '\r' (splitLine
+    // strips it too — without this, filename gets a trailing CR)
+    val parts = (if (line.nonEmpty && line.last == '\r') line.dropRight(1)
+                 else line).split(" ")
     val (offsetIdx, metaFlags) =
       if (parts.length == 9) (7, None)
       else if (parts.length == 10) (7 + 1, Some(parts(7)).filter(_ != "-"))

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
  *      record type, which legitimately has none) or non-numeric offset;
  *  (c) drop 502/504 captures whose filename is live-20*.arc.gz;
  *  (d) truncate digest to 3 chars;
- *  (e) cap captures per (urlkey, day) at `dayLimit` (default 111).
+ *  (e) cap captures per (urlkey, day): a limit of N ADMITS N+1 rows —
+ *      the reference checks its guard BEFORE incrementing the counter
+ *      (GlobalWaybackCDXReducer.java:76,134), so dayLimit=111 emits 112;
+ *      matched bug-for-bug for output fidelity.
  *
  * The reference implements (e) with order-dependent mapper/reducer state that
  * silently assumes globally sorted input; here it is an explicit window —
@@ -31,7 +34,7 @@ object GlobalCdxCleanup {
 
   /** (a)–(c): row filters. Typed columns make (b) a null check: the CDX
     * reader already nulls non-numeric statuscode/offset. */
-  def filters(dayLimit: Int = DefaultDayLimit)(df: DataFrame): DataFrame = {
+  def filters(df: DataFrame): DataFrame = {
     val noArchive = col("meta_flags").isNotNull && col("meta_flags").contains("A")
     val warc = col("mimetype").isNotNull && col("mimetype").contains("warc/")
     val badStatus = !warc && col("statuscode").isNull
@@ -47,8 +50,9 @@ object GlobalCdxCleanup {
       when(length(col("digest")) > 3, substring(col("digest"), 1, 3))
         .otherwise(col("digest")))
 
-  /** (e): keep at most `dayLimit` captures per (urlkey, day of timestamp) —
-    * the `dayLimit` smallest by (timestamp, offset).
+  /** (e): keep at most `dayLimit` + 1 captures per (urlkey, day of
+    * timestamp) — the smallest by (timestamp, offset); see the class doc
+    * for why the reference's limit admits one extra row.
     *
     * Two phases for skew safety at scale: a hot URL with millions of
     * same-day captures would otherwise ship them all to one reducer. The
@@ -58,7 +62,8 @@ object GlobalCdxCleanup {
     * most partitions×dayLimit rows per hot key instead of all of them.
     * Phase 1 is a local sort (no shuffle); phase 2 is the exact window. */
   def dayCap(dayLimit: Int = DefaultDayLimit)(df: DataFrame): DataFrame = {
-    if (dayLimit == 0) return df
+    if (dayLimit == 0) return df // 0 disables, as in the reference
+    val admit = dayLimit + 1
     val spark = df.sparkSession
     val schema = df.schema
     val keyIdx = schema.fieldIndex("urlkey")
@@ -76,20 +81,20 @@ object GlobalCdxCleanup {
           val day = r.getString(tsIdx).take(8)
           if (key == curKey && day == curDay) count += 1
           else { curKey = key; curDay = day; count = 1 }
-          count <= dayLimit
+          count <= admit
         }
       }, schema)
     val w = Window
       .partitionBy(col("urlkey"), substring(col("timestamp"), 1, 8))
       .orderBy(col("timestamp"), col("offset"))
     preCapped.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= dayLimit)
+      .where(col("__rn") <= admit)
       .drop("__rn")
   }
 
   /** Full pipeline: filters → digest truncation → day cap. */
   def apply(df: DataFrame, dayLimit: Int = DefaultDayLimit): DataFrame =
-    dayCap(dayLimit)(truncateDigest(filters(dayLimit)(df)))
+    dayCap(dayLimit)(truncateDigest(filters(df)))
 
   /**
    * Line-level streaming form for SORTED streams — the zero-shuffle merge
@@ -118,7 +123,7 @@ object GlobalCdxCleanup {
             val day = r.timestamp.take(8)
             if (r.urlkey == curKey && day == curDay) count += 1
             else { curKey = r.urlkey; curDay = day; count = 1 }
-            if (dayLimit > 0 && count > dayLimit) None
+            if (dayLimit > 0 && count > dayLimit + 1) None
             else {
               val digest =
                 if (r.digest != null && r.digest.length > 3) r.digest.take(3)

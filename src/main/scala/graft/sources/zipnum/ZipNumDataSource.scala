@@ -77,11 +77,24 @@ private[zipnum] class ZipNumScanBuilder(dir: String,
     if (hi.forall(graft.util.KeyOrder.lt(v, _))) hi = Some(v)
 
   /** Tight exclusive upper bound for keys <= v / keys starting with v:
-    * rightmost non-￿ char incremented, suffix dropped. */
+    * rightmost non-maximal CODE POINT incremented (suffix dropped),
+    * skipping the surrogate range — monotone under [[graft.util.KeyOrder]]
+    * byte order, where incrementing a raw UTF-16 unit is NOT (0xDFFF→
+    * 0xE000 would jump DOWN and pruning would silently drop rows).
+    * Assumes well-formed UTF-16 input (no lone surrogates). */
   private def successor(v: String): Option[String] = {
-    var i = v.length - 1
-    while (i >= 0 && v.charAt(i) == '￿') i -= 1
-    if (i < 0) None else Some(v.substring(0, i) + (v.charAt(i) + 1).toChar)
+    val cps = v.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val next0 = cps(i) + 1
+      val next = if (next0 >= 0xD800 && next0 <= 0xDFFF) 0xE000 else next0
+      val sb = new java.lang.StringBuilder
+      (0 until i).foreach(j => sb.appendCodePoint(cps(j)))
+      sb.appendCodePoint(next)
+      Some(sb.toString)
+    }
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -171,8 +184,10 @@ private[zipnum] class ZipNumPartitionReader(conf: Configuration,
   private val ordinals: Array[Int] =
     required.fieldNames.map(Cdx.schema.fieldIndex)
 
+  private val (rawLines, closer) =
+    ZipNumReader.readSliceWithCloser(conf, part.slice, part.lo, part.hi)
   private val it: Iterator[InternalRow] =
-    ZipNumReader.readSlice(conf, part.slice, part.lo, part.hi)
+    rawLines
       .flatMap(Cdx.splitLine(_))
       .map { cells =>
         val vals = new Array[Any](ordinals.length)
@@ -200,5 +215,7 @@ private[zipnum] class ZipNumPartitionReader(conf: Configuration,
   override def next(): Boolean =
     if (it.hasNext) { current = it.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  // early termination (limit, task kill) must release the shard handle —
+  // auto-close only fires on exhaustion
+  override def close(): Unit = closer()
 }

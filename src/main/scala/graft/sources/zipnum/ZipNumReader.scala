@@ -79,7 +79,15 @@ object ZipNumReader {
 
   /** Stream one slice: seek once, read `length` bytes through one handle. */
   def readSlice(conf: Configuration, slice: Slice,
-                start: Option[String], end: Option[String]): Iterator[String] = {
+                start: Option[String], end: Option[String]): Iterator[String] =
+    readSliceWithCloser(conf, slice, start, end)._1
+
+  /** [[readSlice]] plus an idempotent closer for callers that may stop
+    * consuming early (DSv2 PartitionReader.close on limit/kill) — the
+    * auto-close-on-exhaustion alone would leak the file handle there. */
+  def readSliceWithCloser(conf: Configuration, slice: Slice,
+                          start: Option[String], end: Option[String])
+      : (Iterator[String], () => Unit) = {
     val p = new Path(slice.shardPath)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -98,8 +106,13 @@ object ZipNumReader {
         it.filter(l => (lo == null || graft.util.KeyOrder.gteq(l, lo)) &&
           (hi == null || graft.util.KeyOrder.lt(l, hi)))
     }
-    new graft.util.IoUtil.AutoCloseIterator(trimmed,
-      () => { gz.close(); in.close() })
+    var closed = false
+    val closer = () => if (!closed) {
+      closed = true
+      try gz.close() catch { case _: Exception => () }
+      try in.close() catch { case _: Exception => () }
+    }
+    (new graft.util.IoUtil.AutoCloseIterator(trimmed, closer), closer)
   }
 
   /** Partition i ↔ planned spec i: keeps slice order == partition order so

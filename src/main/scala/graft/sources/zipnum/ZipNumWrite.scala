@@ -73,15 +73,17 @@ private[zipnum] class ZipNumBatchWrite(dir: String,
       .sortBy(_.partitionId)
     val summary = fs.create(new Path(out, "ALL.summary"), true)
     winners.foreach { m =>
-      fs.rename(new Path(s"$dir/_tmp/${m.tmpName}.gz"),
-        new Path(out, s"${m.part}.gz"))
+      require(fs.rename(new Path(s"$dir/_tmp/${m.tmpName}.gz"),
+        new Path(out, s"${m.part}.gz")),
+        s"commit: rename of ${m.part}.gz failed")
       val idxTmp = new Path(s"$dir/_tmp/${m.tmpName}-idx")
       val in = fs.open(idxTmp)
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) { summary.write(buf, 0, n); n = in.read(buf) }
       in.close()
-      fs.rename(idxTmp, new Path(out, s"${m.part}-idx"))
+      require(fs.rename(idxTmp, new Path(out, s"${m.part}-idx")),
+        s"commit: rename of ${m.part}-idx failed")
     }
     summary.close()
     val manifest = fs.create(new Path(out, "manifest.txt"), true)

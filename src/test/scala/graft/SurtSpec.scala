@@ -57,6 +57,18 @@ class SurtSpec extends AnyFunSuite {
     assert(s1 == "com,example)/a?z=1")
   }
 
+  test("scheme-less URL with an embedded URL in the query keys correctly") {
+    // "://" inside the query must not be mistaken for the scheme
+    assert(Surt.surtLenient("a.com/?u=http://b.com") ==
+      "com,a)/?u=http://b.com")
+    // '@' in a query/fragment of a path-less URL is not userinfo
+    assert(Surt.surtLenient("http://example.com?next=a@b.com") ==
+      "com,example)/?next=a@b.com")
+    assert(Surt.surtLenient("http://example.com#x@y") == "com,example)/")
+    // real userinfo still strips
+    assert(Surt.surtLenient("http://user@example.com/p") == "com,example)/p")
+  }
+
   test("url_resolve vectors (URLResolverFuncTest.java:6-46)") {
     val f = CdxFunctions.resolveUrl _
     assert(f("", "", "http://x.com/") == "http://x.com/")
