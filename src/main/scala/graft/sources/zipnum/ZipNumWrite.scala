@@ -71,25 +71,8 @@ private[zipnum] class ZipNumBatchWrite(dir: String,
     }
     val winners = messages.collect { case m: ZipNumCommit => m }
       .sortBy(_.partitionId)
-    val summary = fs.create(new Path(out, "ALL.summary"), true)
-    winners.foreach { m =>
-      require(fs.rename(new Path(s"$dir/_tmp/${m.tmpName}.gz"),
-        new Path(out, s"${m.part}.gz")),
-        s"commit: rename of ${m.part}.gz failed")
-      val idxTmp = new Path(s"$dir/_tmp/${m.tmpName}-idx")
-      val in = fs.open(idxTmp)
-      val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { summary.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      require(fs.rename(idxTmp, new Path(out, s"${m.part}-idx")),
-        s"commit: rename of ${m.part}-idx failed")
-    }
-    summary.close()
-    val manifest = fs.create(new Path(out, "manifest.txt"), true)
-    winners.foreach(m => manifest.write(s"${m.part}.gz\n".getBytes(UTF_8)))
-    manifest.close()
-    fs.delete(new Path(out, "_tmp"), true)
+    ZipNumShardIO.commitShards(fs, dir,
+      winners.map(m => (m.part, m.tmpName)).toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -115,44 +98,16 @@ private[zipnum] class ZipNumDataWriter(dir: String,
   private val part = f"part-a-$partitionId%05d"
   private val tmpName = s"$part-t$taskId"
   private val fs = new Path(dir).getFileSystem(conf.value)
-  private val gzOut = fs.create(new Path(s"$dir/_tmp/$tmpName.gz"), true)
-  private val idxOut = fs.create(new Path(s"$dir/_tmp/$tmpName-idx"), true)
+  private val shard =
+    new ShardStream(fs, s"$dir/_tmp", part, tmpName, linesPerBlock)
 
-  private val blockLines = new java.io.ByteArrayOutputStream(1 << 20)
-  private var firstKey: String = _
-  private var count = 0
-  private var offset = 0L
-  private var nLines = 0L
+  override def write(row: InternalRow): Unit =
+    shard.add(row.getUTF8String(0).toString)
 
-  private def flushBlock(): Unit = if (count > 0) {
-    val member = ZipNumFormat.gzipMember(blockLines.toByteArray)
-    gzOut.write(member)
-    val b = ZipNumFormat.Block(firstKey, part, offset, member.length.toLong)
-    idxOut.write((ZipNumFormat.formatSummaryLine(b) + "\n").getBytes(UTF_8))
-    offset += member.length
-    blockLines.reset(); firstKey = null; count = 0
-  }
+  override def commit(): WriterCommitMessage =
+    ZipNumCommit(partitionId, part, tmpName, shard.finish())
 
-  override def write(row: InternalRow): Unit = {
-    val line = row.getUTF8String(0).toString
-    if (count == 0) firstKey = ZipNumFormat.summaryKey(line)
-    blockLines.write(line.getBytes(UTF_8))
-    blockLines.write('\n')
-    count += 1; nLines += 1
-    if (count == linesPerBlock) flushBlock()
-  }
-
-  override def commit(): WriterCommitMessage = {
-    flushBlock()
-    gzOut.close(); idxOut.close()
-    ZipNumCommit(partitionId, part, tmpName, nLines)
-  }
-
-  override def abort(): Unit = {
-    gzOut.close(); idxOut.close()
-    fs.delete(new Path(s"$dir/_tmp/$tmpName.gz"), false)
-    fs.delete(new Path(s"$dir/_tmp/$tmpName-idx"), false)
-  }
+  override def abort(): Unit = shard.abort()
 
   override def close(): Unit = ()
 }

@@ -62,61 +62,15 @@ object ZipNumWriter {
         // the DSv2 writer's part-tN names)
         val tmpName = s"$part-t${org.apache.spark.TaskContext.get().taskAttemptId()}"
         val fs = new Path(outDir).getFileSystem(conf.value)
-        val gzPath = new Path(s"$outDir/_tmp/$tmpName.gz")
-        val idxPath = new Path(s"$outDir/_tmp/$tmpName-idx")
-        val gzOut = fs.create(gzPath, true)
-        val idxOut = fs.create(idxPath, true)
-        var offset = 0L
-        val blockLines = new java.io.ByteArrayOutputStream(1 << 20)
-        var firstKey: String = null
-        var count = 0
-        var nLines = 0L
-
-        def flushBlock(): Unit = if (count > 0) {
-          val member = ZipNumFormat.gzipMember(blockLines.toByteArray)
-          gzOut.write(member)
-          val b = ZipNumFormat.Block(firstKey, part, offset, member.length.toLong)
-          idxOut.write((ZipNumFormat.formatSummaryLine(b) + "\n").getBytes(UTF_8))
-          offset += member.length
-          blockLines.reset(); firstKey = null; count = 0
-        }
-
-        iter.foreach { line =>
-          if (count == 0) firstKey = ZipNumFormat.summaryKey(line)
-          blockLines.write(line.getBytes(UTF_8))
-          blockLines.write('\n')
-          count += 1; nLines += 1
-          if (count == linesPerBlock) flushBlock()
-        }
-        flushBlock()
-        gzOut.close(); idxOut.close()
-        Iterator.single((pid, part, tmpName, nLines))
+        val shard = new ShardStream(fs, s"$outDir/_tmp", part, tmpName,
+          linesPerBlock)
+        iter.foreach(shard.add)
+        Iterator.single((pid, part, tmpName, shard.finish()))
       }
     }.collect().sortBy(_._1)
 
     // Commit: rename shards into place, concatenate -idx → ALL.summary.
-    val summary = fs.create(new Path(out, "ALL.summary"), true)
-    shardInfos.foreach { case (_, part, tmpName, _) =>
-      // a false rename means a cluster whose summary points at missing
-      // shards — fail the commit loudly instead
-      require(fs.rename(new Path(s"$outDir/_tmp/$tmpName.gz"),
-        new Path(out, s"$part.gz")), s"commit: rename of $part.gz failed")
-      val idxTmp = new Path(s"$outDir/_tmp/$tmpName-idx")
-      val in = fs.open(idxTmp)
-      val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { summary.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      require(fs.rename(idxTmp, new Path(out, s"$part-idx")),
-        s"commit: rename of $part-idx failed")
-    }
-    summary.close()
-
-    val manifest = fs.create(new Path(out, "manifest.txt"), true)
-    shardInfos.foreach { case (_, part, _, _) =>
-      manifest.write(s"$part.gz\n".getBytes(UTF_8))
-    }
-    manifest.close()
-    fs.delete(new Path(out, "_tmp"), true)
+    ZipNumShardIO.commitShards(fs, outDir,
+      shardInfos.map { case (_, part, tmpName, _) => (part, tmpName) })
   }
 }
