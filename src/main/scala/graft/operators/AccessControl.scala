@@ -24,11 +24,15 @@ object AccessControl {
     * pre-fetched its whole rule set driver-side too; rule lists beyond
     * tens of thousands of entries would switch to a broadcast prefix
     * table + left_semi like PrefixFilter.prefixJoin.) */
-  def policyCol(key: Column, rules: Seq[Rule]): Column =
-    rules.sortBy(r => (-r.prefix.length, r.prefix))
+  def policyCol(key: Column, rules: Seq[Rule]): Column = {
+    val chain = rules.sortBy(r => (-r.prefix.length, r.prefix))
       .foldRight(lit("allow")) { (r, acc) =>
         when(key.startsWith(r.prefix), lit(r.policy)).otherwise(acc)
       }
+    // null keys fail CLOSED (startsWith(null) is null, which would fall
+    // through every rule to "allow") — matches the scalar isAllowed
+    when(key.isNull, lit("block")).otherwise(chain)
+  }
 
   /** Keep rows whose effective policy allows capture. */
   def allowCaptures(df: DataFrame, rules: Seq[Rule],

@@ -65,7 +65,7 @@ object ArchiveRepackage {
       if (in != null) in.close()
       out.close()
       fs.delete(fin, false)
-      fs.rename(tmp, fin)
+      require(fs.rename(tmp, fin), s"commit: rename to $fin failed")
       (dst, copied)
     }.collect()
     (results.length.toLong, results.map(_._2).sum)

@@ -37,6 +37,9 @@ object PrefixFilter {
    * no shuffle of the big side.
    */
   def prefixJoin(df: DataFrame, column: String, prefixes: Seq[String]): DataFrame = {
+    // "" matches every row (predicate semantics); the first-char equi-key
+    // below would instead match nothing for it — short-circuit
+    if (prefixes.exists(_.isEmpty)) return df
     val spark = df.sparkSession
     import spark.implicits._
     val p = prefixes.toDF("__prefix").withColumn("__b", substring(col("__prefix"), 1, 1))

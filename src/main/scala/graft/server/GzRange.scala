@@ -20,10 +20,17 @@ object GzRangeServer {
   def start(rootDir: String, port: Int = 0): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/fetch", (x: HttpExchange) => {
+      var headersSent = false
       try {
-        val params = Option(x.getRequestURI.getQuery).getOrElse("")
+        // parse the RAW query, decoding each value AFTER the '&'/'='
+        // split — a pre-decoded query would mis-split on '&' inside a
+        // percent-encoded file name
+        val params = Option(x.getRequestURI.getRawQuery).getOrElse("")
           .split("&").filter(_.contains("="))
-          .map { p => val Array(k, v) = p.split("=", 2); k -> v }.toMap
+          .map { p =>
+            val Array(k, v) = p.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
         val f = new File(rootDir, params("file"))
         val rootPrefix = new File(rootDir).getCanonicalPath + File.separator
         require(f.getCanonicalPath.startsWith(rootPrefix),
@@ -34,12 +41,16 @@ object GzRangeServer {
         val raf = new RandomAccessFile(f, "r")
         try { raf.seek(offset); raf.readFully(buf) } finally raf.close()
         x.sendResponseHeaders(200, length)
+        headersSent = true
         x.getResponseBody.write(buf)
       } catch {
-        case e: Exception =>
+        case e: Exception if !headersSent =>
+          // after a 200 is committed (e.g. client disconnect mid-body)
+          // a 500 can no longer be sent — just close
           val msg = e.toString.getBytes("UTF-8")
           x.sendResponseHeaders(500, msg.length)
           x.getResponseBody.write(msg)
+        case _: Exception => ()
       } finally x.close()
     })
     server.start()
@@ -76,7 +87,8 @@ final class GzRangeClient(outDir: String, prefix: String,
     * the member would push the current file past maxFileBytes. */
   def fetchAndAppend(serverBase: String, file: String, offset: Long,
                      length: Long): Unit = {
-    val url = s"$serverBase/fetch?file=$file&offset=$offset&length=$length"
+    val enc = java.net.URLEncoder.encode(file, "UTF-8")
+    val url = s"$serverBase/fetch?file=$enc&offset=$offset&length=$length"
     val conn = URI.create(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     require(conn.getResponseCode == 200, s"fetch failed: $url")

@@ -51,6 +51,10 @@ class HttpFileSystem extends FileSystem {
     if (code != 200) throw new IOException(s"HEAD $f -> $code")
     val len = conn.getContentLengthLong
     conn.disconnect()
+    // without a length the seekable reader would see pos >= -1 and EOF
+    // every read — an unreadable file must fail loudly, not read empty
+    if (len < 0) throw new IOException(
+      s"HEAD $f returned no Content-Length; range reads need a known size")
     new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, makeQualified(f))
   }
 

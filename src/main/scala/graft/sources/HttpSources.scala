@@ -40,17 +40,23 @@ object HttpSources {
         else {
           val tmp = new Path(t.dest + ".TMP")
           val conn = connect(t.url, "GET")
-          val in = conn.getInputStream
-          val out = fs.create(tmp, true)
-          val buf = new Array[Byte](1 << 16)
           var total = 0L
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); total += n; n = in.read(buf) }
-          in.close(); out.close()
+          // mid-copy failures must release the socket and the tmp writer
+          // (an unclosed HDFS writer holds a lease that blocks the retry)
+          val in = conn.getInputStream
+          try {
+            val out = fs.create(tmp, true)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); total += n; n = in.read(buf) }
+            } finally out.close()
+          } finally { in.close(); conn.disconnect() }
           require(remoteLen < 0 || total == remoteLen,
             s"length mismatch for ${t.url}: got $total, expected $remoteLen")
           fs.delete(dst, false)
-          fs.rename(tmp, dst)
+          require(fs.rename(tmp, dst),
+            s"commit: rename to ${t.dest} failed")
           ImportResult(t.url, t.dest, "copied", total)
         }
       }
@@ -70,7 +76,7 @@ object HttpSources {
         val conn = connect(s"$baseUrl$sep$pageParam=$page", "GET")
         val in = conn.getInputStream
         new IoUtil.AutoCloseIterator(new IoUtil.LfLineIterator(in),
-          () => in.close())
+          () => { in.close(); conn.disconnect() })
       })
   }
 
@@ -79,19 +85,26 @@ object HttpSources {
   def numPages(baseUrl: String): Int = {
     val sep = if (baseUrl.contains("?")) "&" else "?"
     val conn = connect(s"$baseUrl${sep}showNumPages=true", "GET")
-    val fromHeader = Option(conn.getHeaderField("X-CDX-Num-Pages"))
-      .flatMap(_.trim.toIntOption)
-    fromHeader.getOrElse {
-      val body = new String(conn.getInputStream.readAllBytes, "UTF-8")
-      body.trim.toIntOption.getOrElse(
-        throw new IllegalStateException(
-          s"service at $baseUrl did not report a page count"))
-    }
+    try {
+      val fromHeader = Option(conn.getHeaderField("X-CDX-Num-Pages"))
+        .flatMap(_.trim.toIntOption)
+      fromHeader.getOrElse {
+        val body = new String(conn.getInputStream.readAllBytes, "UTF-8")
+        body.trim.toIntOption.getOrElse(
+          throw new IllegalStateException(
+            s"service at $baseUrl did not report a page count"))
+      }
+    } finally conn.disconnect()
   }
 
   private def contentLength(url: String): Long = {
     val conn = connect(url, "HEAD")
-    try conn.getContentLengthLong finally conn.disconnect()
+    // a 404/500 error body has a Content-Length too — only a 2xx HEAD
+    // describes the actual file; anything else means "unknown"
+    try {
+      if (conn.getResponseCode / 100 == 2) conn.getContentLengthLong
+      else -1L
+    } finally conn.disconnect()
   }
 
   private def connect(url: String, method: String): HttpURLConnection = {

@@ -62,7 +62,10 @@ object IndirectScans {
       var openIn: org.apache.hadoop.fs.FSDataInputStream = null
       def streamFor(path: String): org.apache.hadoop.fs.FSDataInputStream = {
         if (openPath != path) {
-          if (openIn != null) openIn.close()
+          // clear BEFORE reopening: if open() throws (skipBad path), the
+          // stale closed handle must not be served for later ranges of
+          // the previously-open file
+          if (openIn != null) { openIn.close(); openIn = null; openPath = null }
           val p = new Path(path)
           openIn = p.getFileSystem(conf.value).open(p)
           openPath = path

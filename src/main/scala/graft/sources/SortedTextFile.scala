@@ -101,7 +101,7 @@ object SplitFile {
   /** Interior boundaries for [[graft.operators.BoundaryPartitioner]]: each
     * range's START except the global minimum. */
   def interiorBoundaries(ranges: Seq[SplitRange]): IndexedSeq[String] = {
-    val starts = ranges.map(_.start).sorted
+    val starts = ranges.map(_.start).sorted(graft.util.KeyOrder)
     starts.drop(1).toIndexedSeq
   }
 }

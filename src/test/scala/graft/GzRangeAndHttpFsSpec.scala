@@ -47,6 +47,24 @@ class GzRangeAndHttpFsSpec extends AnyFunSuite with SparkTestSession
     } finally server.stop(0)
   }
 
+  test("K12: file names with spaces and '&' survive the fetch URL") {
+    val root = Files.createTempDirectory(Paths.get("/root/repo/target"), "gzre")
+    val m = gz("tricky\n")
+    Files.write(root.resolve("a b&c.warc.gz"), m)
+    val server = GzRangeServer.start(root.toString)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val outDir = Files.createTempDirectory(
+        Paths.get("/root/repo/target"), "gzreout")
+      val client = new GzRangeClient(outDir.toString, "enc", 1 << 20)
+      client.fetchAndAppend(base, "a b&c.warc.gz", 0, m.length.toLong)
+      val files = client.close()
+      val got = GzipMembers.iterate(new java.io.FileInputStream(files.head))
+        .map(mm => new String(mm.payload, "UTF-8")).toSeq
+      assert(got == Seq("tricky\n"))
+    } finally server.stop(0)
+  }
+
   test("S18 shape: spark reads grafthttp:// through the seekable HTTP FS") {
     val content = (0 until 1000).map(i => s"row-$i").mkString("", "\n", "\n")
     val bytes = content.getBytes("UTF-8")
