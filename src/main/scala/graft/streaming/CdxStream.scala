@@ -71,8 +71,10 @@ object CdxStream {
       }
       .start()
 
-  /** O4e as custom streaming state: cap captures per (urlkey, day) at
-    * `dayLimit` ACROSS micro-batches — the seen-count per key lives in
+  /** O4e as custom streaming state: cap captures per (urlkey, day) ACROSS
+    * micro-batches — admitting `dayLimit` + 1 rows per group, matching the
+    * batch form's reference-faithful off-by-one (see GlobalCdxCleanup);
+    * the seen-count per key lives in
     * GroupState, so a capture admitted in batch 1 still counts against
     * the key's budget in batch 5. State is BOUNDED: the event-time
     * watermark (`stateTtl` behind the newest capture) times finished
@@ -96,7 +98,7 @@ object CdxStream {
             var seen = state.getOption.getOrElse(0)
             val admitted = rows.toVector.sortBy(r => (r.timestamp, r.offset))
               .flatMap { r =>
-                if (seen < dayLimit) { seen += 1; Some(r) } else None
+                if (seen < dayLimit + 1) { seen += 1; Some(r) } else None
               }
             state.update(seen)
             // evict once the watermark passes the group's own day end +

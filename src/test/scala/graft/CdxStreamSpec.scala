@@ -43,22 +43,24 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     val capped = CdxStream.dayCapStream(CdxStream.parse(ms.toDS()), dayLimit = 2)
     val q = capped.writeStream
       .format("memory").queryName("capped").outputMode("append").start()
-    // batch 1: three same-key same-day captures → 2 admitted
+    // batch 1: four same-key same-day captures; dayLimit=2 admits 3
+    // (the reference-faithful limit+1, same as the batch operator)
     ms.addData(
       line("org,c)/p", "20120101000100", 0),
       line("org,c)/p", "20120101000200", 1),
-      line("org,c)/p", "20120101000300", 2))
+      line("org,c)/p", "20120101000300", 2),
+      line("org,c)/p", "20120101000330", 3))
     q.processAllAvailable()
-    assert(spark.table("capped").count() == 2)
-    // batch 2: two more same key+day → budget exhausted, 0 admitted;
+    assert(spark.table("capped").count() == 3)
+    // batch 2: one more same key+day → budget exhausted, 0 admitted;
     // a different day for the same key → fresh budget
     ms.addData(
-      line("org,c)/p", "20120101000400", 3),
-      line("org,c)/p", "20120102000100", 4))
+      line("org,c)/p", "20120101000400", 4),
+      line("org,c)/p", "20120102000100", 5))
     q.processAllAvailable()
     val rows = spark.table("capped").as[graft.model.CdxRecord].collect()
-    assert(rows.length == 3)
-    assert(rows.count(_.timestamp.startsWith("20120101")) == 2)
+    assert(rows.length == 4)
+    assert(rows.count(_.timestamp.startsWith("20120101")) == 3)
     assert(rows.count(_.timestamp.startsWith("20120102")) == 1)
     q.stop()
   }
