@@ -16,7 +16,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("surt"),
       new ExpressionInfo(classOf[graft.functions.SurtExpression].getName,
         null, "surt", "surt(url) - SURT-canonicalize a URL", ""),
-      (children: Seq[Expression]) =>
-        graft.functions.SurtExpression(children.head)))
+      (children: Seq[Expression]) => {
+        // surplus args must not silently drop; zero args must not throw a
+        // bare NoSuchElementException from Seq.head
+        require(children.length == 1,
+          s"surt expects exactly 1 argument, got ${children.length}")
+        graft.functions.SurtExpression(children.head)
+      }))
   }
 }

@@ -41,9 +41,18 @@ object SortedMerge {
     val n = rdds.head.getNumPartitions
     require(rdds.forall(_.getNumPartitions == n),
       "inputs must be partition-aligned (same boundary set)")
-    rdds.reduce { (a, b) =>
-      a.zipPartitions(b, preservesPartitioning = true)(
-        (x, y) => mergeIterators(Seq(x, y)))
-    }
+    // balanced reduction tree: a left-nested reduce chain would drag every
+    // element through N-1 stacked two-way merges (O(N) comparisons per
+    // line when compacting N generations); pairing per round keeps the
+    // merge depth at ceil(log2 N)
+    var layer = rdds
+    while (layer.size > 1)
+      layer = layer.grouped(2).map {
+        case Seq(a, b) =>
+          a.zipPartitions(b, preservesPartitioning = true)(
+            (x, y) => mergeIterators(Seq(x, y)))
+        case Seq(a) => a
+      }.toSeq
+    layer.head
   }
 }

@@ -32,17 +32,35 @@ object WarcExtract {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bad = spark.sparkContext.longAccumulator("warc.bad.members")
-    val rows = spark.createDataset(paths)
-      .repartition(math.max(1, paths.size))
+    // EXACT one-file-per-task placement (S1): round-robin repartition can
+    // stack two files on one task and leave another empty
+    val n = math.max(1, paths.size)
+    val pathsRdd = spark.sparkContext
+      .parallelize(paths.zipWithIndex.map(_.swap), n)
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int] % n
+      })
+      .values
+    val rows = spark.createDataset(pathsRdd)
       .mapPartitions { pathIter =>
         pathIter.flatMap { pathStr =>
           val p = new Path(pathStr)
           val name = p.getName
           val in = p.getFileSystem(conf.value).open(p)
+          // the auto-close below fires only on exhaustion; a mid-file
+          // exception (soft=false) or a downstream limit would leak the
+          // stream without the task-completion hook
+          var closed = false
+          def closeIn(): Unit = if (!closed) {
+            closed = true; try in.close() catch { case _: Exception => () }
+          }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
           val members =
             if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
             else GzipMembers.iterate(in)
-          new graft.util.IoUtil.AutoCloseIterator(members, () => in.close())
+          new graft.util.IoUtil.AutoCloseIterator(members, () => closeIn())
             .flatMap { m =>
             WarcRecords.parse(m.payload).flatMap { rec =>
               if (rec.warcType != "response" && rec.warcType != "resource") None
@@ -87,24 +105,38 @@ object WarcExtract {
     val ex = extract(spark, paths, soft)
     val n = spark.sparkContext.longAccumulator("warc.cdx.lines")
     ex.rows.foreachPartition { (it: Iterator[CdxRow]) =>
-      val byFile = it.toSeq.groupBy(_.filename)
-      byFile.foreach { case (name, rows) =>
-        val fs = new Path(outDir).getFileSystem(conf.value)
+      // rows arrive file-by-file (extract emits each file contiguously and
+      // no shuffle intervenes) — buffer ONE file's rows at a time, not the
+      // whole partition; memory is bounded by the largest single file
+      val fs = new Path(outDir).getFileSystem(conf.value)
+      implicit val keyOrder: Ordering[String] = graft.util.KeyOrder
+      def flush(name: String, rows: Seq[CdxRow]): Unit = {
         val tmp = new Path(outDir, s"$name.cdx.TMP")
         val dst = new Path(outDir, s"$name.cdx")
         val out = fs.create(tmp, true)
-        rows.sortBy(r => (r.urlkey, r.timestamp)).foreach { r =>
-          val line = Seq(r.urlkey, r.timestamp, r.original_url, r.mimetype,
-            r.statuscode.map(_.toString).getOrElse("-"), r.digest, "-", "-",
-            r.compressed_size.toString, r.offset.toString, r.filename)
-            .mkString(" ")
-          out.write((line + "\n").getBytes("UTF-8"))
-          n.add(1)
-        }
-        out.close()
+        try {
+          rows.sortBy(r => (r.urlkey, r.timestamp)).foreach { r =>
+            val line = Seq(r.urlkey, r.timestamp, r.original_url, r.mimetype,
+              r.statuscode.map(_.toString).getOrElse("-"), r.digest, "-", "-",
+              r.compressed_size.toString, r.offset.toString, r.filename)
+              .mkString(" ")
+            out.write((line + "\n").getBytes("UTF-8"))
+            n.add(1)
+          }
+        } finally out.close()
         fs.delete(dst, false)
-        fs.rename(tmp, dst)
+        require(fs.rename(tmp, dst), s"commit: rename to $dst failed")
       }
+      var curName: String = null
+      val buf = scala.collection.mutable.ArrayBuffer.empty[CdxRow]
+      it.foreach { r =>
+        if (r.filename != curName) {
+          if (curName != null) { flush(curName, buf.toSeq); buf.clear() }
+          curName = r.filename
+        }
+        buf += r
+      }
+      if (curName != null) flush(curName, buf.toSeq)
     }
     n.value
   }

@@ -47,6 +47,7 @@ object MinHashLsh {
 
   /** One aggregation pass computes all `numHashes` min-hashes. */
   def signature(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     val aggs = (0 until numHashes)
       .map(j => min(minhash(j, col("shingle"))).as(s"h$j"))
     shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -56,6 +57,9 @@ object MinHashLsh {
     * ALL hashes of at least one band. */
   def bands(sig: DataFrame, idCol: String, numHashes: Int,
             rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide evenly into bands of " +
+        s"$rowsPerBand — trailing hashes would be silently unused")
     val nBands = numHashes / rowsPerBand
     val rows = (0 until nBands).map { b =>
       val members = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")

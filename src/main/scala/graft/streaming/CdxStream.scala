@@ -84,10 +84,18 @@ object CdxStream {
                    stateTtlMs: Long = 2L * 86400000L): Dataset[CdxRecord] = {
     val spark = cdx.sparkSession
     import spark.implicits._
-    cdx.toDF()
+    cdx
+      // drop rows whose timestamp can't key a (urlkey, day) group — the
+      // reference's parse-or-skip; without this one '-'-timestamp line is
+      // a poison pill that re-crashes the query on every checkpoint replay
+      .filter((r: CdxRecord) => r.timestamp != null &&
+        r.timestamp.length >= 8 &&
+        scala.util.Try(java.time.LocalDate.parse(r.timestamp.take(8),
+          java.time.format.DateTimeFormatter.BASIC_ISO_DATE)).isSuccess)
+      .toDF()
       .withColumn("__event_ts",
         to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
-      .withWatermark("__event_ts", s"${stateTtlMs / 1000} seconds")
+      .withWatermark("__event_ts", s"${math.max(1L, stateTtlMs / 1000)} seconds")
       .as[CdxRecord]
       .groupByKey(r => (r.urlkey, r.timestamp.take(8)))
       .flatMapGroupsWithState[Int, CdxRecord](
@@ -101,14 +109,16 @@ object CdxStream {
                 if (seen < dayLimit + 1) { seen += 1; Some(r) } else None
               }
             state.update(seen)
-            // evict once the watermark passes the group's own day end +
-            // TTL (anchoring to the watermark alone would evict young
-            // groups while the watermark is still at its initial zero)
+            // evict once the WATERMARK (already newest - stateTtl)
+            // passes the group's day end — adding the TTL again here
+            // would retain state for 2x the documented bound; the
+            // watermark-floor guard keeps young groups alive while the
+            // watermark is still at its initial zero
             val dayEndMs = java.time.LocalDate.parse(key._2,
               java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
               .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
               .toInstant.toEpochMilli
-            state.setTimeoutTimestamp(math.max(dayEndMs + stateTtlMs,
+            state.setTimeoutTimestamp(math.max(dayEndMs,
               state.getCurrentWatermarkMs() + 60000L))
             admitted.iterator
           }
