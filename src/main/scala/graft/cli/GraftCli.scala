@@ -71,6 +71,55 @@ object GraftCli {
           out.write(l); out.write('\n')
         }
         out.flush()
+      case "cdx-convert" =>
+        // cdx-convert <in> <out> — legacy CDX-9/10 text → CDX-11 (SURT
+        // re-key, scheme repair); mirrors the reference's CDXConverterTool
+        val spark = session("cdx-convert")
+        import spark.implicits._
+        spark.read.option("lineSep", "\n").textFile(rest(0))
+          .flatMap(l => graft.model.Cdx.convertLegacy(l)
+            .map(graft.model.Cdx.formatLine))
+          .write.mode("overwrite").text(rest(1))
+        println(s"converted ${rest(0)} -> ${rest(1)}")
+        spark.stop()
+      case "summary-generate" =>
+        // summary-generate <clusterDir> — rebuild ALL.summary + manifest
+        // from the per-shard -idx files (standalone Q4/Q5 tools; normally
+        // folded into the writer's commit)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dir = new org.apache.hadoop.fs.Path(rest(0))
+        val fs = dir.getFileSystem(conf)
+        val idxs = fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.endsWith("-idx")).sortBy(_.getName)
+        require(idxs.nonEmpty, s"no -idx shard indexes under $dir")
+        val sum = fs.create(
+          new org.apache.hadoop.fs.Path(dir, "ALL.summary"), true)
+        val buf = new Array[Byte](1 << 16)
+        idxs.foreach { ip =>
+          val in = fs.open(ip)
+          var n = in.read(buf)
+          while (n >= 0) { sum.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+        }
+        sum.close()
+        val man = fs.create(
+          new org.apache.hadoop.fs.Path(dir, "manifest.txt"), true)
+        idxs.foreach { ip =>
+          man.write((ip.getName.stripSuffix("-idx") + ".gz\n")
+            .getBytes("UTF-8"))
+        }
+        man.close()
+        println(s"rebuilt ALL.summary + manifest.txt from ${idxs.length} shard indexes")
+      case "wat-extract" =>
+        // wat-extract <outDir> <warc...> [--soft] — WAT JSON lines
+        val spark = session("wat-extract")
+        val (flags, pos) = rest.partition(_.startsWith("--"))
+        graft.operators.WarcExtract.watRows(spark, pos.tail.toSeq,
+            soft = flags.contains("--soft"))
+          .select(org.apache.spark.sql.functions.col("wat"))
+          .write.mode("overwrite").text(pos.head)
+        println(s"wrote WAT lines -> ${pos.head}")
+        spark.stop()
       case "warc-extract" =>
         // warc-extract <outDir> <warc...> [--soft] — one .cdx per input
         val spark = session("warc-extract")
@@ -91,7 +140,10 @@ object GraftCli {
       |  cluster-build <splits|-> <in> <out>    sorted ZipNum cluster from CDX text
       |  cluster-merge <out> <in1> <in2...>     merge clusters (global-cdx rules)
       |  cluster-range <start> <end> <in...>    key-range dump
+      |  cdx-convert <in> <out>                 legacy CDX-9/10 -> CDX-11
+      |  summary-generate <clusterDir>          rebuild ALL.summary from -idx files
       |  warc-extract <out> <warc...> [--soft]  WARC -> per-file .cdx
+      |  wat-extract <out> <warc...> [--soft]   WARC -> WAT JSON lines
       |  file-search <file> <start> [<end>]     binary search a sorted file
       |""".stripMargin)
 }

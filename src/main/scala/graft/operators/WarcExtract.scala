@@ -141,6 +141,43 @@ object WarcExtract {
     n.value
   }
 
+  /**
+   * WARCMetadataRecordGenerator analogue (SURVEY §3.4;
+   * /root/reference/src/main/java/org/archive/hadoop/jobs/WARCMetadataRecordGenerator.java:144):
+   * emit the PAYLOADS of records of one family — `outputType` picks
+   * "warcinfo" (default) or "metadata" — with container geometry, the
+   * inputs to collection-level accounting jobs.
+   */
+  def metadataRows(spark: SparkSession, paths: Seq[String],
+                   outputType: String = "warcinfo",
+                   soft: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bad = spark.sparkContext.longAccumulator("warc.bad.members.meta")
+    spark.createDataset(paths)
+      .repartition(math.max(1, paths.size))
+      .mapPartitions { pathIter =>
+        pathIter.flatMap { pathStr =>
+          val p = new Path(pathStr)
+          val name = p.getName
+          val in = p.getFileSystem(conf.value).open(p)
+          val members =
+            if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
+            else GzipMembers.iterate(in)
+          new graft.util.IoUtil.AutoCloseIterator(members, () => in.close())
+            .flatMap { m =>
+              WarcRecords.parse(m.payload).collect {
+                case rec if rec.warcType == outputType =>
+                  (name, m.offset, m.length, rec.warcType,
+                    new String(rec.payload, "UTF-8"))
+              }
+            }
+        }
+      }
+      .toDF("filename", "offset", "length", "warc_type", "payload")
+  }
+
   /** One WAT-shaped row: per-record JSON metadata envelope. */
   final case class WatRow(urlkey: String, timestamp: String, wat: String)
 

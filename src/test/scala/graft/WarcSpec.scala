@@ -122,4 +122,24 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(out.get(0).startsWith("org,a)/y 20120104084508 http://a.org/y text/html 200 "))
     assert(out.get(1).startsWith("org,b)/x 20120103084508 http://b.org/x text/html 200 "))
   }
+
+  test("metadataRows: one output family selected, payload + geometry exact") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "warcmeta")
+    val f = dir.resolve("m.warc.gz")
+    val m1 = gz(warcinfo)
+    val m2 = gz(warcResponse("http://a.org/", "2012-01-03T08:45:08Z", "x"))
+    Files.write(f, m1 ++ m2)
+    val rows = WarcExtract.metadataRows(spark, Seq(f.toString))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("warc_type") == "warcinfo")
+    assert(r.getAs[String]("payload").contains("software: graft"))
+    assert(r.getAs[Long]("offset") == 0L &&
+      r.getAs[Long]("length") == m1.length.toLong)
+    // the other family selects the other records
+    assert(WarcExtract.metadataRows(spark, Seq(f.toString), "response")
+      .count() == 1)
+  }
 }
