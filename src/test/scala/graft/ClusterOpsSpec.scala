@@ -71,6 +71,21 @@ class ClusterOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(back == (a ++ b).sorted)
   }
 
+  test("merge of FIVE clusters (odd count exercises the balanced tree)") {
+    val sets = (0 until 5).map(j => mkLines(60, i => (i + j) % 5))
+    val interior = IndexedSeq("org,s2")
+    val dirs = sets.zipWithIndex.map { case (lines, j) =>
+      val d = tmp(s"m5_$j") + "/c"
+      ClusterOps.build(spark, spark.sparkContext.parallelize(lines, 2), d,
+        interior, linesPerBlock = 20)
+      d
+    }
+    val out = tmp("m5out") + "/c"
+    ClusterOps.merge(spark, dirs, out, nShards = 2)
+    val back = ZipNumReader.lines(spark, out).toLocalIterator.toSeq
+    assert(back == sets.flatten.sorted)
+  }
+
   test("merge --global-cdx applies streaming day-cap over the sorted run") {
     // 10 same-key same-day captures, dayLimit=2 → 3 admitted (the
     // reference's pre-increment guard admits limit+1)
