@@ -70,18 +70,27 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // The report must stay ONE SHORT line: the driver keeps only the tail of
+    // the run's output, so a multi-KB line gets its head truncated and fails
+    // to parse. 3-decimal times (ms precision) keep 44 queries under ~1 KB.
+    def jnum(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // Optional local comparison denominator (tools/duck_bench.py output).
+    // Local comparison denominator: only the DuckDB TOTAL inline (the
+    // per-query numbers live in DUCK_BENCH.json, committed in the repo).
     val duck = scala.util.Try(
       java.nio.file.Files.readString(java.nio.file.Paths.get(
         sys.env.getOrElse("GRAFT_DUCK_BENCH", "/root/repo/DUCK_BENCH.json"))).trim)
       .toOption.filter(_.nonEmpty)
-    val duckField = duck.map(d => s""","duckdb_baseline":$d""").getOrElse("")
+    val duckField = duck.flatMap { d =>
+      val tot = "\"total_sec\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1))
+      val eng = "\"engine\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(d).map(_.group(1))
+      tot.map(t => s""","duckdb_baseline":{"total_sec":$t${eng.map(e => s""","engine":${jstr(e)}""").getOrElse("")},"detail":"DUCK_BENCH.json"}""")
+    }.getOrElse("")
     // errors are reported in-band (a failed query benches as -1 + an
     // errors entry) — exit 0 so the driver always collects the report
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$duckField}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$duckField}""")
     spark.stop()
   }
 }

@@ -25,6 +25,26 @@ object WarcExtract {
   final case class Extraction(rows: Dataset[CdxRow],
                               badMembers: LongAccumulator)
 
+  /** Open `p` and walk its gzip members with leak-proof close discipline:
+    * idempotent close fires on exhaustion (AutoCloseIterator) AND on task
+    * completion (limit / kill / mid-file exception) — every member walk in
+    * this file must go through here. */
+  private def openMembers(p: Path, conf: SerializableConfiguration,
+                          soft: Boolean, bad: LongAccumulator)
+      : Iterator[GzipMembers.Member] = {
+    val in = p.getFileSystem(conf.value).open(p)
+    var closed = false
+    def closeIn(): Unit = if (!closed) {
+      closed = true; try in.close() catch { case _: Exception => () }
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
+    val members =
+      if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
+      else GzipMembers.iterate(in)
+    new graft.util.IoUtil.AutoCloseIterator(members, () => closeIn())
+  }
+
   /** Extract response/resource records of `paths` (one task per file). */
   def extract(spark: SparkSession, paths: Seq[String],
               soft: Boolean = false): Extraction = {
@@ -47,21 +67,7 @@ object WarcExtract {
         pathIter.flatMap { pathStr =>
           val p = new Path(pathStr)
           val name = p.getName
-          val in = p.getFileSystem(conf.value).open(p)
-          // the auto-close below fires only on exhaustion; a mid-file
-          // exception (soft=false) or a downstream limit would leak the
-          // stream without the task-completion hook
-          var closed = false
-          def closeIn(): Unit = if (!closed) {
-            closed = true; try in.close() catch { case _: Exception => () }
-          }
-          Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
-          val members =
-            if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
-            else GzipMembers.iterate(in)
-          new graft.util.IoUtil.AutoCloseIterator(members, () => closeIn())
-            .flatMap { m =>
+          openMembers(p, conf, soft, bad).flatMap { m =>
             WarcRecords.parse(m.payload).flatMap { rec =>
               if (rec.warcType != "response" && rec.warcType != "resource") None
               else for {
@@ -161,12 +167,7 @@ object WarcExtract {
         pathIter.flatMap { pathStr =>
           val p = new Path(pathStr)
           val name = p.getName
-          val in = p.getFileSystem(conf.value).open(p)
-          val members =
-            if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
-            else GzipMembers.iterate(in)
-          new graft.util.IoUtil.AutoCloseIterator(members, () => in.close())
-            .flatMap { m =>
+          openMembers(p, conf, soft, bad).flatMap { m =>
               WarcRecords.parse(m.payload).collect {
                 case rec if rec.warcType == outputType =>
                   (name, m.offset, m.length, rec.warcType,
@@ -202,12 +203,7 @@ object WarcExtract {
         pathIter.flatMap { pathStr =>
           val p = new Path(pathStr)
           val name = p.getName
-          val in = p.getFileSystem(conf.value).open(p)
-          val members =
-            if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
-            else GzipMembers.iterate(in)
-          new graft.util.IoUtil.AutoCloseIterator(members, () => in.close())
-            .flatMap { m =>
+          openMembers(p, conf, soft, bad).flatMap { m =>
             WarcRecords.parse(m.payload).flatMap { rec =>
               for { uri <- rec.targetUri; ts <- rec.timestamp14 } yield {
                 val (status, mime) = rec.httpStatusAndMime

@@ -29,11 +29,28 @@ import org.apache.spark.sql.functions._
  */
 object BatchedExternalSink {
 
+  /** Per-task store client: `writeBatch` sends one batch; `close` releases
+    * the connection and runs on BOTH success and failure paths. */
+  trait BatchWriter[T] extends AutoCloseable {
+    def writeBatch(batch: Seq[T]): Unit
+    override def close(): Unit = ()
+  }
+
+  object BatchWriter {
+    /** Function-style writer for clients with nothing to release. */
+    def apply[T](f: Seq[T] => Unit,
+                 onClose: () => Unit = () => ()): BatchWriter[T] =
+      new BatchWriter[T] {
+        override def writeBatch(batch: Seq[T]): Unit = f(batch)
+        override def close(): Unit = onClose()
+      }
+  }
+
   def write[T](ds: Dataset[T], batchSize: Int = 10000, maxInFlight: Int = 8)
-              (writerFactory: () => Seq[T] => Unit): Unit = {
+              (writerFactory: () => BatchWriter[T]): Unit = {
     require(batchSize > 0 && maxInFlight > 0, "batchSize/maxInFlight must be positive")
     ds.foreachPartition { (it: Iterator[T]) =>
-      val writeBatch = writerFactory()
+      val writer = writerFactory()
       val pool: ExecutorService = Executors.newFixedThreadPool(maxInFlight)
       val inFlight = mutable.Queue.empty[JFuture[_]]
       try {
@@ -42,11 +59,16 @@ object BatchedExternalSink {
           // reference's in-order future drain (CDXImporter.java:46-49)
           if (inFlight.size >= maxInFlight) inFlight.dequeue().get()
           inFlight += pool.submit(new Runnable {
-            override def run(): Unit = writeBatch(batch)
+            override def run(): Unit = writer.writeBatch(batch)
           })
         }
         inFlight.foreach(_.get()) // propagate any batch failure → task fail
-      } finally pool.shutdownNow()
+      } finally {
+        pool.shutdownNow()
+        // release the per-task connection on every exit path; a close
+        // failure must not mask an in-flight write failure
+        try writer.close() catch { case _: Exception => () }
+      }
     }
   }
 

@@ -53,13 +53,14 @@ object BulkKvSink {
       override def getPartition(key: Any): Int =
         bp.getPartition(key.asInstanceOf[(String, Long)]._1)
     }
-    // (rowkey, Long.MaxValue - ts): tuple ordering gives ts-descending
-    // within a rowkey without a custom Ordering
+    // (rowkey ASC, ts DESC) directly in the Ordering — a
+    // `Long.MaxValue - ts` trick would overflow for negative timestamps
+    // (pre-1970 epochs) and silently corrupt the cell order
     implicit val pairOrder: Ordering[(String, Long)] =
-      Ordering.Tuple2(graft.util.KeyOrder, Ordering.Long)
+      Ordering.Tuple2(graft.util.KeyOrder, Ordering.Long.reverse)
     kv.rdd
       .map { case (k, ts, v) =>
-        ((if (k == null) "" else k, Long.MaxValue - ts), (ts, v))
+        ((if (k == null) "" else k, ts), (ts, v))
       }
       .repartitionAndSortWithinPartitions(keyPart)
       .map { case ((k, _), (ts, v)) =>

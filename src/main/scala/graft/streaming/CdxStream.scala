@@ -82,6 +82,10 @@ object CdxStream {
     * firehose would hold one state entry per key-day forever. */
   def dayCapStream(cdx: Dataset[CdxRecord], dayLimit: Int,
                    stateTtlMs: Long = 2L * 86400000L): Dataset[CdxRecord] = {
+    // 0 disables the cap — same semantics as GlobalCdxCleanup.dayCap(0)
+    // and the streamingLine form; a stateful pass-through would otherwise
+    // admit exactly 1 row per (urlkey, day) here
+    if (dayLimit == 0) return cdx
     val spark = cdx.sparkSession
     import spark.implicits._
     cdx

@@ -12,32 +12,40 @@ class BatchedSinkSpec extends AnyFunSuite with SparkTestSession {
     import spark.implicits._
     val ds = spark.range(0, 2537).map(_.toString)
     BatchedExternalSink.write(ds, batchSize = 100, maxInFlight = 4) { () =>
-      batch => {
+      SinkProbe.opened.incrementAndGet()
+      BatchedExternalSink.BatchWriter[String](batch => {
         SinkProbe.maxBatch.accumulateAndGet(batch.size, math.max _)
         val now = SinkProbe.inFlight.incrementAndGet()
         SinkProbe.maxInFlight.accumulateAndGet(now, math.max _)
         Thread.sleep(2) // widen the concurrency window
         batch.foreach(SinkProbe.rows.add)
         SinkProbe.inFlight.decrementAndGet()
-      }
+      }, onClose = () => SinkProbe.closed.incrementAndGet())
     }
     assert(SinkProbe.rows.size == 2537)
     assert(SinkProbe.maxBatch.get() <= 100)
     assert(SinkProbe.maxInFlight.get() <= 4 * 32) // per-task window × tasks
+    // one close per opened per-task connection, success path
+    assert(SinkProbe.closed.get() == SinkProbe.opened.get())
   }
 
   test("a failing batch fails the job (not silently lost in the pool)") {
     import spark.implicits._
     val ds = spark.range(0, 500).map(_.toString)
+    val closesBefore = SinkProbe.failClosed.get()
     val boom = intercept[org.apache.spark.SparkException] {
       BatchedExternalSink.write(ds, batchSize = 100, maxInFlight = 2) { () =>
-        _ => throw new IllegalStateException("store down")
+        BatchedExternalSink.BatchWriter[String](
+          _ => throw new IllegalStateException("store down"),
+          onClose = () => SinkProbe.failClosed.incrementAndGet())
       }
     }
     def mentions(t: Throwable): Boolean =
       t != null && (Option(t.getMessage).exists(_.contains("store down")) ||
         mentions(t.getCause))
     assert(mentions(boom))
+    // the connection is released on the FAILURE path too
+    assert(SinkProbe.failClosed.get() > closesBefore)
   }
 
   test("K9 statement rendering: CQL insert per CDX row, quotes escaped") {
@@ -66,4 +74,7 @@ object SinkProbe {
   val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
   val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
   val maxBatch = new java.util.concurrent.atomic.AtomicInteger(0)
+  val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+  val failClosed = new java.util.concurrent.atomic.AtomicInteger(0)
 }

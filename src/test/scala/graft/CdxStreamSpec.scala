@@ -65,6 +65,23 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     q.stop()
   }
 
+  test("dayCapStream with dayLimit=0 passes rows through (cap disabled)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[String]
+    // must match GlobalCdxCleanup.dayCap(0) — disabled, NOT 1-per-day
+    val capped = CdxStream.dayCapStream(CdxStream.parse(ms.toDS()), dayLimit = 0)
+    val q = capped.writeStream
+      .format("memory").queryName("uncapped").outputMode("append").start()
+    ms.addData(
+      line("org,c)/p", "20120101000100", 0),
+      line("org,c)/p", "20120101000200", 1),
+      line("org,c)/p", "20120101000300", 2))
+    q.processAllAvailable()
+    assert(spark.table("uncapped").count() == 3)
+    q.stop()
+  }
+
   test("zipnumGenerations: each micro-batch lands as a queryable cluster") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
