@@ -354,16 +354,28 @@ object SparkEntry {
     // Exact n-gram Jaccard over known near-dup pairs (the verify stage
     // after LSH candidate generation) — integer counts + basis points.
     "q22_ngram_jaccard" -> ((s, dir) => {
+      // Single-pass set algebra: ONE shingle scan, flags folded in the
+      // (doc, shingle) aggregation (which also dedups — no separate
+      // distinct), set sizes in a second aggregation. Two shuffles total;
+      // the naive two-sided self-join recomputes the shingle lineage four
+      // times and shuffles six. `common > 0` reproduces the inner-join
+      // semantics (a pair appears iff the sides share ≥ 1 shingle).
       val sh = graft.operators.llm.Shingles
-        .explodeShingles(nearDupCorpus(s, dir), "doc_id", "text", 3).distinct()
-      val orig = sh.where(col("doc_id") < 1000000L && col("doc_id") % 7 === 0)
-      val varnt = sh.where(col("doc_id") >= 1000000L)
-        .select((col("doc_id") - 1000000L).as("doc_id"), col("shingle"))
-      val na = orig.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
-      val nb = varnt.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
-      val common = orig.join(varnt, Seq("doc_id", "shingle"))
-        .groupBy("doc_id").agg(count(lit(1)).as("common"))
-      na.join(nb, "doc_id").join(common, "doc_id")
+        .explodeShingles(nearDupCorpus(s, dir), "doc_id", "text", 3)
+        .where(col("doc_id") >= 1000000L ||
+          (col("doc_id") % 7 === 0 && col("doc_id") < 1000000L))
+      val flagged = sh.select(
+        when(col("doc_id") >= 1000000L, col("doc_id") - 1000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        col("shingle"),
+        when(col("doc_id") < 1000000L, 1L).otherwise(0L).as("in_a"),
+        when(col("doc_id") >= 1000000L, 1L).otherwise(0L).as("in_b"))
+      flagged.groupBy(col("doc_id"), col("shingle"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+          sum(col("in_a") * col("in_b")).as("common"))
+        .where(col("common") > 0)
         .select(col("doc_id").as("doc_a"),
           (col("doc_id") + 1000000L).as("doc_b"),
           col("common"),
@@ -402,15 +414,19 @@ object SparkEntry {
         seedPred = col("vec_id") < 8,
         queryPred = col("vec_id") % 97 === 0, k = 3)),
 
-    // Text analysis: per-(lang, source) doc/char/token stats.
+    // Text analysis: per-(lang, source) doc/char/token stats. The token
+    // count is PROJECTED once per row before the aggregation — sum() and
+    // max() each evaluate their own expression tree, so referencing the
+    // split from both would tokenize every document twice.
     "q26_text_stats" -> ((s, dir) => {
       val toks = graft.operators.llm.TextAnalysis.tokenCount(col("text"))
       tbl(s, dir, "documents")
+        .select(col("lang"), col("source"), col("n_chars"), toks.as("__t"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
-          sum(toks).as("sum_tokens"),
-          max(toks).as("max_tokens"))
+          sum(col("__t")).as("sum_tokens"),
+          max(col("__t")).as("max_tokens"))
     }),
 
     // Language-ID heuristic shape: marker-token frequency argmax vs the
@@ -981,11 +997,12 @@ object SparkEntry {
           |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
           |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
           |       FROM w WHERE len(w) >= 3),
+          |pool AS (SELECT doc_id, md5('0|' || s) || md5('1|' || s) AS p FROM sh),
           |sig AS (SELECT doc_id,
-          |  min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
-          |  min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
-          |  min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
-          |FROM sh GROUP BY 1),
+          |  min(substring(p,  1, 10)) AS h0, min(substring(p, 11, 10)) AS h1,
+          |  min(substring(p, 21, 10)) AS h2, min(substring(p, 31, 10)) AS h3,
+          |  min(substring(p, 41, 10)) AS h4, min(substring(p, 51, 10)) AS h5
+          |FROM pool GROUP BY 1),
           |bands AS (SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
           |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
           |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig)

@@ -38,19 +38,41 @@ object Shingles {
 /**
  * MinHash + banded LSH near-duplicate candidate generation
  * (shingle → minhash signature → band hash → bucket equi-join).
- * hash_j(s) = md5("j|" + s); a band's key is the md5 of its member hashes.
+ *
+ * Hash family: hash_j(s) is the j-th 10-hex-char (40-bit) chunk of the
+ * concatenation md5("0|"+s) || md5("1|"+s) || ... — ⌈numHashes·10/32⌉ md5
+ * invocations yield all the hashes, instead of one full md5 PER hash.
+ * Hashing is the dominant map-side cost of the signature stage (every
+ * shingle of every document), so at 6 hashes this cuts it 3×; chunks of
+ * independent md5s are themselves independent uniform hashes, and min()
+ * over fixed-length hex strings is the same order as min() over the
+ * underlying 40-bit value. A band's key is the md5 of its member hashes.
  */
 object MinHashLsh {
 
-  def minhash(j: Int, shingle: Column): Column =
-    md5(concat(lit(s"$j|"), shingle))
+  /** Hex chars per derived hash (40 bits — collision-safe for minhashing). */
+  val HashHexLen = 10
+
+  /** All `numHashes` hash chunks as one concatenated hex string — project
+    * this ONCE per shingle row, then slice; referencing the md5s from
+    * every min() aggregate would re-evaluate them per aggregate. */
+  def hashPool(shingle: Column, numHashes: Int): Column = {
+    val needed = numHashes * HashHexLen
+    val nMd5 = (needed + 31) / 32
+    concat((0 until nMd5).map(j => md5(concat(lit(s"$j|"), shingle))): _*)
+  }
+
+  def minhash(j: Int, pool: Column): Column =
+    substring(pool, j * HashHexLen + 1, HashHexLen)
 
   /** One aggregation pass computes all `numHashes` min-hashes. */
   def signature(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val pooled = shingles.select(col(idCol),
+      hashPool(col("shingle"), numHashes).as("__pool"))
     val aggs = (0 until numHashes)
-      .map(j => min(minhash(j, col("shingle"))).as(s"h$j"))
-    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .map(j => min(minhash(j, col("__pool"))).as(s"h$j"))
+    pooled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** numHashes/rowsPerBand bands; two docs are candidates iff they agree on
@@ -130,12 +152,15 @@ object SimHash {
   val HighNibbles: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // project md5 ONCE per word row: each of the 32 sum() aggregates
+    // evaluates its own expression tree, so referencing md5(word) from
+    // inside them recomputes the digest 32x per word
     val w = df.select(col(idCol),
       explode(Shingles.words(col(textCol))).as("__word"))
-    val h = md5(col("__word"))
+      .select(col(idCol), md5(col("__word")).as("__h"))
     val sums = (0 until Bits).map { j =>
-      sum(when(substring(h, j + 1, 1).isin(HighNibbles: _*), 1).otherwise(-1))
-        .as(s"__s$j")
+      sum(when(substring(col("__h"), j + 1, 1).isin(HighNibbles: _*), 1)
+        .otherwise(-1)).as(s"__s$j")
     }
     val agg = w.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
     val bits = concat((0 until Bits)
