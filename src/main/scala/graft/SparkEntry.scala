@@ -40,8 +40,9 @@ object SparkEntry {
   // the CDX parser, cleanup and ZipNum paths run under the DuckDB oracle
   // gate even though the driver tables aren't web-archive data.
   // ---------------------------------------------------------------------
-  private def cdxLines(s: SparkSession, dir: String): DataFrame = {
-    val d = tbl(s, dir, "documents")
+  private def cdxLines(s: SparkSession, dir: String,
+                       docFilter: Column = lit(true)): DataFrame = {
+    val d = tbl(s, dir, "documents").where(docFilter)
     d.select(concat_ws(" ",
       concat(lit("org,site"), col("doc_id") % 23, lit(")/p/"), col("doc_id")),
       concat(lit("201201"),
@@ -811,6 +812,85 @@ object SparkEntry {
         .rows.toDF()
         .select(col("urlkey"), col("timestamp"), col("original_url"),
           col("mimetype"), col("statuscode").cast("int").as("statuscode"))
+    }),
+
+    // S12/P2/P4/O4 end-to-end under the oracle: three clusters (one full,
+    // two duplicate subsets) merged with shared boundaries derived from
+    // the inputs, global-CDX rules streamed over the ZERO-SHUFFLE sorted
+    // merge, read back via the pruning reader. Triplicated (urlkey, day)
+    // groups prove the cross-cluster day cap (dayLimit=1 admits 2 of 3);
+    // the duplicate-subset clusters prove the k-way merge keeps multiset
+    // semantics.
+    "q45_cluster_merge" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpDir("q45", dir)
+      val all = cdxLines(s, dir).as[String].rdd
+      val sub = cdxLines(s, dir, col("doc_id") % 10 === 0).as[String].rdd
+      val bounds = graft.operators.Boundaries.sample(all, 6)
+      graft.operators.ClusterOps.build(s, all, s"$base/a", bounds,
+        linesPerBlock = 400, overwrite = true)
+      graft.operators.ClusterOps.build(s, sub, s"$base/b", bounds,
+        linesPerBlock = 100, overwrite = true)
+      graft.operators.ClusterOps.build(s, sub, s"$base/c", bounds,
+        linesPerBlock = 150, overwrite = true)
+      graft.operators.ClusterOps.merge(s,
+        Seq(s"$base/a", s"$base/b", s"$base/c"), s"$base/merged",
+        nShards = 5, globalCdx = true, dayLimit = 1, overwrite = true)
+      s.read.format("zipnum").load(s"$base/merged")
+        .select(col("urlkey"), col("timestamp"), col("statuscode"),
+          col("digest"), col("filename"))
+    }),
+
+    // F7 — URL resolution under the oracle: four reference shapes
+    // (relative file, absolute, root-relative, context fallback) whose
+    // expected resolution is expressible as string ops.
+    "q46_url_resolve" -> ((s, dir) => {
+      val resolve = udf(graft.functions.CdxFunctions.resolveUrl _)
+      val m = col("doc_id") % 23
+      val v = col("doc_id") % 4
+      val ctx = when(v === 3, concat(lit("http://ctx"), m, lit(".org/a/b")))
+        .otherwise(concat(lit("http://site"), m, lit(".org/unused")))
+      val base = when(v === 3, lit(""))
+        .otherwise(concat(lit("http://site"), m, lit(".org/dir/page.html")))
+      val rel = when(v === 0, lit("other.html"))
+        .when(v === 1, concat(lit("http://x.org/"), col("doc_id")))
+        .when(v === 2, concat(lit("/root/"), col("doc_id")))
+        .otherwise(concat(lit("c?q="), col("doc_id")))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), ctx.as("context"), base.as("base"),
+          rel.as("rel"))
+        .withColumn("resolved",
+          resolve(col("context"), col("base"), col("rel")))
+    }),
+
+    // PII scrubbing: deterministic synthesized PII appended to each doc,
+    // scrubbed map-side; emails and 6+-digit runs are counted before the
+    // scrub so the oracle checks both detection and replacement.
+    "q47_pii_scrub" -> ((s, dir) => {
+      import graft.operators.llm.TextAnalysis
+      val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com ref 1234567"), col("doc_id"), lit(" tel 555123"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("__dirty"))
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(col("__dirty")).as("clean"),
+          size(regexp_extract_all(col("__dirty"),
+            lit(TextAnalysis.PiiEmailPattern), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("__dirty"),
+            lit(TextAnalysis.PiiNumberPattern), lit(0))).as("n_numbers"))
+    }),
+
+    // Repetition scoring: word-bigram distinct/total ratio, entirely
+    // map-side (array ops, no explode); looped text scores high.
+    "q48_repetition" -> ((s, dir) => {
+      import graft.operators.llm.TextAnalysis
+      val looped = when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), looped.as("__t"))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionBp(col("__t"), k = 2).as("rep_bp"),
+          size(TextAnalysis.gramArray(col("__t"), 2)).as("n_grams"))
     })
   )
 
@@ -914,7 +994,8 @@ object SparkEntry {
         |FROM cdx
         |WHERE NOT (meta_flags IS NOT NULL AND meta_flags LIKE '%A%')
         |  AND NOT (NOT (mimetype IS NOT NULL AND mimetype LIKE '%warc/%') AND statuscode IS NULL)
-        |  AND NOT (statuscode IN (502, 504) AND filename LIKE 'live-20%' AND filename LIKE '%.arc.gz')
+        |  -- null-safe: a NULL status (warc/ carve-out row) is NOT 502/504
+        |  AND NOT (coalesce(statuscode IN (502, 504), false) AND filename LIKE 'live-20%' AND filename LIKE '%.arc.gz')
         |  AND "offset" IS NOT NULL
         |-- dayLimit 2 ADMITS 3: the reference guard runs before its
         |-- increment (GlobalWaybackCDXReducer.java:76,134)
@@ -1284,7 +1365,73 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
         |    AS INTEGER) AS n_bpe_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q45_cluster_merge" ->
+      (s"WITH cdx AS ($cdxParsedSql),\n" +
+        """f AS (SELECT urlkey, timestamp, statuscode,
+          |    CASE WHEN length(digest) > 3 THEN substr(digest, 1, 3)
+          |         ELSE digest END AS digest,
+          |    filename,
+          |    -- full cluster + two duplicate %10 subsets, day cap keeps 2 of 3
+          |    CASE WHEN CAST(string_split(urlkey, '/p/')[2] AS BIGINT) % 10 = 0
+          |         THEN 2 ELSE 1 END AS m
+          |  FROM cdx
+          |  WHERE NOT (meta_flags IS NOT NULL AND meta_flags LIKE '%A%')
+          |    AND NOT (NOT (mimetype IS NOT NULL AND mimetype LIKE '%warc/%')
+          |             AND statuscode IS NULL)
+          |    AND NOT (coalesce(statuscode IN (502, 504), false)
+          |             AND filename LIKE 'live-20%'
+          |             AND filename LIKE '%.arc.gz')
+          |    AND "offset" IS NOT NULL)
+          |SELECT urlkey, timestamp, statuscode, digest, filename
+          |FROM f CROSS JOIN (VALUES (1), (2)) t(i) WHERE t.i <= f.m""".stripMargin),
+
+    "q46_url_resolve" ->
+      """WITH u AS (SELECT doc_id, doc_id % 23 AS m, doc_id % 4 AS v FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN v = 3 THEN 'http://ctx' || m || '.org/a/b'
+        |       ELSE 'http://site' || m || '.org/unused' END AS context,
+        |  CASE WHEN v = 3 THEN ''
+        |       ELSE 'http://site' || m || '.org/dir/page.html' END AS base,
+        |  CASE v WHEN 0 THEN 'other.html'
+        |         WHEN 1 THEN 'http://x.org/' || doc_id
+        |         WHEN 2 THEN '/root/' || doc_id
+        |         ELSE 'c?q=' || doc_id END AS rel,
+        |  CASE v WHEN 0 THEN 'http://site' || m || '.org/dir/other.html'
+        |         WHEN 1 THEN 'http://x.org/' || doc_id
+        |         WHEN 2 THEN 'http://site' || m || '.org/root/' || doc_id
+        |         ELSE 'http://ctx' || m || '.org/a/c?q=' || doc_id END AS resolved
+        |FROM u""".stripMargin,
+
+    "q47_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com ref 1234567'
+        |      || doc_id || ' tel 555123' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(dirty,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '[0-9]{6,}')) AS INTEGER) AS n_numbers
+        |FROM t""".stripMargin,
+
+    "q48_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || ' ' || text ELSE text END AS tx
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(string_split(tx, ' ')) >= 2
+        |    THEN list_transform(range(1, len(string_split(tx, ' '))),
+        |      i -> string_split(tx, ' ')[i] || ' ' || string_split(tx, ' ')[i+1])
+        |    ELSE [] END AS grams FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(grams) > 0
+        |    THEN 10000 - CAST(len(list_distinct(grams)) AS BIGINT) * 10000 // len(grams)
+        |    ELSE NULL END AS rep_bp,
+        |  CAST(len(grams) AS INTEGER) AS n_grams
+        |FROM g""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

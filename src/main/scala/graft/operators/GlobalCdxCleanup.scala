@@ -38,7 +38,11 @@ object GlobalCdxCleanup {
     val noArchive = col("meta_flags").isNotNull && col("meta_flags").contains("A")
     val warc = col("mimetype").isNotNull && col("mimetype").contains("warc/")
     val badStatus = !warc && col("statuscode").isNull
-    val liveError = col("statuscode").isin(502, 504) &&
+    // null-safe: a NULL statuscode (warc/ row exempted by (b)'s carve-out)
+    // is NOT 502/504 — bare isin would make !liveError NULL and silently
+    // drop the row, diverging from the streaming form and the reference
+    // (a non-numeric status simply fails the 502/504 comparison there)
+    val liveError = coalesce(col("statuscode").isin(502, 504), lit(false)) &&
       col("filename").startsWith("live-20") && col("filename").endsWith(".arc.gz")
     val badOffset = col("offset").isNull
     df.where(!noArchive && !badStatus && !liveError && !badOffset)

@@ -179,6 +179,44 @@ object TextAnalysis {
   def countToken(text: Column, token: String): Column =
     size(filter(Shingles.words(text), _ === lit(token)))
 
+  /** PII-style pattern scrubbing: emails → `<EMAIL>`, digit runs of 6+ →
+    * `<NUM>`. Patterns are deliberately restricted to syntax with identical
+    * semantics in Java regex and RE2-family engines (character classes +
+    * counted quantifiers, no lookaround), so an external oracle can replay
+    * the scrub. Pure per-row projection — no shuffle at any scale. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, PiiEmailPattern, "<EMAIL>"),
+      PiiNumberPattern, "<NUM>")
+
+  val PiiEmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiNumberPattern = "[0-9]{6,}"
+
+  /** Word k-grams as an ARRAY column — no explode, no shuffle; the
+    * map-side building block for repetition scoring. Documents shorter
+    * than k words yield an empty array (a bare `sequence(0, size-k)`
+    * would DESCEND for short docs and fabricate grams). */
+  def gramArray(text: Column, k: Int): Column = {
+    val w = Shingles.words(text)
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition score in basis points: 10000 * (1 - distinct/total) over
+    * word k-grams. Boilerplate/looped text scores high; all-unique text
+    * scores 0. Entirely map-side (array ops per row). */
+  def repetitionBp(text: Column, k: Int = 2): Column = {
+    val g = gramArray(text, k)
+    // floor(a/b) = integer div for non-negative ints — Column./ is double
+    // division, and a fractional bp would never hash-match another engine
+    when(size(g) > 0,
+      lit(10000) - floor(size(array_distinct(g)).cast("long") * 10000 /
+        size(g)).cast("long"))
+      .otherwise(lit(null).cast("long"))
+  }
+
   /** Winnowing-style fingerprint: distinct word-k-gram md5s sampled where
     * the hash's first hex char is '0' (1/16 of grams, content-defined —
     * robust to local edits), sorted and re-hashed. */
