@@ -880,6 +880,25 @@ object SparkEntry {
             lit(TextAnalysis.PiiNumberPattern), lit(0))).as("n_numbers"))
     }),
 
+    // S13 end-to-end under the oracle: the documents table rendered as
+    // tab-separated lines is served by the in-process paged-text service
+    // (showNumPages / page=N protocol), fetched page-per-partition by the
+    // S13 loader over real HTTP, re-parsed, and compared against DuckDB
+    // reading the table directly.
+    "q49_http_paged" -> ((s, dir) => {
+      import s.implicits._
+      val lines = tbl(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), md5(col("text")),
+          col("lang")).as("l"))
+        .orderBy(col("doc_id"))
+        .as[String].collect().toIndexedSeq
+      val svc = graft.server.HttpTextService.serveShared(lines, pageSize = 200, s)
+      graft.sources.HttpSources.pagedLines(s, svc.url)
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f")(0).cast("long").as("doc_id"),
+          col("f")(1).as("digest"), col("f")(2).as("lang"))
+    }),
+
     // Repetition scoring: word-bigram distinct/total ratio, entirely
     // map-side (array ops, no explode); looped text scores high.
     "q48_repetition" -> ((s, dir) => {
@@ -1417,6 +1436,9 @@ object SparkEntry {
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
         |  CAST(len(regexp_extract_all(dirty, '[0-9]{6,}')) AS INTEGER) AS n_numbers
         |FROM t""".stripMargin,
+
+    "q49_http_paged" ->
+      """SELECT doc_id, md5(text) AS digest, lang FROM documents""",
 
     "q48_repetition" ->
       """WITH t AS (SELECT doc_id,

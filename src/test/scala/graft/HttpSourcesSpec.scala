@@ -80,4 +80,20 @@ class HttpSourcesSpec extends AnyFunSuite with SparkTestSession
       (0 until 4).map(i => s"page$p-line$i")).toSet
     assert(got == expected)
   }
+
+  test("S13 service: protocol round-trip + shared-instance reuse") {
+    import graft.server.HttpTextService
+    val lines = IndexedSeq("l0", "l1", "l2", "l3", "l4")
+    val svc = HttpTextService.serveShared(lines, pageSize = 2, spark)
+    // same content + pageSize → the SAME listener (bench reps must not
+    // stack one server per repetition)
+    assert(HttpTextService.serveShared(lines, pageSize = 2, spark) eq svc)
+    assert(HttpSources.numPages(svc.url) == 3)
+    assert(HttpSources.pagedLines(spark, svc.url).collect().toSeq ==
+      Seq("l0", "l1", "l2", "l3", "l4"))
+    // unknown page → 404 → loader task fails rather than silently empty
+    val conn = java.net.URI.create(s"${svc.url}?page=99").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try assert(conn.getResponseCode == 404) finally conn.disconnect()
+  }
 }
