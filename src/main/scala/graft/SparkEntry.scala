@@ -767,51 +767,39 @@ object SparkEntry {
     // must all match DuckDB's recomputation. Digest and member geometry
     // are pinned by `WarcSpec` (not SQL-expressible).
     "q42_warc_extract" -> ((s, dir) => {
-      val base = tmpDir("q42", dir)
-      val file = new java.io.File(s"$base/docs.warc.gz")
-      fixtureOnce(base, "v2", dir, "documents") {
-        val ids = tbl(s, dir, "documents")
-          .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
-          .collect().map(_.getLong(0))
-        // one gzip member per record — same member framing the ZipNum
-        // writer emits (and GzipMembers parses); no second implementation
-        def gz(p: Array[Byte]): Array[Byte] =
-          graft.sources.zipnum.ZipNumFormat.gzipMember(p)
-        val epoch = java.time.Instant.parse("2020-01-01T00:00:00Z")
-        val out = new java.io.FileOutputStream(file)
-        try {
-          out.write(gz(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
-            "Content-Type: application/warc-fields\r\n\r\nsoftware: graft\r\n")
-            .getBytes("UTF-8")))
-          ids.foreach { id =>
-            val m = id % 5
-            val uri = if (id % 4 == 0) s"http://WWW.Docs$m.ORG/d/$id/"
-                      else s"http://docs$m.org/d/$id"
-            val date = java.time.format.DateTimeFormatter.ISO_INSTANT
-              .format(epoch.plusSeconds(id))
-            val rec =
-              if (id % 7 == 0) {
-                val body = s"""{"doc":$id}"""
-                s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: $uri\r\n" +
-                  s"WARC-Date: $date\r\nContent-Type: application/json\r\n" +
-                  s"Content-Length: ${body.length}\r\n\r\n$body"
-              } else {
-                val status = if (id % 5 == 0) "404 Not Found" else "200 OK"
-                val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
-                  s"\r\ndoc $id body"
-                s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
-                  s"WARC-Date: $date\r\nContent-Length: ${http.length}\r\n\r\n$http"
-              }
-            out.write(gz(rec.getBytes("UTF-8")))
-          }
-          out.write(Array.fill[Byte](32)(0x13)) // corrupt tail (soft-skipped)
-        } finally out.close()
-      }
+      val file = warcFixture(s, dir)
       graft.operators.WarcExtract
         .extract(s, Seq(file.getAbsolutePath), soft = true)
         .rows.toDF()
         .select(col("urlkey"), col("timestamp"), col("original_url"),
           col("mimetype"), col("statuscode").cast("int").as("statuscode"))
+    }),
+
+    // K11 end-to-end under the oracle: the 200-status response members of
+    // the WARC fixture are byte-copied (raw compressed members, never
+    // re-encoded) into three new archives, which are then re-extracted —
+    // proving the repackaged output is itself a valid archive holding
+    // exactly the selected records.
+    "q50_repackage" -> ((s, dir) => {
+      import s.implicits._
+      val file = warcFixture(s, dir)
+      val outBase = tmpDir("q50", dir)
+      val members = graft.operators.WarcExtract
+        .extract(s, Seq(file.getAbsolutePath), soft = true)
+        .rows.where(col("statuscode") === 200)
+        .select(col("offset"), col("compressed_size")).as[(Long, Long)]
+        .collect()
+      val tasks = members.toSeq.map { case (off, len) =>
+        graft.operators.ArchiveRepackage.CopyTask(
+          file.getAbsolutePath, off, len,
+          s"repack-${off % 3}.warc.gz", off.toInt)
+      }
+      graft.operators.ArchiveRepackage.repackage(s, tasks.toDS(), outBase)
+      val repacked = (0 until 3).map(i => s"$outBase/repack-$i.warc.gz")
+      graft.operators.WarcExtract.extract(s, repacked, soft = false)
+        .rows.toDF()
+        .select(col("urlkey"), col("timestamp"), col("mimetype"),
+          col("statuscode").cast("int").as("statuscode"))
     }),
 
     // S12/P2/P4/O4 end-to-end under the oracle: three clusters (one full,
@@ -900,18 +888,63 @@ object SparkEntry {
     }),
 
     // Repetition scoring: word-bigram distinct/total ratio, entirely
-    // map-side (array ops, no explode); looped text scores high.
+    // map-side (staged array projections, no explode); looped text scores
+    // high.
     "q48_repetition" -> ((s, dir) => {
-      import graft.operators.llm.TextAnalysis
       val looped = when(col("doc_id") % 9 === 0,
         concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), looped.as("__t"))
-        .select(col("doc_id"),
-          TextAnalysis.repetitionBp(col("__t"), k = 2).as("rep_bp"),
-          size(TextAnalysis.gramArray(col("__t"), 2)).as("n_grams"))
+      graft.operators.llm.TextAnalysis.repetitionScore(
+        tbl(s, dir, "documents").select(col("doc_id"), looped.as("__t")),
+        "doc_id", "__t", k = 2)
     })
   )
+
+  /** Synthesized multi-member WARC fixture shared by q42/q50 (one gzip
+    * member per record, warcinfo lead, corrupt tail for soft tolerance);
+    * content is a pure function of the documents table. */
+  private def warcFixture(s: SparkSession, dir: String): java.io.File = {
+    val base = tmpDir("q42", dir)
+    val file = new java.io.File(s"$base/docs.warc.gz")
+    fixtureOnce(base, "v2", dir, "documents") {
+      val ids = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
+        .collect().map(_.getLong(0))
+      // one gzip member per record — same member framing the ZipNum
+      // writer emits (and GzipMembers parses); no second implementation
+      def gz(p: Array[Byte]): Array[Byte] =
+        graft.sources.zipnum.ZipNumFormat.gzipMember(p)
+      val epoch = java.time.Instant.parse("2020-01-01T00:00:00Z")
+      val out = new java.io.FileOutputStream(file)
+      try {
+        out.write(gz(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "Content-Type: application/warc-fields\r\n\r\nsoftware: graft\r\n")
+          .getBytes("UTF-8")))
+        ids.foreach { id =>
+          val m = id % 5
+          val uri = if (id % 4 == 0) s"http://WWW.Docs$m.ORG/d/$id/"
+                    else s"http://docs$m.org/d/$id"
+          val date = java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(epoch.plusSeconds(id))
+          val rec =
+            if (id % 7 == 0) {
+              val body = s"""{"doc":$id}"""
+              s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: $uri\r\n" +
+                s"WARC-Date: $date\r\nContent-Type: application/json\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n$body"
+            } else {
+              val status = if (id % 5 == 0) "404 Not Found" else "200 OK"
+              val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+                s"\r\ndoc $id body"
+              s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+                s"WARC-Date: $date\r\nContent-Length: ${http.length}\r\n\r\n$http"
+            }
+          out.write(gz(rec.getBytes("UTF-8")))
+        }
+        out.write(Array.fill[Byte](32)(0x13)) // corrupt tail (soft-skipped)
+      } finally out.close()
+    }
+    file
+  }
 
   /** Per-query scratch dir (overwritten on every run; bench reps included). */
   private def tmpDir(q: String, dir: String): String =
@@ -1439,6 +1472,15 @@ object SparkEntry {
 
     "q49_http_paged" ->
       """SELECT doc_id, md5(text) AS digest, lang FROM documents""",
+
+    "q50_repackage" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id AS BIGINT) % 5 AS m FROM documents)
+        |SELECT 'org,docs' || m || ')/d/' || id AS urlkey,
+        |  strftime(TIMESTAMP '2020-01-01 00:00:00' + id * INTERVAL 1 SECOND,
+        |           '%Y%m%d%H%M%S') AS timestamp,
+        |  'text/html' AS mimetype, CAST(200 AS INTEGER) AS statuscode
+        |FROM d WHERE id % 7 <> 0 AND id % 5 <> 0""".stripMargin,
 
     "q48_repetition" ->
       """WITH t AS (SELECT doc_id,

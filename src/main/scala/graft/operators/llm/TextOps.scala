@@ -192,30 +192,40 @@ object TextAnalysis {
   val PiiEmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val PiiNumberPattern = "[0-9]{6,}"
 
-  /** Word k-grams as an ARRAY column — no explode, no shuffle; the
-    * map-side building block for repetition scoring. Documents shorter
-    * than k words yield an empty array (a bare `sequence(0, size-k)`
-    * would DESCEND for short docs and fabricate grams). */
-  def gramArray(text: Column, k: Int): Column = {
-    val w = Shingles.words(text)
-    when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+  /** Word k-grams over an ALREADY-MATERIALIZED word-array column — no
+    * explode, no shuffle; the map-side building block for repetition
+    * scoring. `wordsCol` MUST be a projected column, not an inline
+    * `split(...)` tree: a higher-order-function lambda re-evaluates its
+    * embedded subtrees per ELEMENT, so an inline split makes this
+    * O(words²) per document (measured 17× slower at sf0.1). Documents
+    * shorter than k words yield an empty array (a bare
+    * `sequence(0, size-k)` would DESCEND for short docs and fabricate
+    * grams). */
+  def gramArrayOf(wordsCol: Column, k: Int): Column =
+    when(size(wordsCol) >= k,
+      transform(sequence(lit(0), size(wordsCol) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(wordsCol, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** Repetition score in basis points: 10000 * (1 - distinct/total) over
-    * word k-grams. Boilerplate/looped text scores high; all-unique text
-    * scores 0. Entirely map-side (array ops per row). */
-  def repetitionBp(text: Column, k: Int = 2): Column = {
-    val g = gramArray(text, k)
+  /** Repetition score in basis points over a MATERIALIZED gram-array
+    * column: 10000 * (1 - distinct/total). Boilerplate/looped text scores
+    * high; all-unique text scores 0. */
+  def repetitionBpOf(gramsCol: Column): Column =
     // floor(a/b) = integer div for non-negative ints — Column./ is double
     // division, and a fractional bp would never hash-match another engine
-    when(size(g) > 0,
-      lit(10000) - floor(size(array_distinct(g)).cast("long") * 10000 /
-        size(g)).cast("long"))
+    when(size(gramsCol) > 0,
+      lit(10000) - floor(size(array_distinct(gramsCol)).cast("long") * 10000 /
+        size(gramsCol)).cast("long"))
       .otherwise(lit(null).cast("long"))
-  }
+
+  /** Staged projection: text → words → grams → (rep_bp, n_grams). Each
+    * array materializes exactly once per row. */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 2): DataFrame =
+    df.select(col(idCol), Shingles.words(col(textCol)).as("__w"))
+      .select(col(idCol), gramArrayOf(col("__w"), k).as("__g"))
+      .select(col(idCol), repetitionBpOf(col("__g")).as("rep_bp"),
+        size(col("__g")).as("n_grams"))
 
   /** Winnowing-style fingerprint: distinct word-k-gram md5s sampled where
     * the hash's first hex char is '0' (1/16 of grams, content-defined —
