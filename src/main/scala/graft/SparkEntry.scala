@@ -1508,7 +1508,7 @@ object SparkEntry {
     * 32 bit positions, same ±1 nibble-vote definition). */
   private val simhashSql: String = {
     val sums = (0 until 32).map(j =>
-      s"sum(CASE WHEN strpos('89abcdef', substr(md5(word), ${j + 1}, 1)) > 0 " +
+      s"sum(CASE WHEN substr(md5(word), ${j + 1}, 1) > '7' " +
         s"THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
     val bits = (0 until 32)
       .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")

@@ -149,7 +149,6 @@ object MinHashLsh {
  */
 object SimHash {
   val Bits = 32
-  val HighNibbles: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // project md5 ONCE per word row: each of the 32 sum() aggregates
@@ -158,8 +157,12 @@ object SimHash {
     val w = df.select(col(idCol),
       explode(Shingles.words(col(textCol))).as("__word"))
       .select(col(idCol), md5(col("__word")).as("__h"))
+    // "high nibble" = hex char in 8..f, i.e. > '7' (md5 output is
+    // lowercase hex, and '8','9','a'..'f' all sort above '7') — one
+    // comparison per bit instead of an 8-way set membership, in the
+    // expression evaluated 32x per word row
     val sums = (0 until Bits).map { j =>
-      sum(when(substring(col("__h"), j + 1, 1).isin(HighNibbles: _*), 1)
+      sum(when(substring(col("__h"), j + 1, 1) > "7", 1)
         .otherwise(-1)).as(s"__s$j")
     }
     val agg = w.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
