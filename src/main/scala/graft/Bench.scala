@@ -73,7 +73,11 @@ object Bench {
     // The report must stay ONE SHORT line: the driver keeps only the tail of
     // the run's output, so a multi-KB line gets its head truncated and fails
     // to parse. 3-decimal times (ms precision) keep 44 queries under ~1 KB.
-    def jnum(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"%.3f" localizes the decimal separator (a comma on
+    // de/fr JVMs would corrupt the JSON this exists to keep parseable)
+    def jnum(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -16,11 +16,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  * external CDX server; this in-process stand-in makes the loader drivable
  * end-to-end (oracle queries, CLI demos, tests) with zero egress.
  *
- * [[serveShared]] keeps one server per distinct (content, pageSize) for the
- * JVM's lifetime: lazy sources fetch at ACTION time — long after the
- * planning code returns — so a scoped start/stop around planning would
- * serve nothing, and a server per run would leak one listener per bench
- * repetition.
+ * [[serveShared]] keeps one server per distinct (content digest, pageSize)
+ * while its owning SparkSession lives: lazy sources fetch at ACTION time —
+ * long after the planning code returns — so a scoped start/stop around
+ * planning would serve nothing, and a server per run would leak one
+ * listener per bench repetition.
  */
 object HttpTextService {
 
@@ -37,6 +37,12 @@ object HttpTextService {
     require(pageSize > 0, "pageSize must be positive")
     val nPages = math.max(1, (lines.size + pageSize - 1) / pageSize)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // concurrent handlers on daemon threads: the default (null) executor
+    // serves every request serially on the dispatcher thread, which would
+    // serialize the loader's page-per-partition parallel fetch; daemon
+    // threads keep worker threads from pinning the JVM alive
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      r => { val t = new Thread(r, "http-text-worker"); t.setDaemon(true); t }))
     server.createContext("/text", (x: HttpExchange) => {
       try {
         val q = Option(x.getRequestURI.getQuery).getOrElse("")
@@ -50,9 +56,14 @@ object HttpTextService {
         } else params.get("page").flatMap(_.toIntOption) match {
           case Some(p) if p >= 0 && p < nPages =>
             val page = lines.slice(p * pageSize, (p + 1) * pageSize)
-            val body = page.mkString("", "\n", "\n").getBytes(UTF_8)
-            x.sendResponseHeaders(200, body.length)
-            x.getResponseBody.write(body)
+            // an empty page must be an empty body — "\n" would round-trip
+            // as one phantom empty line
+            val body =
+              if (page.isEmpty) Array.emptyByteArray
+              else page.mkString("", "\n", "\n").getBytes(UTF_8)
+            x.sendResponseHeaders(200,
+              if (body.isEmpty) -1 else body.length.toLong)
+            if (body.nonEmpty) x.getResponseBody.write(body)
           case _ =>
             x.sendResponseHeaders(404, -1)
         }
@@ -62,24 +73,36 @@ object HttpTextService {
     new Instance(server, nPages)
   }
 
-  private val shared = TrieMap.empty[(Int, Int, Int), Instance]
+  private val shared = TrieMap.empty[(String, Int), Instance]
 
-  /** One JVM-wide instance per distinct content — keyed by (content hash,
-    * line count, pageSize), so repeated planning of the same dataset (bench
-    * reps, verify) reuses a single listener. The instance is stopped when
-    * `owner`'s application ends: the HttpServer dispatcher is a NON-DAEMON
-    * thread, so an unstopped server pins the whole JVM alive after main()
-    * returns (a driver main would hang forever on exit). */
+  /** Content identity for the shared cache: a real digest of the joined
+    * lines — a 32-bit hashCode key would silently serve the WRONG dataset
+    * on collision (no error, wrong rows). */
+  private def contentKey(lines: IndexedSeq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    lines.foreach { l => md.update(l.getBytes(UTF_8)); md.update(0: Byte) }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** One instance per distinct (content digest, pageSize), stopped AND
+    * evicted when `owner`'s application ends — the HttpServer dispatcher
+    * is a non-daemon thread, so an unstopped server pins the JVM alive
+    * after main() returns, and a stopped-but-cached entry would hand a
+    * dead server to the next SparkSession in the same JVM. */
   def serveShared(lines: IndexedSeq[String], pageSize: Int,
-                  owner: org.apache.spark.sql.SparkSession): Instance =
-    shared.getOrElseUpdate((lines.hashCode, lines.size, pageSize), {
+                  owner: org.apache.spark.sql.SparkSession): Instance = {
+    val key = (contentKey(lines), pageSize)
+    shared.getOrElseUpdate(key, {
       val inst = serve(lines, pageSize)
       owner.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            shared.remove(key)
             inst.stop()
+          }
         })
       inst
     })
+  }
 }

@@ -65,6 +65,11 @@ object BatchedExternalSink {
         inFlight.foreach(_.get()) // propagate any batch failure → task fail
       } finally {
         pool.shutdownNow()
+        // drain before close: shutdownNow only INTERRUPTS — a still-running
+        // writeBatch racing writer.close() on the same connection could
+        // corrupt the in-flight call; bounded wait, then close regardless
+        try pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
         // release the per-task connection on every exit path; a close
         // failure must not mask an in-flight write failure
         try writer.close() catch { case _: Exception => () }
