@@ -23,5 +23,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"surt expects exactly 1 argument, got ${children.length}")
         graft.functions.SurtExpression(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("quantize1000"),
+      new ExpressionInfo(classOf[graft.functions.QuantizeExpression].getName,
+        null, "quantize1000",
+        "quantize1000(vec) - ARRAY<FLOAT|DOUBLE> -> ARRAY<BIGINT>, round(x*1000)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"quantize1000 expects exactly 1 argument, got ${children.length}")
+        graft.functions.QuantizeExpression(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dotl"),
+      new ExpressionInfo(classOf[graft.functions.DotLongExpression].getName,
+        null, "dotl", "dotl(a, b) - integer inner product of two ARRAY<BIGINT>", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dotl expects exactly 2 arguments, got ${children.length}")
+        graft.functions.DotLongExpression(children(0), children(1))
+      }))
   }
 }

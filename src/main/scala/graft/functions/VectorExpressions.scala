@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/**
+ * Native codegen'd vector primitives for the ANN/similarity operators
+ * (brief: "a native Catalyst Expression (with doGenCode) beats a Scala
+ * UDF"). The declarative formulation — `transform`/`zip_with`/`aggregate`
+ * higher-order functions — is INTERPRETED in Spark (each lambda invocation
+ * walks an expression tree per element), which makes the dot product the
+ * dominant cost of every ANN query. These expressions run the same math as
+ * tight JVM loops over primitive arrays and stay inside whole-stage
+ * codegen.
+ *
+ * Numeric fidelity contract: [[QuantizeExpression]] is bit-equal to
+ * `transform(vec, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))`
+ * (Spark's Round: HALF_UP on the shortest-decimal representation, NaN/Inf
+ * passed through the long cast), and [[DotLongExpression]] to
+ * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)` —
+ * including the null-on-length-mismatch behavior zip_with's null padding
+ * produces. Pinned by `VectorExpressionsSpec` property tests.
+ */
+case class QuantizeExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantize1000 requires ARRAY<FLOAT|DOUBLE>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "quantize1000"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorCodegen.quantize1000(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorCodegen.quantize1000($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeExpression =
+    copy(child = newChild)
+}
+
+case class DotLongExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dotl requires two ARRAY<BIGINT>, got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  // null when either input is null, lengths differ, or an element is null
+  override def nullable: Boolean = true
+  override def prettyName: String = "dotl"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorCodegen.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Long ${ev.value}Boxed = graft.functions.VectorCodegen.dotLong($a, $b);
+      |if (${ev.value}Boxed == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}Boxed.longValue();
+      |}
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static entry points shared by interpreted eval and generated code
+  * (deliberately not a companion object — see [[SurtCodegen]]). */
+object VectorCodegen {
+
+  /** Spark `CAST(round(d) AS BIGINT)` for DOUBLE: HALF_UP on the
+    * shortest-decimal (BigDecimal.valueOf) representation; NaN → 0,
+    * ±Inf → Long.Max/MinValue (Java double→long cast semantics). */
+  def roundCastLong(d: Double): Long =
+    if (java.lang.Double.isNaN(d)) 0L
+    else if (java.lang.Double.isInfinite(d)) {
+      if (d > 0) Long.MaxValue else Long.MinValue
+    } else {
+      java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue().toLong
+    }
+
+  def quantize1000(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) {
+      if (arr.isNullAt(i)) hasNull = true
+      i += 1
+    }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val d = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        out(i) = roundCastLong(d * 1000.0)
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      // slow path only for arrays with null elements (absent in practice)
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val d = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          out(i) = java.lang.Long.valueOf(roundCastLong(d * 1000.0))
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+}
+
+/** Column builders for the vector expressions. */
+object VectorFunctions {
+  def quantize1000(c: Column): Column =
+    ColumnShim.column(QuantizeExpression(ColumnShim.expression(c)))
+  def dotl(a: Column, b: Column): Column =
+    ColumnShim.column(DotLongExpression(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+}

@@ -24,13 +24,17 @@ import org.apache.spark.sql.functions._
  */
 object AnnOps {
 
-  /** Float vector → integer-quantized vector (×1000, rounded). */
+  /** Float vector → integer-quantized vector (×1000, rounded) — a native
+    * codegen'd expression; the `transform(round(...))` higher-order
+    * formulation is interpreted per element. */
   def quantize(vec: Column): Column =
-    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+    graft.functions.VectorFunctions.quantize1000(vec)
 
-  /** Exact integer inner product. */
+  /** Exact integer inner product — native codegen'd tight loop; the
+    * `aggregate(zip_with(...))` formulation walks an interpreted
+    * expression tree per element and dominated every ANN query's cost. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    graft.functions.VectorFunctions.dotl(a, b)
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -72,12 +76,14 @@ object AnnOps {
     e.groupBy(col("label"))
       .agg(sort_array(collect_list(col("r"))).as("rs"))
       .where(size(col("rs")) > 1)
+      // `dotl` (the native dot product, registered by GraftExtensions)
+      // runs per PAIR — the transform lambdas only route array slots, so
+      // the interpreted-HOF overhead is per pair, not per vector element
       .select(col("label"), explode(expr(
         """flatten(transform(rs, (a, i) ->
           |  transform(slice(rs, i + 2, size(rs)), b -> struct(
           |    a.id AS vec_a, b.id AS vec_b,
-          |    aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L,
-          |              (acc, v) -> acc + v) AS dot))))""".stripMargin)).as("p"))
+          |    dotl(a.q, b.q) AS dot))))""".stripMargin)).as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         col("label"), col("p.dot").as("dot"))
       .where(col("dot") >= minDot)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{VectorCodegen, VectorFunctions}
+
+/** Fidelity pin for the native vector expressions: bit-equal to the
+  * interpreted higher-order-function formulations they replaced (which the
+  * DuckDB oracle reproduces independently). Deterministic seed — failures
+  * reproduce. */
+class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def hofQuantize = (vec: org.apache.spark.sql.Column) =>
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+  private def hofDot = (a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  test("quantize1000 matches the round(x*1000) HOF on random floats") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map { _ =>
+      Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f)
+    } :+ Array(0.0005f, -0.0005f, 0.0015f, -0.0015f, 0.5f, -0.5f, 1.5f,
+      -1.5f, 0f, 1f) :+ Array.empty[Float]
+    val df = vecs.toDF("v")
+    val out = df.select(
+      VectorFunctions.quantize1000(col("v")).as("native"),
+      hofQuantize(col("v")).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("dotl matches the aggregate(zip_with) HOF incl. length mismatch") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(24)
+      val m = if (i % 17 == 0) n + 1 else n // sprinkle mismatched lengths
+      (Array.fill(n)(rnd.nextLong() % 100000L),
+        Array.fill(m)(rnd.nextLong() % 100000L))
+    } :+ ((Array.empty[Long], Array.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.dotl(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null disagreement: ${r.isNullAt(0)} vs ${r.isNullAt(1)}")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("roundCastLong matches Spark round semantics on specials") {
+    // NaN / ±Inf follow the double->long cast; halves round HALF_UP on
+    // the shortest-decimal representation (BigDecimal.valueOf)
+    assert(VectorCodegen.roundCastLong(Double.NaN) == 0L)
+    assert(VectorCodegen.roundCastLong(Double.PositiveInfinity) == Long.MaxValue)
+    assert(VectorCodegen.roundCastLong(Double.NegativeInfinity) == Long.MinValue)
+    assert(VectorCodegen.roundCastLong(2.5) == 3L)
+    assert(VectorCodegen.roundCastLong(-2.5) == -3L)
+    assert(VectorCodegen.roundCastLong(0.49999999999999994) == 0L)
+  }
+
+  test("SQL dotl/quantize1000 resolve via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT dotl(quantize1000(array(CAST(0.001 AS FLOAT), CAST(-0.002 AS FLOAT))), " +
+        "array(2L, 3L)) AS d").collect()(0).getLong(0)
+    assert(r == (1L * 2L + -2L * 3L))
+  }
+}
