@@ -922,6 +922,45 @@ object SparkEntry {
           col("f")(1).as("digest"), col("f")(2).as("lang"))
     }),
 
+    // Structured Streaming under the oracle: the synthesized CDX stream
+    // is consumed with Trigger.AvailableNow through the STREAMING parse +
+    // stateful day-cap (flatMapGroupsWithState with event-time timeout) —
+    // the same semantics the batch operator (q04/q10/q45) implements with
+    // a window; dayLimit=3 admits 4 per (urlkey, day), smallest
+    // (timestamp, offset) first. The single-file fixture keeps all rows
+    // of a group in one micro-batch, so admission order is deterministic
+    // and DuckDB reproduces it with row_number().
+    "q51_stream_daycap" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = tmpDir("q51", dir)
+      fixtureOnce(base, "v1", dir, "documents") {
+        streamCdxLines(s, dir).coalesce(1)
+          .write.mode("overwrite").text(s"$base/in")
+      }
+      // fresh checkpoint per run: a reused one marks the input already
+      // processed and the run would emit nothing
+      val ckpt = s"$base/ckpt"
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(ckptPath, true)
+      val sink = "q51_stream_daycap_sink"
+      scala.util.Try(s.catalog.dropTempView(sink))
+      val lines = s.readStream.option("lineSep", "\n")
+        .text(s"$base/in").as[String]
+      val capped = graft.streaming.CdxStream.dayCapStream(
+        graft.streaming.CdxStream.parse(lines), dayLimit = 3)
+      val query = capped.toDF()
+        .select(col("urlkey"), col("timestamp"), col("digest"), col("offset"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+    }),
+
     // Repetition scoring: word-bigram distinct/total ratio, entirely
     // map-side (staged array projections, no explode); looped text scores
     // high.
@@ -988,6 +1027,26 @@ object SparkEntry {
   /** q49's served corpus, collected once per sfDir per session. */
   private val httpLinesCache =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[String]]
+
+  /** q51's stream corpus: CDX-11 lines with COLLIDING (urlkey, day)
+    * groups — urlkey keyspace of 50 and a parity-locked day (doc_id and
+    * doc_id+50 share both), ~n/50 rows per group at every SF — and a
+    * timestamp whose (hh, mm, ss) encodes doc_id (distinct within a group
+    * for doc_id < 86400), so "smallest (timestamp, offset) first" is a
+    * deterministic total order DuckDB can reproduce. */
+  private def streamCdxLines(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    tbl(s, dir, "documents").select(concat_ws(" ",
+      concat(lit("org,s"), id % 50, lit(")/")),
+      concat(lit("2012010"), (id % 2) + 1,
+        lpad((id % 24).cast("string"), 2, "0"),
+        lpad(expr("CAST((CAST(doc_id AS BIGINT) div 24) % 60 AS STRING)"), 2, "0"),
+        lpad(expr("CAST((CAST(doc_id AS BIGINT) div 1440) % 60 AS STRING)"), 2, "0")),
+      concat(lit("http://s"), id % 50, lit(".org/")),
+      lit("text/html"), lit("200"), md5(col("text")), lit("-"), lit("-"),
+      col("n_chars").cast("string"), (id * 1000).cast("string"),
+      lit("w.warc.gz")).as("line"))
+  }
 
   /** Build a deterministic fixture ONCE per (query, sfDir): a marker file
     * records a version tag PLUS the source parquet's (size, mtime)
@@ -1534,7 +1593,22 @@ object SparkEntry {
         |    THEN 10000 - CAST(len(list_distinct(grams)) AS BIGINT) * 10000 // len(grams)
         |    ELSE NULL END AS rep_bp,
         |  CAST(len(grams) AS INTEGER) AS n_grams
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q51_stream_daycap" ->
+      """WITH c AS (SELECT
+        |    'org,s' || (CAST(doc_id AS BIGINT) % 50) || ')/' AS urlkey,
+        |    '2012010' || (CAST(doc_id AS BIGINT) % 2 + 1)
+        |      || lpad(CAST(CAST(doc_id AS BIGINT) % 24 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((CAST(doc_id AS BIGINT) // 24) % 60 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((CAST(doc_id AS BIGINT) // 1440) % 60 AS VARCHAR), 2, '0')
+        |      AS timestamp,
+        |    md5(text) AS digest,
+        |    CAST(doc_id AS BIGINT) * 1000 AS "offset"
+        |  FROM documents)
+        |SELECT urlkey, timestamp, digest, "offset" FROM c
+        |QUALIFY row_number() OVER (PARTITION BY urlkey, substr(timestamp, 1, 8)
+        |  ORDER BY timestamp, "offset") <= 4""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

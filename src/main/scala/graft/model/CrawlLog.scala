@@ -27,13 +27,16 @@ object CrawlLog {
   def read(spark: SparkSession, path: String): DataFrame =
     fromLines(spark.read.text(path))
 
-  /** Same projection over any single-column DataFrame of lines. */
+  /** Same projection over any single-column DataFrame of lines. The token
+    * array is STAGED as its own projection so the regex split runs once
+    * per line — inlining `toks` into both the filter and the 13 output
+    * columns re-evaluates the split tree per operator. */
   def fromLines(lines: DataFrame): DataFrame = {
     val c = lines.columns.head
-    val toks = split(trim(regexp_replace(col(c), "\r$", "")), "\\s+")
     lines
-      .where(size(toks) >= 12)
-      .select(projectTokens(toks): _*)
+      .select(split(trim(regexp_replace(col(c), "\r$", "")), "\\s+").as("__toks"))
+      .where(size(col("__toks")) >= 12)
+      .select(projectTokens(col("__toks")): _*)
   }
 
   /** Column projection given the pre-split token array (1-based fields). */
