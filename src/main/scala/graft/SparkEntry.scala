@@ -946,18 +946,37 @@ object SparkEntry {
         .delete(ckptPath, true)
       val sink = "q51_stream_daycap_sink"
       scala.util.Try(s.catalog.dropTempView(sink))
-      val lines = s.readStream.option("lineSep", "\n")
-        .text(s"$base/in").as[String]
-      val capped = graft.streaming.CdxStream.dayCapStream(
-        graft.streaming.CdxStream.parse(lines), dayLimit = 3)
-      val query = capped.toDF()
-        .select(col("urlkey"), col("timestamp"), col("digest"), col("offset"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.awaitTermination()
+      // scope streaming-engine knobs to this query: state-store files are
+      // written PER shuffle partition per batch (32 would checkpoint 32
+      // near-empty stores), and the trailing no-data batch only fires
+      // state timeouts — it cannot change Append output here
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.getOption(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val lines = s.readStream.option("lineSep", "\n")
+          .text(s"$base/in").as[String]
+        val capped = graft.streaming.CdxStream.dayCapStream(
+          graft.streaming.CdxStream.parse(lines), dayLimit = 3)
+        val query = capped.toDF()
+          .select(col("urlkey"), col("timestamp"), col("digest"), col("offset"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        query.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevNoData match {
+          case Some(v) => s.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", v)
+          case None => s.conf.unset(
+            "spark.sql.streaming.noDataMicroBatches.enabled")
+        }
+      }
       s.table(sink)
     }),
 
