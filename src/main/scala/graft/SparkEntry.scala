@@ -391,6 +391,17 @@ object SparkEntry {
             .as("jaccard_bp"))
     }),
 
+    // Dedup clustering: LSH candidate pairs → connected components
+    // (min-label propagation to fixpoint; one join + one agg per
+    // iteration, no all-pairs, no driver-side graph) — each near-dup
+    // component's canonical doc is its min id.
+    "q52_neardup_components" -> ((s, dir) => {
+      val pairs = graft.operators.llm.MinHashLsh(
+        nearDupCorpus(s, dir), "doc_id", "text")
+      graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+    }),
+
     // SimHash 32-bit fingerprint — single agg pass, ±1 nibble-bit votes.
     "q23_simhash" -> ((s, dir) =>
       graft.operators.llm.SimHash(
@@ -1259,6 +1270,32 @@ object SparkEntry {
           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM bands a JOIN bands b
           |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin),
+
+    "q52_neardup_components" ->
+      (s"WITH RECURSIVE corpus AS ($nearDupCorpusSql),\n" +
+        """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+          |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+          |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          |       FROM w WHERE len(w) >= 3),
+          |pool AS (SELECT doc_id, md5('0|' || s) || md5('1|' || s) AS p FROM sh),
+          |sig AS (SELECT doc_id,
+          |  min(substring(p,  1, 10)) AS h0, min(substring(p, 11, 10)) AS h1,
+          |  min(substring(p, 21, 10)) AS h2, min(substring(p, 31, 10)) AS h3,
+          |  min(substring(p, 41, 10)) AS h4, min(substring(p, 51, 10)) AS h5
+          |FROM pool GROUP BY 1),
+          |bands AS (SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+          |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+          |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig),
+          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (SELECT a AS node, a AS r FROM edges
+          |  UNION SELECT e.b AS node, reach.r FROM reach
+          |    JOIN edges e ON e.a = reach.node)
+          |SELECT node AS doc_id, min(r) AS component
+          |FROM reach GROUP BY 1""".stripMargin),
 
     "q22_ngram_jaccard" ->
       (s"WITH corpus AS ($nearDupCorpusSql),\n" +

@@ -1,0 +1,80 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over a candidate-pair graph — the dedup-clustering
+ * step after LSH candidate generation (beyond-reference surface): each
+ * near-dup component keeps one canonical document (the minimum id), the
+ * rest are dropped or down-weighted.
+ *
+ * Algorithm: min-label propagation to fixpoint. Each iteration is one
+ * hash-partitioned join (edge, label) + one aggregation — no all-pairs
+ * products, no driver-side graph. Iterations = graph diameter; LSH
+ * near-dup graphs are shallow (stars/cliques around shared content), so
+ * 2–4 iterations close them in practice. For adversarially deep graphs
+ * (long chains) the large-star/small-star formulation (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond") halves the diameter per
+ * round; this implementation favors the simple shape and caps iterations
+ * explicitly — an un-converged run FAILS loudly rather than returning
+ * partial components.
+ *
+ * Scale notes: each iteration's labels are persisted and the previous
+ * iteration's cache dropped, so lineage stays one iteration deep; the
+ * convergence flag rides the SAME aggregation that produces the next
+ * labels (provenance of the min: did a neighbor's label beat the node's
+ * own?), so the per-iteration driver action reads one boolean, not the
+ * data. Only nodes that appear in `pairs` are labeled — singletons never
+ * enter the graph (callers union them back as their own component if
+ * needed). The returned DataFrame is backed by the final iteration's
+ * cache; it is released by the context cleaner once unreferenced.
+ */
+object ConnectedComponents {
+
+  def apply(pairs: DataFrame, aCol: String, bCol: String,
+            maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+      .persist()
+    try {
+      var cached: DataFrame = edges.select(col("a").as("node"))
+        .distinct()
+        .select(col("node"), col("node").as("component"))
+        .persist()
+      var labels: DataFrame = cached
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // each node keeps the min of (own label, neighbors' labels); a
+        // node CHANGED iff the winning min came from a neighbor with a
+        // strictly smaller label — on ties the struct ordering prefers
+        // from_neighbor=0, so "neighbor merely equal" is not a change
+        val viaNeighbors = edges
+          .join(labels, edges("b") === labels("node"))
+          .select(edges("a").as("node"), col("component"),
+            lit(1).as("from_neighbor"))
+        val own = labels.select(col("node"), col("component"),
+          lit(0).as("from_neighbor"))
+        val next = own.unionByName(viaNeighbors)
+          .groupBy(col("node"))
+          .agg(min(struct(col("component"), col("from_neighbor"))).as("m"))
+          .select(col("node"), col("m.component").as("component"),
+            (col("m.from_neighbor") === 1).as("changed"))
+          .persist()
+        val row = next.agg(max(col("changed"))).collect()(0)
+        converged = row.isNullAt(0) || !row.getBoolean(0)
+        cached.unpersist(blocking = false)
+        cached = next
+        labels = next.select(col("node"), col("component"))
+        iter += 1
+      }
+      require(converged,
+        s"connected components did not converge in $maxIter iterations " +
+          "(graph deeper than expected — raise maxIter or switch to " +
+          "large-star/small-star)")
+      labels
+    } finally edges.unpersist(blocking = false)
+  }
+}

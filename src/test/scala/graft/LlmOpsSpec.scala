@@ -67,6 +67,34 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top == Map(2L -> 3000000L, 1L -> -1500000L))
   }
 
+  test("connected components: chains, cliques, separate components") {
+    // component {1,2,3,4} as a CHAIN (forces >1 propagation iteration),
+    // component {10,11,12} as a triangle, pair {20,21}; 99 is a singleton
+    // (not in any pair) and must NOT appear in the output
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = ConnectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: empty pair set converges to empty output") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(ConnectedComponents(pairs, "doc_a", "doc_b").count() == 0)
+  }
+
+  test("connected components: un-converged run fails loudly") {
+    // a 5-chain needs ~4 propagation rounds; maxIter=1 must throw, not
+    // return partial labels
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents(pairs, "doc_a", "doc_b", maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("multimodal: binary payload survives the batch decode plumbing") {
     val recs = Seq(
       MultimodalOps.MediaRecord(1L, Array[Byte](1, 2, 3), "png", 10, 10),
