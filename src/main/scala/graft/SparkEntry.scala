@@ -398,8 +398,17 @@ object SparkEntry {
     "q52_neardup_components" -> ((s, dir) => {
       val pairs = graft.operators.llm.MinHashLsh(
         nearDupCorpus(s, dir), "doc_id", "text")
-      graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b")
-        .select(col("node").as("doc_id"), col("component"))
+      // the fixpoint loop runs EAGERLY inside the builder; under AQE
+      // every stage of every iteration becomes its own job, so driver
+      // round-trips — not data — dominate at oracle scale. Scope AQE off
+      // and size the shuffle for the (tiny) label table; at production
+      // scale the iteration count is the same and AQE earns its keep.
+      withScopedConf(s,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8") {
+        graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("component"))
+      }
     }),
 
     // SimHash 32-bit fingerprint — single agg pass, ±1 nibble-bit votes.
@@ -961,12 +970,9 @@ object SparkEntry {
       // written PER shuffle partition per batch (32 would checkpoint 32
       // near-empty stores), and the trailing no-data batch only fires
       // state timeouts — it cannot change Append output here
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val prevNoData = s.conf.getOption(
-        "spark.sql.streaming.noDataMicroBatches.enabled")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      try {
+      withScopedConf(s,
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         val lines = s.readStream.option("lineSep", "\n")
           .text(s"$base/in").as[String]
         val capped = graft.streaming.CdxStream.dayCapStream(
@@ -979,14 +985,6 @@ object SparkEntry {
           .option("checkpointLocation", ckpt)
           .start()
         query.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        prevNoData match {
-          case Some(v) => s.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", v)
-          case None => s.conf.unset(
-            "spark.sql.streaming.noDataMicroBatches.enabled")
-        }
       }
       s.table(sink)
     }),
@@ -1057,6 +1055,19 @@ object SparkEntry {
   /** q49's served corpus, collected once per sfDir per session. */
   private val httpLinesCache =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[String]]
+
+  /** Set session confs for the duration of `f`, restoring (or unsetting)
+    * previous values after — for queries that EAGERLY execute inside
+    * their builder (streaming runs, iterative fixpoints) and want
+    * engine knobs sized to their shape without leaking to neighbors. */
+  private def withScopedConf[A](s: SparkSession, kvs: (String, String)*)(f: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   /** q51's stream corpus: CDX-11 lines with COLLIDING (urlkey, day)
     * groups — urlkey keyspace of 50 and a parity-locked day (doc_id and

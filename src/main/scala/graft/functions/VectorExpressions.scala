@@ -86,9 +86,64 @@ case class DotLongExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Word k-grams over a string array — native replacement for the
+ * interpreted `transform(sequence(0, size-k), i -> concat_ws(' ', ...))`
+ * formulation that dominated the map side of every shingle-based operator
+ * (MinHash-LSH, n-gram Jaccard, winnowing fingerprint, repetition).
+ * Short arrays (< k elements) yield an EMPTY array, matching the staged
+ * `when(size >= k, ...)` guard; null elements are skipped by the
+ * separator exactly like `concat_ws` (same UTF8String.concatWs call).
+ */
+case class WordGramsExpression(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"wordGrams k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wordGrams requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorCodegen.wordGrams(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorCodegen.wordGrams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpression =
+    copy(child = newChild)
+}
+
 /** Static entry points shared by interpreted eval and generated code
   * (deliberately not a companion object — see [[SurtCodegen]]). */
 object VectorCodegen {
+
+  private val GramSep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def wordGrams(arr: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(GramSep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Spark `CAST(round(d) AS BIGINT)` for DOUBLE: HALF_UP on the
     * shortest-decimal (BigDecimal.valueOf) representation; NaN → 0,
@@ -156,4 +211,6 @@ object VectorFunctions {
   def dotl(a: Column, b: Column): Column =
     ColumnShim.column(DotLongExpression(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+  def wordGrams(c: Column, k: Int): Column =
+    ColumnShim.column(WordGramsExpression(ColumnShim.expression(c), k))
 }

@@ -34,8 +34,13 @@ object ConnectedComponents {
 
   def apply(pairs: DataFrame, aCol: String, bCol: String,
             maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    // both edge directions from ONE scan — a self-union would evaluate the
+    // (possibly expensive) pairs lineage twice to materialize the cache
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("a"), col(bCol).as("b")),
+        struct(col(bCol).as("a"), col(aCol).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist()
     try {

@@ -23,16 +23,14 @@ object Shingles {
   def words(text: Column): Column = split(text, " ", -1)
 
   /** Explode word k-grams: (idCol, "shingle"). Documents shorter than k
-    * words contribute nothing (both engines guard identically). */
+    * words contribute nothing (both engines guard identically; the native
+    * gram builder returns an empty array, which explode drops). */
   def explodeShingles(df: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame = {
-    val gram = (0 until k).map(j => s"__w[i+$j]")
-      .mkString("concat_ws(' ', ", ", ", ")")
+                      k: Int): DataFrame =
     df.select(col(idCol), words(col(textCol)).as("__w"))
-      .where(size(col("__w")) >= k)
-      .selectExpr(idCol,
-        s"explode(transform(sequence(0, size(__w)-$k), i -> $gram)) AS shingle")
-  }
+      .select(col(idCol), explode(
+        graft.functions.VectorFunctions.wordGrams(col("__w"), k))
+        .as("shingle"))
 }
 
 /**
@@ -195,20 +193,12 @@ object TextAnalysis {
   val PiiEmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val PiiNumberPattern = "[0-9]{6,}"
 
-  /** Word k-grams over an ALREADY-MATERIALIZED word-array column — no
-    * explode, no shuffle; the map-side building block for repetition
-    * scoring. `wordsCol` MUST be a projected column, not an inline
-    * `split(...)` tree: a higher-order-function lambda re-evaluates its
-    * embedded subtrees per ELEMENT, so an inline split makes this
-    * O(words²) per document (measured 17× slower at sf0.1). Documents
-    * shorter than k words yield an empty array (a bare
-    * `sequence(0, size-k)` would DESCEND for short docs and fabricate
-    * grams). */
+  /** Word k-grams over a word-array column — no explode, no shuffle; the
+    * map-side building block for repetition scoring. Native codegen'd
+    * expression (tight loop); documents shorter than k words yield an
+    * empty array. */
   def gramArrayOf(wordsCol: Column, k: Int): Column =
-    when(size(wordsCol) >= k,
-      transform(sequence(lit(0), size(wordsCol) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(wordsCol, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.VectorFunctions.wordGrams(wordsCol, k)
 
   /** Repetition score in basis points over a MATERIALIZED gram-array
     * column: 10000 * (1 - distinct/total). Boilerplate/looped text scores

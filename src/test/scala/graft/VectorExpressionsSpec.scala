@@ -63,6 +63,28 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(VectorCodegen.roundCastLong(0.49999999999999994) == 0L)
   }
 
+  test("wordGrams matches the transform(sequence)/concat_ws HOF") {
+    def hofGrams(wordsCol: org.apache.spark.sql.Column, k: Int) =
+      when(size(wordsCol) >= k,
+        transform(sequence(lit(0), size(wordsCol) - k), i =>
+          concat_ws(" ", (0 until k).map(j =>
+            element_at(wordsCol, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 100).map { _ =>
+      Array.fill(rnd.nextInt(12))("w" + rnd.nextInt(5))
+    } :+ Array.empty[String] :+ Array("solo")
+    val df = rows.toDF("w")
+    for (k <- Seq(1, 2, 3, 4)) {
+      val out = df.select(
+        VectorFunctions.wordGrams(col("w"), k).as("native"),
+        hofGrams(col("w"), k).as("hof")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k")
+      }
+    }
+  }
+
   test("SQL dotl/quantize1000 resolve via GraftExtensions") {
     val r = spark.sql(
       "SELECT dotl(quantize1000(array(CAST(0.001 AS FLOAT), CAST(-0.002 AS FLOAT))), " +
