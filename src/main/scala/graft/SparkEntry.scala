@@ -411,6 +411,21 @@ object SparkEntry {
       }
     }),
 
+    // Deterministic train/val/test split: assignment is a pure function
+    // of (salt, doc_id) via md5-prefix ranges — reproducible across
+    // engines and stable when the corpus grows; pure map-side.
+    "q53_hash_split" -> ((s, dir) => {
+      graft.operators.llm.Sampling.hashSplit(
+        tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", salt = "graft",
+        bounds = Seq("train" -> "cc", "val" -> "e6"),
+        defaultLabel = "test")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+    }),
+
     // SimHash 32-bit fingerprint — single agg pass, ±1 nibble-bit votes.
     "q23_simhash" -> ((s, dir) =>
       graft.operators.llm.SimHash(
@@ -1307,6 +1322,19 @@ object SparkEntry {
           |    JOIN edges e ON e.a = reach.node)
           |SELECT node AS doc_id, min(r) AS component
           |FROM reach GROUP BY 1""".stripMargin),
+
+    "q53_hash_split" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  CASE WHEN substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q22_ngram_jaccard" ->
       (s"WITH corpus AS ($nearDupCorpusSql),\n" +

@@ -1,0 +1,50 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, engine-portable sampling/split assignment for corpus
+ * curation (beyond-reference surface): every row's fate is a pure
+ * function of (salt, id), so the split is reproducible run-over-run,
+ * engine-over-engine (no `rand()`, no seed plumbing), stable under
+ * repartitioning, and documents keep their assignment when the corpus
+ * grows — the properties a train/val/test split must have at 100 TB,
+ * where "re-roll the RNG" means re-shuffling the entire training set.
+ *
+ * Mechanism: the first two hex chars of md5(salt + "|" + id) give 256
+ * uniform buckets; labels are assigned by hex-string range so ANY engine
+ * with md5 reproduces the assignment with string comparison alone (no
+ * hex→int parsing, which SQL dialects disagree on). Pure map-side
+ * projection — no shuffle at any scale.
+ */
+object Sampling {
+
+  /** Assign a split label per row: `bounds` are (label, exclusive upper
+    * 2-hex-char prefix) in ascending order — e.g.
+    * `Seq("train" -> "cc", "val" -> "e6")` with default "test" is
+    * ~79.7% / ~10.2% / ~10.1%. */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                bounds: Seq[(String, String)],
+                defaultLabel: String): DataFrame = {
+    require(bounds.nonEmpty, "at least one (label, bound) is required")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      "bounds must be ascending — a later smaller bound is unreachable")
+    val prefix = substring(
+      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2)
+    val label = bounds.foldRight(lit(defaultLabel): Column) {
+      case ((lbl, hi), acc) => when(prefix < lit(hi), lit(lbl)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Deterministic subsample: keep rows whose 2-hex-char prefix falls
+    * below `bound` (e.g. "1a" keeps ~26/256 ≈ 10.2%). Same hash family
+    * as [[hashSplit]] with a DIFFERENT salt, or the subsample would be
+    * nested inside the train split rather than independent of it. */
+  def hashSample(df: DataFrame, idCol: String, salt: String,
+                 bound: String): DataFrame =
+    df.where(substring(
+      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2)
+      < lit(bound))
+}

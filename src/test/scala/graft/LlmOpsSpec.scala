@@ -95,6 +95,36 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("hash split: deterministic, exhaustive, order-insensitive") {
+    val df = (0L until 512L).toDF("doc_id")
+    val a = Sampling.hashSplit(df, "doc_id", "s",
+      Seq("train" -> "cc", "val" -> "e6"), "test")
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(df.orderBy(col("doc_id").desc), "doc_id", "s",
+      Seq("train" -> "cc", "val" -> "e6"), "test")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)                      // pure function of (salt, id)
+    assert(a.values.toSet == Set("train", "val", "test"))
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > n("val") && n("train") > n("test"))
+    // misordered bounds must fail loudly, not silently shadow a label
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "doc_id", "s",
+        Seq("a" -> "e6", "b" -> "cc"), "c")
+    }
+  }
+
+  test("hash sample: different salts give independent subsets") {
+    val df = (0L until 1024L).toDF("doc_id")
+    val s1 = Sampling.hashSample(df, "doc_id", "s1", "80")
+      .as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df, "doc_id", "s2", "80")
+      .as[Long].collect().toSet
+    assert(s1 != s2)                    // not the same nested subset
+    assert(s1.size > 300 && s1.size < 700) // ~50% each
+    assert(s2.size > 300 && s2.size < 700)
+  }
+
   test("multimodal: binary payload survives the batch decode plumbing") {
     val recs = Seq(
       MultimodalOps.MediaRecord(1L, Array[Byte](1, 2, 3), "png", 10, 10),
