@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 53 bench/verify queries × reps compile thousands of whole-stage-codegen
+  // classes; the JDK default code cache (240m) can fill late in the run,
+  // silently disabling JIT and inflating tail-query wall times
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -851,7 +851,7 @@ object SparkEntry {
         val tasks = members.toSeq.map { case (off, len) =>
           graft.operators.ArchiveRepackage.CopyTask(
             file.getAbsolutePath, off, len,
-            s"repack-${off % 3}.warc.gz", off.toInt)
+            s"repack-${off % 3}.warc.gz", off)
         }
         graft.operators.ArchiveRepackage.repackage(s, tasks.toDS(), outBase)
       }
@@ -944,7 +944,10 @@ object SparkEntry {
       // the served corpus is deterministic per sfDir — collect it once
       // per session so repeated runs time the S13 loader (page-parallel
       // HTTP fetch + parse), not the driver-side corpus collection
-      val lines = httpLinesCache.getOrElseUpdate(dir,
+      // keyed by the source table's identity (size+mtime, the same
+      // fingerprint fixtureOnce uses), not just sfDir — a documents table
+      // regenerated in-place mid-session must invalidate the served corpus
+      val lines = httpLinesCache.getOrElseUpdate(tableTag(dir, "documents"),
         tbl(s, dir, "documents")
           .select(concat_ws("\t", col("doc_id"), md5(col("text")),
             col("lang")).as("l"))
@@ -1067,7 +1070,15 @@ object SparkEntry {
   private def tmpDir(q: String, dir: String): String =
     s"/root/repo/target/tmp/${q}_" + dir.replaceAll("[^0-9a-zA-Z.]", "_")
 
-  /** q49's served corpus, collected once per sfDir per session. */
+  /** Source-table identity: path + size + mtime — the shared fingerprint
+    * for session caches and on-disk fixture markers, so a regenerated
+    * table (same path, new contents) invalidates both. */
+  private def tableTag(dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    s"$dir/$table.parquet ${src.length()} ${src.lastModified()}"
+  }
+
+  /** q49's served corpus, collected once per source-table identity. */
   private val httpLinesCache =
     scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[String]]
 
@@ -1112,8 +1123,7 @@ object SparkEntry {
     * synthesis code changes. */
   private def fixtureOnce(base: String, version: String, dir: String,
                           table: String)(build: => Unit): Unit = {
-    val src = new java.io.File(s"$dir/$table.parquet")
-    val tag = s"$version ${src.length()} ${src.lastModified()}"
+    val tag = s"$version ${tableTag(dir, table)}"
     val marker = java.nio.file.Paths.get(base, ".fixture")
     val current = scala.util.Try(
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")).toOption

@@ -21,9 +21,11 @@ import org.apache.spark.util.SerializableConfiguration
 object ArchiveRepackage {
 
   /** Copy `length` bytes at `offset` of `src` into destination `dst`;
-    * `seq` orders members within the destination. */
+    * `seq` orders members within the destination — a Long so callers can
+    * use the member's byte offset directly (an Int would wrap past 2 GiB
+    * and corrupt member order in the repackaged archive). */
   final case class CopyTask(src: String, offset: Long, length: Long,
-                            dst: String, seq: Int)
+                            dst: String, seq: Long)
 
   /** Executes all tasks; returns (files written, bytes copied). Counts
     * come from the returned results, not accumulators — transformation-

@@ -75,10 +75,16 @@ object ConnectedComponents {
         labels = next.select(col("node"), col("component"))
         iter += 1
       }
-      require(converged,
-        s"connected components did not converge in $maxIter iterations " +
-          "(graph deeper than expected — raise maxIter or switch to " +
-          "large-star/small-star)")
+      if (!converged) {
+        // release the last iteration's cache before failing — repeated
+        // failed runs in one session would otherwise accumulate cached
+        // label tables until the context cleaner collects them
+        cached.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"connected components did not converge in $maxIter iterations " +
+            "(graph deeper than expected — raise maxIter or switch to " +
+            "large-star/small-star)")
+      }
       labels
     } finally edges.unpersist(blocking = false)
   }

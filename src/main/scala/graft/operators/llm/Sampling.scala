@@ -28,6 +28,7 @@ object Sampling {
                 bounds: Seq[(String, String)],
                 defaultLabel: String): DataFrame = {
     require(bounds.nonEmpty, "at least one (label, bound) is required")
+    bounds.foreach { case (lbl, hi) => requireHexBound(hi, lbl) }
     require(bounds.map(_._2) == bounds.map(_._2).sorted,
       "bounds must be ascending — a later smaller bound is unreachable")
     val prefix = substring(
@@ -43,8 +44,21 @@ object Sampling {
     * as [[hashSplit]] with a DIFFERENT salt, or the subsample would be
     * nested inside the train split rather than independent of it. */
   def hashSample(df: DataFrame, idCol: String, salt: String,
-                 bound: String): DataFrame =
+                 bound: String): DataFrame = {
+    requireHexBound(bound, "sample")
     df.where(substring(
       md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2)
       < lit(bound))
+  }
+
+  /** Bounds compare lexicographically against LOWERCASE md5 hex — an
+    * uppercase, non-hex, or wrong-length bound (e.g. "CC", "c") would
+    * silently mis-assign every row instead of failing. */
+  private def requireHexBound(bound: String, label: String): Unit =
+    require(bound.length == 2 && bound.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"bound for '$label' must be exactly 2 lowercase hex chars " +
+        s"([0-9a-f]{2}), got '$bound' — anything else compares " +
+        "lexicographically against lowercase md5 hex and silently " +
+        "mis-assigns rows")
 }
