@@ -426,6 +426,52 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"))
     }),
 
+    // Random-hyperplane LSH ANN — the codebook-free scale path: bucket =
+    // sign bits of 6 deterministic md5-derived ±1 planes (map-side, zero
+    // shuffle), probe = the query's own bucket, exact integer dot re-rank.
+    "q54_ann_hyperplane" -> ((s, dir) =>
+      graft.operators.llm.AnnOps.hyperplaneTopK(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") % 101 === 0,
+        numPlanes = 6, dim = 64, k = 5)),
+
+    // Revisit resolution (as-of join): each warc/revisit capture resolves
+    // to the newest prior original of the same (urlkey, digest); originals
+    // resolve to themselves; dangling revisits stay NULL. Synthesized
+    // corpus: originals (day 10, doc_id % 9 != 0), one revisit generation
+    // on day 20 (doc_id % 3 == 0), a second on day 25 (doc_id % 6 == 0) —
+    // doc_ids divisible by 9 AND 3 exercise the dangling path.
+    "q55_revisit_resolve" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val key = concat(lit("org,site"), col("doc_id") % 23,
+        lit(")/r/"), col("doc_id"))
+      val hh = lpad((col("doc_id") % 24).cast("string"), 2, "0")
+      def gen(dayLit: String, mime: String, file: Column,
+              off: Column, pred: Column) =
+        d.where(pred).select(key.as("urlkey"),
+          concat(lit("201201" + dayLit), hh, lit("0000")).as("timestamp"),
+          lit(mime).as("mimetype"), md5(col("text")).as("digest"),
+          file.as("filename"), off.as("offset"))
+      val corpus = gen("10", "text/html",
+          concat(lit("orig-"), col("doc_id") % 4, lit(".warc.gz")),
+          col("doc_id") * 1000, col("doc_id") % 9 =!= 0)
+        .unionByName(gen("20", "warc/revisit", lit("rev-a.warc.gz"),
+          col("doc_id") * 7, col("doc_id") % 3 === 0))
+        .unionByName(gen("25", "warc/revisit", lit("rev-b.warc.gz"),
+          col("doc_id") * 7 + 3, col("doc_id") % 6 === 0))
+      graft.operators.RevisitResolve.resolve(corpus)
+        .select(col("urlkey"), col("timestamp"), col("mimetype"),
+          col("resolved_filename"), col("resolved_offset"))
+    }),
+
+    // Corpus vocabulary: top-50 tokens by document frequency (then total
+    // occurrences, then token) — the df/tf table behind vocab building
+    // and IDF weighting.
+    "q56_vocab" -> ((s, dir) =>
+      graft.operators.llm.TextAnalysis.vocabTopK(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 50)),
+
     // SimHash 32-bit fingerprint — single agg pass, ±1 nibble-bit votes.
     "q23_simhash" -> ((s, dir) =>
       graft.operators.llm.SimHash(
@@ -1345,6 +1391,72 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc
         |FROM s GROUP BY 1""".stripMargin,
+
+    "q54_ann_hyperplane" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |w AS (SELECT p, list(CASE WHEN substring(md5(
+        |      CAST(p AS VARCHAR) || '|' || CAST(c AS VARCHAR)), 1, 1) < '8'
+        |    THEN 1 ELSE -1 END ORDER BY c) AS wv
+        |  FROM range(6) t(p), range(64) s(c) GROUP BY p),
+        |sig AS (SELECT vec_id, string_agg(
+        |    CASE WHEN dotp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS b
+        |  FROM (SELECT e.vec_id, w.p,
+        |      CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |        i -> e.q[i] * w.wv[i])) AS BIGINT) AS dotp
+        |    FROM e CROSS JOIN w) GROUP BY vec_id),
+        |a AS (SELECT e.vec_id, e.q, sig.b FROM e JOIN sig USING (vec_id)),
+        |qs AS (SELECT vec_id AS query_id, q AS qv, b AS qb
+        |  FROM a WHERE vec_id % 101 = 0),
+        |d AS (SELECT query_id, a.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * a.q[i])) AS BIGINT) AS dot
+        |  FROM a JOIN qs ON a.b = qb AND a.vec_id <> query_id)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q55_revisit_resolve" ->
+      """WITH corpus AS (
+        |  SELECT 'org,site' || (doc_id % 23) || ')/r/' || doc_id AS urlkey,
+        |    '20120110' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |      || '0000' AS "timestamp",
+        |    'text/html' AS mimetype, md5(text) AS digest,
+        |    'orig-' || (doc_id % 4) || '.warc.gz' AS filename,
+        |    doc_id * 1000 AS "offset"
+        |  FROM documents WHERE doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT 'org,site' || (doc_id % 23) || ')/r/' || doc_id,
+        |    '20120120' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |      || '0000',
+        |    'warc/revisit', md5(text), 'rev-a.warc.gz', doc_id * 7
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'org,site' || (doc_id % 23) || ')/r/' || doc_id,
+        |    '20120125' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |      || '0000',
+        |    'warc/revisit', md5(text), 'rev-b.warc.gz', doc_id * 7 + 3
+        |  FROM documents WHERE doc_id % 6 = 0)
+        |SELECT urlkey, "timestamp", mimetype,
+        |  last_value(CASE WHEN mimetype <> 'warc/revisit' THEN filename END
+        |    IGNORE NULLS) OVER w AS resolved_filename,
+        |  last_value(CASE WHEN mimetype <> 'warc/revisit' THEN "offset" END
+        |    IGNORE NULLS) OVER w AS resolved_offset
+        |FROM corpus
+        |WINDOW w AS (PARTITION BY urlkey, digest ORDER BY "timestamp"
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q56_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |per_doc AS (SELECT token, doc_id, count(*) AS n FROM toks
+        |  WHERE token <> '' GROUP BY 1, 2)
+        |SELECT token, count(*) AS doc_freq,
+        |  CAST(sum(n) AS BIGINT) AS term_freq
+        |FROM per_doc GROUP BY 1
+        |ORDER BY doc_freq DESC, term_freq DESC, token LIMIT 50""".stripMargin,
 
     "q22_ngram_jaccard" ->
       (s"WITH corpus AS ($nearDupCorpusSql),\n" +

@@ -134,6 +134,51 @@ object AnnOps {
     topK(scored, k)
   }
 
+  /** Deterministic ±1 hyperplane `p` over `dim` dimensions: component c
+    * is +1 iff the first hex char of md5("p|c") is below '8' (i.e. the
+    * digest's high bit is 0) — engine-portable, so an external oracle
+    * reproduces the exact same planes from the same rule. */
+  def hyperplane(p: Int, dim: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { c =>
+      if ((md.digest(s"$p|$c".getBytes("UTF-8"))(0) & 0x80) == 0) 1L else -1L
+    }
+  }
+
+  /** Sign-bit bucket over `numPlanes` deterministic hyperplanes: bit p of
+    * the bucket id is the sign of the vector's dot product with plane p.
+    * Random-hyperplane LSH — vectors at small cosine angle agree on most
+    * sign bits, so near neighbors land in the same bucket with high
+    * probability. The plane vectors are folded in as literals, so
+    * assignment is a pure MAP-SIDE projection (one native dot per plane),
+    * zero shuffle at any scale. */
+  def hyperplaneBucket(quantized: Column, numPlanes: Int, dim: Int): Column =
+    concat((0 until numPlanes).map { p =>
+      when(dot(quantized, typedLit(hyperplane(p, dim))) >= 0, "1")
+        .otherwise("0")
+    }: _*)
+
+  /** LSH-bucketed ANN top-k — the alternative scale path to [[ivfTopK]]:
+    * no codebook to train or broadcast; the bucket is a pure function of
+    * the vector itself. Single-probe (the query's own bucket only);
+    * production multi-probe flips low-|dot| bits to visit adjacent
+    * buckets — same plan shape, more query rows. Only the final top-k
+    * window shuffles, carrying (query, cand, dot) pairs, not vectors. */
+  def hyperplaneTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, numPlanes: Int, dim: Int,
+                     k: Int): DataFrame = {
+    val e = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .withColumn("__b", hyperplaneBucket(col("__q"), numPlanes, dim))
+    val qs = e.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__b").as("__qb"),
+        col("__q").as("__qv"))
+    val scored = e.join(broadcast(qs),
+        col("__b") === col("__qb") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        dot(col("__qv"), col("__q")).as("dot"))
+    topK(scored, k)
+  }
+
   /** Bucketed top-k: probe only candidates sharing the query's bucket. */
   def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String,
                    bucketCol: String, queryPred: Column, k: Int): DataFrame = {

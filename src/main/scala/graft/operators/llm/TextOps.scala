@@ -220,6 +220,26 @@ object TextAnalysis {
       .select(col(idCol), repetitionBpOf(col("__g")).as("rep_bp"),
         size(col("__g")).as("n_grams"))
 
+  /** Corpus vocabulary stats: per-token document frequency and total
+    * occurrence count, top `k` tokens — the df/tf table that drives
+    * vocabulary building, stopword induction, and IDF weighting over a
+    * training corpus. Two aggregations: the (token, doc) pass dedups
+    * per-document occurrences WITH map-side partial counts (so the
+    * shuffle carries one row per distinct (token, doc), not one per
+    * occurrence), the token pass is vocabulary-sized. Top-k is
+    * orderBy+limit = TakeOrdered (parallel partial top-k per partition —
+    * never a single-partition global window). Deterministic: the token
+    * tie-break makes the ordering total. */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame =
+    df.select(col(idCol), explode(Shingles.words(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("__n"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("__n")).as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("term_freq").desc, col("token"))
+      .limit(k)
+
   /** Winnowing-style fingerprint: distinct word-k-gram md5s sampled where
     * the hash's first hex char is '0' (1/16 of grams, content-defined —
     * robust to local edits), sorted and re-hashed. */

@@ -136,4 +136,45 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     // md5("hello")
     assert(out(2L).thumb_hash == "5d41402abc4b2a76b9719d911017c592")
   }
+
+  test("hyperplanes: deterministic ±1, derived from the md5 high bit") {
+    val p0 = AnnOps.hyperplane(0, 8)
+    assert(p0 == AnnOps.hyperplane(0, 8))          // stable
+    assert(p0.forall(v => v == 1L || v == -1L))
+    assert(AnnOps.hyperplane(1, 8) != p0)          // planes differ
+    // spelled-out rule for component (0,0): first hex char of md5("0|0")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect0 = if ((md.digest("0|0".getBytes("UTF-8"))(0) & 0x80) == 0)
+      1L else -1L
+    assert(p0.head == expect0)
+  }
+
+  test("hyperplane LSH: identical vectors share a bucket; top-k exact in it") {
+    // 15 odd-valued components: every plane dot is a sum of an ODD count
+    // of odd multiples of 1000, hence never zero — so a ±10 perturbation
+    // can't flip a sign bit (near stays in-bucket) and negation flips
+    // EVERY sign bit (far never shares) — deterministically, not w.h.p.
+    val base = (0 until 15).map(i => (2 * (i * 37 % 13) - 13).toFloat)
+    val near = base.updated(0, base(0) + 0.01f)
+    val far = base.map(v => -v)
+    val df = Seq((0L, base), (1L, base), (2L, near), (3L, far))
+      .toDF("vec_id", "embedding")
+    val out = AnnOps.hyperplaneTopK(df, "vec_id", "embedding",
+        queryPred = col("vec_id") === 0, numPlanes = 4, dim = 15, k = 10)
+      .select($"cand_id", $"rn").as[(Long, Int)].collect().toMap
+    assert(out.contains(1L) && out(1L) == 1)  // identical vec ranks first
+    assert(out.contains(2L))                  // near vec shares the bucket
+    assert(!out.contains(3L))                 // negated vec flips every sign
+  }
+
+  test("vocab: df dedups per doc, tf counts occurrences, ties break on token") {
+    val df = Seq(
+      (1L, "b b a c"),
+      (2L, "b a"),
+      (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabTopK(df, "doc_id", "text", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // a: df 2 tf 2; b: df 2 tf 3; c: df 2 tf 2 — order: b (tf), then a/c (token)
+    assert(out == Seq(("b", 2L, 3L), ("a", 2L, 2L), ("c", 2L, 2L)))
+  }
 }
