@@ -41,10 +41,13 @@ object RevisitResolve {
       .orderBy(col(tsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isOriginal = col(mimeCol) =!= RevisitMime
-    cdx
-      .withColumn("resolved_filename",
-        last(when(isOriginal, col(fileCol)), ignoreNulls = true).over(w))
-      .withColumn("resolved_offset",
-        last(when(isOriginal, col(offsetCol)), ignoreNulls = true).over(w))
+    // both window expressions in ONE projection: chained withColumn puts a
+    // Project between them and blocks CollapseWindow — same shuffle either
+    // way, but one Window operator makes a single pass over each frame
+    cdx.select(col("*"),
+      last(when(isOriginal, col(fileCol)), ignoreNulls = true).over(w)
+        .as("resolved_filename"),
+      last(when(isOriginal, col(offsetCol)), ignoreNulls = true).over(w)
+        .as("resolved_offset"))
   }
 }
