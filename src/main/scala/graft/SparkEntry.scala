@@ -472,6 +472,14 @@ object SparkEntry {
         tbl(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", k = 50)),
 
+    // KMV distinct-count sketch: k smallest distinct 48-bit hashes of
+    // o_custkey — per-partition bounded heap, merge sees <= k*partitions
+    // rows; deterministic (same value set ⇒ same sketch in any engine),
+    // unlike HLL. Estimate within ~1/sqrt(k) of exact.
+    "q57_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.kmvDistinct(
+        tbl(s, dir, "orders"), "o_custkey", k = 256)),
+
     // SimHash 32-bit fingerprint — single agg pass, ±1 nibble-bit votes.
     "q23_simhash" -> ((s, dir) =>
       graft.operators.llm.SimHash(
@@ -1457,6 +1465,17 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS term_freq
         |FROM per_doc GROUP BY 1
         |ORDER BY doc_freq DESC, term_freq DESC, token LIMIT 50""".stripMargin,
+
+    "q57_kmv_distinct" ->
+      """WITH hv AS (SELECT DISTINCT CAST(concat('0x',
+        |    substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+        |    AS hv FROM orders),
+        |mins AS (SELECT hv FROM hv ORDER BY hv LIMIT 256)
+        |SELECT count(*) AS n_mins, max(hv) AS h_k,
+        |  CASE WHEN count(*) < 256 THEN count(*)
+        |    ELSE CAST(255 AS BIGINT) * 281474976710656 // max(hv)
+        |  END AS est_distinct
+        |FROM mins""".stripMargin,
 
     "q22_ngram_jaccard" ->
       (s"WITH corpus AS ($nearDupCorpusSql),\n" +
