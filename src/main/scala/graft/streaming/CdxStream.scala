@@ -35,6 +35,23 @@ object CdxStream {
       .select(col("window.start").as("window_start"), col("host"),
         col("n_captures"))
 
+  /** Streaming exact dedup on (urlkey, digest) — the streaming
+    * counterpart of the batch digest dedup (q05/q20 shape): a re-crawl
+    * whose content digest already streamed within the watermark horizon
+    * is dropped. `dropDuplicatesWithinWatermark` bounds the dedup state
+    * by EVENT time: a key's state is evicted once the watermark passes
+    * it, so state is O(keys per horizon), not O(keys ever) — the only
+    * dedup contract that survives an unbounded stream. Duplicates wider
+    * apart than the horizon are left to the periodic batch compaction
+    * (cluster merge + cleanup), which is exact. */
+  def dedupStream(cdx: Dataset[CdxRecord],
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    cdx.toDF()
+      .withColumn("__ts", to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
+      .withWatermark("__ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("urlkey", "digest")
+      .drop("__ts")
+
   /**
    * Incremental index maintenance: each micro-batch of CDX lines becomes
    * its own sorted ZipNum cluster GENERATION (`gen-<batchId>` dir) — the

@@ -82,6 +82,37 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     q.stop()
   }
 
+  test("dedupStream drops same-(urlkey, digest) re-crawls across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def dline(key: String, ts: String, digest: String, off: Long): String =
+      s"$key $ts http://x.org/ text/html 200 $digest - - 10 $off f.warc.gz"
+    val ms = MemoryStream[String]
+    val deduped = CdxStream.dedupStream(CdxStream.parse(ms.toDS()))
+    val q = deduped.writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    // batch 1: duplicate digest within the batch → 1 kept; a different
+    // digest for the same urlkey is NOT a duplicate
+    ms.addData(
+      dline("org,d)/p", "20120101000100", "AAAA", 0),
+      dline("org,d)/p", "20120101000200", "AAAA", 1),
+      dline("org,d)/p", "20120101000300", "BBBB", 2))
+    q.processAllAvailable()
+    assert(spark.table("deduped").count() == 2)
+    // batch 2: the same (urlkey, digest) again within the watermark
+    // horizon → dropped; a new urlkey with an already-seen digest → kept
+    ms.addData(
+      dline("org,d)/p", "20120101000400", "AAAA", 3),
+      dline("org,e)/p", "20120101000500", "AAAA", 4))
+    q.processAllAvailable()
+    val rows = spark.table("deduped")
+      .select($"urlkey", $"digest").as[(String, String)].collect().toSet
+    assert(spark.table("deduped").count() == 3)
+    assert(rows == Set(("org,d)/p", "AAAA"), ("org,d)/p", "BBBB"),
+      ("org,e)/p", "AAAA")))
+    q.stop()
+  }
+
   test("zipnumGenerations: each micro-batch lands as a queryable cluster") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
