@@ -13,27 +13,34 @@ import org.apache.spark.sql.functions._
  * hash-partitioned join (edge, label) + one aggregation — no all-pairs
  * products, no driver-side graph. Iterations = graph diameter; LSH
  * near-dup graphs are shallow (stars/cliques around shared content), so
- * 2–4 iterations close them in practice. For adversarially deep graphs
- * (long chains) the large-star/small-star formulation (Kiveris et al.,
- * "Connected Components in MapReduce and Beyond") halves the diameter per
- * round; this implementation favors the simple shape and caps iterations
- * explicitly — an un-converged run FAILS loudly rather than returning
- * partial components.
+ * 2–4 iterations close them in practice.
+ *
+ * For adversarially DEEP graphs (long chains), `shortcut = true` adds a
+ * pointer-doubling step per iteration: after the neighbor-min pass, each
+ * node also adopts its current label's OWN label (labels are always node
+ * ids, so the label table self-joins). Label-tree depth roughly halves
+ * per round — convergence in O(log n) iterations instead of O(diameter)
+ * (the same depth-halving idea as the large-star/small-star formulation
+ * of Kiveris et al., "Connected Components in MapReduce and Beyond",
+ * expressed as label shortcutting rather than edge rewriting). The extra
+ * self-join costs one more shuffle per iteration, which shallow LSH
+ * graphs don't need — hence opt-in. An un-converged run still FAILS
+ * loudly rather than returning partial components.
  *
  * Scale notes: each iteration's labels are persisted and the previous
  * iteration's cache dropped, so lineage stays one iteration deep; the
- * convergence flag rides the SAME aggregation that produces the next
- * labels (provenance of the min: did a neighbor's label beat the node's
- * own?), so the per-iteration driver action reads one boolean, not the
- * data. Only nodes that appear in `pairs` are labeled — singletons never
- * enter the graph (callers union them back as their own component if
- * needed). The returned DataFrame is backed by the final iteration's
- * cache; it is released by the context cleaner once unreferenced.
+ * convergence flag rides the SAME pass that produces the next labels
+ * (provenance of the min: did anything beat the node's own label?), so
+ * the per-iteration driver action reads one boolean, not the data. Only
+ * nodes that appear in `pairs` are labeled — singletons never enter the
+ * graph (callers union them back as their own component if needed). The
+ * returned DataFrame is backed by the final iteration's cache; it is
+ * released by the context cleaner once unreferenced.
  */
 object ConnectedComponents {
 
   def apply(pairs: DataFrame, aCol: String, bCol: String,
-            maxIter: Int = 20): DataFrame = {
+            maxIter: Int = 20, shortcut: Boolean = false): DataFrame = {
     // both edge directions from ONE scan — a self-union would evaluate the
     // (possibly expensive) pairs lineage twice to materialize the cache
     val edges = pairs
@@ -62,12 +69,40 @@ object ConnectedComponents {
             lit(1).as("from_neighbor"))
         val own = labels.select(col("node"), col("component"),
           lit(0).as("from_neighbor"))
-        val next = own.unionByName(viaNeighbors)
+        val afterNb = own.unionByName(viaNeighbors)
           .groupBy(col("node"))
           .agg(min(struct(col("component"), col("from_neighbor"))).as("m"))
           .select(col("node"), col("m.component").as("component"),
             (col("m.from_neighbor") === 1).as("changed"))
-          .persist()
+        val next = if (!shortcut) afterNb.persist() else {
+          // pointer doubling: adopt the label's own label. afterNb feeds
+          // BOTH join sides — cache it so its lineage (join+agg) runs
+          // once, then TRUNCATE the result's plan with an eager local
+          // checkpoint: a self-join per iteration otherwise DOUBLES the
+          // logical plan each round (2^iters subtrees — planner/treeString
+          // blowup long before data is a problem). Local (executor-cached)
+          // checkpoints trade re-computability on executor loss for zero
+          // external storage — the standard trade for iterative graph
+          // steps; a production run on a flaky cluster would swap in
+          // reliable checkpoints on the same schedule.
+          val nb = afterNb.persist()
+          val tbl = nb.select(col("node").as("__jn"),
+            col("component").as("__jc"))
+          // left join: a node whose label is a component root (its label
+          // is itself) matches with no improvement; labels are always
+          // existing node ids, so non-matches cannot occur — coalesce is
+          // belt-and-braces for the degenerate empty side
+          val jumped = nb
+            .join(tbl, nb("component") === col("__jn"), "left")
+            .select(nb("node"),
+              coalesce(col("__jc"), nb("component")).as("component"),
+              (nb("changed") ||
+                coalesce(col("__jc"), nb("component")) < nb("component"))
+                .as("changed"))
+          val ck = jumped.localCheckpoint(true)
+          nb.unpersist(blocking = false)
+          ck
+        }
         val row = next.agg(max(col("changed"))).collect()(0)
         converged = row.isNullAt(0) || !row.getBoolean(0)
         cached.unpersist(blocking = false)
@@ -82,8 +117,8 @@ object ConnectedComponents {
         cached.unpersist(blocking = false)
         throw new IllegalArgumentException(
           s"connected components did not converge in $maxIter iterations " +
-            "(graph deeper than expected — raise maxIter or switch to " +
-            "large-star/small-star)")
+            "(graph deeper than expected — raise maxIter, or pass " +
+            "shortcut = true for O(log n) pointer-doubling convergence)")
       }
       labels
     } finally edges.unpersist(blocking = false)

@@ -95,6 +95,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connected components: pointer doubling closes a deep chain fast") {
+    // a 33-node chain has diameter 32: plain min-propagation moves the
+    // min ONE hop per iteration and cannot finish in 8; with shortcut
+    // the label-tree depth roughly halves per round — done well inside 8
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalArgumentException] {
+      ConnectedComponents(chain, "doc_a", "doc_b", maxIter = 8).collect()
+    }
+    val cc = ConnectedComponents(chain, "doc_a", "doc_b", maxIter = 8,
+      shortcut = true).as[(Long, Long)].collect()
+    assert(cc.length == 33 && cc.forall(_._2 == 0L))
+  }
+
+  test("connected components: shortcut agrees with plain on mixed shapes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val plain = ConnectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val fast = ConnectedComponents(pairs, "doc_a", "doc_b", shortcut = true)
+      .as[(Long, Long)].collect().toMap
+    assert(plain == fast)
+  }
+
   test("hash split: deterministic, exhaustive, order-insensitive") {
     val df = (0L until 512L).toDF("doc_id")
     val a = Sampling.hashSplit(df, "doc_id", "s",
