@@ -12,6 +12,7 @@ trait SparkTestSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.warehouse.dir", "target/test-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
