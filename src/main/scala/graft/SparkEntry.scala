@@ -480,6 +480,23 @@ object SparkEntry {
       graft.operators.Sketches.kmvDistinct(
         tbl(s, dir, "orders"), "o_custkey", k = 256)),
 
+    // Exact per-group quantiles of doc length — corpus length profiling
+    // (the filter-threshold picker for q28-style quality gates). Exact
+    // `percentile` aggregates per-group value COUNTS (map-side combined),
+    // so memory tracks distinct lengths per group, not rows; interpolated
+    // values are scaled x10 to integers (p50/p90 fractions have one
+    // decimal digit) so the cross-engine compare is integer-exact.
+    "q58_quantiles" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          round(expr("percentile(n_chars, 0.5)") * 10).cast("long")
+            .as("p50_x10"),
+          round(expr("percentile(n_chars, 0.9)") * 10).cast("long")
+            .as("p90_x10"))),
+
     // SimHash 32-bit fingerprint — single agg pass, ±1 nibble-bit votes.
     "q23_simhash" -> ((s, dir) =>
       graft.operators.llm.SimHash(
@@ -1476,6 +1493,14 @@ object SparkEntry {
         |    ELSE CAST(255 AS BIGINT) * 281474976710656 // max(hv)
         |  END AS est_distinct
         |FROM mins""".stripMargin,
+
+    "q58_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(round(quantile_cont(n_chars, 0.5) * 10) AS BIGINT) AS p50_x10,
+        |  CAST(round(quantile_cont(n_chars, 0.9) * 10) AS BIGINT) AS p90_x10
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q22_ngram_jaccard" ->
       (s"WITH corpus AS ($nearDupCorpusSql),\n" +
