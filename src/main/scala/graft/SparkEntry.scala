@@ -480,6 +480,16 @@ object SparkEntry {
       graft.operators.Sketches.kmvDistinct(
         tbl(s, dir, "orders"), "o_custkey", k = 256)),
 
+    // BPE-style pre-tokenization count vs whitespace count per doc — the
+    // token-budget signal an LLM pipeline bills by; pure map-side.
+    "q59_bpe_tokens" -> ((s, dir) => {
+      import graft.operators.llm.TextAnalysis
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+    }),
+
     // Exact per-group quantiles of doc length — corpus length profiling
     // (the filter-threshold picker for q28-style quality gates). Exact
     // `percentile` aggregates per-group value COUNTS (map-side combined),
@@ -1493,6 +1503,13 @@ object SparkEntry {
         |    ELSE CAST(255 AS BIGINT) * 281474976710656 // max(hv)
         |  END AS est_distinct
         |FROM mins""".stripMargin,
+
+    "q59_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+        |    AS BIGINT) AS n_bpe,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+        |FROM documents""".stripMargin,
 
     "q58_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

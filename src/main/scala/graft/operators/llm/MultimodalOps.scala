@@ -42,4 +42,58 @@ object MultimodalOps {
     import ds.sparkSession.implicits._
     ds.mapPartitions(decodeBatch)
   }
+
+  /** Resized media: target box + the source payload's identity. */
+  final case class ResizedMedia(doc_id: Long, format: String,
+                                width: Int, height: Int,
+                                payload: Array[Byte])
+
+  /** Aspect-preserving fit into `maxDim` — the dimension math is real
+    * (what a pipeline partitions and budgets on); the pixel resample is
+    * the STUB (payload passes through, where a codec would re-encode).
+    * Already-fitting media pass through unscaled (never upscale). */
+  def resize(ds: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    ds.mapPartitions(_.map { m =>
+      val longest = math.max(m.width, m.height)
+      if (longest <= maxDim)
+        ResizedMedia(m.doc_id, m.format, m.width, m.height, m.payload)
+      else {
+        // floor-scale, min 1px: integer math keeps it engine-portable
+        val w = math.max(1, m.width * maxDim / longest)
+        val h = math.max(1, m.height * maxDim / longest)
+        ResizedMedia(m.doc_id, m.format, w, h, m.payload)
+      }
+    })
+  }
+
+  /** One sampled frame: index within the source + its feature hash. */
+  final case class SampledFrame(doc_id: Long, frame_idx: Int,
+                                frame_bytes: Long, frame_hash: String)
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
+    * stands in for a decoded frame (the STUB — a real video codec yields
+    * actual frames; chunking keeps offsets and counts deterministic).
+    * The flatMap SHAPE is the real part: one input row fans out to
+    * O(payload/frameSize/stride) feature rows executor-side, with
+    * nothing driver-side and no full-materialization of all frames. */
+  def frameSample(ds: Dataset[MediaRecord], frameSize: Int,
+                  stride: Int): Dataset[SampledFrame] = {
+    import ds.sparkSession.implicits._
+    require(frameSize > 0 && stride > 0,
+      s"frameSize and stride must be positive, got $frameSize/$stride")
+    ds.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.flatMap { m =>
+        val nFrames = m.payload.length / frameSize   // trailing partial dropped
+        (0 until nFrames by stride).iterator.map { i =>
+          md.reset()
+          md.update(m.payload, i * frameSize, frameSize)
+          SampledFrame(m.doc_id, i, frameSize.toLong,
+            md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
 }

@@ -176,6 +176,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(Shingles.words(text))
 
+  /** BPE-style pre-tokenization count: alphanumeric runs and single
+    * punctuation marks each count as one token — the splitting rule BPE
+    * tokenizers apply before merges, so this tracks LLM token budgets
+    * far closer than whitespace counting ("don't!" = 4, not 1). The
+    * pattern is restricted to character classes (identical semantics in
+    * Java regex and RE2-family engines) so an external oracle replays it. */
+  val BpeTokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Occurrences of an exact token. */
   def countToken(text: Column, token: String): Column =
     size(filter(Shingles.words(text), _ === lit(token)))

@@ -160,6 +160,42 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L).thumb_hash == "5d41402abc4b2a76b9719d911017c592")
   }
 
+  test("multimodal resize: aspect-preserving fit, never upscales") {
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, Array[Byte](1), "png", 4000, 1000),
+      MultimodalOps.MediaRecord(2L, Array[Byte](2), "png", 300, 500),
+      MultimodalOps.MediaRecord(3L, Array[Byte](3), "png", 10, 3000))
+    val out = MultimodalOps.resize(spark.createDataset(recs), maxDim = 1000)
+      .collect().map(r => r.doc_id -> (r.width, r.height)).toMap
+    assert(out(1L) == (1000, 250))   // scaled by 1/4
+    assert(out(2L) == (300, 500))    // fits: untouched
+    assert(out(3L) == (3, 1000))     // extreme aspect, floor-scaled, >= 1
+  }
+
+  test("multimodal frame sample: strided chunks, deterministic hashes") {
+    val payload = (0 until 100).map(_.toByte).toArray  // 10 frames of 10
+    val recs = Seq(MultimodalOps.MediaRecord(7L, payload, "mp4", 0, 0))
+    val frames = MultimodalOps.frameSample(
+      spark.createDataset(recs), frameSize = 10, stride = 3).collect()
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 3, 6, 9))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload, 30, 10)   // frame 3's bytes
+    val expect = md.digest().map("%02x".format(_)).mkString
+    assert(frames.find(_.frame_idx == 3).get.frame_hash == expect)
+  }
+
+  test("bpe token count: punctuation and runs split like a pre-tokenizer") {
+    val df = Seq((1L, "don't do that!"), (2L, "a  b")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.bpeTokenCount($"text").as("n"),
+        TextAnalysis.tokenCount($"text").as("ws"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // don / ' / t / do / that / !  = 6 bpe tokens vs 3 whitespace
+    assert(out(1L) == (6, 3))
+    // double space: 2 alnum runs; whitespace split keeps the empty token
+    assert(out(2L) == (2, 3))
+  }
+
   test("hyperplanes: deterministic ±1, derived from the md5 high bit") {
     val p0 = AnnOps.hyperplane(0, 8)
     assert(p0 == AnnOps.hyperplane(0, 8))          // stable
