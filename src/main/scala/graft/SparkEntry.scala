@@ -1480,7 +1480,8 @@ object SparkEntry {
         |  last_value(CASE WHEN mimetype <> 'warc/revisit' THEN "offset" END
         |    IGNORE NULLS) OVER w AS resolved_offset
         |FROM corpus
-        |WINDOW w AS (PARTITION BY urlkey, digest ORDER BY "timestamp"
+        |WINDOW w AS (PARTITION BY urlkey, digest
+        |  ORDER BY "timestamp", (mimetype = 'warc/revisit'), filename, "offset"
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q56_vocab" ->

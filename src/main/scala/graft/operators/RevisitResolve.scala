@@ -37,10 +37,15 @@ object RevisitResolve {
               mimeCol: String = "mimetype", digestCol: String = "digest",
               fileCol: String = "filename", offsetCol: String = "offset")
   : DataFrame = {
-    val w = Window.partitionBy(col(urlkeyCol), col(digestCol))
-      .orderBy(col(tsCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isOriginal = col(mimeCol) =!= RevisitMime
+    // deterministic tie-breakers: at 14-digit CDX resolution an original
+    // and a revisit can share (urlkey, digest, timestamp) — order
+    // originals BEFORE revisits (so the tied revisit sees the original),
+    // then (filename, offset) for full determinism across runs/engines
+    val w = Window.partitionBy(col(urlkeyCol), col(digestCol))
+      .orderBy(col(tsCol), col(mimeCol) === RevisitMime,
+        col(fileCol), col(offsetCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // both window expressions in ONE projection: chained withColumn puts a
     // Project between them and blocks CollapseWindow — same shuffle either
     // way, but one Window operator makes a single pass over each frame

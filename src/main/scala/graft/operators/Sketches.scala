@@ -40,10 +40,13 @@ object Sketches {
     conv(substring(md5(value.cast("string")), 1, 12), 16, 10).cast("long")
 
   /** One-row estimate: (n_mins, h_k, est_distinct) over the distinct set
-    * of `valueCol`. Exact (est = count) below k distinct values. */
+    * of `valueCol`. Exact (est = count) below k distinct values. NULLs are
+    * excluded from the estimate — the same semantics as countDistinct
+    * (and md5(NULL) would otherwise poison the non-nullable hash pipe). */
   def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2 && k <= 32768, s"k must be in [2, 32768], got $k")
-    val hashes = df.select(hash48(col(valueCol)).as("hv"))
+    val hashes = df.where(col(valueCol).isNotNull)
+      .select(hash48(col(valueCol)).as("hv"))
       .as(Encoders.scalaLong)
     // bounded per-partition sketch: a TreeSet holds the partition's
     // <= k smallest distinct hashes; O(log k) per row, O(k) memory

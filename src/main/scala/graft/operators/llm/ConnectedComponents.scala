@@ -56,6 +56,10 @@ object ConnectedComponents {
         .select(col("node"), col("node").as("component"))
         .persist()
       var labels: DataFrame = cached
+      // shortcut mode's per-iteration storage is a localCheckpoint'd RDD
+      // the cache manager can't see — hold its handle so each iteration
+      // (and the failure path) releases the PREVIOUS iteration's blocks
+      var ckHandle: Option[org.apache.spark.rdd.RDD[_]] = None
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -74,17 +78,20 @@ object ConnectedComponents {
           .agg(min(struct(col("component"), col("from_neighbor"))).as("m"))
           .select(col("node"), col("m.component").as("component"),
             (col("m.from_neighbor") === 1).as("changed"))
-        val next = if (!shortcut) afterNb.persist() else {
+        val (next, nextHandle) = if (!shortcut) (afterNb.persist(), None) else {
           // pointer doubling: adopt the label's own label. afterNb feeds
           // BOTH join sides — cache it so its lineage (join+agg) runs
           // once, then TRUNCATE the result's plan with an eager local
           // checkpoint: a self-join per iteration otherwise DOUBLES the
           // logical plan each round (2^iters subtrees — planner/treeString
-          // blowup long before data is a problem). Local (executor-cached)
-          // checkpoints trade re-computability on executor loss for zero
-          // external storage — the standard trade for iterative graph
-          // steps; a production run on a flaky cluster would swap in
-          // reliable checkpoints on the same schedule.
+          // blowup long before data is a problem). The shim variant hands
+          // back the checkpointed RDD — Dataset.localCheckpoint hides it,
+          // making unpersist() on the result a silent no-op. Local
+          // (executor-cached) checkpoints trade re-computability on
+          // executor loss for zero external storage — the standard trade
+          // for iterative graph steps; a production run on a flaky
+          // cluster would swap in reliable checkpoints on the same
+          // schedule.
           val nb = afterNb.persist()
           val tbl = nb.select(col("node").as("__jn"),
             col("component").as("__jc"))
@@ -99,22 +106,29 @@ object ConnectedComponents {
               (nb("changed") ||
                 coalesce(col("__jc"), nb("component")) < nb("component"))
                 .as("changed"))
-          val ck = jumped.localCheckpoint(true)
+          val (ck, handle) =
+            org.apache.spark.sql.graftshim.CheckpointShim
+              .localCheckpointWithHandle(jumped)
           nb.unpersist(blocking = false)
-          ck
+          (ck, Some(handle))
         }
         val row = next.agg(max(col("changed"))).collect()(0)
         converged = row.isNullAt(0) || !row.getBoolean(0)
+        // release the previous iteration's storage: the persisted
+        // DataFrame in plain mode, the checkpointed RDD in shortcut mode
         cached.unpersist(blocking = false)
+        ckHandle.foreach(_.unpersist(blocking = false))
+        ckHandle = nextHandle
         cached = next
         labels = next.select(col("node"), col("component"))
         iter += 1
       }
       if (!converged) {
-        // release the last iteration's cache before failing — repeated
+        // release the last iteration's storage before failing — repeated
         // failed runs in one session would otherwise accumulate cached
         // label tables until the context cleaner collects them
         cached.unpersist(blocking = false)
+        ckHandle.foreach(_.unpersist(blocking = false))
         throw new IllegalArgumentException(
           s"connected components did not converge in $maxIter iterations " +
             "(graph deeper than expected — raise maxIter, or pass " +

@@ -60,9 +60,12 @@ object MultimodalOps {
       if (longest <= maxDim)
         ResizedMedia(m.doc_id, m.format, m.width, m.height, m.payload)
       else {
-        // floor-scale, min 1px: integer math keeps it engine-portable
-        val w = math.max(1, m.width * maxDim / longest)
-        val h = math.max(1, m.height * maxDim / longest)
+        // floor-scale, min 1px: integer math keeps it engine-portable;
+        // scale in Long — width * maxDim overflows Int for declared
+        // dimensions past ~2^31/maxDim (the result itself always fits:
+        // it is <= maxDim)
+        val w = math.max(1L, m.width.toLong * maxDim / longest).toInt
+        val h = math.max(1L, m.height.toLong * maxDim / longest).toInt
         ResizedMedia(m.doc_id, m.format, w, h, m.payload)
       }
     })

@@ -172,6 +172,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(3L) == (3, 1000))     // extreme aspect, floor-scaled, >= 1
   }
 
+  test("multimodal resize: huge declared dimensions don't overflow Int") {
+    // width * maxDim would overflow Int (3e6 * 1024 > 2^31); the Long
+    // scaling must yield the true floor-scaled box, not a clamped 1px
+    val recs = Seq(
+      MultimodalOps.MediaRecord(1L, Array[Byte](1), "png", 3000000, 1500000))
+    val out = MultimodalOps.resize(spark.createDataset(recs), maxDim = 1024)
+      .collect().map(r => r.doc_id -> (r.width, r.height)).toMap
+    assert(out(1L) == (1024, 512))
+  }
+
+  test("connected components: shortcut mode releases iteration storage") {
+    // each shortcut iteration local-checkpoints a label table; the RDD
+    // handles must be unpersisted as they are superseded, leaving at most
+    // the FINAL iteration's blocks behind (plus the operator's own edges
+    // cache is released on exit)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = ConnectedComponents(chain, "doc_a", "doc_b", maxIter = 8,
+      shortcut = true)
+    assert(cc.count() == 33)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"leaked ${after - before} persistent RDDs across shortcut iterations")
+  }
+
   test("multimodal frame sample: strided chunks, deterministic hashes") {
     val payload = (0 until 100).map(_.toByte).toArray  // 10 frames of 10
     val recs = Seq(MultimodalOps.MediaRecord(7L, payload, "mp4", 0, 0))

@@ -36,6 +36,23 @@ class RevisitResolveSpec extends AnyFunSuite with SparkTestSession {
     assert(out(("com,a)/", "20120103000000")) == (None, None))
   }
 
+  test("same-second original + revisit: original wins the tie") {
+    // 14-digit resolution makes same-timestamp pairs realistic; the
+    // deterministic tie-break orders originals first, so the revisit
+    // resolves to the original regardless of input row order
+    val rows = Seq(
+      ("com,t)/", "20120101000000", "warc/revisit", "d", "r.warc.gz", 5L),
+      ("com,t)/", "20120101000000", "text/html", "d", "o.warc.gz", 50L))
+    for (perm <- Seq(rows, rows.reverse)) {
+      val out = RevisitResolve.resolve(perm.toDF(cols: _*))
+        .select($"mimetype", $"resolved_filename", $"resolved_offset")
+        .as[(String, Option[String], Option[Long])]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(out("warc/revisit") == (Some("o.warc.gz"), Some(50L)))
+      assert(out("text/html") == (Some("o.warc.gz"), Some(50L)))
+    }
+  }
+
   test("row count and non-resolution columns pass through unchanged") {
     val rows = Seq(
       ("com,c)/", "20120101000000", "text/html", "d", "o.warc.gz", 1L),

@@ -34,6 +34,14 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       a.getLong(2) == b.getLong(2))
   }
 
+  test("kmv: NULLs are excluded, matching countDistinct semantics") {
+    val withNulls = (1 to 100).map(i => Some(s"v-$i")) ++
+      Seq.fill(50)(Option.empty[String])
+    val row = Sketches.kmvDistinct(withNulls.toDF("v"), "v", k = 256)
+      .collect()(0)
+    assert(row.getLong(0) == 100 && row.getLong(2) == 100)
+  }
+
   test("kmv: empty input estimates zero") {
     val row = Sketches.kmvDistinct(Seq.empty[Int].toDF("v"), "v", 16)
       .collect()(0)
