@@ -43,9 +43,12 @@ object Bench {
     // the report — the timed loop will surface the same error in-band.
     try materialize("q01_agg") catch { case _: Throwable => () }
 
-    // tolerate a malformed env value: a bench must always emit its report
+    // tolerate a malformed env value: a bench must always emit its report.
+    // 3 reps: with 2, one GC/JIT-noisy rep still leaks into the min (q54
+    // observed 1.6s min-of-2 vs 0.4s steady state); the third rep costs
+    // ~25s total and pins the steady-state number
     val reps = sys.env.get("GRAFT_BENCH_REPS")
-      .flatMap(_.toIntOption).getOrElse(2).max(1)
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
     // first error per query only (duplicate JSON keys would be collapsed
     // arbitrarily by parsers)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

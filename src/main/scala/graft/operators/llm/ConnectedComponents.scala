@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
  * rest are dropped or down-weighted.
  *
  * Algorithm: min-label propagation to fixpoint. Each iteration is one
- * hash-partitioned join (edge, label) + one aggregation — no all-pairs
- * products, no driver-side graph. Iterations = graph diameter; LSH
- * near-dup graphs are shallow (stars/cliques around shared content), so
- * 2–4 iterations close them in practice.
+ * co-partitioned join (edge, label) + one aggregation — no all-pairs
+ * products, no driver-side graph; the first iteration is a single
+ * aggregation over the edge cache (against identity labels the neighbor
+ * min is just min(b)). Iterations = graph diameter; LSH near-dup graphs
+ * are shallow (stars/cliques around shared content), so 2–4 iterations
+ * close them in practice.
  *
  * For adversarially DEEP graphs (long chains), `shortcut = true` adds a
  * pointer-doubling step per iteration: after the neighbor-min pass, each
@@ -42,20 +44,26 @@ object ConnectedComponents {
   def apply(pairs: DataFrame, aCol: String, bCol: String,
             maxIter: Int = 20, shortcut: Boolean = false): DataFrame = {
     // both edge directions from ONE scan — a self-union would evaluate the
-    // (possibly expensive) pairs lineage twice to materialize the cache
+    // (possibly expensive) pairs lineage twice to materialize the cache.
+    // No dedup pass: min/max label aggregation is duplicate-insensitive,
+    // so repeated pairs only widen the cache (pre-distinct a dup-heavy
+    // input if that matters). The cache is partitioned AND sorted on `b`,
+    // the per-iteration join key: labels come out of each iteration
+    // hash-partitioned on `node` (the groupBy output), so the join is
+    // co-partitioned and every iteration's only exchange is the label
+    // aggregation — without this, the edge table re-shuffles (and
+    // re-sorts) on every single iteration
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("a"), col(bCol).as("b")),
         struct(col(bCol).as("a"), col(aCol).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct()
+      .repartition(col("b"))
+      .sortWithinPartitions(col("b"))
       .persist()
     try {
-      var cached: DataFrame = edges.select(col("a").as("node"))
-        .distinct()
-        .select(col("node"), col("node").as("component"))
-        .persist()
-      var labels: DataFrame = cached
+      var cached: DataFrame = null
+      var labels: DataFrame = null
       // shortcut mode's per-iteration storage is a localCheckpoint'd RDD
       // the cache manager can't see — hold its handle so each iteration
       // (and the failure path) releases the PREVIOUS iteration's blocks
@@ -67,17 +75,30 @@ object ConnectedComponents {
         // node CHANGED iff the winning min came from a neighbor with a
         // strictly smaller label — on ties the struct ordering prefers
         // from_neighbor=0, so "neighbor merely equal" is not a change
-        val viaNeighbors = edges
-          .join(labels, edges("b") === labels("node"))
-          .select(edges("a").as("node"), col("component"),
-            lit(1).as("from_neighbor"))
-        val own = labels.select(col("node"), col("component"),
-          lit(0).as("from_neighbor"))
-        val afterNb = own.unionByName(viaNeighbors)
-          .groupBy(col("node"))
-          .agg(min(struct(col("component"), col("from_neighbor"))).as("m"))
-          .select(col("node"), col("m.component").as("component"),
-            (col("m.from_neighbor") === 1).as("changed"))
+        val afterNb = if (iter == 0) {
+          // the first iteration folds init + join + agg into ONE
+          // aggregation straight off the edge cache: against identity
+          // labels, the neighbor min IS min(b), so there is no label
+          // table to build and no join to run — min(b) vs a decides
+          // both the component and the changed flag
+          edges.groupBy(col("a"))
+            .agg(min(col("b")).as("__nb"))
+            .select(col("a").as("node"),
+              least(col("a"), col("__nb")).as("component"),
+              (col("__nb") < col("a")).as("changed"))
+        } else {
+          val viaNeighbors = edges
+            .join(labels, edges("b") === labels("node"))
+            .select(edges("a").as("node"), col("component"),
+              lit(1).as("from_neighbor"))
+          val own = labels.select(col("node"), col("component"),
+            lit(0).as("from_neighbor"))
+          own.unionByName(viaNeighbors)
+            .groupBy(col("node"))
+            .agg(min(struct(col("component"), col("from_neighbor"))).as("m"))
+            .select(col("node"), col("m.component").as("component"),
+              (col("m.from_neighbor") === 1).as("changed"))
+        }
         val (next, nextHandle) = if (!shortcut) (afterNb.persist(), None) else {
           // pointer doubling: adopt the label's own label. afterNb feeds
           // BOTH join sides — cache it so its lineage (join+agg) runs
@@ -116,7 +137,7 @@ object ConnectedComponents {
         converged = row.isNullAt(0) || !row.getBoolean(0)
         // release the previous iteration's storage: the persisted
         // DataFrame in plain mode, the checkpointed RDD in shortcut mode
-        cached.unpersist(blocking = false)
+        if (cached != null) cached.unpersist(blocking = false)
         ckHandle.foreach(_.unpersist(blocking = false))
         ckHandle = nextHandle
         cached = next
@@ -127,7 +148,7 @@ object ConnectedComponents {
         // release the last iteration's storage before failing — repeated
         // failed runs in one session would otherwise accumulate cached
         // label tables until the context cleaner collects them
-        cached.unpersist(blocking = false)
+        if (cached != null) cached.unpersist(blocking = false)
         ckHandle.foreach(_.unpersist(blocking = false))
         throw new IllegalArgumentException(
           s"connected components did not converge in $maxIter iterations " +
