@@ -1097,6 +1097,72 @@ object SparkEntry {
       graft.operators.llm.TextAnalysis.repetitionScore(
         tbl(s, dir, "documents").select(col("doc_id"), looped.as("__t")),
         "doc_id", "__t", k = 2)
+    }),
+
+    // Integer-exact TF-IDF weighting: (token, doc) tf agg → df via a
+    // token window over the same output (no second agg + join) → per-doc
+    // weighted sum; weight = tf * ((10000 * N) DIV df), all integers.
+    // N comes from a parquet-metadata count, the stand-in for table stats.
+    "q60_tfidf" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.llm.TextAnalysis.tfIdf(
+        docs, "doc_id", "text", nDocs = docs.count())
+    }),
+
+    // Stratified deterministic sampling: per-language keep rates as a
+    // pure map-side filter — downsample the dominant language, keep the
+    // rare ones, reproducibly (pure function of salt + doc_id).
+    "q61_stratified_sample" -> ((s, dir) => {
+      graft.operators.llm.Sampling.stratifiedHashSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", salt = "strat",
+        rates = Seq("en" -> "cc", "de" -> "66"), defaultBound = "1a")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
+    }),
+
+    // Interval (range) join re-expressed as an equi-join on (key, day)
+    // with residual bounds — the shuffle-joinable form of a non-equi
+    // join that would otherwise plan as BroadcastNestedLoopJoin. 24
+    // maintenance-window intervals over 8 user buckets.
+    "q62_interval_join" -> ((s, dir) => {
+      val windows = s.range(24).select(col("id").as("win_id"),
+        (col("id") % 8).as("bucket"),
+        expr("timestampadd(HOUR, CAST(id * 30 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ws"),
+        expr("timestampadd(HOUR, CAST(id * 30 + 6 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("we"))
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"),
+          (col("user_id") % 8).as("ebucket"))
+      graft.operators.IntervalJoin.byDay(
+        ev, "ebucket", "ts", windows, "bucket", "ws", "we")
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("val_cents"),
+          min(col("event_id")).as("min_event"))
+    }),
+
+    // Skew-safe exact distinct: dedup spread across (key, value) FIRST,
+    // then a map-side-combined per-key count — the formulation that
+    // survives a hot key where countDistinct's final stage serializes.
+    "q63_skew_distinct" -> ((s, dir) =>
+      graft.operators.SkewAgg.distinctByKey(
+        tbl(s, dir, "events"), "event_type", "user_id", outCol = "n_users")),
+
+    // Gap-based sessionization: 30-minute gap, one shuffle on user_id,
+    // lag + running counter sharing a single Exchange+Sort; per-session
+    // aggregates on integer epoch micros.
+    "q64_sessionize" -> ((s, dir) => {
+      graft.operators.Sessionize(
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", gapSeconds = 1800, tieCol = "event_id")
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          sum(cents(col("value"))).as("val_cents"))
     })
   )
 
@@ -1887,7 +1953,61 @@ object SparkEntry {
         |  FROM documents)
         |SELECT urlkey, timestamp, digest, "offset" FROM c
         |QUALIFY row_number() OVER (PARTITION BY urlkey, substr(timestamp, 1, 8)
-        |  ORDER BY timestamp, "offset") <= 4""".stripMargin
+        |  ORDER BY timestamp, "offset") <= 4""".stripMargin,
+
+    "q60_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |per_doc AS (SELECT token, doc_id, count(*) AS tf FROM toks
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS dfreq FROM per_doc GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, count(*) AS n_distinct_tokens,
+        |  CAST(sum(tf * ((10000 * n.n) // dfreq)) AS BIGINT) AS tfidf
+        |FROM per_doc JOIN dfq USING (token) CROSS JOIN n
+        |GROUP BY 1""".stripMargin,
+
+    "q61_stratified_sample" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |    substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 2) AS p,
+        |    CASE lang WHEN 'en' THEN 'cc' WHEN 'de' THEN '66'
+        |      ELSE '1a' END AS bound
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc
+        |FROM s WHERE p < bound GROUP BY 1""".stripMargin,
+
+    "q62_interval_join" ->
+      """WITH w AS (SELECT i AS win_id, i % 8 AS bucket,
+        |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i*30) HOUR AS ws,
+        |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i*30+6) HOUR AS we
+        |  FROM range(24) t(i))
+        |SELECT win_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents,
+        |  min(event_id) AS min_event
+        |FROM events JOIN w ON events.user_id % 8 = w.bucket
+        |  AND events.ts >= w.ws AND events.ts < w.we
+        |GROUP BY 1""".stripMargin,
+
+    "q63_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q64_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |y AS (SELECT user_id, event_id, value, us,
+        |    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |          THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM y GROUP BY 1, 2""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

@@ -51,6 +51,24 @@ object Sampling {
       < lit(bound))
   }
 
+  /** Stratified deterministic subsample: each stratum keeps rows whose
+    * hash prefix falls below ITS bound — per-language / per-source
+    * rebalancing (downsample the dominant crawl, keep the rare language)
+    * as a pure map-side filter with [[hashSample]]'s determinism. Strata
+    * not listed in `rates` use `defaultBound` ("00" drops them). */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           salt: String, rates: Seq[(String, String)],
+                           defaultBound: String): DataFrame = {
+    rates.foreach { case (stratum, b) => requireHexBound(b, stratum) }
+    requireHexBound(defaultBound, "default")
+    val bound = rates.foldRight(lit(defaultBound): Column) {
+      case ((stratum, b), acc) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    df.where(substring(
+      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2) < bound)
+  }
+
   /** Bounds compare lexicographically against LOWERCASE md5 hex — an
     * uppercase, non-hex, or wrong-length bound (e.g. "CC", "c") would
     * silently mis-assign every row instead of failing. */

@@ -251,6 +251,38 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("term_freq").desc, col("token"))
       .limit(k)
 
+  /** Integer-exact TF-IDF document weighting: per-(doc, token) term
+    * frequency, document frequency via a window over the SAME aggregation
+    * output (no second agg + join over the token table), weight =
+    * tf * ((10000 * N) DIV df) — integer basis points of the inverse
+    * document-frequency ratio instead of a float log, so scores are
+    * bit-exact cross-engine and rank-equivalent to 1/df weighting.
+    *
+    * `nDocs` is the corpus size (pass `df.count()` or a known stat — at
+    * scale it comes from table statistics, not an extra scan). Shuffles:
+    * the (token, doc) aggregation (map-side combined, one row per
+    * distinct pair), the token window, the per-doc sum. The token window
+    * inherits token skew ("the" lands in one partition) — the same skew
+    * the df-join formulation has; cap or stopword-filter upstream when a
+    * corpus is big enough for that to matter. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String,
+            nDocs: Long): DataFrame = {
+    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    val perDoc = df
+      .select(col(idCol), explode(Shingles.words(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    perDoc
+      .withColumn("__df", count(lit(1)).over(wTok))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(col("__tf") *
+            expr(s"CAST((10000 * CAST($nDocs AS BIGINT)) DIV __df AS BIGINT)"))
+          .as("tfidf"))
+  }
+
   /** Winnowing-style fingerprint: distinct word-k-gram md5s sampled where
     * the hash's first hex char is '0' (1/16 of grams, content-defined —
     * robust to local edits), sorted and re-hashed. */

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IntervalJoin, Sessionize, SkewAgg}
+
+class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("interval join: day-bucketed equi-join matches the exact bounds") {
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 05:00:00")),   // inside w0
+      (2L, 1L, ts("2024-01-01 06:00:00")),   // == end: excluded ([s, e))
+      (3L, 1L, ts("2024-01-01 00:00:00")),   // == start: included
+      (4L, 2L, ts("2024-01-01 05:00:00")),   // wrong key
+      (5L, 1L, ts("2024-01-02 23:30:00")),   // inside w1 (spans midnight)
+      (6L, 1L, ts("2024-01-03 00:30:00")))   // inside w1, next day
+      .toDF("event_id", "k", "t")
+    val win = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")),
+      (11L, 1L, ts("2024-01-02 23:00:00"), ts("2024-01-03 01:00:00")))
+      .toDF("win_id", "wk", "ws", "we")
+    val out = IntervalJoin.byDay(rows, "k", "t", win, "wk", "ws", "we")
+      .select($"event_id", $"win_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (3L, 10L), (5L, 11L), (6L, 11L)))
+  }
+
+  test("interval join: overlapping windows match a row more than once") {
+    val rows = Seq((1L, 1L, ts("2024-01-01 02:00:00"))).toDF("event_id", "k", "t")
+    val win = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 04:00:00")),
+      (11L, 1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")))
+      .toDF("win_id", "wk", "ws", "we")
+    val out = IntervalJoin.byDay(rows, "k", "t", win, "wk", "ws", "we")
+      .select($"win_id").as[Long].collect().toSet
+    assert(out == Set(10L, 11L))
+  }
+
+  test("skew-safe distinct matches countDistinct, excludes NULLs") {
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("b", Some(1L)), ("b", None))
+      .toDF("k", "v")
+    val two = SkewAgg.distinctByKey(df, "k", "v")
+      .as[(String, Long)].collect().toMap
+    val ref = df.groupBy($"k").agg(countDistinct($"v").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(two == ref && two == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("sessionize: gap starts a new session; ties break on tieCol") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:20:00")),   // 20 min: same session
+      (1L, 3L, ts("2024-01-01 11:00:00")),   // 40 min: new session
+      (1L, 4L, ts("2024-01-01 11:30:00")),   // exactly gap: same (> only)
+      (2L, 5L, ts("2024-01-01 10:00:00")))   // other key: own session 1
+      .toDF("user_id", "event_id", "t")
+    val out = Sessionize(df, "user_id", "t", gapSeconds = 1800, "event_id")
+      .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize: one Exchange for the two window passes") {
+    val df = Seq((1L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "t")
+    val plan = Sessionize(df, "user_id", "t", 60, "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("stratified sample: per-stratum rates, deterministic") {
+    import graft.operators.llm.Sampling
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedHashSample(df, "doc_id", "lang", "s",
+      Seq("en" -> "cc", "de" -> "1a"), "00")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // en ~ cc/256 = 79.7% of 1000; de ~ 1a/256 = 10.2% of 1000
+    assert(kept("en") > 700 && kept("en") < 900, kept)
+    assert(kept("de") > 50 && kept("de") < 160, kept)
+    val again = Sampling.stratifiedHashSample(df, "doc_id", "lang", "s",
+      Seq("en" -> "cc", "de" -> "1a"), "00")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(kept == again)
+  }
+
+  test("tfidf: rare tokens outweigh common ones, integer-exact") {
+    import graft.operators.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "doc_id", "text", nDocs = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // df: common=3, rare=1, other=2; weight = (10000*3) DIV df
+    // doc1 = 2*10000 + 1*30000 = 50000; doc2 = doc3 = 10000 + 15000
+    assert(out(1L) == (2L, 50000L))
+    assert(out(2L) == (2L, 25000L) && out(3L) == (2L, 25000L))
+  }
+}
