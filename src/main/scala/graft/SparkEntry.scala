@@ -1163,6 +1163,41 @@ object SparkEntry {
           min(unix_micros(col("ts"))).as("start_us"),
           max(unix_micros(col("ts"))).as("end_us"),
           sum(cents(col("value"))).as("val_cents"))
+    }),
+
+    // Generalized as-of join (the RevisitResolve pattern over two
+    // arbitrary tables): each purchase resolves to the user's latest
+    // signup at or before it — union + one window, no range join.
+    "q65_asof_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"),
+          col("event_id").as("signup_event"))
+      graft.operators.AsOfJoin.latestPrior(
+        purchases, signups, Seq("user_id"), "ts", "sts",
+        payloadCols = Seq("signup_event"),
+        rightTieCols = Seq("signup_event"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_signup_event"))
+    }),
+
+    // Salted skew join: big (salted) × small (replicated per salt) on
+    // (key, salt) — result identical to the plain join; the hot key
+    // spreads over `buckets` reducers. The dim here is demonstrative;
+    // the operator targets dims too big to broadcast.
+    "q66_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 3L),
+        ("signup", 4L), ("error", 5L)).toDF("etype", "weight")
+      val ev = tbl(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      graft.operators.SkewAgg.saltedJoin(ev, dim, "event_type", "etype",
+        buckets = 8)
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value")) * col("weight")).as("weighted_cents"))
     })
   )
 
@@ -2007,7 +2042,31 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents
-        |FROM y GROUP BY 1, 2""".stripMargin
+        |FROM y GROUP BY 1, 2""".stripMargin,
+
+    "q65_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS sev
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, NULL, epoch_us(ts), 0, event_id
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT user_id, event_id,
+        |  last_value(sev IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY us, side, sev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS asof_signup_event
+        |FROM u QUALIFY side = 1""".stripMargin,
+
+    "q66_salted_join" ->
+      """SELECT etype, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT) * weight) AS BIGINT)
+        |    AS weighted_cents
+        |FROM events JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3),
+        |    ('signup', 4), ('error', 5)) AS dim(etype, weight)
+        |  ON event_type = etype
+        |GROUP BY 1""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

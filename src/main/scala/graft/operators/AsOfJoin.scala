@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Generalized as-of join (beyond-reference surface; the specialized form
+ * is [[RevisitResolve]]): for each left row, attach the payload of the
+ * LATEST right row of the same key whose timestamp is <= the left row's —
+ * prices at trade time, config at event time, signup at purchase time.
+ *
+ * Spark-first shape: no range join, no per-row subquery. Both sides are
+ * tagged and unioned; ONE window over the key ordered by
+ * (ts, side, right tie-breakers) computes `last(payload, ignoreNulls)`
+ * up to the current row — right rows sort BEFORE left rows at equal
+ * timestamps (inclusive as-of), and the right-side tie columns make the
+ * winning payload deterministic when several right rows share a
+ * timestamp. One shuffle on the key at any scale; the union means the
+ * right side is scanned once, never joined per-left-row.
+ */
+object AsOfJoin {
+
+  /** Left rows + `prefix`-named columns for each of `payloadCols` (from
+    * `right`), resolved as-of `left.leftTs` >= `right.rightTs`. Left rows
+    * with no prior right row get NULL payloads. `rightTieCols` order
+    * same-timestamp right rows (last one wins); pass enough columns to
+    * make that total. */
+  def latestPrior(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTs: String, rightTs: String, payloadCols: Seq[String],
+                  rightTieCols: Seq[String] = Nil,
+                  prefix: String = "asof_"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column is required")
+    require(payloadCols.nonEmpty, "at least one payload column is required")
+    val lCols = left.columns.toSeq
+    def nullAs(df: DataFrame, c: String, as: String): Column =
+      lit(null).cast(df.schema(c).dataType).as(as)
+    // left rows carry their own columns; right rows carry only the keys,
+    // the ordering columns, and the payload — everything else is NULL
+    val l = left.select(
+      (lCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
+        rightTieCols.map(c => nullAs(right, c, s"__t_$c")) ++
+        payloadCols.map(c => nullAs(right, c, s"__p_$c")): _*)
+    val r = right.select(
+      (lCols.map(c => if (keyCols.contains(c)) col(c) else nullAs(left, c, c)) :+
+        col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
+        rightTieCols.map(c => col(c).as(s"__t_$c")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts") +: col("__side") +:
+        rightTieCols.map(c => col(s"__t_$c")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(col("*") +: payloadCols.map(c =>
+        last(col(s"__p_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+      .where(col("__side") === 1)
+      .drop(("__ts" +: "__side" +: rightTieCols.map(c => s"__t_$c")) ++
+        payloadCols.map(c => s"__p_$c"): _*)
+  }
+}

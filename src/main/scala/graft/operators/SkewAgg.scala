@@ -26,4 +26,28 @@ object SkewAgg {
       .distinct()                      // shuffle spread by (key, value)
       .groupBy(col(keyCol))            // map-side combined per-key count
       .agg(count(lit(1)).as(outCol))
+
+  /** Salted equi-join for a skewed big side: the big side gets a per-row
+    * salt in [0, buckets); the small side is replicated buckets×; the
+    * join key becomes (key, salt), so one hot key's rows spread over
+    * `buckets` reducers instead of serializing on one. The result is
+    * IDENTICAL to the plain inner join — the salt never leaves the plan.
+    *
+    * This is the explicit form of what AQE's skew-join split does at
+    * runtime; use it when the skew is known up front, when the join
+    * rides a partitioning AQE won't touch (bucketed tables), or when the
+    * small side is too big to broadcast but fine to replicate
+    * `buckets`×. The salt is `monotonically_increasing_id() % buckets` —
+    * run-dependent, which is fine: it only routes rows, never appears in
+    * the result. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, buckets: Int = 16): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val b = big.withColumn("__bsalt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val s = small.withColumn("__ssalt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    b.join(s, b(bigKey) === s(smallKey) && col("__bsalt") === col("__ssalt"))
+      .drop("__bsalt", "__ssalt")
+  }
 }

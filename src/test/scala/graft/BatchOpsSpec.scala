@@ -73,6 +73,54 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("as-of join: latest prior right row, inclusive ties, null when none") {
+    import graft.operators.AsOfJoin
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 12:00:00")),
+      (2L, 102L, ts("2024-01-01 09:00:00")))   // before any price
+      .toDF("k", "trade_id", "t")
+    val prices = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L),
+      (1L, ts("2024-01-01 10:00:00"), 20L),    // same second as trade 100
+      (1L, ts("2024-01-01 11:00:00"), 30L),
+      (2L, ts("2024-01-01 11:00:00"), 40L))
+      .toDF("k", "pt", "price")
+    val out = AsOfJoin.latestPrior(trades, prices, Seq("k"), "t", "pt",
+      payloadCols = Seq("price"), rightTieCols = Seq("price"))
+      .select($"trade_id", $"asof_price")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(100L -> Some(20L),   // inclusive: same-ts price wins
+      101L -> Some(30L), 102L -> None))
+  }
+
+  test("as-of join: same-timestamp right rows break ties deterministically") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 9L, ts("2024-01-01 10:00:00"))).toDF("k", "id", "t")
+    val rRows = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 5L),
+      (1L, ts("2024-01-01 09:00:00"), 7L))    // tie: larger tie col wins
+    for (perm <- Seq(rRows, rRows.reverse)) {
+      val out = AsOfJoin.latestPrior(l, perm.toDF("k", "pt", "v"),
+        Seq("k"), "t", "pt", Seq("v"), rightTieCols = Seq("v"))
+        .select($"asof_v").as[Long].collect()
+      assert(out.toSeq == Seq(7L))
+    }
+  }
+
+  test("salted join equals the plain join") {
+    import graft.operators.SkewAgg
+    val big = (0L until 500L).map(i => (s"k${i % 3}", i)).toDF("bk", "v")
+    val small = Seq(("k0", 10L), ("k1", 20L), ("k3", 99L)).toDF("sk", "w")
+    val salted = SkewAgg.saltedJoin(big, small, "bk", "sk", buckets = 4)
+      .groupBy($"bk").agg(count(lit(1)).as("n"), sum($"v" * $"w").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    val plain = big.join(small, $"bk" === $"sk")
+      .groupBy($"bk").agg(count(lit(1)).as("n"), sum($"v" * $"w").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted == plain && salted.map(_._1) == Set("k0", "k1"))
+  }
+
   test("stratified sample: per-stratum rates, deterministic") {
     import graft.operators.llm.Sampling
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
