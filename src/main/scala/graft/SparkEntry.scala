@@ -2033,11 +2033,11 @@ object SparkEntry {
         |      ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events),
         |y AS (SELECT user_id, event_id, value, us,
-        |    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |    CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
         |          THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY us, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_idx
+        |      AS BIGINT) AS session_idx
         |  FROM x)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us,

@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
  *
  * Spark-first shape: no range join, no per-row subquery. Both sides are
  * tagged and unioned; ONE window over the key ordered by
- * (ts, side, right tie-breakers) computes `last(payload, ignoreNulls)`
- * up to the current row — right rows sort BEFORE left rows at equal
- * timestamps (inclusive as-of), and the right-side tie columns make the
- * winning payload deterministic when several right rows share a
- * timestamp. One shuffle on the key at any scale; the union means the
- * right side is scanned once, never joined per-left-row.
+ * (ts, side, right tie-breakers) computes `last(payload_struct,
+ * ignoreNulls)` up to the current row — right rows sort BEFORE left rows
+ * at equal timestamps (inclusive as-of), and the right-side tie columns
+ * make the winning payload deterministic when several right rows share a
+ * timestamp. The payloads ride ONE struct column (null only on left
+ * rows), so the latest right ROW wins even when some of its payload
+ * fields are genuinely NULL — those NULLs are carried through, never
+ * silently replaced by an older row's values. One shuffle on the key at
+ * any scale; the union means the right side is scanned once, never
+ * joined per-left-row.
  */
 object AsOfJoin {
 
@@ -35,26 +39,30 @@ object AsOfJoin {
     val lCols = left.columns.toSeq
     def nullAs(df: DataFrame, c: String, as: String): Column =
       lit(null).cast(df.schema(c).dataType).as(as)
+    // all payloads ride one struct, null only on left rows: ignoreNulls
+    // skips left rows but always lands on the latest right ROW, even
+    // when an individual payload field inside it is NULL
+    val pType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c, nullable = true)))
     // left rows carry their own columns; right rows carry only the keys,
     // the ordering columns, and the payload — everything else is NULL
     val l = left.select(
       (lCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
-        rightTieCols.map(c => nullAs(right, c, s"__t_$c")) ++
-        payloadCols.map(c => nullAs(right, c, s"__p_$c")): _*)
+        rightTieCols.map(c => nullAs(right, c, s"__t_$c")) :+
+        lit(null).cast(pType).as("__p"): _*)
     val r = right.select(
       (lCols.map(c => if (keyCols.contains(c)) col(c) else nullAs(left, c, c)) :+
         col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
-        rightTieCols.map(c => col(c).as(s"__t_$c")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+        rightTieCols.map(c => col(c).as(s"__t_$c")) :+
+        struct(payloadCols.map(c => col(c).as(c)): _*).as("__p"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts") +: col("__side") +:
         rightTieCols.map(c => col(s"__t_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(col("*") +: payloadCols.map(c =>
-        last(col(s"__p_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop(("__ts" +: "__side" +: rightTieCols.map(c => s"__t_$c")) ++
-        payloadCols.map(c => s"__p_$c"): _*)
+      .select(lCols.map(col) ++ payloadCols.map(c =>
+        col("__asof")(c).as(s"$prefix$c")): _*)
   }
 }

@@ -30,9 +30,15 @@ object IntervalJoin {
   def byDay(rows: DataFrame, rowKey: String, tsCol: String,
             intervals: DataFrame, intKey: String,
             startCol: String, endCol: String): DataFrame = {
+    // Malformed intervals (end < start) would make sequence() step -1 and
+    // explode one bucket row per day of the REVERSED span — unbounded
+    // inflation from a single corrupt row. They can never match the
+    // residual [start, end) filter, so dropping them up front is
+    // result-identical and bounds the explode.
+    val valid = intervals.where(col(endCol) >= col(startCol))
     // inclusive day span: an interval ending mid-day still covers its
     // last day's bucket; the residual bound filter trims the excess
-    val expanded = intervals.withColumn("__iday",
+    val expanded = valid.withColumn("__iday",
       explode(sequence(to_date(col(startCol)), to_date(col(endCol)))))
     val r = rows.withColumn("__rday", to_date(col(tsCol)))
     r.join(expanded,

@@ -15,17 +15,20 @@ import org.apache.spark.sql.functions._
  * map-side-combined aggregation whose shuffle carries at most one row
  * per (partition, key).
  *
- * NULL values are excluded, matching countDistinct semantics.
+ * NULL values are excluded from the count, matching countDistinct
+ * semantics — but a key whose values are ALL NULL still yields a group
+ * with count 0 (the dedup keeps one (key, NULL) row; `count(valueCol)`
+ * ignores it without dropping the group), exactly like
+ * `count(DISTINCT value) GROUP BY key` in SQL.
  */
 object SkewAgg {
 
   def distinctByKey(df: DataFrame, keyCol: String, valueCol: String,
                     outCol: String = "n_distinct"): DataFrame =
     df.select(col(keyCol), col(valueCol))
-      .where(col(valueCol).isNotNull)
       .distinct()                      // shuffle spread by (key, value)
       .groupBy(col(keyCol))            // map-side combined per-key count
-      .agg(count(lit(1)).as(outCol))
+      .agg(count(col(valueCol)).as(outCol))
 
   /** Salted equi-join for a skewed big side: the big side gets a per-row
     * salt in [0, buckets); the small side is replicated buckets×; the

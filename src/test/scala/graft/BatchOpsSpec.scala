@@ -52,6 +52,24 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(two == ref && two == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("skew-safe distinct keeps a group whose values are all NULL") {
+    val df = Seq(("a", Some(1L)), ("c", None), ("c", None)).toDF("k", "v")
+    val out = SkewAgg.distinctByKey(df, "k", "v")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 1L, "c" -> 0L))
+  }
+
+  test("interval join: end < start interval is dropped, not exploded") {
+    val rows = Seq((1L, 1L, ts("2024-01-01 05:00:00"))).toDF("event_id", "k", "t")
+    val win = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")),
+      // corrupt: years-long reversed span must not inflate the explode
+      (11L, 1L, ts("2030-01-01 00:00:00"), ts("2024-01-01 00:00:00")))
+      .toDF("win_id", "wk", "ws", "we")
+    val out = IntervalJoin.byDay(rows, "k", "t", win, "wk", "ws", "we")
+    assert(out.select($"win_id").as[Long].collect().toSeq == Seq(10L))
+  }
+
   test("sessionize: gap starts a new session; ties break on tieCol") {
     val df = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00")),
@@ -106,6 +124,18 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
         .select($"asof_v").as[Long].collect()
       assert(out.toSeq == Seq(7L))
     }
+  }
+
+  test("as-of join: latest right ROW wins even when its payload is NULL") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 9L, ts("2024-01-01 12:00:00"))).toDF("k", "id", "t")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5L)),
+      (1L, ts("2024-01-01 11:00:00"), None))   // latest row, NULL payload
+      .toDF("k", "pt", "v")
+    val out = AsOfJoin.latestPrior(l, r, Seq("k"), "t", "pt", Seq("v"))
+      .select($"asof_v").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(None))   // NOT the older 5L
   }
 
   test("salted join equals the plain join") {
