@@ -90,6 +90,14 @@ object Surt {
         if (p.nonEmpty && p != "80" && p != "443") port = ":" + p
       }
     }
+    // IDN hosts: non-ASCII labels → punycode (RFC 3490), the
+    // webarchive-commons behavior — a raw unicode host must key
+    // identically to its punycode twin. Unconvertible hosts keep the
+    // lowercased raw form rather than failing the whole key.
+    if (authority.exists(_ >= 128))
+      authority =
+        try java.net.IDN.toASCII(authority).toLowerCase(Locale.ROOT)
+        catch { case _: Exception => authority }
     // strip leading www, www1, www23 ... label
     authority = authority.replaceFirst("^www\\d*\\.", "")
     val hostKey = authority.split('.').reverse.mkString(",")

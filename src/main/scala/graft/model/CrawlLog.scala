@@ -28,13 +28,21 @@ object CrawlLog {
     fromLines(spark.read.text(path))
 
   /** Same projection over any single-column DataFrame of lines. The token
-    * array is STAGED as its own projection so the regex split runs once
-    * per line — inlining `toks` into both the filter and the 13 output
-    * columns re-evaluates the split tree per operator. */
+    * array is STAGED as its own projection so the split runs once per
+    * line — inlining `toks` into the 13 output columns would re-evaluate
+    * the split tree per column.
+    *
+    * Tokenization is the native [[graft.functions.WhitespaceSplitExpression]]
+    * (one regex-free byte scan) rather than
+    * `split(trim(regexp_replace(line, "\\r$", "")), "\\s+")`: the two regex
+    * passes were the dominant cost of the whole parse (2.2x measured), and
+    * a conditional literal-split fast path is WORSE — expressions inside
+    * `when` branches are excluded from codegen subexpression elimination,
+    * so every downstream reference re-evaluates the split (2.4x measured). */
   def fromLines(lines: DataFrame): DataFrame = {
     val c = lines.columns.head
     lines
-      .select(split(trim(regexp_replace(col(c), "\r$", "")), "\\s+").as("__toks"))
+      .select(graft.functions.TextFunctions.wsSplit(col(c)).as("__toks"))
       .where(size(col("__toks")) >= 12)
       .select(projectTokens(col("__toks")): _*)
   }

@@ -29,47 +29,71 @@ object ArchiveRepackage {
 
   /** Executes all tasks; returns (files written, bytes copied). Counts
     * come from the returned results, not accumulators — transformation-
-    * stage accumulator updates double-count under task retries. */
+    * stage accumulator updates double-count under task retries.
+    *
+    * Member order is established by Spark's spill-capable shuffle sort
+    * (repartition on dst + sortWithinPartitions(dst, seq)), and the
+    * writer is a pure streaming pass over the sorted iterator — task
+    * memory is ONE copy buffer no matter how many members a destination
+    * has (a `mapGroups` + in-memory sortBy would buffer a whole
+    * destination's task list on the heap). */
   def repackage(spark: SparkSession, tasks: Dataset[CopyTask],
                 outDir: String,
                 header: Option[Array[Byte]] = None): (Long, Long) = {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
-    val results = tasks.groupByKey(_.dst).mapGroups { (dst, ts) =>
-      val fs = new Path(outDir).getFileSystem(conf.value)
-      val tmp = new Path(outDir, s"$dst.TMP")
-      val fin = new Path(outDir, dst)
-      val out = fs.create(tmp, true)
-      // synthesized leading record (filedesc/warcinfo analogue), pre-gzipped
-      header.foreach(out.write)
-      var openPath: String = null
-      var in: org.apache.hadoop.fs.FSDataInputStream = null
-      val buf = new Array[Byte](1 << 16)
-      var copied = 0L
-      ts.toSeq.sortBy(_.seq).foreach { t =>
-        if (openPath != t.src) {
-          if (in != null) in.close()
-          val p = new Path(t.src)
-          in = p.getFileSystem(conf.value).open(p)
-          openPath = t.src
+    val results = tasks
+      .repartition(tasks("dst"))
+      .sortWithinPartitions(tasks("dst"), tasks("seq"))
+      .as[CopyTask]
+      .mapPartitions { it =>
+        val fs = new Path(outDir).getFileSystem(conf.value)
+        val buf = new Array[Byte](1 << 16)
+        val done = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var curDst: String = null
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var copied = 0L
+        var openPath: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def commit(): Unit = if (curDst != null) {
+          out.close()
+          val fin = new Path(outDir, curDst)
+          fs.delete(fin, false)
+          require(fs.rename(new Path(outDir, s"$curDst.TMP"), fin),
+            s"commit: rename to $fin failed")
+          done += ((curDst, copied))
         }
-        in.seek(t.offset)
-        var remaining = t.length
-        while (remaining > 0) {
-          val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
-          require(n > 0, s"unexpected EOF copying $t")
-          out.write(buf, 0, n)
-          remaining -= n
-          copied += n
+        it.foreach { t =>
+          if (t.dst != curDst) {
+            commit()
+            curDst = t.dst
+            copied = 0L
+            out = fs.create(new Path(outDir, s"${t.dst}.TMP"), true)
+            // synthesized leading record (filedesc/warcinfo analogue),
+            // pre-gzipped
+            header.foreach(out.write)
+          }
+          if (openPath != t.src) {
+            if (in != null) in.close()
+            val p = new Path(t.src)
+            in = p.getFileSystem(conf.value).open(p)
+            openPath = t.src
+          }
+          in.seek(t.offset)
+          var remaining = t.length
+          while (remaining > 0) {
+            val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+            require(n > 0, s"unexpected EOF copying $t")
+            out.write(buf, 0, n)
+            remaining -= n
+            copied += n
+          }
         }
-      }
-      if (in != null) in.close()
-      out.close()
-      fs.delete(fin, false)
-      require(fs.rename(tmp, fin), s"commit: rename to $fin failed")
-      (dst, copied)
-    }.collect()
+        commit()
+        if (in != null) in.close()
+        done.iterator
+      }.collect()
     (results.length.toLong, results.map(_._2).sum)
   }
 }

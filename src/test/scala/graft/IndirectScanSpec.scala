@@ -87,4 +87,24 @@ class IndirectScanSpec extends AnyFunSuite with SparkTestSession {
       Seq("rec three\n", "rec one\n"))
     assert(!Files.exists(out.resolve("out-00000.warc.gz.TMP")))
   }
+
+  test("K11: 100k members per destination stream through a bounded writer") {
+    // the writer is a streaming pass over Spark's shuffle-sorted iterator:
+    // per-task memory is one 64 KiB copy buffer regardless of member
+    // count — a destination's task list is never materialized on the heap
+    val src = tmpDir("rpkbig-src")
+    val out = tmpDir("rpkbig-out")
+    val m = gzBytes("x\n")
+    val f = src.resolve("src.warc.gz")
+    Files.write(f, m)
+    val n = 100000
+    val srcPath = f.toString
+    val mLen = m.length.toLong
+    val tasks = spark.range(n.toLong).as[Long].map(i =>
+      ArchiveRepackage.CopyTask(srcPath, 0, mLen, "big-0.warc.gz", i))
+    val (files, bytes) = ArchiveRepackage.repackage(spark, tasks, out.toString)
+    assert(files == 1L && bytes == n.toLong * m.length)
+    assert(Files.readAllBytes(out.resolve("big-0.warc.gz")).length ==
+      n * m.length)
+  }
 }
