@@ -363,7 +363,8 @@ object SparkEntry {
     // MinHash-LSH near-dup candidates: shingle → 6 minhashes → 3 banded
     // bucket keys → equi-join inside buckets only (never all-pairs).
     "q21_minhash_lsh" -> ((s, dir) => {
-      graft.operators.llm.MinHashLsh(nearDupCorpus(s, dir), "doc_id", "text")
+      graft.operators.llm.MinHashLsh(nearDupCorpus(s, dir, fan = true),
+        "doc_id", "text")
     }),
 
     // Exact n-gram Jaccard over known near-dup pairs (the verify stage
@@ -405,7 +406,7 @@ object SparkEntry {
     // component's canonical doc is its min id.
     "q52_neardup_components" -> ((s, dir) => {
       val pairs = graft.operators.llm.MinHashLsh(
-        nearDupCorpus(s, dir), "doc_id", "text")
+        nearDupCorpus(s, dir, fan = true), "doc_id", "text")
       // the fixpoint loop runs EAGERLY inside the builder; under AQE
       // every stage of every iteration becomes its own job, so driver
       // round-trips — not data — dominate at oracle scale. Scope AQE off
@@ -1219,17 +1220,17 @@ object SparkEntry {
           sum(cents(col("value")) * col("weight")).as("weighted_cents"))
     }),
 
-    // Connected components at ADVERSARIAL depth: a single 512-node chain
+    // Connected components at ADVERSARIAL depth: a single 128-node chain
     // (doc_id i — i+1), the worst case for plain min-label propagation
-    // (O(diameter) = 512 iterations > maxIter) — solvable only by the
-    // pointer-doubling path (`shortcut = true`, O(log n) ≈ 10 rounds).
+    // (O(diameter) = 127 iterations > maxIter) — solvable only by the
+    // pointer-doubling path (`shortcut = true`, O(log n) ≈ 8 rounds).
     // q52 exercises the shallow LSH graph; this row pins the deep one.
     // Gaps in doc_id (if any) split the chain into runs; the oracle's
     // islands formulation reproduces exactly that.
     "q68_cc_chain" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"))
-        .where(col("doc_id") < 512)
+        .where(col("doc_id") < 128)
       val pairs = d
         .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"))
         .join(d.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
@@ -1238,7 +1239,7 @@ object SparkEntry {
       // skip AQE's per-iteration re-planning jobs
       withScopedConf(s,
         "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.shuffle.partitions" -> "2") {
+        "spark.sql.shuffle.partitions" -> "1") {
         graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b",
           maxIter = 40, shortcut = true)
           .select(col("node").as("doc_id"), col("component"))
@@ -1396,13 +1397,18 @@ object SparkEntry {
   }
 
   /** Near-dup corpus: originals + every 7th doc re-inserted with 3 words
-    * appended — high-Jaccard pairs the oracle can reproduce. */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    * appended — high-Jaccard pairs the oracle can reproduce. `fan` opts
+    * the hash-heavy consumers (MinHash signature pipeline: q21/q52) into
+    * [[fanOut]]; the lighter set-algebra consumer (q22) keeps the narrow
+    * scan — its per-row work is too small to buy back the shuffle. */
+  private def nearDupCorpus(s: SparkSession, dir: String,
+                            fan: Boolean = false): DataFrame = {
     val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
     val variants = d.where(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" graft extra appended")).as("text"))
-    fanOut(d.unionByName(variants))
+    val u = d.unionByName(variants)
+    if (fan) fanOut(u) else u
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1976,12 +1982,12 @@ object SparkEntry {
         |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode
         |FROM d""".stripMargin,
 
-    // islands-and-gaps over doc_id < 512: nodes of each consecutive run
+    // islands-and-gaps over doc_id < 128: nodes of each consecutive run
     // label with the run's min; single-node runs are singletons (no edge)
     // and are excluded, matching CC's pairs-only node set
     "q68_cc_chain" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents
-        |           WHERE CAST(doc_id AS BIGINT) < 512),
+        |           WHERE CAST(doc_id AS BIGINT) < 128),
         |g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM d)
         |SELECT id AS doc_id,
         |  CAST(min(id) OVER (PARTITION BY grp) AS BIGINT) AS component
