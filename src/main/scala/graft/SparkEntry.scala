@@ -303,7 +303,7 @@ object SparkEntry {
           .otherwise(concat(date_format(col("ts"), "yyyyMMddHHmmss"), lit("+"),
             round(col("value")).cast("long"))),
         lit("sha1:ABC"), lit("-"), lit("-"))
-      graft.model.CrawlLog.fromLines(e.select(line.as("line")))
+      graft.model.CrawlLog.fromLines(fanOut(e).select(line.as("line")))
         .select(col("uri"), col("status"), col("size"),
           col("fetch_start"), col("fetch_duration"))
     }),
@@ -517,9 +517,11 @@ object SparkEntry {
             .as("p90_x10"))),
 
     // SimHash 32-bit fingerprint — single agg pass, ±1 nibble-bit votes.
+    // fanOut: one md5 per word of every document is exactly the
+    // hash-heavy map profile that buys back the fan-out shuffle.
     "q23_simhash" -> ((s, dir) =>
       graft.operators.llm.SimHash(
-        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        fanOut(tbl(s, dir, "documents").select(col("doc_id"), col("text"))),
         "doc_id", "text")),
 
     // ANN brute-force baseline: integer-quantized inner-product top-10 for
@@ -594,9 +596,10 @@ object SparkEntry {
     }),
 
     // Winnowing-style content-defined fingerprint (1/16 gram sample).
+    // fanOut: md5 per shingle — hash-heavy map side, same as q23.
     "q29_fingerprint" -> ((s, dir) =>
       graft.operators.llm.TextAnalysis.fingerprint(
-        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        fanOut(tbl(s, dir, "documents").select(col("doc_id"), col("text"))),
         "doc_id", "text")),
 
     // Multimodal plumbing: binary payload + typed metadata, batch-decoded

@@ -9,16 +9,21 @@ import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
 /**
- * Native crawl-log tokenizer: semantics of
- * `split(trim(regexp_replace(line, "\r$", "")), "\\s+")` — strip ONE
- * trailing CR (CrawlLogLoader.java:44-46), trim edge whitespace, split on
- * runs of Java `\s` ([ \t\n\x0B\f\r]) — as a single regex-free byte scan.
+ * Native crawl-log tokenizer, byte-exact to the reference's
+ * `line.split("\\s+")` after its one-trailing-CR strip
+ * (CrawlLogLoader.java:44-60): Java split semantics — a line starting
+ * with whitespace keeps ONE leading empty token (fields shift, exactly
+ * as the reference mis-parses such a line), trailing empty tokens are
+ * dropped, and an empty/all-whitespace line yields `[""]` (which the
+ * >= 12-token filter drops).
  *
- * The declarative formulation runs two regex passes per line and was the
- * dominant cost of the crawl-log parse; every `\s` byte is ASCII, and
- * ASCII bytes never occur inside a multi-byte UTF-8 sequence, so a byte
- * scan is exact on any input. An all-whitespace line yields `[""]`
- * (Spark's `split("", pat)` shape), which the >= 12-token filter drops.
+ * This replaces `split(trim(regexp_replace(line, "\r$", "")), "\\s+")`,
+ * which was BOTH slower (two regex passes per line dominated the whole
+ * parse) and less faithful: Spark's `trim` strips only spaces, and
+ * Spark's `split` keeps trailing empties, so lines with edge tabs/CRs
+ * tokenized differently from the reference. Every Java `\s` byte
+ * ([ \t\n\x0B\f\r]) is ASCII and ASCII bytes never occur inside a
+ * multi-byte UTF-8 sequence, so a byte scan is exact on any input.
  */
 case class WhitespaceSplitExpression(child: Expression)
     extends UnaryExpression {
@@ -45,10 +50,29 @@ case class WhitespaceSplitExpression(child: Expression)
     copy(child = newChild)
 }
 
-/** Static entry point shared by interpreted eval and generated code. */
+/** Static entry points shared by interpreted eval and generated code. */
 object TextSplitCodegen {
 
   import org.apache.spark.unsafe.types.UTF8String
+
+  def hexSliceLong(s: UTF8String, pos: Int, len: Int): java.lang.Long = {
+    if (s.numBytes() < pos + len) return null
+    val bytes = s.getBytes
+    var v = 0L
+    var i = pos
+    val end = pos + len
+    while (i < end) {
+      val b = bytes(i)
+      val d =
+        if (b >= '0' && b <= '9') b - '0'
+        else if (b >= 'a' && b <= 'f') b - 'a' + 10
+        else if (b >= 'A' && b <= 'F') b - 'A' + 10
+        else return null
+      v = (v << 4) | d
+      i += 1
+    }
+    java.lang.Long.valueOf(v)
+  }
 
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || (b >= 0x09 && b <= 0x0d)
@@ -56,28 +80,29 @@ object TextSplitCodegen {
   def wsSplit(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     var end = bytes.length
-    // one trailing CR (the "\r$" replace), then Java-trim (chars <= 0x20)
+    // one trailing CR strip (CrawlLogLoader.java:44-46)
     if (end > 0 && bytes(end - 1) == '\r') end -= 1
-    var start = 0
-    while (start < end && (bytes(start) & 0xff) <= 0x20) start += 1
-    while (end > start && (bytes(end - 1) & 0xff) <= 0x20) end -= 1
-    if (start == end)
-      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
-    // pass 1: count tokens (runs of non-\s bytes; edges are non-\s)
-    var n = 1
-    var i = start
-    var inWs = false
+    // Java split("\\s+"): leading whitespace yields ONE empty first
+    // token; trailing empties are dropped; "" and all-ws input → [""]
+    val leadingEmpty = end > 0 && isWs(bytes(0))
+    // pass 1: count non-empty runs
+    var n = 0
+    var i = 0
+    var inTok = false
     while (i < end) {
       val ws = isWs(bytes(i))
-      if (ws && !inWs) n += 1
-      inWs = ws
+      if (!ws && !inTok) n += 1
+      inTok = !ws
       i += 1
     }
+    if (n == 0)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
     // pass 2: fill
-    val out = new Array[Any](n)
+    val out = new Array[Any](if (leadingEmpty) n + 1 else n)
     var k = 0
-    i = start
-    var tokStart = start
+    if (leadingEmpty) { out(0) = UTF8String.EMPTY_UTF8; k = 1 }
+    i = 0
+    var tokStart = 0
     while (i <= end) {
       if (i == end || isWs(bytes(i))) {
         if (i > tokStart) {
@@ -92,8 +117,56 @@ object TextSplitCodegen {
   }
 }
 
+/**
+ * Parse `len` hex chars of a string at 0-based `pos` into a LONG —
+ * `CAST(conv(substring(s, pos+1, len), 16, 10) AS BIGINT)` without the
+ * substring allocation or the string round-trip. Purpose-built for the
+ * minhash signature aggregation: min() over a fixed-width LONG keeps the
+ * hash-aggregate buffer in the UnsafeRow fast path, where min() over a
+ * sliced string allocates and compares varlen bytes per input row.
+ * NULL when the slice is out of range or a char is not [0-9a-fA-F].
+ */
+case class HexSliceLongExpression(child: Expression, pos: Int, len: Int)
+    extends UnaryExpression {
+
+  require(pos >= 0 && len >= 1 && len <= 15,
+    s"hexSliceLong: pos must be >= 0 and 1 <= len <= 15 (got $pos, $len)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hex_slice_long requires STRING, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hex_slice_long"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSplitCodegen.hexSliceLong(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], pos, len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Long ${ev.value}Boxed =
+      |  graft.functions.TextSplitCodegen.hexSliceLong($c, $pos, $len);
+      |if (${ev.value}Boxed == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}Boxed.longValue();
+      |}
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HexSliceLongExpression =
+    copy(child = newChild)
+}
+
 /** Column builder. */
 object TextFunctions {
   def wsSplit(c: Column): Column =
     ColumnShim.column(WhitespaceSplitExpression(ColumnShim.expression(c)))
+  def hexSliceLong(c: Column, pos: Int, len: Int): Column =
+    ColumnShim.column(
+      HexSliceLongExpression(ColumnShim.expression(c), pos, len))
 }

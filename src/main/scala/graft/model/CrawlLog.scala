@@ -33,12 +33,17 @@ object CrawlLog {
     * the split tree per column.
     *
     * Tokenization is the native [[graft.functions.WhitespaceSplitExpression]]
-    * (one regex-free byte scan) rather than
-    * `split(trim(regexp_replace(line, "\\r$", "")), "\\s+")`: the two regex
-    * passes were the dominant cost of the whole parse (2.2x measured), and
-    * a conditional literal-split fast path is WORSE — expressions inside
-    * `when` branches are excluded from codegen subexpression elimination,
-    * so every downstream reference re-evaluates the split (2.4x measured). */
+    * — ONE regex-free byte scan, byte-exact to the reference's
+    * `line.split("\\s+")` after its single-trailing-CR strip
+    * (CrawlLogLoader.java:44-60). The declarative
+    * `split(trim(regexp_replace(...)), "\\s+")` it replaces was both the
+    * dominant cost of the parse (two regex passes per line, 2.2x
+    * measured) and subtly unfaithful on edge-whitespace lines (Spark's
+    * trim strips only spaces; Spark's split keeps trailing empties). A
+    * conditional literal-split fast path measured WORSE still (2.4x):
+    * expressions inside `when` branches are excluded from codegen
+    * subexpression elimination, so every reference re-evaluates the
+    * split. */
   def fromLines(lines: DataFrame): DataFrame = {
     val c = lines.columns.head
     lines

@@ -63,18 +63,30 @@ object MinHashLsh {
   def minhash(j: Int, pool: Column): Column =
     substring(pool, j * HashHexLen + 1, HashHexLen)
 
-  /** One aggregation pass computes all `numHashes` min-hashes. */
+  /** One aggregation pass computes all `numHashes` min-hashes.
+    *
+    * Each hash aggregates as a LONG (the native hex-slice parse of its
+    * 40-bit chunk), not as the sliced hex STRING: min over fixed-width
+    * longs keeps the hash-aggregate buffer in the UnsafeRow fast path
+    * and avoids one substring allocation per (row × hash), while
+    * ordering is identical (same-length lowercase hex sorts exactly like
+    * its numeric value). [[bands]] converts back to the canonical
+    * 10-hex-char form, so band keys — and any external recomputation of
+    * them — are byte-identical to the string formulation. */
   def signature(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     val pooled = shingles.select(col(idCol),
       hashPool(col("shingle"), numHashes).as("__pool"))
     val aggs = (0 until numHashes)
-      .map(j => min(minhash(j, col("__pool"))).as(s"h$j"))
+      .map(j => min(graft.functions.TextFunctions.hexSliceLong(
+        col("__pool"), j * HashHexLen, HashHexLen)).as(s"h$j"))
     pooled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** numHashes/rowsPerBand bands; two docs are candidates iff they agree on
-    * ALL hashes of at least one band. */
+    * ALL hashes of at least one band. Band keys hash the canonical
+    * 10-hex-char rendering of each LONG min-hash (restored via
+    * lower(lpad(hex(...)))) — once per document, not per shingle. */
   def bands(sig: DataFrame, idCol: String, numHashes: Int,
             rowsPerBand: Int): DataFrame = {
     require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
@@ -82,7 +94,8 @@ object MinHashLsh {
         s"$rowsPerBand — trailing hashes would be silently unused")
     val nBands = numHashes / rowsPerBand
     val rows = (0 until nBands).map { b =>
-      val members = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+      val members = (0 until rowsPerBand)
+        .map(r => s"lower(lpad(hex(h${b * rowsPerBand + r}), $HashHexLen, '0'))")
         .mkString("concat(", ", ", ")")
       s"$b, md5($members)"
     }.mkString(s"stack($nBands, ", ", ", ") AS (band, bh)")

@@ -85,6 +85,50 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("wsSplit is byte-exact to the reference Java split on adversarial lines") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "ab \t\r\f\u00e9\u2014"
+    val lines = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " ", "\r", "a\r", "a b", " a  b\t c \r", "\t\t",
+      "\u00e9 \u00fc\u2014x")
+    // the reference behavior (CrawlLogLoader.java:44-60): strip ONE
+    // trailing CR, then Java String.split("\\s+") - leading empty token
+    // kept, trailing empties dropped
+    def javaRef(l: String): Seq[String] = {
+      val s = if (l.nonEmpty && l.last == '\r') l.dropRight(1) else l
+      s.split("\\s+").toSeq match { case Seq() => Seq(""); case t => t }
+    }
+    val got = lines.toDF("line")
+      .select(graft.functions.TextFunctions.wsSplit(col("line")).as("native"))
+      .collect().map(_.getSeq[String](0))
+    lines.zip(got).foreach { case (l, n) =>
+      assert(n == javaRef(l), s"line=[${l.map(_.toInt).mkString(",")}]")
+    }
+  }
+
+  test("hexSliceLong matches conv(substring) incl. bad chars and short input") {
+    val rnd = new scala.util.Random(17)
+    val hexish = "0123456789abcdefABCDEFxy"
+    val rows = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(24)).map(_ => hexish(rnd.nextInt(hexish.length))).mkString
+    } ++ Seq("", "ffffffffff", "0000000000", "123456789a")
+    val df = rows.toDF("s")
+    val out = df.select(
+      graft.functions.TextFunctions.hexSliceLong(col("s"), 2, 10).as("native"),
+      // reference: conv() parses garbage leniently, so gate it on a
+      // strict hex + length check the native expression applies itself
+      when(substring(col("s"), 3, 10).rlike("^[0-9a-fA-F]{10}$"),
+        expr("CAST(conv(substring(s, 3, 10), 16, 10) AS BIGINT)"))
+        .as("ref")).collect()
+    out.foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getLong(0)
+      val f = if (r.isNullAt(1)) null else r.getLong(1)
+      assert(n == f, r.toString)
+    }
+  }
+
   test("SQL dotl/quantize1000 resolve via GraftExtensions") {
     val r = spark.sql(
       "SELECT dotl(quantize1000(array(CAST(0.001 AS FLOAT), CAST(-0.002 AS FLOAT))), " +
