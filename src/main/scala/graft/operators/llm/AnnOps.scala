@@ -104,7 +104,12 @@ object AnnOps {
    * dot-product aggregate to one projection, and past a few hundred the
    * generated method outgrows codegen limits and degrades to interpreted
    * eval — enforced below; a larger codebook needs a broadcast centroid
-   * table + per-bucket argmax formulation instead.
+   * table + per-bucket argmax formulation instead. (Measured at 8
+   * centroids x 64 dims, sf0.1: the broadcast+max_by alternative is
+   * ~15% SLOWER than this fold — its assignment costs a shuffle of
+   * every (vector x centroid) score through a groupBy that must carry
+   * the vector, where the fold assigns map-side. The crossover is
+   * codebook size, not a constant win.)
    */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               seedPred: Column, queryPred: Column, k: Int): DataFrame = {

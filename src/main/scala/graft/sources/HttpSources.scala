@@ -64,16 +64,20 @@ object HttpSources {
   }
 
   /** Paged remote text scan: the service reports its page count; each
-    * partition GETs one page and streams its lines. */
+    * partition GETs one page and streams its lines. `authCookie` is the
+    * reference's access-control knob (HttpTextLoader.java:200-204): when
+    * set, every request — the page-count probe included — carries
+    * `Cookie: cdx_auth_token=<value>`. */
   def pagedLines(spark: SparkSession, baseUrl: String,
-                 pageParam: String = "page"): Dataset[String] = {
+                 pageParam: String = "page",
+                 authCookie: Option[String] = None): Dataset[String] = {
     import spark.implicits._
-    val n = numPages(baseUrl)
+    val n = numPages(baseUrl, authCookie)
     spark.createDataset(0 until n)
       .repartition(math.max(1, n))
       .mapPartitions(_.flatMap { page =>
         val sep = if (baseUrl.contains("?")) "&" else "?"
-        val conn = connect(s"$baseUrl$sep$pageParam=$page", "GET")
+        val conn = connect(s"$baseUrl$sep$pageParam=$page", "GET", authCookie)
         val in = conn.getInputStream
         new IoUtil.AutoCloseIterator(new IoUtil.LfLineIterator(in),
           () => { in.close(); conn.disconnect() })
@@ -82,9 +86,9 @@ object HttpSources {
 
   /** Page count via `showNumPages=true` — X-CDX-Num-Pages header first,
     * body integer as fallback. */
-  def numPages(baseUrl: String): Int = {
+  def numPages(baseUrl: String, authCookie: Option[String] = None): Int = {
     val sep = if (baseUrl.contains("?")) "&" else "?"
-    val conn = connect(s"$baseUrl${sep}showNumPages=true", "GET")
+    val conn = connect(s"$baseUrl${sep}showNumPages=true", "GET", authCookie)
     try {
       val fromHeader = Option(conn.getHeaderField("X-CDX-Num-Pages"))
         .flatMap(_.trim.toIntOption)
@@ -107,12 +111,16 @@ object HttpSources {
     } finally conn.disconnect()
   }
 
-  private def connect(url: String, method: String): HttpURLConnection = {
+  private def connect(url: String, method: String,
+                      authCookie: Option[String] = None): HttpURLConnection = {
     val conn = URI.create(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(120000)
+    // cookie auth, the reference's scheme (HttpTextLoader.java:200-204)
+    authCookie.foreach(v =>
+      conn.setRequestProperty("Cookie", s"cdx_auth_token=$v"))
     conn
   }
 }

@@ -81,6 +81,33 @@ class HttpSourcesSpec extends AnyFunSuite with SparkTestSession
     assert(got == expected)
   }
 
+  test("S13: auth cookie rides every request, page-count probe included") {
+    server.createContext("/authed", (x: HttpExchange) => {
+      val ok = Option(x.getRequestHeaders.getFirst("Cookie"))
+        .contains("cdx_auth_token=s3cret")
+      if (!ok) { x.sendResponseHeaders(403, -1); x.close() }
+      else {
+        val q = Option(x.getRequestURI.getQuery).getOrElse("")
+        val body = if (q.contains("showNumPages=true")) "2\n"
+          else {
+            val page = q.split("&").find(_.startsWith("page="))
+              .map(_.drop(5).toInt).getOrElse(0)
+            s"auth$page\n"
+          }
+        val bytes = body.getBytes("UTF-8")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      }
+    })
+    val base = s"http://127.0.0.1:$port/authed"
+    // without the cookie the probe is rejected outright
+    intercept[Exception] { HttpSources.numPages(base) }
+    val got = HttpSources.pagedLines(spark, base,
+      authCookie = Some("s3cret")).collect().toSet
+    assert(got == Set("auth0", "auth1"))
+  }
+
   test("S13 service: protocol round-trip + shared-instance reuse") {
     import graft.server.HttpTextService
     val lines = IndexedSeq("l0", "l1", "l2", "l3", "l4")
