@@ -1226,7 +1226,8 @@ object SparkEntry {
     // Connected components at ADVERSARIAL depth: a single 128-node chain
     // (doc_id i — i+1), the worst case for plain min-label propagation
     // (O(diameter) = 127 iterations > maxIter) — solvable only by the
-    // pointer-doubling path (`shortcut = true`, O(log n) ≈ 8 rounds).
+    // pointer-doubling path (`shortcut = true`, two jumps per round —
+    // measured 5 rounds).
     // q52 exercises the shallow LSH graph; this row pins the deep one.
     // Gaps in doc_id (if any) split the chain into runs; the oracle's
     // islands formulation reproduces exactly that.

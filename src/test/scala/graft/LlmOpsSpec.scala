@@ -98,12 +98,13 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
   test("connected components: pointer doubling closes a deep chain fast") {
     // a 33-node chain has diameter 32: plain min-propagation moves the
     // min ONE hop per iteration and cannot finish in 8; with shortcut
-    // the label-tree depth roughly halves per round — done well inside 8
+    // (two jumps per round) label-tree depth divides by ~4 per round —
+    // done within 5 rounds, pinning the double-jump convergence rate
     val chain = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     assertThrows[IllegalArgumentException] {
       ConnectedComponents(chain, "doc_a", "doc_b", maxIter = 8).collect()
     }
-    val cc = ConnectedComponents(chain, "doc_a", "doc_b", maxIter = 8,
+    val cc = ConnectedComponents(chain, "doc_a", "doc_b", maxIter = 5,
       shortcut = true).as[(Long, Long)].collect()
     assert(cc.length == 33 && cc.forall(_._2 == 0L))
   }
