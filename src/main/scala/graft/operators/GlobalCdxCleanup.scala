@@ -68,26 +68,31 @@ object GlobalCdxCleanup {
   def dayCap(dayLimit: Int = DefaultDayLimit)(df: DataFrame): DataFrame = {
     if (dayLimit == 0) return df // 0 disables, as in the reference
     val admit = dayLimit + 1
-    val spark = df.sparkSession
     val schema = df.schema
     val keyIdx = schema.fieldIndex("urlkey")
     val tsIdx = schema.fieldIndex("timestamp")
     val localSorted = df.sortWithinPartitions(
       col("urlkey"), substring(col("timestamp"), 1, 8),
       col("timestamp"), col("offset"))
-    val preCapped = spark.createDataFrame(
-      localSorted.rdd.mapPartitions { rows =>
-        var curKey: String = null
-        var curDay: String = null
-        var count = 0
-        rows.filter { r =>
-          val key = r.getString(keyIdx)
-          val day = r.getString(tsIdx).take(8)
-          if (key == curKey && day == curDay) count += 1
-          else { curKey = key; curDay = day; count = 1 }
-          count <= admit
-        }
-      }, schema)
+    // typed mapPartitions (Encoders.row), NOT df.rdd + createDataFrame:
+    // the RDD hop severed the logical plan at a LogicalRDD boundary,
+    // hiding the upstream from AQE and downstream pushdown; the typed
+    // form stays ONE plan. The object de/serialization boundary remains
+    // — the pre-cap's running (key, day, count) state over the
+    // locally-sorted run has no expression-level equivalent (a window
+    // would shuffle, which is exactly what the pre-cap exists to avoid).
+    val preCapped = localSorted.mapPartitions { rows =>
+      var curKey: String = null
+      var curDay: String = null
+      var count = 0
+      rows.filter { r =>
+        val key = r.getString(keyIdx)
+        val day = r.getString(tsIdx).take(8)
+        if (key == curKey && day == curDay) count += 1
+        else { curKey = key; curDay = day; count = 1 }
+        count <= admit
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
     val w = Window
       .partitionBy(col("urlkey"), substring(col("timestamp"), 1, 8))
       .orderBy(col("timestamp"), col("offset"))
