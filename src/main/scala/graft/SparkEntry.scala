@@ -1250,6 +1250,25 @@ object SparkEntry {
       }
     }),
 
+    // The flagship LLM-curation pipeline END TO END under one oracle:
+    // corpus → MinHash-LSH candidates → connected components → keep one
+    // canonical doc per near-dup cluster (the component's min id) plus
+    // every singleton. This is the query a 100 TB dedup run actually
+    // issues; q21/q52 pin its stages, this row pins the composition.
+    "q69_dedup_keep" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir, fan = true)
+      val pairs = graft.operators.llm.MinHashLsh(corpus, "doc_id", "text")
+      val cc = withScopedConf(s,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8") {
+        graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b")
+      }
+      val nonCanonical = cc.where(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      corpus.select(col("doc_id"))
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+    }),
+
     // K14 — WAT generation under the oracle: watRows renders each
     // record's metadata as the nested JSON envelope
     // (jobs/WATGenerator.java:145); the query re-extracts the scalar
@@ -1603,6 +1622,37 @@ object SparkEntry {
           |    JOIN edges e ON e.a = reach.node)
           |SELECT node AS doc_id, min(r) AS component
           |FROM reach GROUP BY 1""".stripMargin),
+
+    // q52's component CTE + the keep rule: drop every node whose
+    // component label is not its own id; singletons never enter the
+    // pair graph and survive by absence
+    "q69_dedup_keep" ->
+      (s"WITH RECURSIVE corpus AS ($nearDupCorpusSql),\n" +
+        """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+          |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+          |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          |       FROM w WHERE len(w) >= 3),
+          |pool AS (SELECT doc_id, md5('0|' || s) || md5('1|' || s) AS p FROM sh),
+          |sig AS (SELECT doc_id,
+          |  min(substring(p,  1, 10)) AS h0, min(substring(p, 11, 10)) AS h1,
+          |  min(substring(p, 21, 10)) AS h2, min(substring(p, 31, 10)) AS h3,
+          |  min(substring(p, 41, 10)) AS h4, min(substring(p, 51, 10)) AS h5
+          |FROM pool GROUP BY 1),
+          |bands AS (SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+          |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+          |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig),
+          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach AS (SELECT a AS node, a AS r FROM edges
+          |  UNION SELECT e.b AS node, reach.r FROM reach
+          |    JOIN edges e ON e.a = reach.node),
+          |cc AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+          |SELECT c.doc_id FROM corpus c
+          |WHERE c.doc_id NOT IN
+          |  (SELECT node FROM cc WHERE node != component)""".stripMargin),
 
     "q53_hash_split" ->
       """WITH s AS (SELECT doc_id, n_chars,
