@@ -63,11 +63,16 @@ object ItemSearchers {
       val out = Seq.newBuilder[ItemStatus]
       var start = 0
       var numFound = Long.MaxValue
-      while (start < numFound) {
+      var done = false
+      while (!done && start < numFound) {
         val resp = mapper.readTree(fetch(pageUrl(collId, start)))
           .path("response")
         numFound = resp.path("numFound").asLong(0L)
         val docs = resp.path("docs")
+        // a service advertising numFound it cannot serve (empty page
+        // mid-range) must terminate the loop, not spin through millions
+        // of empty fetches
+        done = docs.size() == 0
         var i = 0
         while (i < docs.size()) {
           val d = docs.get(i)

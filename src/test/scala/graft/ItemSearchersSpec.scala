@@ -49,6 +49,17 @@ class ItemSearchersSpec extends AnyFunSuite {
     assert(got.map(_.identifier) == Seq("a", "b", "c"))
   }
 
+  test("search-engine searcher terminates on an empty page despite a huge numFound") {
+    var fetches = 0
+    def lying(url: String): String = {
+      fetches += 1
+      """{"response":{"numFound":1000000000,"docs":[]}}"""
+    }
+    val got = new SearchEngineItemSearcher("http://svc", rowsPerPage = 200,
+      fetch = lying).searchItems("web")
+    assert(got.isEmpty && fetches == 1)
+  }
+
   test("unparseable publicdate maps to 0 (reference behavior)") {
     assert(ItemSearchers.isoToMs("not-a-date") == 0L)
     assert(ItemSearchers.isoToMs("") == 0L)
