@@ -734,6 +734,17 @@ object SparkEntry {
         tbl(s, dir, "embeddings"), "vec_id", "embedding", "label", 300000L)
     }),
 
+    // Embedding-COSINE near-dup pairs: same in-bucket expansion as q36,
+    // but thresholded on squared cosine in integer basis points — the
+    // norm-invariant criterion a mixed-magnitude embedding corpus needs
+    // (a long document's raw dot can clear a threshold its direction
+    // doesn't deserve).
+    "q70_cosine_neardup" -> ((s, dir) => {
+      graft.operators.llm.AnnOps.withinBucketCosinePairs(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        minCos2Bp = 500L)
+    }),
+
     // Token counting two ways: whitespace tokens + a BPE-ish regex
     // (letter runs / digit runs / single punctuation).
     "q37_token_count" -> ((s, dir) => {
@@ -1950,6 +1961,28 @@ object SparkEntry {
         |      i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE dot >= 300000""".stripMargin,
+
+    // same quantize + in-bucket pair expansion as q36; the cosine² in
+    // basis points replays Spark's exact integer-truncation order:
+    // ((dot*dot // na2) * 10000) // nb2
+    "q70_cosine_neardup" ->
+      """SELECT * FROM (
+        |  WITH e AS (SELECT vec_id, label, list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |    FROM embeddings),
+        |  p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |      CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+        |        i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+        |      CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+        |        i -> a.q[i] * a.q[i])) AS BIGINT) AS na2,
+        |      CAST(list_sum(list_transform(range(1, len(b.q) + 1),
+        |        i -> b.q[i] * b.q[i])) AS BIGINT) AS nb2
+        |    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  SELECT vec_a, vec_b, label,
+        |    CAST(CASE WHEN dot <= 0 OR na2 = 0 OR nb2 = 0 THEN 0
+        |         ELSE dot * dot // na2 * 10000 // nb2 END AS BIGINT) AS cos2_bp
+        |  FROM p)
+        |WHERE cos2_bp >= 500""".stripMargin,
 
     "q38_deref_scan" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,

@@ -90,6 +90,43 @@ object AnnOps {
   }
 
   /**
+   * Cosine variant of [[withinBucketPairs]]: pairs whose squared cosine
+   * clears `minCos2Bp` basis points. Cosine needs the norms, and a float
+   * cosine would be reduction-order-dependent — instead the comparison is
+   * ALL integers, computed as `((dot*dot DIV |a|²) * 10000) DIV |b|²`
+   * with deterministic truncation an external oracle replays exactly.
+   * Long-range check: 64 dims x |q|<=~32k per component keeps dot under
+   * 2^36, so dot² stays well inside a BIGINT. Non-positive dots score 0
+   * (opposite-direction vectors are not near-dups), as do zero-norm
+   * vectors (a zero embedding is degenerate, never a duplicate). Same
+   * single-shuffle in-bucket expansion and bounded-bucket contract as
+   * the dot-product form.
+   */
+  def withinBucketCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                              bucketCol: String,
+                              minCos2Bp: Long): DataFrame = {
+    val e = emb.where(col(bucketCol).isNotNull)
+      .select(col(bucketCol).as("label"),
+        struct(col(idCol).as("id"), quantize(col(vecCol)).as("q")).as("r"))
+    e.groupBy(col("label"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .where(size(col("rs")) > 1)
+      .select(col("label"), explode(expr(
+        """flatten(transform(rs, (a, i) ->
+          |  transform(slice(rs, i + 2, size(rs)), b -> struct(
+          |    a.id AS vec_a, b.id AS vec_b,
+          |    dotl(a.q, b.q) AS dot,
+          |    dotl(a.q, a.q) AS na2,
+          |    dotl(b.q, b.q) AS nb2))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("label"),
+        expr("""CASE WHEN p.dot <= 0 OR p.na2 = 0 OR p.nb2 = 0 THEN 0
+               |     ELSE p.dot * p.dot DIV p.na2 * 10000 DIV p.nb2
+               |END""".stripMargin).as("cos2_bp"))
+      .where(col("cos2_bp") >= minCos2Bp)
+  }
+
+  /**
    * IVF top-k with REAL centroid assignment (vs [[bucketedTopK]]'s
    * precomputed label): `seedPred` picks the centroid vectors (in
    * production: k-means output; here: deterministic seed rows so the
