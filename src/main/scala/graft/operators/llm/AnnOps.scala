@@ -155,11 +155,22 @@ object AnnOps {
       .select(col(idCol).cast("long"), col("__q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
-    require(seedRows.nonEmpty, "seedPred selected no centroid vectors")
-    require(seedRows.length <= 256,
-      s"${seedRows.length} centroids: the literal-fold assignment is for " +
+    ivfTopKWithCodebook(emb, idCol, vecCol, seedRows.toSeq, queryPred, k)
+  }
+
+  /** [[ivfTopK]] with a PRECOMPUTED codebook — the production shape: a
+    * codebook is trained offline (k-means) and reused across queries and
+    * jobs, so assignment needs no seed-harvest job at all. `codebook` is
+    * (centroid id, quantized vector), folded into the map-side argmax. */
+  def ivfTopKWithCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                          codebook: Seq[(Long, Seq[Long])],
+                          queryPred: Column, k: Int): DataFrame = {
+    require(codebook.nonEmpty, "codebook has no centroid vectors")
+    require(codebook.length <= 256,
+      s"${codebook.length} centroids: the literal-fold assignment is for " +
         "coarse codebooks (<= 256); use a broadcast centroid table beyond that")
-    val scoreStructs = seedRows.map { case (sid, sq) =>
+    val e = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+    val scoreStructs = codebook.map { case (sid, sq) =>
       struct(dot(col("__q"), typedLit(sq)).as("sdot"),
         lit(-sid).as("nsid"))
     }
