@@ -55,6 +55,24 @@ object TextSplitCodegen {
 
   import org.apache.spark.unsafe.types.UTF8String
 
+  def hexHighBits(s: UTF8String): java.lang.Integer = {
+    if (s.numBytes() < 32) return null
+    val bytes = s.getBytes
+    var mask = 0
+    var j = 0
+    while (j < 32) {
+      val b = bytes(j)
+      val high =
+        if (b >= '0' && b <= '7') false
+        else if ((b >= '8' && b <= '9') || (b >= 'a' && b <= 'f') ||
+          (b >= 'A' && b <= 'F')) true
+        else return null
+      if (high) mask |= (1 << j)
+      j += 1
+    }
+    java.lang.Integer.valueOf(mask)
+  }
+
   def hexSliceLong(s: UTF8String, pos: Int, len: Int): java.lang.Long = {
     if (s.numBytes() < pos + len) return null
     val bytes = s.getBytes
@@ -162,6 +180,45 @@ case class HexSliceLongExpression(child: Expression, pos: Int, len: Int)
     copy(child = newChild)
 }
 
+/**
+ * High-nibble mask of the first 32 hex chars: bit j is set iff char j is
+ * in [8-9a-fA-F] — the SimHash per-word vote vector packed into ONE int.
+ * The 32 bit-vote aggregates then run on integer shifts of this mask
+ * instead of 32 per-row substring allocations + string compares.
+ * NULL when the input is shorter than 32 chars or not hex.
+ */
+case class HexHighBitsExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hex_high_bits requires STRING, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hex_high_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSplitCodegen.hexHighBits(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Integer ${ev.value}Boxed =
+      |  graft.functions.TextSplitCodegen.hexHighBits($c);
+      |if (${ev.value}Boxed == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}Boxed.intValue();
+      |}
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HexHighBitsExpression =
+    copy(child = newChild)
+}
+
 /** Column builder. */
 object TextFunctions {
   def wsSplit(c: Column): Column =
@@ -169,4 +226,6 @@ object TextFunctions {
   def hexSliceLong(c: Column, pos: Int, len: Int): Column =
     ColumnShim.column(
       HexSliceLongExpression(ColumnShim.expression(c), pos, len))
+  def hexHighBits(c: Column): Column =
+    ColumnShim.column(HexHighBitsExpression(ColumnShim.expression(c)))
 }

@@ -162,19 +162,20 @@ object SimHash {
   val Bits = 32
 
   def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // project md5 ONCE per word row: each of the 32 sum() aggregates
-    // evaluates its own expression tree, so referencing md5(word) from
-    // inside them recomputes the digest 32x per word
+    // project the word's ENTIRE 32-nibble vote vector once, as one int
+    // mask (native hex_high_bits over the md5): each of the 32 sum()
+    // aggregates evaluates its own expression tree per input row, so
+    // they must run on integer shifts of a shared column — the earlier
+    // per-aggregate substring formulation allocated and compared 32
+    // one-char strings per word row
     val w = df.select(col(idCol),
       explode(Shingles.words(col(textCol))).as("__word"))
-      .select(col(idCol), md5(col("__word")).as("__h"))
-    // "high nibble" = hex char in 8..f, i.e. > '7' (md5 output is
-    // lowercase hex, and '8','9','a'..'f' all sort above '7') — one
-    // comparison per bit instead of an 8-way set membership, in the
-    // expression evaluated 32x per word row
+      .select(col(idCol),
+        graft.functions.TextFunctions.hexHighBits(md5(col("__word")))
+          .as("__m"))
+    // vote_j = +1 iff mask bit j set else -1, i.e. ((m >> j) & 1)*2 - 1
     val sums = (0 until Bits).map { j =>
-      sum(when(substring(col("__h"), j + 1, 1) > "7", 1)
-        .otherwise(-1)).as(s"__s$j")
+      sum(shiftright(col("__m"), j).bitwiseAND(lit(1)) * 2 - 1).as(s"__s$j")
     }
     val agg = w.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
     val bits = concat((0 until Bits)

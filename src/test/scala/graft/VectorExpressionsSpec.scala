@@ -129,6 +129,28 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("hexHighBits matches the per-nibble substring votes on md5 output") {
+    val rnd = new scala.util.Random(19)
+    val words = (0 until 200).map(_ => "w" + rnd.nextInt(100000))
+    val df = words.toDF("w").select(md5(col("w")).as("h"))
+    val out = df.select(
+      graft.functions.TextFunctions.hexHighBits(col("h")).as("mask"),
+      array((0 until 32).map(j =>
+        when(substring(col("h"), j + 1, 1) > "7", 1).otherwise(0)): _*)
+        .as("ref")).collect()
+    out.foreach { r =>
+      val mask = r.getInt(0)
+      val ref = r.getSeq[Int](1)
+      (0 until 32).foreach { j =>
+        assert(((mask >> j) & 1) == ref(j), s"bit $j")
+      }
+    }
+    // short / non-hex input → NULL
+    val bad = Seq("abc", "zz" * 16).toDF("h")
+      .select(graft.functions.TextFunctions.hexHighBits(col("h"))).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("SQL dotl/quantize1000 resolve via GraftExtensions") {
     val r = spark.sql(
       "SELECT dotl(quantize1000(array(CAST(0.001 AS FLOAT), CAST(-0.002 AS FLOAT))), " +
