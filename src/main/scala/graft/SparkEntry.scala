@@ -1980,7 +1980,8 @@ object SparkEntry {
 
     // same quantize + in-bucket pair expansion as q36; the cosine² in
     // basis points replays Spark's exact integer-truncation order:
-    // ((dot*dot // na2) * 10000) // nb2
+    // ((dot*dot // na2) * 10000) // nb2 — squared in HUGEINT to mirror
+    // Spark's DECIMAL(38,0) widening (dot² can exceed int64)
     "q70_cosine_neardup" ->
       """SELECT * FROM (
         |  WITH e AS (SELECT vec_id, label, list_transform(embedding,
@@ -1996,7 +1997,8 @@ object SparkEntry {
         |    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |  SELECT vec_a, vec_b, label,
         |    CAST(CASE WHEN dot <= 0 OR na2 = 0 OR nb2 = 0 THEN 0
-        |         ELSE dot * dot // na2 * 10000 // nb2 END AS BIGINT) AS cos2_bp
+        |         ELSE CAST(CAST(dot AS HUGEINT) * dot // na2 AS HUGEINT)
+        |              * 10000 // nb2 END AS BIGINT) AS cos2_bp
         |  FROM p)
         |WHERE cos2_bp >= 500""".stripMargin,
 

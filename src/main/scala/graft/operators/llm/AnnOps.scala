@@ -94,13 +94,23 @@ object AnnOps {
    * clears `minCos2Bp` basis points. Cosine needs the norms, and a float
    * cosine would be reduction-order-dependent — instead the comparison is
    * ALL integers, computed as `((dot*dot DIV |a|²) * 10000) DIV |b|²`
-   * with deterministic truncation an external oracle replays exactly.
-   * Long-range check: 64 dims x |q|<=~32k per component keeps dot under
-   * 2^36, so dot² stays well inside a BIGINT. Non-positive dots score 0
-   * (opposite-direction vectors are not near-dups), as do zero-norm
-   * vectors (a zero embedding is degenerate, never a duplicate). Same
-   * single-shuffle in-bucket expansion and bounded-bucket contract as
-   * the dot-product form.
+   * with deterministic truncation an external oracle replays exactly
+   * (DuckDB side: the same order in HUGEINT).
+   *
+   * Range proof: the squaring is widened to DECIMAL(38,0), so the only
+   * precondition is that the int64 NORMS are valid — i.e. dims·max(q)²
+   * < 2^63 (64 dims x |q| ≤ ~3.8e8, i.e. raw values ≤ ~3.8e5 after the
+   * ×1000 quantization). Given valid norms, Cauchy–Schwarz bounds
+   * |dot| ≤ √(na2·nb2) < 2^63 (the dot itself cannot wrap) and
+   * dot² ≤ na2·nb2 < 2^126 < 10^38 (fits the decimal); the first
+   * quotient ≤ nb2 < 2^63 and ×10000 < 10^23 also fit. A long-typed
+   * dot² would wrap silently past |dot| ~3.0e9 while DuckDB errors —
+   * exactly the cross-engine divergence the decimal removes.
+   *
+   * Non-positive dots score 0 (opposite-direction vectors are not
+   * near-dups), as do zero-norm vectors (a zero embedding is degenerate,
+   * never a duplicate). Same single-shuffle in-bucket expansion and
+   * bounded-bucket contract as the dot-product form.
    */
   def withinBucketCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                               bucketCol: String,
@@ -120,8 +130,12 @@ object AnnOps {
           |    dotl(b.q, b.q) AS nb2))))""".stripMargin)).as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         col("label"),
-        expr("""CASE WHEN p.dot <= 0 OR p.na2 = 0 OR p.nb2 = 0 THEN 0
-               |     ELSE p.dot * p.dot DIV p.na2 * 10000 DIV p.nb2
+        // DECIMAL(38,0) holds dot² (< 2^126 by Cauchy–Schwarz when the
+        // int64 norms are valid); DIV is integral, returning BIGINT, so
+        // each truncation point matches the HUGEINT oracle exactly
+        expr("""CASE WHEN p.dot <= 0 OR p.na2 = 0 OR p.nb2 = 0 THEN 0L
+               |     ELSE CAST(CAST(p.dot AS DECIMAL(38,0)) * p.dot DIV p.na2
+               |          AS DECIMAL(38,0)) * 10000 DIV p.nb2
                |END""".stripMargin).as("cos2_bp"))
       .where(col("cos2_bp") >= minCos2Bp)
   }

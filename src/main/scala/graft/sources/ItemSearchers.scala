@@ -11,16 +11,21 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
  *    API (`/root/reference/src/main/java/org/archive/hadoop/fs/SearchEngineItemSearcher.java:69-117`):
  *    `q=collection:<id>`, 200 rows/page, `response.numFound` bounds the
  *    loop, items sorted by publicdate ascending;
- *  - [[MetaManagerItemSearcher]] (`MetaManagerItemSearcher.java:86-150`):
- *    an authenticated admin endpoint whose JSON reports NO total — the
- *    loop ends when a page comes back shorter than requested;
+ *  - [[MetaManagerItemSearcher]] (`MetaManagerItemSearcher.java:86-99,107-219`):
+ *    an authenticated admin endpoint (`metamgr.php`) paged with
+ *    `off=`/`lim=`, whose JSON reports NO total; fields come back as
+ *    POSITIONAL arrays under `"rows"` in `fs_*` parameter order
+ *    (identifier, mediatype, collection, publicdate), and the client
+ *    itself drops `mediatype=collection` rows and rows whose
+ *    semicolon-delimited collection list doesn't contain the query id
+ *    (the `w_collection=*id*` wildcard over-matches);
  *  - [[CollectionIndexItemSearcher]] (`CollectionIndexItemSearcher.java:60-100`):
  *    a single unpaged GET against a custom collection index.
  *
  * All three return the same row: (identifier, mtime millis). Transport is
  * a pluggable `fetch: url => body` (production: HTTP GET with the
- * PetaboxClient retry envelope; tests: fixtures) — the searchers
- * themselves are pure protocol.
+ * PetaboxClient retry envelope, authenticated via [[AuthProvider]];
+ * tests: fixtures) — the searchers themselves are pure protocol.
  */
 object ItemSearchers {
 
@@ -30,23 +35,70 @@ object ItemSearchers {
     def searchItems(collId: String): Seq[ItemStatus]
   }
 
+  /** Pluggable per-request auth, the reference's `PetaboxAuthProvider`
+    * hook (petabox/PetaboxClient.java:66-81 `setAuthProvider`; `:225`
+    * `setupRequest` adds the provider's auth cookies to EVERY outgoing
+    * request): yields headers to add to each HTTP request. */
+  trait AuthProvider {
+    def authHeaders(url: String): Map[String, String]
+  }
+
+  object AuthProvider {
+    /** Cookie auth — what the reference's provider actually sends. */
+    def cookies(pairs: (String, String)*): AuthProvider = {
+      val v = pairs.map { case (k, c) => s"$k=$c" }.mkString("; ")
+      _ => Map("Cookie" -> v)
+    }
+  }
+
   private val mapper = new ObjectMapper()
 
-  /** ISO `yyyy-MM-ddTHH:mm:ssZ` → epoch ms; unparseable → 0, the
-    * reference behavior (SearchEngineItemSearcher.java:58-67). */
-  def isoToMs(s: String): Long =
-    try java.time.Instant.parse(s).toEpochMilli
-    catch { case _: Exception => 0L }
+  /** Parse epoch ms from a leading `pattern`-shaped prefix of `s`, UTC;
+    * anything unparseable → 0. The reference parses with a lenient
+    * `SimpleDateFormat` (SearchEngineItemSearcher.java:58-67,
+    * MetaManagerItemSearcher.java:61-70), which accepts trailing
+    * characters after the pattern — this keeps that prefix leniency.
+    * (The reference evaluates in the JVM-default timezone, an
+    * environment-dependent latent bug; pinned to UTC here, which is what
+    * the ISO form's `Z` literal denotes.) */
+  private def parsePrefixMs(s: String, sep: Char): Long = {
+    // yyyy-MM-dd<sep>HH:mm:ss = 19 chars
+    if (s == null || s.length < 19) return 0L
+    try {
+      if (s.charAt(4) != '-' || s.charAt(7) != '-' || s.charAt(10) != sep ||
+          s.charAt(13) != ':' || s.charAt(16) != ':') return 0L
+      java.time.LocalDateTime.of(
+        s.substring(0, 4).toInt, s.substring(5, 7).toInt,
+        s.substring(8, 10).toInt, s.substring(11, 13).toInt,
+        s.substring(14, 16).toInt, s.substring(17, 19).toInt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    } catch { case _: Exception => 0L }
+  }
 
-  /** Default transport: plain GET, body as UTF-8. */
-  def httpFetch(url: String): String = {
+  /** ISO `yyyy-MM-dd'T'HH:mm:ss[Z...]` → epoch ms, prefix-lenient. */
+  def isoToMs(s: String): Long = parsePrefixMs(s, 'T')
+
+  /** SQL `yyyy-MM-dd HH:mm:ss` → epoch ms — metamgr's datetime form
+    * (MetaManagerItemSearcher.java:61-70). */
+  def sqlDateTimeToMs(s: String): Long = parsePrefixMs(s, ' ')
+
+  /** Default transport: plain GET, body as UTF-8, optional auth. */
+  def httpFetch(url: String): String = httpFetch(url, Map.empty)
+
+  def httpFetch(url: String, headers: Map[String, String]): String = {
     val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(120000)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     try new String(conn.getInputStream.readAllBytes, "UTF-8")
     finally conn.disconnect()
   }
+
+  /** Transport with an [[AuthProvider]] consulted per request — drop-in
+    * for any searcher's `fetch` parameter. */
+  def authenticatedFetch(auth: AuthProvider): String => String =
+    url => httpFetch(url, auth.authHeaders(url))
 
   /** Paged search-engine protocol: `response.numFound` bounds the loop;
     * docs carry `identifier` + `publicdate`. */
@@ -87,35 +139,59 @@ object ItemSearchers {
     }
   }
 
-  /** MetaManager protocol: pages of `rowsPerPage`, no total anywhere in
-    * the response — a short (or empty) page terminates
-    * (MetaManagerItemSearcher.java:108-150). */
+  /** Is `id` a member of the semicolon-delimited `collections` list?
+    * The reference checks delimiter boundaries around a single
+    * `indexOf` hit (MetaManagerItemSearcher.java:72-82), which can
+    * false-negative when an earlier list entry merely CONTAINS the id
+    * (e.g. id `web` in `xweb;web`); this implements the documented
+    * intent — exact token membership. */
+  private[sources] def inCollection(id: String, collections: String): Boolean =
+    collections != null && collections.split(';').contains(id)
+
+  /** MetaManager protocol (MetaManagerItemSearcher.java:86-99,192-218):
+    * `off=`/`lim=` paging with NO total anywhere in the response —
+    * advance by the page's row count, stop on a missing/short page.
+    * Response rows are positional arrays in `fs_*` parameter order:
+    * `[identifier, mediatype, collection, publicdate]`; client-side
+    * filtering drops `mediatype=collection` rows and rows not actually
+    * in the queried collection; `publicdate` is an SQL datetime. */
   final class MetaManagerItemSearcher(
       baseUrl: String, rowsPerPage: Int = 200,
       fetch: String => String = httpFetch) extends ItemSearcher {
 
-    private def pageUrl(collId: String, start: Int): String =
-      s"$baseUrl/metamgr.php?srt=identifier&w_collection=$collId" +
+    private def pageUrl(collId: String, off: Int): String =
+      s"$baseUrl/metamgr.php?srt=identifier&ord=asc" +
+        s"&w_collection=*$collId*" +
         "&fs_identifier=on&fs_mediatype=on&fs_collection=on" +
-        s"&start=$start&limit=$rowsPerPage&output_format=json"
+        s"&off=$off&lim=$rowsPerPage&output_format=json"
 
     override def searchItems(collId: String): Seq[ItemStatus] = {
       val out = Seq.newBuilder[ItemStatus]
-      var start = 0
+      var off = 0
       var lastPage = rowsPerPage
       while (lastPage == rowsPerPage) {
-        val rows = mapper.readTree(fetch(pageUrl(collId, start)))
-        lastPage = 0
+        val rows = mapper.readTree(fetch(pageUrl(collId, off)))
+          .path("rows")
+        lastPage = if (rows.isArray) rows.size() else 0
         var i = 0
         while (i < rows.size()) {
           val r = rows.get(i)
-          val id = r.path("identifier").asText(null)
-          if (id != null)
-            out += ItemStatus(id, isoToMs(r.path("updated").asText("")))
-          lastPage += 1
+          if (r != null && r.isArray && r.size() >= 3) {
+            val id = r.get(0).asText(null)
+            val mediatype = r.get(1).asText(null)
+            val colls = r.get(2).asText(null)
+            if (id != null && mediatype != "collection" &&
+                inCollection(collId, colls)) {
+              val publicdate =
+                if (r.size() > 3) r.get(3).asText(null) else null
+              out += ItemStatus(id, sqlDateTimeToMs(publicdate))
+            }
+          }
           i += 1
         }
-        start += rowsPerPage
+        // the reference advances by rows.length, not by lim
+        // (MetaManagerItemSearcher.java:218)
+        off += lastPage
       }
       out.result()
     }

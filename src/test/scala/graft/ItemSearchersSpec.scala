@@ -27,16 +27,74 @@ class ItemSearchersSpec extends AnyFunSuite {
       java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli)
   }
 
-  test("metamanager searcher stops on a short page (no total in response)") {
+  test("metamanager searcher: reference wire protocol (off/lim, rows arrays, filtering)") {
+    // 7 matching rows served 3 per page as positional arrays
+    // [identifier, mediatype, collection, publicdate]; page 2 also smuggles
+    // in a mediatype=collection row and a wildcard over-match that the
+    // CLIENT must drop (MetaManagerItemSearcher.java:199-217) — and those
+    // dropped rows still count toward the off= advance (:218)
+    val fetched = scala.collection.mutable.ArrayBuffer.empty[String]
     def fixture(url: String): String = {
-      val start = "start=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
-      val rows = (start until math.min(start + 3, 7)).map(i =>
-        s"""{"identifier":"m$i","updated":"2021-02-03T04:05:06Z"}""")
-      s"[${rows.mkString(",")}]"
+      fetched += url
+      val off = "off=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      val all =
+        (0 until 7).map(i =>
+          s"""["m$i","texts","a;web;b","2021-02-0${i + 1} 04:05:06"]""") ++
+          Seq("""["thecoll","collection","web",null]""",
+            """["decoy","texts","xweb","2021-02-09 00:00:00"]""")
+      val page = all.slice(off, off + 3)
+      s"""{"rows":[${page.mkString(",")}]}"""
     }
     val got = new MetaManagerItemSearcher("http://svc", rowsPerPage = 3,
       fetch = fixture).searchItems("web")
     assert(got.map(_.identifier) == (0 until 7).map(i => s"m$i"))
+    assert(got.head.mtimeMs == ItemSearchers.sqlDateTimeToMs("2021-02-01 04:05:06"))
+    // 9 rows at 3/page = 3 full pages + 1 empty terminator
+    assert(fetched.size == 4)
+    assert(fetched.head.contains("metamgr.php") &&
+      fetched.head.contains("srt=identifier") &&
+      fetched.head.contains("ord=asc") &&
+      fetched.head.contains("w_collection=*web*") &&
+      fetched.head.contains("off=0") && fetched.head.contains("lim=3") &&
+      fetched.head.contains("output_format=json"))
+    assert(fetched(1).contains("off=3") && fetched(3).contains("off=9"))
+  }
+
+  test("inCollection: exact semicolon-token membership") {
+    assert(ItemSearchers.inCollection("web", "web"))
+    assert(ItemSearchers.inCollection("web", "a;web;b"))
+    assert(ItemSearchers.inCollection("web", "xweb;web"))
+    assert(!ItemSearchers.inCollection("web", "xweb"))
+    assert(!ItemSearchers.inCollection("web", "webx;a"))
+    assert(!ItemSearchers.inCollection("web", null))
+  }
+
+  test("date parsing is prefix-lenient like the reference's SimpleDateFormat") {
+    val base = java.time.Instant.parse("2021-02-03T04:05:06Z").toEpochMilli
+    assert(ItemSearchers.isoToMs("2021-02-03T04:05:06Z") == base)
+    // trailing junk after the pattern parses in the reference → keep it
+    assert(ItemSearchers.isoToMs("2021-02-03T04:05:06.123Z") == base)
+    assert(ItemSearchers.isoToMs("2021-02-03T04:05:06") == base)
+    assert(ItemSearchers.sqlDateTimeToMs("2021-02-03 04:05:06") == base)
+    assert(ItemSearchers.sqlDateTimeToMs("2021-02-03 04:05:06 extra") == base)
+    assert(ItemSearchers.sqlDateTimeToMs("2021-02-03T04:05:06") == 0L)
+    assert(ItemSearchers.sqlDateTimeToMs(null) == 0L)
+  }
+
+  test("auth provider threads cookies through the transport") {
+    // fixture transport records headers the way an HTTP server would see
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    val auth = ItemSearchers.AuthProvider.cookies(
+      "logged-in-user" -> "u@example.org", "logged-in-sig" -> "s3cr3t")
+    def transport(url: String): String = {
+      seen += ((url, auth.authHeaders(url)))
+      """{"rows":[]}"""
+    }
+    new MetaManagerItemSearcher("http://svc",
+      fetch = transport).searchItems("web")
+    assert(seen.size == 1)
+    assert(seen.head._2("Cookie") ==
+      "logged-in-user=u@example.org; logged-in-sig=s3cr3t")
   }
 
   test("collection-index searcher: single unpaged GET, bare-string items ok") {
