@@ -44,8 +44,15 @@ object ItemSearchers {
   }
 
   object AuthProvider {
-    /** Cookie auth — what the reference's provider actually sends. */
+    /** Cookie auth — what the reference's provider actually sends.
+      * Values are joined verbatim into one `Cookie` header: callers must
+      * pass values already cookie-safe (RFC 6265 cookie-octets — in
+      * particular no ';' or ','; percent-encode such values first), or
+      * adjacent cookies would be corrupted. */
     def cookies(pairs: (String, String)*): AuthProvider = {
+      require(pairs.forall { case (k, c) =>
+        !k.exists(";,= ".contains(_)) && !c.exists(";,".contains(_)) },
+        "cookie names/values must be pre-encoded (no ';' or ',')")
       val v = pairs.map { case (k, c) => s"$k=$c" }.mkString("; ")
       _ => Map("Cookie" -> v)
     }
@@ -53,20 +60,34 @@ object ItemSearchers {
 
   private val mapper = new ObjectMapper()
 
+  /** Query-string-safe encoding of a user-supplied value — the reference
+    * builds request URIs via `java.net.URI`, which encodes the query; a
+    * collection id containing '&', '#', or spaces must not corrupt the
+    * request here either. */
+  private def qenc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
   /** Parse epoch ms from a leading `pattern`-shaped prefix of `s`, UTC;
     * anything unparseable → 0. The reference parses with a lenient
     * `SimpleDateFormat` (SearchEngineItemSearcher.java:58-67,
-    * MetaManagerItemSearcher.java:61-70), which accepts trailing
-    * characters after the pattern — this keeps that prefix leniency.
-    * (The reference evaluates in the JVM-default timezone, an
-    * environment-dependent latent bug; pinned to UTC here, which is what
-    * the ISO form's `Z` literal denotes.) */
-  private def parsePrefixMs(s: String, sep: Char): Long = {
-    // yyyy-MM-dd<sep>HH:mm:ss = 19 chars
-    if (s == null || s.length < 19) return 0L
+    * MetaManagerItemSearcher.java:61-70): characters BEYOND the pattern
+    * are ignored (prefix leniency — kept here), but every literal IN the
+    * pattern must match, so the ISO form's trailing `'Z'` is required
+    * immediately after the seconds — `...T04:05:06.123Z` and a missing
+    * `Z` both parse to 0 in the reference, and here. Sub-second
+    * precision is therefore dropped BY the reference's pattern, not an
+    * extra choice of ours. (The reference evaluates in the JVM-default
+    * timezone, an environment-dependent latent bug; pinned to UTC here,
+    * which is what the ISO form's `Z` literal denotes.) */
+  private def parsePrefixMs(s: String, sep: Char,
+                            requireAfter: Option[Char]): Long = {
+    // yyyy-MM-dd<sep>HH:mm:ss = 19 chars, + 1 for a required literal
+    val need = 19 + requireAfter.size
+    if (s == null || s.length < need) return 0L
     try {
       if (s.charAt(4) != '-' || s.charAt(7) != '-' || s.charAt(10) != sep ||
           s.charAt(13) != ':' || s.charAt(16) != ':') return 0L
+      if (requireAfter.exists(s.charAt(19) != _)) return 0L
       java.time.LocalDateTime.of(
         s.substring(0, 4).toInt, s.substring(5, 7).toInt,
         s.substring(8, 10).toInt, s.substring(11, 13).toInt,
@@ -75,12 +96,14 @@ object ItemSearchers {
     } catch { case _: Exception => 0L }
   }
 
-  /** ISO `yyyy-MM-dd'T'HH:mm:ss[Z...]` → epoch ms, prefix-lenient. */
-  def isoToMs(s: String): Long = parsePrefixMs(s, 'T')
+  /** ISO `yyyy-MM-dd'T'HH:mm:ss'Z'[...]` → epoch ms; the `Z` literal is
+    * required right after seconds, as the reference's pattern demands. */
+  def isoToMs(s: String): Long = parsePrefixMs(s, 'T', Some('Z'))
 
   /** SQL `yyyy-MM-dd HH:mm:ss` → epoch ms — metamgr's datetime form
-    * (MetaManagerItemSearcher.java:61-70). */
-  def sqlDateTimeToMs(s: String): Long = parsePrefixMs(s, ' ')
+    * (MetaManagerItemSearcher.java:61-70); no trailing literal, so
+    * anything after seconds is ignored. */
+  def sqlDateTimeToMs(s: String): Long = parsePrefixMs(s, ' ', None)
 
   /** Default transport: plain GET, body as UTF-8, optional auth. */
   def httpFetch(url: String): String = httpFetch(url, Map.empty)
@@ -107,7 +130,7 @@ object ItemSearchers {
       fetch: String => String = httpFetch) extends ItemSearcher {
 
     private def pageUrl(collId: String, start: Int): String =
-      s"$baseUrl/advancedsearch.php?q=collection:$collId" +
+      s"$baseUrl/advancedsearch.php?q=${qenc(s"collection:$collId")}" +
         "&fl[]=identifier&fl[]=publicdate&sort[]=publicdate+asc" +
         s"&indent=&start=$start&rows=$rowsPerPage&output=json"
 
@@ -145,12 +168,12 @@ object ItemSearchers {
     * false-negative when an earlier list entry merely CONTAINS the id
     * (e.g. id `web` in `xweb;web`); this implements the documented
     * intent — exact token membership. */
-  private[sources] def inCollection(id: String, collections: String): Boolean =
+  private[graft] def inCollection(id: String, collections: String): Boolean =
     collections != null && collections.split(';').contains(id)
 
   /** MetaManager protocol (MetaManagerItemSearcher.java:86-99,192-218):
     * `off=`/`lim=` paging with NO total anywhere in the response —
-    * advance by the page's row count, stop on a missing/short page.
+    * advance by the page's row count, stop on a missing/empty page.
     * Response rows are positional arrays in `fs_*` parameter order:
     * `[identifier, mediatype, collection, publicdate]`; client-side
     * filtering drops `mediatype=collection` rows and rows not actually
@@ -161,15 +184,19 @@ object ItemSearchers {
 
     private def pageUrl(collId: String, off: Int): String =
       s"$baseUrl/metamgr.php?srt=identifier&ord=asc" +
-        s"&w_collection=*$collId*" +
+        s"&w_collection=${qenc(s"*$collId*")}" +
         "&fs_identifier=on&fs_mediatype=on&fs_collection=on" +
         s"&off=$off&lim=$rowsPerPage&output_format=json"
 
     override def searchItems(collId: String): Seq[ItemStatus] = {
       val out = Seq.newBuilder[ItemStatus]
       var off = 0
-      var lastPage = rowsPerPage
-      while (lastPage == rowsPerPage) {
+      // terminate only on an EMPTY/missing page, as the reference does
+      // (it stops when the 'rows' key is absent) — stopping on a merely
+      // SHORT page would silently truncate if the server ever caps lim
+      // below the requested page size or returns a transient short page
+      var lastPage = -1
+      while (lastPage != 0) {
         val rows = mapper.readTree(fetch(pageUrl(collId, off)))
           .path("rows")
         lastPage = if (rows.isArray) rows.size() else 0
@@ -203,7 +230,8 @@ object ItemSearchers {
       extends ItemSearcher {
 
     override def searchItems(collId: String): Seq[ItemStatus] = {
-      val root = mapper.readTree(fetch(s"$baseUrl/getitems.php?c=$collId"))
+      val root =
+        mapper.readTree(fetch(s"$baseUrl/getitems.php?c=${qenc(collId)}"))
       val items: JsonNode =
         if (root.isArray) root else root.path("items")
       (0 until items.size()).flatMap { i =>

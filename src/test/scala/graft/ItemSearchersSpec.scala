@@ -22,7 +22,9 @@ class ItemSearchersSpec extends AnyFunSuite {
     val got = new SearchEngineItemSearcher("http://svc", rowsPerPage = 2,
       fetch = fixture).searchItems("web")
     assert(got.map(_.identifier) == (0 until 5).map(i => s"item$i"))
-    assert(fetched.size == 3 && fetched.forall(_.contains("q=collection:web")))
+    // collId rides the query string URL-encoded (':' → %3A)
+    assert(fetched.size == 3 &&
+      fetched.forall(_.contains("q=collection%3Aweb")))
     assert(got.head.mtimeMs ==
       java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli)
   }
@@ -69,16 +71,53 @@ class ItemSearchersSpec extends AnyFunSuite {
     assert(!ItemSearchers.inCollection("web", null))
   }
 
-  test("date parsing is prefix-lenient like the reference's SimpleDateFormat") {
+  test("date parsing matches the reference's SimpleDateFormat exactly") {
     val base = java.time.Instant.parse("2021-02-03T04:05:06Z").toEpochMilli
     assert(ItemSearchers.isoToMs("2021-02-03T04:05:06Z") == base)
-    // trailing junk after the pattern parses in the reference → keep it
-    assert(ItemSearchers.isoToMs("2021-02-03T04:05:06.123Z") == base)
-    assert(ItemSearchers.isoToMs("2021-02-03T04:05:06") == base)
+    // trailing junk AFTER the full pattern parses in the reference
+    assert(ItemSearchers.isoToMs("2021-02-03T04:05:06Ztrailing") == base)
+    // but the pattern's 'Z' literal must sit right after seconds — the
+    // reference rejects fractional seconds and a missing Z (→ 0)
+    assert(ItemSearchers.isoToMs("2021-02-03T04:05:06.123Z") == 0L)
+    assert(ItemSearchers.isoToMs("2021-02-03T04:05:06") == 0L)
     assert(ItemSearchers.sqlDateTimeToMs("2021-02-03 04:05:06") == base)
     assert(ItemSearchers.sqlDateTimeToMs("2021-02-03 04:05:06 extra") == base)
     assert(ItemSearchers.sqlDateTimeToMs("2021-02-03T04:05:06") == 0L)
     assert(ItemSearchers.sqlDateTimeToMs(null) == 0L)
+  }
+
+  test("metamanager continues past a short nonempty page (server-capped lim)") {
+    // server caps lim at 2 despite rowsPerPage=5: pages of 2,2,1,0 —
+    // a short NONEMPTY page must not terminate the loop (the reference
+    // stops only when 'rows' is missing)
+    val fetched = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def fixture(url: String): String = {
+      val off = "off=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      fetched += off
+      val all = (0 until 5).map(i =>
+        s"""["m$i","texts","web","2021-02-0${i + 1} 04:05:06"]""")
+      s"""{"rows":[${all.slice(off, off + 2).mkString(",")}]}"""
+    }
+    val got = new MetaManagerItemSearcher("http://svc", rowsPerPage = 5,
+      fetch = fixture).searchItems("web")
+    assert(got.map(_.identifier) == (0 until 5).map(i => s"m$i"))
+    assert(fetched.toSeq == Seq(0, 2, 4, 5))
+  }
+
+  test("hostile collection ids are URL-encoded, not spliced raw") {
+    var url = ""
+    def fixture(u: String): String = { url = u; """{"rows":[]}""" }
+    new MetaManagerItemSearcher("http://svc", fetch = fixture)
+      .searchItems("a&b #c")
+    assert(url.contains("w_collection=%2Aa%26b+%23c%2A") ||
+      url.contains("w_collection=*a%26b+%23c*"))
+    assert(!url.contains("a&b"))
+  }
+
+  test("cookie auth rejects un-encoded separator characters") {
+    intercept[IllegalArgumentException] {
+      ItemSearchers.AuthProvider.cookies("k" -> "v;injected=1")
+    }
   }
 
   test("auth provider threads cookies through the transport") {
