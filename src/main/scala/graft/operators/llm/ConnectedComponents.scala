@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
  * Components in MapReduce and Beyond", expressed as label shortcutting
  * rather than edge rewriting). Total shuffle volume is the same as
  * single jumping (2x the joins over half the rounds), but each round is
- * a checkpoint barrier plus a driver round-trip — the quantity that
- * dominates iterative jobs on a real cluster — so fewer rounds wins.
+ * a checkpoint barrier / driver round-trip — the quantity that
+ * dominates iterative jobs on a real cluster — so fewer rounds wins;
+ * the convergence flag rides that same job (an accumulator on the
+ * checkpoint's copy-map), so a round is exactly ONE driver action.
  * Shallow LSH graphs don't need the extra self-joins — hence opt-in. An
  * un-converged run still FAILS loudly rather than returning partial
  * components.
@@ -104,7 +106,8 @@ object ConnectedComponents {
             .select(col("node"), col("m.component").as("component"),
               (col("m.from_neighbor") === 1).as("changed"))
         }
-        val (next, nextHandle) = if (!shortcut) (afterNb.persist(), None) else {
+        val (next, nextHandle, changedKnown) =
+          if (!shortcut) (afterNb.persist(), None, None) else {
           // pointer doubling, TWICE per round: each jump makes every node
           // adopt its current label's own label, so label-tree depth
           // divides by ~2 per jump — two jumps per round converge a deep
@@ -145,14 +148,23 @@ object ConnectedComponents {
             if (jump < 2) { cur = jumped.persist(); roundCaches += cur }
             else cur = jumped
           }
-          val (ck, handle) =
+          // the convergence flag rides the checkpoint's own materializing
+          // job (accumulator on the copy-map) — one driver action per
+          // round, not checkpoint + a separate max(changed) collect
+          val (ck, handle, nChanged) =
             org.apache.spark.sql.graftshim.CheckpointShim
-              .localCheckpointWithHandle(cur)
+              .localCheckpointCounting(cur, cur.schema.fieldIndex("changed"))
           roundCaches.result().foreach(_.unpersist(blocking = false))
-          (ck, Some(handle))
+          (ck, Some(handle), Some(nChanged > 0L))
         }
-        val row = next.agg(max(col("changed"))).collect()(0)
-        converged = row.isNullAt(0) || !row.getBoolean(0)
+        converged = changedKnown match {
+          case Some(anyChanged) => !anyChanged
+          case None =>
+            // plain mode: this collect IS the action that materializes the
+            // round's persist, so it is already the round's only job
+            val row = next.agg(max(col("changed"))).collect()(0)
+            row.isNullAt(0) || !row.getBoolean(0)
+        }
         // release the previous iteration's storage: the persisted
         // DataFrame in plain mode, the checkpointed RDD in shortcut mode
         if (cached != null) cached.unpersist(blocking = false)

@@ -27,4 +27,28 @@ object CheckpointShim {
     rdd.count() // eager: materialize now so lineage truncation is real
     (spark.internalCreateDataFrame(rdd, cdf.schema), rdd)
   }
+
+  /** [[localCheckpointWithHandle]] that additionally counts, on the SAME
+    * materializing job, the rows whose boolean column at `boolOrdinal` is
+    * true (nulls count as false) — so an iterative caller can read its
+    * convergence flag without scheduling a second per-round action. A
+    * raw `toRdd.count()` fires no QueryExecutionListener, so
+    * `Dataset.observe` cannot deliver the metric here; a long accumulator
+    * on the copy-map can. Accumulator semantics make the zero/non-zero
+    * read safe: successful tasks each contribute exactly once, so 0 means
+    * genuinely no true rows; a speculative/retried task can only inflate
+    * a non-zero count, never fake convergence. */
+  def localCheckpointCounting(df: DataFrame, boolOrdinal: Int)
+      : (DataFrame, RDD[InternalRow], Long) = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = cdf.sparkSession
+    val acc = spark.sparkContext.longAccumulator("graft.checkpoint.trueCount")
+    val rdd = cdf.queryExecution.toRdd.map { r =>
+      if (!r.isNullAt(boolOrdinal) && r.getBoolean(boolOrdinal)) acc.add(1L)
+      r.copy()
+    }
+    rdd.localCheckpoint()
+    rdd.count()
+    (spark.internalCreateDataFrame(rdd, cdf.schema), rdd, acc.value)
+  }
 }
