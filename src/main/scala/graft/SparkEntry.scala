@@ -1071,12 +1071,23 @@ object SparkEntry {
       // keyed by the source table's identity (size+mtime, the same
       // fingerprint fixtureOnce uses), not just sfDir — a documents table
       // regenerated in-place mid-session must invalidate the served corpus
-      val lines = httpLinesCache.getOrElseUpdate(tableTag(dir, "documents"),
-        tbl(s, dir, "documents")
+      // fixture-only driver collect, but GUARDED: limit(cap+1) bounds the
+      // transfer before it happens, and the require turns an oversized
+      // corpus into a loud failure instead of an OOM'd driver — this
+      // path must never silently absorb a production-sized table
+      val maxServedLines = 1 << 20
+      val lines = httpLinesCache.getOrElseUpdate(tableTag(dir, "documents"), {
+        val got = tbl(s, dir, "documents")
           .select(concat_ws("\t", col("doc_id"), md5(col("text")),
             col("lang")).as("l"))
           .orderBy(col("doc_id"))
-          .as[String].collect().toIndexedSeq)
+          .limit(maxServedLines + 1)
+          .as[String].collect()
+        require(got.length <= maxServedLines,
+          s"q49 fixture corpus exceeds $maxServedLines lines — " +
+            "the served-text fixture is not for production-sized tables")
+        got.toIndexedSeq
+      })
       val svc = graft.server.HttpTextService.serveShared(lines, pageSize = 200, s)
       graft.sources.HttpSources.pagedLines(s, svc.url)
         .select(split(col("value"), "\t").as("f"))
@@ -1145,14 +1156,14 @@ object SparkEntry {
         "doc_id", "__t", k = 2)
     }),
 
-    // Integer-exact TF-IDF weighting: (token, doc) tf agg → df via a
-    // token window over the same output (no second agg + join) → per-doc
-    // weighted sum; weight = tf * ((10000 * N) DIV df), all integers.
-    // N comes from a parquet-metadata count, the stand-in for table stats.
+    // Integer-exact TF-IDF weighting: ONE corpus pass — the (token, doc)
+    // tf agg's exchange is reused by the broadcast df table, the derived
+    // N = countDistinct(doc) one-row broadcast, and the per-doc weighted
+    // sum; weight = tf * ((10000 * N) DIV df), all integers.
     "q60_tfidf" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       graft.operators.llm.TextAnalysis.tfIdf(
-        docs, "doc_id", "text", nDocs = docs.count())
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
     }),
 
     // Stratified deterministic sampling: per-language keep rates as a
@@ -2222,7 +2233,7 @@ object SparkEntry {
         |per_doc AS (SELECT token, doc_id, count(*) AS tf FROM toks
         |  WHERE token <> '' GROUP BY 1, 2),
         |dfq AS (SELECT token, count(*) AS dfreq FROM per_doc GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents)
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM per_doc)
         |SELECT doc_id, count(*) AS n_distinct_tokens,
         |  CAST(sum(tf * ((10000 * n.n) // dfreq)) AS BIGINT) AS tfidf
         |FROM per_doc JOIN dfq USING (token) CROSS JOIN n

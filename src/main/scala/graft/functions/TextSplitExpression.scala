@@ -143,6 +143,13 @@ object TextSplitCodegen {
  * hash-aggregate buffer in the UnsafeRow fast path, where min() over a
  * sliced string allocates and compares varlen bytes per input row.
  * NULL when the slice is out of range or a char is not [0-9a-fA-F].
+ *
+ * PRECONDITION: `pos`/`len` index UTF-8 BYTES, not characters — the
+ * substring-equivalence above holds only for ASCII input (one byte per
+ * char). On multibyte input the byte slice lands mid-codepoint and, since
+ * no multibyte UTF-8 byte is a hex digit, returns NULL rather than a
+ * wrong value. Intended inputs are hex digests (md5/sha hex), which are
+ * ASCII by construction.
  */
 case class HexSliceLongExpression(child: Expression, pos: Int, len: Int)
     extends UnaryExpression {

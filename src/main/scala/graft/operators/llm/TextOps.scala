@@ -266,34 +266,41 @@ object TextAnalysis {
       .limit(k)
 
   /** Integer-exact TF-IDF document weighting: per-(doc, token) term
-    * frequency, document frequency via a window over the SAME aggregation
-    * output (no second agg + join over the token table), weight =
-    * tf * ((10000 * N) DIV df) — integer basis points of the inverse
-    * document-frequency ratio instead of a float log, so scores are
-    * bit-exact cross-engine and rank-equivalent to 1/df weighting.
+    * frequency, document frequency from a second aggregation over the
+    * SAME tf output, weight = tf * ((10000 * N) DIV df) — integer basis
+    * points of the inverse document-frequency ratio instead of a float
+    * log, so scores are bit-exact cross-engine and rank-equivalent to
+    * 1/df weighting.
     *
-    * `nDocs` is the corpus size (pass `df.count()` or a known stat — at
-    * scale it comes from table statistics, not an extra scan). Shuffles:
-    * the (token, doc) aggregation (map-side combined, one row per
-    * distinct pair), the token window, the per-doc sum. The token window
-    * inherits token skew ("the" lands in one partition) — the same skew
-    * the df-join formulation has; cap or stopword-filter upstream when a
-    * corpus is big enough for that to matter. */
-  def tfIdf(df: DataFrame, idCol: String, textCol: String,
-            nDocs: Long): DataFrame = {
-    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    * One-pipeline plan, ONE corpus pass: the (token, doc) tf aggregation
+    * is the only scan+shuffle over the data; its exchange is REUSED
+    * (ReusedExchange) by all three consumers — the vocabulary-sized df
+    * table (broadcast back onto the tf rows, so the big table is never
+    * reshuffled by token and token skew never concentrates "the" into
+    * one partition the way a token window would), the corpus size
+    * N = countDistinct(doc) derived from the same output (a one-row
+    * broadcast, replacing what used to be a separate full corpus-count
+    * scan), and the per-doc weighted sum. Big-data shuffles: the tf
+    * aggregation and the final per-doc sum — nothing else. N counts docs
+    * contributing at least one token; tokenless docs score nothing and
+    * are excluded from both N and the output. At a corpus where the
+    * distinct-token vocabulary outgrows broadcast, swap the df broadcast
+    * join for a shuffle join (plus a stopword cap) — the N derivation is
+    * unaffected. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perDoc = df
       .select(col(idCol), explode(Shingles.words(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("__tf"))
-    val wTok = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("token"))
+    val docFreq = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+    val corpusN = perDoc.agg(countDistinct(col(idCol)).as("__n"))
     perDoc
-      .withColumn("__df", count(lit(1)).over(wTok))
+      .join(broadcast(docFreq), "token")
+      .crossJoin(broadcast(corpusN))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_distinct_tokens"),
-        sum(col("__tf") *
-            expr(s"CAST((10000 * CAST($nDocs AS BIGINT)) DIV __df AS BIGINT)"))
+        sum(col("__tf") * expr("CAST((10000 * __n) DIV __df AS BIGINT)"))
           .as("tfidf"))
   }
 

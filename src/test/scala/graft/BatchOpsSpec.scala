@@ -173,9 +173,10 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
       (1L, "common common rare"),
       (2L, "common other"),
       (3L, "common other")).toDF("doc_id", "text")
-    val out = TextAnalysis.tfIdf(docs, "doc_id", "text", nDocs = 3)
+    val out = TextAnalysis.tfIdf(docs, "doc_id", "text")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    // df: common=3, rare=1, other=2; weight = (10000*3) DIV df
+    // N = 3 docs with tokens; df: common=3, rare=1, other=2;
+    // weight = (10000*3) DIV df
     // doc1 = 2*10000 + 1*30000 = 50000; doc2 = doc3 = 10000 + 15000
     assert(out(1L) == (2L, 50000L))
     assert(out(2L) == (2L, 25000L) && out(3L) == (2L, 25000L))
