@@ -952,6 +952,20 @@ object SparkEntry {
           col("mimetype"), col("statuscode").cast("int").as("statuscode"))
     }),
 
+    // Legacy ARC → CDX extraction end-to-end under the oracle: a
+    // synthesized multi-member .arc.gz (filedesc lead record + HTTP
+    // responses incl. 404s + non-HTTP text records + v1/v2 URL-record
+    // lines + a corrupt tail) streams through the SAME member walk and
+    // extract() as WARC, dispatched by member content.
+    "q71_arc_extract" -> ((s, dir) => {
+      val file = arcFixture(s, dir)
+      graft.operators.WarcExtract
+        .extract(s, Seq(file.getAbsolutePath), soft = true)
+        .rows.toDF()
+        .select(col("urlkey"), col("timestamp"), col("original_url"),
+          col("mimetype"), col("statuscode").cast("int").as("statuscode"))
+    }),
+
     // K11 end-to-end under the oracle: the 200-status response members of
     // the WARC fixture are byte-copied (raw compressed members, never
     // re-encoded) into three new archives, which are then re-extracted —
@@ -1367,6 +1381,54 @@ object SparkEntry {
           out.write(gz(rec.getBytes("UTF-8")))
         }
         out.write(Array.fill[Byte](32)(0x13)) // corrupt tail (soft-skipped)
+      } finally out.close()
+    }
+    file
+  }
+
+  /** Synthesized multi-member legacy ARC fixture for q71 (filedesc lead
+    * member, one gzip member per record, v1 and v2 URL-record lines,
+    * corrupt tail for soft tolerance); content is a pure function of the
+    * documents table. */
+  private def arcFixture(s: SparkSession, dir: String): java.io.File = {
+    val base = tmpDir("q71", dir)
+    val file = new java.io.File(s"$base/docs.arc.gz")
+    fixtureOnce(base, "v1", dir, "documents") {
+      val ids = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
+        .collect().map(_.getLong(0))
+      def gz(p: Array[Byte]): Array[Byte] =
+        graft.sources.zipnum.ZipNumFormat.gzipMember(p)
+      val epoch = java.time.Instant.parse("2005-01-01T00:00:00Z")
+      val ts14 = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMddHHmmss").withZone(java.time.ZoneOffset.UTC)
+      val out = new java.io.FileOutputStream(file)
+      try {
+        out.write(gz(graft.sources.warc.ArcRecords
+          .filedescPayload("docs.arc.gz", "20050101000000")))
+        ids.foreach { id =>
+          val m = id % 5
+          val url = if (id % 4 == 0) s"http://WWW.Arc$m.ORG/p/$id/"
+                    else s"http://arc$m.org/p/$id"
+          val date = ts14.format(epoch.plusSeconds(id))
+          val (mime, content) =
+            if (id % 7 == 0) ("text/plain", s"arc doc $id")
+            else {
+              val status = if (id % 5 == 0) "404 Not Found" else "200 OK"
+              ("text/html", s"HTTP/1.1 $status\r\n" +
+                s"Content-Type: text/html\r\n\r\narc $id body")
+            }
+          // v2 lines every third record; v2's Result-code is '-' for
+          // non-HTTP records, so statuscode still comes out NULL there
+          val line =
+            if (id % 3 == 0) {
+              val rc = if (id % 7 == 0) "-"
+                       else if (id % 5 == 0) "404" else "200"
+              s"$url 1.2.3.4 $date $mime $rc - - ${id * 10} docs.arc.gz ${content.length}"
+            } else s"$url 1.2.3.4 $date $mime ${content.length}"
+          out.write(gz((line + "\n" + content).getBytes("UTF-8")))
+        }
+        out.write(Array.fill[Byte](32)(0x17)) // corrupt tail (soft-skipped)
       } finally out.close()
     }
     file
@@ -2094,6 +2156,22 @@ object SparkEntry {
         |       ELSE 'http://docs' || m || '.org/d/' || id END AS original_url,
         |  CASE WHEN id % 7 = 0 THEN 'application/json'
         |       ELSE 'text/html' END AS mimetype,
+        |  CAST(CASE WHEN id % 7 = 0 THEN NULL
+        |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode
+        |FROM d""".stripMargin,
+
+    // same shape as q42's oracle over the ARC fixture rule: mimetype is
+    // the URL-line mime (the ARC CDX convention), status NULL for the
+    // non-HTTP text records (id%7=0), 404 for id%5=0, else 200
+    "q71_arc_extract" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id AS BIGINT) % 5 AS m FROM documents)
+        |SELECT 'org,arc' || m || ')/p/' || id AS urlkey,
+        |  strftime(TIMESTAMP '2005-01-01 00:00:00' + id * INTERVAL 1 SECOND,
+        |           '%Y%m%d%H%M%S') AS timestamp,
+        |  CASE WHEN id % 4 = 0 THEN 'http://WWW.Arc' || m || '.ORG/p/' || id || '/'
+        |       ELSE 'http://arc' || m || '.org/p/' || id END AS original_url,
+        |  CASE WHEN id % 7 = 0 THEN 'text/plain' ELSE 'text/html' END AS mimetype,
         |  CAST(CASE WHEN id % 7 = 0 THEN NULL
         |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode
         |FROM d""".stripMargin,

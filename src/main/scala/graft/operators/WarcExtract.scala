@@ -4,12 +4,15 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.util.{LongAccumulator, SerializableConfiguration}
 
-import graft.sources.warc.{GzipMembers, WarcRecords}
+import graft.sources.warc.{ArcRecords, GzipMembers, WarcRecords}
 
 /**
- * WARC → CDX extraction (SURVEY §3.4; jobs/CDXGenerator.java:186-273).
+ * W/ARC → CDX extraction (SURVEY §3.4; jobs/CDXGenerator.java:186-273).
  * One FILE per task — the FilenameInputFormat shape (S1): gzip members are
  * not splittable mid-file, and per-file outputs keep operational parity.
+ * Both archive formats stream through the same member walk, dispatched by
+ * member content — the reference's jobs likewise accept either format via
+ * webarchive-commons (CDXGenerator.java:143-170 ProducerUtils).
  * Fault tolerance mirrors `-soft` (CDXGenerator.java:222-238): bad members
  * are counted in an accumulator instead of failing the task; with
  * soft=false the first bad member fails the job.
@@ -45,6 +48,59 @@ object WarcExtract {
     new graft.util.IoUtil.AutoCloseIterator(members, () => closeIn())
   }
 
+  /** One member → at most one CDX row, dispatched by content: a payload
+    * opening with "WARC/" parses as a WARC record (response/resource
+    * only), anything else tries the legacy ARC URL-record shape (every
+    * captured record except the filedesc file header). */
+  private def cdxOf(m: GzipMembers.Member, name: String): Option[CdxRow] =
+    if (m.payload.length >= 5 && m.payload(0) == 'W' && m.payload(1) == 'A' &&
+        m.payload(2) == 'R' && m.payload(3) == 'C' && m.payload(4) == '/') {
+      WarcRecords.parse(m.payload).flatMap { rec =>
+        if (rec.warcType != "response" && rec.warcType != "resource") None
+        else for {
+          uri <- rec.targetUri
+          ts <- rec.timestamp14
+        } yield {
+          val (status, httpMime) = rec.httpStatusAndMime
+          val body =
+            if (status.isDefined) httpBody(rec.payload) else rec.payload
+          CdxRow(
+            urlkey = graft.functions.Surt.surtLenient(uri),
+            timestamp = ts,
+            original_url = uri,
+            mimetype = httpMime
+              .orElse(rec.contentType.map(_.split(";")(0).trim))
+              .getOrElse("unk"),
+            statuscode = status,
+            digest = WarcRecords.sha1Base32(body),
+            compressed_size = m.length,
+            offset = m.offset,
+            filename = name)
+        }
+      }
+    } else {
+      ArcRecords.parse(m.payload).flatMap { rec =>
+        if (rec.isFiledesc) None
+        else Some {
+          val (status, _) = rec.httpStatusAndMime
+          val body =
+            if (status.isDefined) httpBody(rec.content) else rec.content
+          CdxRow(
+            urlkey = graft.functions.Surt.surtLenient(rec.url),
+            timestamp = rec.date14,
+            original_url = rec.url,
+            // the URL-line mime IS the content type captured at crawl
+            // time — the CDX convention for ARC inputs
+            mimetype = if (rec.mime.nonEmpty) rec.mime else "unk",
+            statuscode = status.orElse(rec.statusFromHeader),
+            digest = WarcRecords.sha1Base32(body),
+            compressed_size = m.length,
+            offset = m.offset,
+            filename = name)
+        }
+      }
+    }
+
   /** Extract response/resource records of `paths` (one task per file). */
   def extract(spark: SparkSession, paths: Seq[String],
               soft: Boolean = false): Extraction = {
@@ -67,31 +123,7 @@ object WarcExtract {
         pathIter.flatMap { pathStr =>
           val p = new Path(pathStr)
           val name = p.getName
-          openMembers(p, conf, soft, bad).flatMap { m =>
-            WarcRecords.parse(m.payload).flatMap { rec =>
-              if (rec.warcType != "response" && rec.warcType != "resource") None
-              else for {
-                uri <- rec.targetUri
-                ts <- rec.timestamp14
-              } yield {
-                val (status, httpMime) = rec.httpStatusAndMime
-                val body =
-                  if (status.isDefined) httpBody(rec.payload) else rec.payload
-                CdxRow(
-                  urlkey = graft.functions.Surt.surtLenient(uri),
-                  timestamp = ts,
-                  original_url = uri,
-                  mimetype = httpMime
-                    .orElse(rec.contentType.map(_.split(";")(0).trim))
-                    .getOrElse("unk"),
-                  statuscode = status,
-                  digest = WarcRecords.sha1Base32(body),
-                  compressed_size = m.length,
-                  offset = m.offset,
-                  filename = name)
-              }
-            }
-          }
+          openMembers(p, conf, soft, bad).flatMap(m => cdxOf(m, name))
         }
       }
     Extraction(rows, bad)

@@ -178,18 +178,24 @@ object WarcRecords {
       date.map(_.filter(_.isDigit)).filter(_.length >= 14).map(_.take(14))
 
     /** For response records with an HTTP block: (status, Content-Type). */
-    def httpStatusAndMime: (Option[Int], Option[String]) = {
-      val text = new String(payload, 0, math.min(payload.length, 4096),
-        java.nio.charset.StandardCharsets.ISO_8859_1)
-      if (!text.startsWith("HTTP/")) (None, None)
-      else {
-        val lines = text.split("\r\n")
-        val status = lines.head.split(" ").lift(1).flatMap(_.toIntOption)
-        val mime = lines.tail.takeWhile(_.nonEmpty)
-          .find(_.toLowerCase.startsWith("content-type:"))
-          .map(_.split(":", 2)(1).trim.split(";")(0).trim)
-        (status, mime)
-      }
+    def httpStatusAndMime: (Option[Int], Option[String]) =
+      WarcRecords.httpStatusAndMime(payload)
+  }
+
+  /** Status + Content-Type of a leading HTTP response block, if any —
+    * shared by the WARC and ARC record models (both store the raw HTTP
+    * response as record content). */
+  def httpStatusAndMime(payload: Array[Byte]): (Option[Int], Option[String]) = {
+    val text = new String(payload, 0, math.min(payload.length, 4096),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!text.startsWith("HTTP/")) (None, None)
+    else {
+      val lines = text.split("\r\n")
+      val status = lines.head.split(" ").lift(1).flatMap(_.toIntOption)
+      val mime = lines.tail.takeWhile(_.nonEmpty)
+        .find(_.toLowerCase.startsWith("content-type:"))
+        .map(_.split(":", 2)(1).trim.split(";")(0).trim)
+      (status, mime)
     }
   }
 
@@ -248,5 +254,84 @@ object WarcRecords {
       i += 1
     }
     -1
+  }
+}
+
+/**
+ * Legacy ARC record model + parser. The reference streams ARC inputs
+ * through webarchive-commons' ARCReader — its jobs accept either format
+ * (/root/reference/src/main/java/org/archive/hadoop/jobs/CDXGenerator.java:143-170
+ * via ProducerUtils; ArchiveFileExtractor.java:129-163 synthesizes the
+ * filedesc:// lead record when repackaging into `.arc.gz`) — so the
+ * format itself is re-derived here from the public ARC file spec: one
+ * gzip member per record, each record a space-separated URL-record line
+ * (v1: `URL IP-address Archive-date Content-type Archive-length`; v2
+ * adds `Result-code Checksum Location Offset Filename` before the
+ * length), LF, then `Archive-length` bytes of content. The first record
+ * of a file is the `filedesc://` file header whose content is the
+ * version block.
+ */
+object ArcRecords {
+
+  final case class ArcRecord(
+      url: String,
+      ip: String,
+      date14: String,               // Archive-date, already 14-digit
+      mime: String,                 // Content-type captured at crawl time
+      statusFromHeader: Option[Int], // v2 Result-code, if present
+      declaredLength: Long,
+      content: Array[Byte]) {
+
+    /** The file-header record (version block payload). */
+    def isFiledesc: Boolean = url.startsWith("filedesc://")
+
+    /** For records whose content is a raw HTTP response. */
+    def httpStatusAndMime: (Option[Int], Option[String]) =
+      WarcRecords.httpStatusAndMime(content)
+  }
+
+  /** Parse one gzip-member payload as an ARC record. None when the
+    * member is not ARC-shaped (wrong field count, non-numeric length,
+    * malformed date) — callers use that to dispatch W/ARC by content.
+    * Content is truncated to the declared Archive-length when the member
+    * carries trailing bytes (the record/member separator newline), and
+    * capped at what the member actually holds. */
+  def parse(bytes: Array[Byte]): Option[ArcRecord] = {
+    var nl = 0
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    if (nl == 0 || nl >= bytes.length) return None
+    val line = new String(bytes, 0, nl,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val f = line.split(" ")
+    if (f.length != 5 && f.length != 10) return None
+    val url = f(0)
+    val date = f(2)
+    if (url.isEmpty || date.length != 14 || !date.forall(_.isDigit))
+      return None
+    f.last.toLongOption match {
+      case None => None
+      case Some(declared) if declared < 0 => None
+      case Some(declared) =>
+        val avail = bytes.length - (nl + 1)
+        val len = math.min(declared, avail.toLong).toInt
+        Some(ArcRecord(
+          url = url, ip = f(1), date14 = date, mime = f(3),
+          statusFromHeader =
+            if (f.length == 10) f(4).toIntOption else None,
+          declaredLength = declared,
+          content = java.util.Arrays.copyOfRange(bytes, nl + 1, nl + 1 + len)))
+    }
+  }
+
+  /** Synthesized `filedesc://` lead-record payload (ungzipped) for a new
+    * ARC file — the ArchiveFileExtractor.java:129-133 ARC_PATTERN shape.
+    * The reference hard-codes Archive-length 76 whatever the block
+    * actually measures (a latent header/content mismatch); here the
+    * length is computed from the version block it declares. */
+  def filedescPayload(filename: String, date14: String): Array[Byte] = {
+    val block = "1 0 InternetArchive\n" +
+      "URL IP-address Archive-date Content-type Archive-length\n\n"
+    (s"filedesc://$filename 0.0.0.0 $date14 text/plain ${block.length}\n" +
+      block).getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 }

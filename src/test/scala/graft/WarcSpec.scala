@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.warc.{GzipMembers, WarcRecords}
+import graft.sources.warc.{ArcRecords, GzipMembers, WarcRecords}
 import graft.operators.WarcExtract
 
 class WarcSpec extends AnyFunSuite with SparkTestSession {
@@ -67,6 +67,81 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     val rec = WarcRecords.parse(conformant).get
     assert(new String(rec.payload, "UTF-8") == http,
       "payload must stop at Content-Length")
+  }
+
+  private def arcHttp(url: String, date14: String, body: String,
+                      status: String = "200 OK"): Array[Byte] = {
+    val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n$body"
+    (s"$url 1.2.3.4 $date14 text/html ${http.length}\n" + http)
+      .getBytes("UTF-8")
+  }
+
+  test("arc record parse: v1 and v2 URL-record lines, filedesc, lengths") {
+    val v1 = ArcRecords.parse(
+      arcHttp("http://a.org/x", "20050101000001", "hello")).get
+    assert(v1.url == "http://a.org/x" && v1.date14 == "20050101000001")
+    assert(v1.mime == "text/html" && v1.statusFromHeader.isEmpty)
+    val (st, mime) = v1.httpStatusAndMime
+    assert(st.contains(200) && mime.contains("text/html"))
+
+    val v2 = ArcRecords.parse(
+      ("http://b.org/ 1.2.3.4 20050101000002 text/plain 404 - - 120 f.arc.gz 3\nabc")
+        .getBytes("UTF-8")).get
+    assert(v2.statusFromHeader.contains(404) && v2.mime == "text/plain")
+    assert(new String(v2.content, "UTF-8") == "abc")
+
+    val fd = ArcRecords.parse(
+      ArcRecords.filedescPayload("f.arc.gz", "20050101000000")).get
+    assert(fd.isFiledesc)
+    // synthesized header's declared length matches its version block
+    assert(fd.content.length == fd.declaredLength)
+
+    // trailing member separator newline excluded by Archive-length
+    val trail = ArcRecords.parse(
+      "http://c.org/ 1.2.3.4 20050101000003 text/plain 3\nxyz\n"
+        .getBytes("UTF-8")).get
+    assert(new String(trail.content, "UTF-8") == "xyz")
+
+    // non-ARC shapes are rejected, not misparsed
+    assert(ArcRecords.parse("not an arc line\ncontent".getBytes("UTF-8")).isEmpty)
+    assert(ArcRecords.parse(warcinfo).isEmpty)
+  }
+
+  test("extract dispatches ARC members: filedesc skipped, CDX fields exact") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "arc")
+    val f = dir.resolve("test-00000.arc.gz")
+    val fd = gz(ArcRecords.filedescPayload("test-00000.arc.gz", "20050101000000"))
+    val m1 = gz(arcHttp("http://example.com/a", "20050101000001", "aaa"))
+    val m2 = gz(arcHttp("http://WWW.Example.com/B/", "20050101000002", "bbb",
+      status = "404 Not Found"))
+    // non-HTTP record: mime from the URL line, no statuscode
+    val m3 = gz("http://example.com/t 1.2.3.4 20050101000003 text/plain 3\nraw"
+      .getBytes("UTF-8"))
+    Files.write(f, fd ++ m1 ++ m2 ++ m3)
+    val rows = WarcExtract.extract(spark, Seq(f.toString))
+      .rows.collect().sortBy(_.timestamp)
+    assert(rows.length == 3, "filedesc must not produce a row")
+    assert(rows(0).urlkey == "com,example)/a")
+    assert(rows(0).statuscode.contains(200) && rows(0).mimetype == "text/html")
+    assert(rows(0).digest == WarcRecords.sha1Base32("aaa".getBytes("UTF-8")))
+    assert(rows(0).offset == fd.length.toLong &&
+      rows(0).compressed_size == m1.length.toLong)
+    assert(rows(1).urlkey == "com,example)/b")
+    assert(rows(1).statuscode.contains(404))
+    assert(rows(2).statuscode.isEmpty && rows(2).mimetype == "text/plain")
+    assert(rows(2).digest == WarcRecords.sha1Base32("raw".getBytes("UTF-8")))
+  }
+
+  test("mixed-format input: ARC and WARC members in one scan") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "mixed")
+    val fa = dir.resolve("a.arc.gz")
+    val fw = dir.resolve("w.warc.gz")
+    Files.write(fa, gz(arcHttp("http://arc.org/1", "20050101000001", "A")))
+    Files.write(fw, gz(warcResponse("http://warc.org/2",
+      "2012-01-03T08:45:08Z", "W")))
+    val rows = WarcExtract.extract(spark, Seq(fa.toString, fw.toString))
+      .rows.collect().sortBy(_.timestamp)
+    assert(rows.map(_.urlkey).toSeq == Seq("org,arc)/1", "org,warc)/2"))
   }
 
   test("sha1Base32 matches the known digest of an empty payload") {
