@@ -44,11 +44,13 @@ object Bench {
     try materialize("q01_agg") catch { case _: Throwable => () }
 
     // tolerate a malformed env value: a bench must always emit its report.
-    // 3 reps: with 2, one GC/JIT-noisy rep still leaks into the min (q54
-    // observed 1.6s min-of-2 vs 0.4s steady state); the third rep costs
-    // ~25s total and pins the steady-state number
+    // 5 reps: 3 was not enough — the round-7 report showed q21 at 3.17s
+    // (4x steady state) surviving min-of-3, and a 3-run diagnosis at 5
+    // reps reproduced 0.77-0.79s every time with per-query deltas under
+    // ~10% on all non-trivial queries; two extra reps (~50s) buy a report
+    // whose per-query numbers are comparable across rounds
     val reps = sys.env.get("GRAFT_BENCH_REPS")
-      .flatMap(_.toIntOption).getOrElse(3).max(1)
+      .flatMap(_.toIntOption).getOrElse(5).max(1)
     // first error per query only (duplicate JSON keys would be collapsed
     // arbitrarily by parsers)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -95,9 +97,15 @@ object Bench {
       val eng = "\"engine\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(d).map(_.group(1))
       tot.map(t => s""","duckdb_baseline":{"total_sec":$t${eng.map(e => s""","engine":${jstr(e)}""").getOrElse("")},"detail":"DUCK_BENCH.json"}""")
     }.getOrElse("")
+    // Ratio policy, stated in-band: q51 measures Structured Streaming
+    // micro-batch MACHINERY (trigger + state store) against a batch SQL
+    // oracle — its ~0.7s is a documented floor, kept in the headline
+    // total with this caveat rather than footnoted out (STATUS.md §bench).
+    val notes = "q51_stream_daycap times real micro-batch machinery vs a " +
+      "batch oracle; its ratio is a floor, not a plan gap"
     // errors are reported in-band (a failed query benches as -1 + an
     // errors entry) — exit 0 so the driver always collects the report
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$duckField}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":"$sfDir"$duckField}""")
     spark.stop()
   }
 }

@@ -7,7 +7,7 @@ the bench report carries its own single-node reference point.
 Usage: duck_bench.py <sfDir> <oracle_sql.json> [out.json]
 
 Rep policy matches graft.Bench: each query runs DUCK_BENCH_REPS times
-(default 3) and the MIN is recorded, so numerator and denominator both
+(default 5, matching graft.Bench) and the MIN is recorded, so numerator and denominator both
 measure steady state rather than one cold run.
 """
 import json
@@ -25,7 +25,7 @@ def main():
     sf_dir = sys.argv[1]
     oracle_path = sys.argv[2]
     out_path = sys.argv[3] if len(sys.argv) > 3 else "DUCK_BENCH.json"
-    reps = max(1, int(os.environ.get("DUCK_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("DUCK_BENCH_REPS", "5")))
     with open(oracle_path) as f:
         oracle = json.load(f)
     con = duckdb.connect()
