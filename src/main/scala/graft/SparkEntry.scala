@@ -1171,9 +1171,9 @@ object SparkEntry {
     }),
 
     // Integer-exact TF-IDF weighting: ONE corpus pass — the (token, doc)
-    // tf agg's exchange is reused by the broadcast df table, the derived
-    // N = countDistinct(doc) one-row broadcast, and the per-doc weighted
-    // sum; weight = tf * ((10000 * N) DIV df), all integers.
+    // tf agg is persisted and shared by the broadcast df table, the
+    // derived N = countDistinct(doc) one-row broadcast, and the per-doc
+    // weighted sum; weight = tf * ((10000 * N) DIV df), all integers.
     "q60_tfidf" -> ((s, dir) => {
       graft.operators.llm.TextAnalysis.tfIdf(
         tbl(s, dir, "documents").select(col("doc_id"), col("text")),

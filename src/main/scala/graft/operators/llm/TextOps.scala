@@ -272,32 +272,49 @@ object TextAnalysis {
     * log, so scores are bit-exact cross-engine and rank-equivalent to
     * 1/df weighting.
     *
-    * One-pipeline plan, ONE corpus pass: the (token, doc) tf aggregation
-    * is the only scan+shuffle over the data; its exchange is REUSED
-    * (ReusedExchange) by all three consumers — the vocabulary-sized df
-    * table (broadcast back onto the tf rows, so the big table is never
-    * reshuffled by token and token skew never concentrates "the" into
-    * one partition the way a token window would), the corpus size
-    * N = countDistinct(doc) derived from the same output (a one-row
-    * broadcast, replacing what used to be a separate full corpus-count
-    * scan), and the per-doc weighted sum. Big-data shuffles: the tf
-    * aggregation and the final per-doc sum — nothing else. N counts docs
-    * contributing at least one token; tokenless docs score nothing and
-    * are excluded from both N and the output. At a corpus where the
-    * distinct-token vocabulary outgrows broadcast, swap the df broadcast
-    * join for a shuffle join (plus a stopword cap) — the N derivation is
-    * unaffected. */
-  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perDoc = df
+    * ONE corpus pass. `nDocs = Some(n)` is the zero-extra-work path for
+    * callers with table statistics (N from the catalog, not a scan).
+    * With `None`, N = countDistinct(doc) is derived from the tf output
+    * inside the same plan — and the tf aggregation is PERSISTED so its
+    * three consumers (the df table, the N row, the weighted sum) share
+    * one tokenize+aggregate instead of re-running it: exchange reuse
+    * does NOT save this plan on its own, because column pruning
+    * specializes each branch's aggregate (the df branch drops the tf
+    * count, the N branch drops the token) into three non-identical
+    * exchanges — measured, not guessed. The cache holds one row per
+    * distinct (token, doc) pair, spills to disk past memory, and is
+    * released by the context cleaner when the result goes unreferenced;
+    * a 100 TB corpus that cannot afford it should pass catalog N.
+    *
+    * The vocabulary-sized df table broadcasts back onto the tf rows, so
+    * the big table is never reshuffled by token — token skew ("the")
+    * never concentrates into one partition the way a token window
+    * would. Big-data shuffles: the tf aggregation and the final per-doc
+    * sum. N counts docs contributing at least one token; tokenless docs
+    * score nothing and are excluded from both N and the output. At a
+    * corpus where the distinct-token vocabulary outgrows broadcast,
+    * swap the df broadcast join for a shuffle join (plus a stopword
+    * cap) — the N derivation is unaffected. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String,
+            nDocs: Option[Long] = None): DataFrame = {
+    nDocs.foreach(n => require(n > 0, s"nDocs must be positive, got $n"))
+    val perDocPlain = df
       .select(col(idCol), explode(Shingles.words(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    val perDoc =
+      if (nDocs.isDefined) perDocPlain
+      else perDocPlain.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = perDoc.groupBy(col("token"))
       .agg(count(lit(1)).as("__df"))
-    val corpusN = perDoc.agg(countDistinct(col(idCol)).as("__n"))
-    perDoc
-      .join(broadcast(docFreq), "token")
-      .crossJoin(broadcast(corpusN))
+    val weighted = perDoc.join(broadcast(docFreq), "token")
+    val withN = nDocs match {
+      case Some(n) => weighted.withColumn("__n", lit(n))
+      case None => weighted.crossJoin(
+        broadcast(perDoc.agg(countDistinct(col(idCol)).as("__n"))))
+    }
+    withN
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_distinct_tokens"),
         sum(col("__tf") * expr("CAST((10000 * __n) DIV __df AS BIGINT)"))
