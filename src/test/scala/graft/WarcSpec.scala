@@ -132,6 +132,37 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(2).digest == WarcRecords.sha1Base32("raw".getBytes("UTF-8")))
   }
 
+  test("ARC repackage: synthesized filedesc lead + raw member copy re-extracts") {
+    // the ArchiveFileExtractor shape for .arc.gz outputs: a new archive
+    // gets a synthesized filedesc:// lead record, then byte-copied members
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "arcrepack")
+    val src = dir.resolve("src.arc.gz")
+    val m1 = gz(arcHttp("http://a.org/1", "20050101000001", "one"))
+    val m2 = gz(arcHttp("http://b.org/2", "20050101000002", "two"))
+    val m3 = gz(arcHttp("http://c.org/3", "20050101000003", "three"))
+    Files.write(src, m1 ++ m2 ++ m3)
+    val header = gz(ArcRecords.filedescPayload("out.arc.gz", "20060101000000"))
+    import spark.implicits._
+    val tasks = Seq(
+      graft.operators.ArchiveRepackage.CopyTask(
+        src.toString, 0L, m1.length.toLong, "out.arc.gz", 0L),
+      graft.operators.ArchiveRepackage.CopyTask(
+        src.toString, (m1.length + m2.length).toLong, m3.length.toLong,
+        "out.arc.gz", 1L)).toDS()
+    graft.operators.ArchiveRepackage.repackage(
+      spark, tasks, dir.toString, header = Some(header))
+    val outFile = dir.resolve("out.arc.gz")
+    // lead member is the filedesc record, at offset 0
+    val members = GzipMembers.iterate(
+      new ByteArrayInputStream(Files.readAllBytes(outFile))).toSeq
+    assert(members.length == 3)
+    assert(ArcRecords.parse(members.head.payload).exists(_.isFiledesc))
+    // re-extraction sees exactly the two copied records
+    val rows = WarcExtract.extract(spark, Seq(outFile.toString))
+      .rows.collect().sortBy(_.timestamp)
+    assert(rows.map(_.urlkey).toSeq == Seq("org,a)/1", "org,c)/3"))
+  }
+
   test("mixed-format input: ARC and WARC members in one scan") {
     val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "mixed")
     val fa = dir.resolve("a.arc.gz")
