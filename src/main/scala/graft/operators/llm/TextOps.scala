@@ -323,15 +323,24 @@ object TextAnalysis {
 
   /** Winnowing-style fingerprint: distinct word-k-gram md5s sampled where
     * the hash's first hex char is '0' (1/16 of grams, content-defined —
-    * robust to local edits), sorted and re-hashed. */
+    * robust to local edits), sorted and re-hashed.
+    *
+    * ONE shuffle: hashing and the 1/16 prefix filter run per OCCURRENCE
+    * on the map side (before any dedup), so only sampled hashes reach
+    * the wire, and `collect_set` dedups inside the per-doc aggregation —
+    * an upstream `distinct()` would be a second full-width shuffle of
+    * every (doc, gram) pair just to drop rows the filter discards
+    * anyway. The md5-per-occurrence overcount (vs per distinct gram) is
+    * pure map-side CPU, the cheap side of the trade at scale. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 4): DataFrame = {
-    val sh = Shingles.explodeShingles(df, idCol, textCol, k).distinct()
+    val sh = Shingles.explodeShingles(df, idCol, textCol, k)
     sh.select(col(idCol), md5(col("shingle")).as("__h"))
       .where(substring(col("__h"), 1, 1) === "0")
       .groupBy(col(idCol))
-      .agg(md5(concat_ws(",", sort_array(collect_set(col("__h")))))
-        .as("fingerprint"),
-        count(lit(1)).as("n_sampled"))
+      .agg(sort_array(collect_set(col("__h"))).as("__hs"))
+      .select(col(idCol),
+        md5(concat_ws(",", col("__hs"))).as("fingerprint"),
+        size(col("__hs")).cast("long").as("n_sampled"))
   }
 }
