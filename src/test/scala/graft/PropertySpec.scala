@@ -46,6 +46,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ARC render → parse is the identity on arbitrary records") {
+    import graft.sources.warc.ArcRecords
+    val arcGen = for {
+      host <- token; path <- token
+      ts <- ts14
+      mime <- Gen.oneOf("text/html", "text/plain", "image/gif")
+      v2 <- Gen.oneOf(false, true)
+      status <- Gen.chooseNum(100, 599)
+      // arbitrary bytes incl. newlines/NULs — Archive-length must bound
+      // the content, not any delimiter scan
+      content <- Gen.listOf(Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray)
+    } yield (s"http://$host.org/$path", ts, mime, v2, status, content)
+    forAll(arcGen) { case (url, ts, mime, v2, status, content) =>
+      val line =
+        if (v2) s"$url 1.2.3.4 $ts $mime $status - - 99 f.arc.gz ${content.length}"
+        else s"$url 1.2.3.4 $ts $mime ${content.length}"
+      // trailing member-separator newline, as on-disk records carry
+      val payload = (line + "\n").getBytes("UTF-8") ++ content ++ Array('\n'.toByte)
+      val r = ArcRecords.parse(payload)
+      assert(r.isDefined, line)
+      assert(r.get.url == url && r.get.date14 == ts && r.get.mime == mime)
+      assert(r.get.declaredLength == content.length.toLong)
+      assert(r.get.content.toSeq == content.toSeq,
+        "content must stop at Archive-length")
+      assert(r.get.statusFromHeader == (if (v2) Some(status) else None))
+    }
+  }
+
   test("gzipMember → gunzipLines is the identity on arbitrary line sets") {
     val lines = Gen.listOf(Gen.nonEmptyListOf(
       Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.const('\r')))
