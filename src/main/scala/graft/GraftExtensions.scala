@@ -42,5 +42,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dotl expects exactly 2 arguments, got ${children.length}")
         graft.functions.DotLongExpression(children(0), children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("ws_split"),
+      new ExpressionInfo(
+        classOf[graft.functions.WhitespaceSplitExpression].getName,
+        null, "ws_split",
+        "ws_split(s) - split on whitespace runs, Java split(\"\\\\s+\") " +
+          "parity (leading whitespace -> one empty token, trailing -> none)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"ws_split expects exactly 1 argument, got ${children.length}")
+        graft.functions.WhitespaceSplitExpression(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hex_slice_long"),
+      new ExpressionInfo(
+        classOf[graft.functions.HexSliceLongExpression].getName,
+        null, "hex_slice_long",
+        "hex_slice_long(s, pos, len) - parse len hex BYTES at 0-based " +
+          "byte pos as BIGINT (ASCII input; NULL out of range / non-hex)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"hex_slice_long expects exactly 3 arguments, got ${children.length}")
+        graft.functions.HexSliceLongExpression(children.head,
+          intLiteral(children(1), "pos"), intLiteral(children(2), "len"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hex_high_bits"),
+      new ExpressionInfo(
+        classOf[graft.functions.HexHighBitsExpression].getName,
+        null, "hex_high_bits",
+        "hex_high_bits(s) - INT mask of the high bits of 32 hex chars " +
+          "(the SimHash vote vector of an md5)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"hex_high_bits expects exactly 1 argument, got ${children.length}")
+        graft.functions.HexHighBitsExpression(children.head)
+      }))
+  }
+
+  /** The slice geometry is part of the expression (codegen'd constants),
+    * so SQL call sites must pass INT literals. */
+  private def intLiteral(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: java.lang.Integer, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$name must be an INT literal, got $other")
   }
 }

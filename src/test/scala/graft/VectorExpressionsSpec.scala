@@ -18,6 +18,32 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
                         b: org.apache.spark.sql.Column) =>
     aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
 
+  test("SQL surface: ws_split / hex_slice_long / hex_high_bits resolve natively") {
+    // Java split("\\s+") parity: leading whitespace yields one empty
+    // token, trailing whitespace yields none
+    assert(spark.sql("SELECT ws_split('  a\tb  c ') AS t")
+      .collect()(0).getSeq[String](0) == Seq("", "a", "b", "c"))
+    assert(spark.sql("SELECT hex_slice_long('00ff', 2, 2) AS v")
+      .collect()(0).getLong(0) == 255L)
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(spark.sql("SELECT hex_slice_long(md5('x'), 0, 10) AS v")
+      .collect()(0).getLong(0) ==
+      java.lang.Long.parseLong(md5Hex("x").take(10), 16))
+    // geometry must be literal — a column there is a planning-time error
+    intercept[Exception] {
+      spark.sql("SELECT hex_slice_long('00', CAST(rand()*2 AS INT), 1)").collect()
+    }
+    val mask = spark.sql("SELECT hex_high_bits(md5('x')) AS m")
+      .collect()(0).getInt(0)
+    val hex = md5Hex("x")
+    val expected = (0 until 32).map { j =>
+      if (Integer.parseInt(hex.charAt(j).toString, 16) >= 8) 1 << j else 0
+    }.sum
+    assert(mask == expected)
+  }
+
   test("quantize1000 matches the round(x*1000) HOF on random floats") {
     val rnd = new scala.util.Random(7)
     val vecs = (0 until 200).map { _ =>
