@@ -608,10 +608,14 @@ object SparkEntry {
     }),
 
     // Winnowing-style content-defined fingerprint (1/16 gram sample).
-    // fanOut: md5 per shingle — hash-heavy map side, same as q23.
+    // fanOut KEYED on doc_id: fingerprint's collect_set partials do not
+    // shrink the shuffle, so eliding the agg exchange wins here (measured
+    // -24%) — unlike the signature pipelines, where it loses to doc-length
+    // skew (see nearDupCorpus).
     "q29_fingerprint" -> ((s, dir) =>
       graft.operators.llm.TextAnalysis.fingerprint(
-        fanOut(tbl(s, dir, "documents").select(col("doc_id"), col("text"))),
+        fanOut(tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id")),
         "doc_id", "text")),
 
     // Multimodal plumbing: binary payload + typed metadata, batch-decoded
@@ -1514,9 +1518,15 @@ object SparkEntry {
     * thousands and the shuffle would be pure cost. The cluster-scale
     * analogue is the standard repartition after reading a non-splittable
     * archive member. */
-  private def fanOut(df: DataFrame): DataFrame = {
+  /** With `keys`, the fan-out hash-partitions on them, so a downstream
+    * groupBy on the same keys is exchange-free: the wide intermediate
+    * (e.g. LSH shingle hash pools) never reaches the wire — only the
+    * narrow source columns move. */
+  private def fanOut(df: DataFrame, keys: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 >= target) df else df.repartition(target)
+    if (df.rdd.getNumPartitions * 4 >= target) df
+    else if (keys.isEmpty) df.repartition(target)
+    else df.repartition(target, keys: _*)
   }
 
   /** Near-dup corpus: originals + every 7th doc re-inserted with 3 words
@@ -1531,6 +1541,10 @@ object SparkEntry {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" graft extra appended")).as("text"))
     val u = d.unionByName(variants)
+    // round-robin fan-out, NOT keyed: the signature aggregation's partial
+    // aggs already shrink the shuffle to one row per doc, so eliding that
+    // exchange buys nothing, while losing byte-balanced partitions costs
+    // straggler wall on skewed doc lengths (keyed measured +75% on q21)
     if (fan) fanOut(u) else u
   }
 
