@@ -943,10 +943,11 @@ object SparkEntry {
 
     // §3.4 — WARC → CDX extraction end-to-end under the oracle: a
     // synthesized multi-member WARC (warcinfo + HTTP responses incl. 404s
-    // + raw resource records + a corrupt tail member) is extracted with
-    // soft tolerance; urlkey (SURT), timestamp14, mimetype and statuscode
-    // must all match DuckDB's recomputation. Digest and member geometry
-    // are pinned by `WarcSpec` (not SQL-expressible).
+    // + raw resource records + revisit records + a corrupt tail member)
+    // is extracted with soft tolerance; urlkey (SURT), timestamp14,
+    // mimetype and statuscode must all match DuckDB's recomputation.
+    // Digest and member geometry are pinned by `WarcSpec` (not
+    // SQL-expressible).
     "q42_warc_extract" -> ((s, dir) => {
       val file = warcFixture(s, dir)
       graft.operators.WarcExtract
@@ -984,7 +985,7 @@ object SparkEntry {
       // warcFixture's v2: a fixture bump must rebuild the repackage too);
       // the timed path is the K11 VALIDITY proof: extracting the
       // repackaged archives as ordinary WARCs
-      fixtureOnce(outBase, "v1-warc2", dir, "documents") {
+      fixtureOnce(outBase, "v1-warc3", dir, "documents") {
         val members = graft.operators.WarcExtract
           .extract(s, Seq(file.getAbsolutePath), soft = true)
           .rows.where(col("statuscode") === 200)
@@ -1343,13 +1344,15 @@ object SparkEntry {
     })
   )
 
-  /** Synthesized multi-member WARC fixture shared by q42/q50 (one gzip
-    * member per record, warcinfo lead, corrupt tail for soft tolerance);
-    * content is a pure function of the documents table. */
+  /** Synthesized multi-member WARC fixture shared by q42/q50/q67 (one
+    * gzip member per record, warcinfo lead, responses incl. 404s, raw
+    * resources, REVISIT records carrying WARC-Payload-Digest, corrupt
+    * tail for soft tolerance); content is a pure function of the
+    * documents table. */
   private def warcFixture(s: SparkSession, dir: String): java.io.File = {
     val base = tmpDir("q42", dir)
     val file = new java.io.File(s"$base/docs.warc.gz")
-    fixtureOnce(base, "v2", dir, "documents") {
+    fixtureOnce(base, "v3", dir, "documents") {
       val ids = tbl(s, dir, "documents")
         .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
         .collect().map(_.getLong(0))
@@ -1375,6 +1378,14 @@ object SparkEntry {
               s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: $uri\r\n" +
                 s"WARC-Date: $date\r\nContent-Type: application/json\r\n" +
                 s"Content-Length: ${body.length}\r\n\r\n$body"
+            } else if (id % 9 == 4) {
+              // duplicate capture: a revisit record with no payload, the
+              // original's hash in WARC-Payload-Digest
+              val orig = graft.sources.warc.WarcRecords
+                .sha1Base32(s"doc $id body".getBytes("UTF-8"))
+              s"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: $uri\r\n" +
+                s"WARC-Date: $date\r\nWARC-Payload-Digest: sha1:$orig\r\n" +
+                "Content-Length: 0\r\n\r\n"
             } else {
               val status = if (id % 5 == 0) "404 Not Found" else "200 OK"
               val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
@@ -2169,8 +2180,9 @@ object SparkEntry {
         |  CASE WHEN id % 4 = 0 THEN 'http://WWW.Docs' || m || '.ORG/d/' || id || '/'
         |       ELSE 'http://docs' || m || '.org/d/' || id END AS original_url,
         |  CASE WHEN id % 7 = 0 THEN 'application/json'
+        |       WHEN id % 9 = 4 THEN 'warc/revisit'
         |       ELSE 'text/html' END AS mimetype,
-        |  CAST(CASE WHEN id % 7 = 0 THEN NULL
+        |  CAST(CASE WHEN id % 7 = 0 OR id % 9 = 4 THEN NULL
         |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode
         |FROM d""".stripMargin,
 
@@ -2203,8 +2215,9 @@ object SparkEntry {
         |QUALIFY count(*) OVER (PARTITION BY grp) > 1""".stripMargin,
 
     // same fixture rule as q42; warc_type/mime/status mirror the record
-    // synthesis (id%7=0 → resource with no HTTP block, so the envelope's
-    // HTTP mime is 'unk' and status NULL; id%5=0 → 404)
+    // synthesis (id%7=0 → resource and id%9=4 → revisit have no HTTP
+    // block, so the envelope's HTTP mime is 'unk' and status NULL;
+    // id%5=0 → 404)
     "q67_wat_extract" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
         |    CAST(doc_id AS BIGINT) % 5 AS m FROM documents)
@@ -2213,10 +2226,13 @@ object SparkEntry {
         |           '%Y%m%d%H%M%S') AS timestamp,
         |  CASE WHEN id % 4 = 0 THEN 'http://WWW.Docs' || m || '.ORG/d/' || id || '/'
         |       ELSE 'http://docs' || m || '.org/d/' || id END AS original_url,
-        |  CASE WHEN id % 7 = 0 THEN 'resource' ELSE 'response' END AS warc_type,
-        |  CAST(CASE WHEN id % 7 = 0 THEN NULL
+        |  CASE WHEN id % 7 = 0 THEN 'resource'
+        |       WHEN id % 9 = 4 THEN 'revisit'
+        |       ELSE 'response' END AS warc_type,
+        |  CAST(CASE WHEN id % 7 = 0 OR id % 9 = 4 THEN NULL
         |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode,
-        |  CASE WHEN id % 7 = 0 THEN 'unk' ELSE 'text/html' END AS mimetype
+        |  CASE WHEN id % 7 = 0 OR id % 9 = 4 THEN 'unk'
+        |       ELSE 'text/html' END AS mimetype
         |FROM d""".stripMargin,
 
     "q37_token_count" ->
@@ -2287,7 +2303,7 @@ object SparkEntry {
         |  strftime(TIMESTAMP '2020-01-01 00:00:00' + id * INTERVAL 1 SECOND,
         |           '%Y%m%d%H%M%S') AS timestamp,
         |  'text/html' AS mimetype, CAST(200 AS INTEGER) AS statuscode
-        |FROM d WHERE id % 7 <> 0 AND id % 5 <> 0""".stripMargin,
+        |FROM d WHERE id % 7 <> 0 AND id % 5 <> 0 AND id % 9 <> 4""".stripMargin,
 
     "q48_repetition" ->
       """WITH t AS (SELECT doc_id,

@@ -49,14 +49,21 @@ object WarcExtract {
   }
 
   /** One member → at most one CDX row, dispatched by content: a payload
-    * opening with "WARC/" parses as a WARC record (response/resource
-    * only), anything else tries the legacy ARC URL-record shape (every
-    * captured record except the filedesc file header). */
+    * opening with "WARC/" parses as a WARC record (response / resource /
+    * revisit — the three record families CDX carries, see the reference
+    * CDX mime vocabulary at `pig/CDXLoader.java:33`), anything else
+    * tries the legacy ARC URL-record shape (every captured record except
+    * the filedesc file header). A revisit row keeps the CDX conventions:
+    * mime `warc/revisit`, digest from the record's WARC-Payload-Digest
+    * (the ORIGINAL capture's payload hash — the revisit block itself has
+    * no payload to hash), status from the re-serialized HTTP headers
+    * when the block carries them. */
   private def cdxOf(m: GzipMembers.Member, name: String): Option[CdxRow] =
     if (m.payload.length >= 5 && m.payload(0) == 'W' && m.payload(1) == 'A' &&
         m.payload(2) == 'R' && m.payload(3) == 'C' && m.payload(4) == '/') {
       WarcRecords.parse(m.payload).flatMap { rec =>
-        if (rec.warcType != "response" && rec.warcType != "resource") None
+        if (rec.warcType != "response" && rec.warcType != "resource" &&
+            rec.warcType != "revisit") None
         else for {
           uri <- rec.targetUri
           ts <- rec.timestamp14
@@ -64,15 +71,25 @@ object WarcExtract {
           val (status, httpMime) = rec.httpStatusAndMime
           val body =
             if (status.isDefined) httpBody(rec.payload) else rec.payload
+          val isRevisit = rec.warcType == "revisit"
+          val payloadDigest = rec.headers.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") =>
+              if (v.toLowerCase.startsWith("sha1:")) v.substring(5) else v
+          }
           CdxRow(
             urlkey = graft.functions.Surt.surtLenient(uri),
             timestamp = ts,
             original_url = uri,
-            mimetype = httpMime
-              .orElse(rec.contentType.map(_.split(";")(0).trim))
-              .getOrElse("unk"),
+            mimetype =
+              if (isRevisit) "warc/revisit"
+              else httpMime
+                .orElse(rec.contentType.map(_.split(";")(0).trim))
+                .getOrElse("unk"),
             statuscode = status,
-            digest = WarcRecords.sha1Base32(body),
+            digest =
+              if (isRevisit)
+                payloadDigest.getOrElse(WarcRecords.sha1Base32(body))
+              else WarcRecords.sha1Base32(body),
             compressed_size = m.length,
             offset = m.offset,
             filename = name)
@@ -101,7 +118,8 @@ object WarcExtract {
       }
     }
 
-  /** Extract response/resource records of `paths` (one task per file). */
+  /** Extract response/resource/revisit records of `paths` (one task per
+    * file). */
   def extract(spark: SparkSession, paths: Seq[String],
               soft: Boolean = false): Extraction = {
     import spark.implicits._

@@ -132,6 +132,29 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(2).digest == WarcRecords.sha1Base32("raw".getBytes("UTF-8")))
   }
 
+  test("revisit records extract with warc/revisit mime and the payload digest") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "revisit")
+    val origDigest = WarcRecords.sha1Base32("original body".getBytes("UTF-8"))
+    val revisit = ("WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      "WARC-Target-URI: http://a.org/r\r\n" +
+      "WARC-Date: 2012-01-05T00:00:00Z\r\n" +
+      s"WARC-Payload-Digest: sha1:$origDigest\r\n" +
+      "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+    val f = dir.resolve("r.warc.gz")
+    Files.write(f, gz(revisit) ++
+      gz(warcResponse("http://a.org/r", "2012-01-03T08:45:08Z", "original body")))
+    val rows = WarcExtract.extract(spark, Seq(f.toString))
+      .rows.collect().sortBy(_.timestamp)
+    assert(rows.length == 2)
+    // the revisit row: CDX mime convention, NO local payload to hash —
+    // digest is the ORIGINAL capture's, straight from the WARC header,
+    // so exact-dedup and revisit-resolution join on equal digests
+    assert(rows(1).mimetype == "warc/revisit")
+    assert(rows(1).statuscode.isEmpty)
+    assert(rows(1).digest == origDigest)
+    assert(rows(0).digest == origDigest, "original and revisit digests join")
+  }
+
   test("ARC repackage: synthesized filedesc lead + raw member copy re-extracts") {
     // the ArchiveFileExtractor shape for .arc.gz outputs: a new archive
     // gets a synthesized filedesc:// lead record, then byte-copied members
