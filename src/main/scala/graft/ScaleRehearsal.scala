@@ -7,21 +7,32 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /**
- * Scale rehearsal for the flagship LSH→CC dedup chain (SCALE.md "three
- * measured decades"): replicate the sf0.1 near-dup corpus N times with
- * disjoint ids — duplication compounds ACROSS copies, the worst case for
- * candidate generation — run MinHash-LSH → connected components →
- * keep-min, and report wall time, SparkListener-measured shuffle volume,
- * and the capped-bucket skip-list size.
+ * Scale rehearsals (SCALE.md "three measured decades"), two modes:
  *
- * Usage: runMain graft.ScaleRehearsal [copies] [maxBucket] [sfDir]
- * (copies=1 ≈ 5.7k docs, 10 ≈ 57k, 100 ≈ 570k.)
+ *  - `dedup` (default): replicate the sf0.1 near-dup corpus N times
+ *    with disjoint ids — duplication compounds ACROSS copies, the worst
+ *    case for candidate generation — run MinHash-LSH → connected
+ *    components → keep-min, and report wall time, SparkListener-measured
+ *    shuffle volume, and the capped-bucket skip-list size.
+ *  - `ann`: replicate the embeddings table N times with deterministic
+ *    per-copy perturbation, then run brute-force cosine top-k and
+ *    hyperplane-LSH-bucketed top-k over the same queries — the measured
+ *    crossover between the exact baseline and the scale path.
+ *
+ * Usage: runMain graft.ScaleRehearsal [dedup] <copies> [maxBucket] [sfDir]
+ *        runMain graft.ScaleRehearsal ann <copies> [numPlanes] [sfDir]
+ * (dedup copies=1 ≈ 5.7k docs, 100 ≈ 570k; ann copies=100 ≈ 200k vectors.)
  */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
-    val copies = args.headOption.flatMap(_.toIntOption).getOrElse(100)
-    val maxBucket = args.lift(1).flatMap(_.toIntOption).getOrElse(400)
-    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val (mode, rest) = args.headOption match {
+      case Some(m) if m == "ann" || m == "dedup" => (m, args.drop(1))
+      case _ => ("dedup", args)
+    }
+    val copies = rest.headOption.flatMap(_.toIntOption).getOrElse(100)
+    val maxBucket = rest.lift(1).flatMap(_.toIntOption)
+      .getOrElse(if (mode == "ann") 12 else 400) // ann: numPlanes
+    val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,6 +54,9 @@ object ScaleRehearsal {
         }
       }
     })
+
+    if (mode == "ann") { annRehearsal(spark, copies, maxBucket, sfDir,
+      read, write); spark.stop(); return }
 
     // the q69 corpus rule (base + appended-text variants), replicated
     // with disjoint id spaces; every copy of a doc is a near-dup of every
@@ -90,5 +104,46 @@ object ScaleRehearsal {
       f"droppedIds=${nDropped.getLong(1)} wall=$wall%.1f s " +
       s"shuffleRead=${mib(read.get)} MiB shuffleWrite=${mib(write.get)} MiB")
     spark.stop()
+  }
+
+  /** ANN decades: brute-force cosine top-10 vs hyperplane-LSH-bucketed
+    * top-10 over the replicated (deterministically perturbed) embedding
+    * corpus — same queries, same integer dot scoring; the rehearsal
+    * measures the exact baseline's quadratic growth against the bucketed
+    * path's. */
+  private def annRehearsal(spark: SparkSession, copies: Int, numPlanes: Int,
+                           sfDir: String, read: AtomicLong,
+                           write: AtomicLong): Unit = {
+    import graft.operators.llm.AnnOps
+    val dim = 64
+    val big = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("vec_id"), col("embedding"))
+      .select((col("vec_id") + col("__c") * 10000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + CAST((__c * 31 + i) % 13 " +
+          "AS FLOAT) * CAST(0.001 AS FLOAT))").as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      // both paths probe the same corpus: the rehearsal times the top-k
+      // plans, not the replication scaffolding
+      .persist()
+    val n = big.count()
+    val queries = col("vec_id") < 3
+
+    def timed(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val (r0, w0) = (read.get, write.get)
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+      println(f"[rehearsal-ann] $label copies=$copies vectors=$n " +
+        f"rows=$rows wall=$wall%.2f s " +
+        s"shuffleRead=${mib(read.get - r0)} MiB " +
+        s"shuffleWrite=${mib(write.get - w0)} MiB")
+    }
+
+    timed("brute")(AnnOps.bruteTopK(big, "vec_id", "embedding", queries, 10))
+    timed(s"hyperplane(p=$numPlanes)")(AnnOps.hyperplaneTopK(
+      big, "vec_id", "embedding", queries, numPlanes, dim, 10))
+    big.unpersist(blocking = false)
   }
 }
