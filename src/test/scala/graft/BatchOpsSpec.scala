@@ -180,5 +180,10 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     // doc1 = 2*10000 + 1*30000 = 50000; doc2 = doc3 = 10000 + 15000
     assert(out(1L) == (2L, 50000L))
     assert(out(2L) == (2L, 25000L) && out(3L) == (2L, 25000L))
+    // the catalog-stats path (explicit N, no persist/derivation) must
+    // produce the identical weighting
+    val statsPath = TextAnalysis.tfIdf(docs, "doc_id", "text", Some(3L))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(statsPath == out)
   }
 }
