@@ -971,6 +971,24 @@ object SparkEntry {
           col("mimetype"), col("statuscode").cast("int").as("statuscode"))
     }),
 
+    // Benchmark decontamination under the oracle: an eval set (every
+    // 97th doc) is checked against a corpus that contains both the
+    // originals and planted contaminated variants (eval text + a
+    // trailing canary — all the original's 8-grams survive); per-doc
+    // distinct shared-8-gram counts must match DuckDB's recomputation.
+    // The eval gram set broadcasts; the corpus side never shuffles its
+    // gram explosion.
+    "q72_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") % 97 === 0)
+      val corpus = docs.unionByName(
+        evalSet.select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" trailing decontam canary")).as("text")))
+      graft.operators.llm.TextAnalysis.contaminationHits(
+        corpus, "doc_id", "text", evalSet, "text", k = 8)
+    }),
+
     // K11 end-to-end under the oracle: the 200-status response members of
     // the WARC fixture are byte-copied (raw compressed members, never
     // re-encoded) into three new archives, which are then re-extracted —
@@ -2201,6 +2219,29 @@ object SparkEntry {
         |  CAST(CASE WHEN id % 7 = 0 THEN NULL
         |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode
         |FROM d""".stripMargin,
+
+    // 8-gram construction mirrors the native wordGrams rule: grams of a
+    // doc with n (space-split, empties kept) words = n-7 windows
+    "q72_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 3000000,
+        |         text || ' trailing decontam canary'
+        |  FROM documents WHERE CAST(doc_id AS BIGINT) % 97 = 0),
+        |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |cg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |         ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS shingle
+        |  FROM cw WHERE len(w) >= 8),
+        |ew AS (SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE CAST(doc_id AS BIGINT) % 97 = 0),
+        |eg AS (SELECT DISTINCT unnest(list_transform(range(1, len(w) - 6),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |         ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS shingle
+        |  FROM ew WHERE len(w) >= 8)
+        |SELECT doc_id, count(DISTINCT shingle) AS n_hits
+        |FROM cg JOIN eg USING (shingle) GROUP BY 1""".stripMargin,
 
     // islands-and-gaps over doc_id < 128: nodes of each consecutive run
     // label with the run's min; single-node runs are singletons (no edge)

@@ -321,6 +321,34 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Benchmark decontamination: per-document count of distinct word
+    * k-grams shared with an evaluation set — the train/test-overlap
+    * check a training-data pipeline runs before shipping a corpus
+    * (docs over a hit threshold get dropped or quarantined).
+    *
+    * Shape is deliberately asymmetric: the eval side is benchmark-sized
+    * (thousands of docs), the corpus is the 100 TB side — so the eval
+    * grams are DEDUPED and BROADCAST, the corpus grams stream map-side
+    * through the broadcast hash join, and the only shuffle is the final
+    * per-doc count aggregation over matching grams (a tiny fraction of
+    * the corpus). Never a shuffle join: the corpus side's gram explosion
+    * must not reach the wire. Gram granularity `k` follows the usual
+    * decontamination setting (8–13 word n-grams); lower k flags more
+    * aggressively. */
+  def contaminationHits(corpus: DataFrame, idCol: String, textCol: String,
+                        evalDocs: DataFrame, evalTextCol: String,
+                        k: Int = 8): DataFrame = {
+    val corpusGrams = Shingles.explodeShingles(corpus, idCol, textCol, k)
+    val evalGrams = evalDocs
+      .select(explode(graft.functions.VectorFunctions.wordGrams(
+        Shingles.words(col(evalTextCol)), k)).as("shingle"))
+      .distinct()
+    corpusGrams
+      .join(broadcast(evalGrams), "shingle")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_hits"))
+  }
+
   /** Winnowing-style fingerprint: distinct word-k-gram md5s sampled where
     * the hash's first hex char is '0' (1/16 of grams, content-defined —
     * robust to local edits), sorted and re-hashed.

@@ -16,6 +16,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(sh == Seq((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("decontamination: shared k-grams counted once, clean docs absent") {
+    import graft.operators.llm.TextAnalysis
+    val evalSet = Seq((100L, "q w e r t")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "q w e r t"),             // exact copy: both 4-grams hit
+      (2L, "z q w e r t z"),         // embedded: both hit
+      (3L, "q w e r x"),             // partial: one 4-gram hits
+      (4L, "q w e r x q w e r x"),   // repeated hit counts ONCE (distinct)
+      (5L, "totally clean text here five")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationHits(
+      corpus, "doc_id", "text", evalSet, "text", k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("minhash-lsh: identical docs always pair; disjoint docs never do") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
