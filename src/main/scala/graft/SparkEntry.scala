@@ -985,6 +985,9 @@ object SparkEntry {
       val corpus = docs.unionByName(
         evalSet.select((col("doc_id") + 3000000L).as("doc_id"),
           concat(col("text"), lit(" trailing decontam canary")).as("text")))
+      // no fanOut: measured neutral here — the gram explosion feeds a
+      // broadcast hash join whose map side is cheap enough that the
+      // fan-out shuffle buys nothing back (unlike q21/q23's md5 work)
       graft.operators.llm.TextAnalysis.contaminationHits(
         corpus, "doc_id", "text", evalSet, "text", k = 8)
     }),
