@@ -13,7 +13,7 @@ object Explain {
         "q19_zipnum_roundtrip", "q21_minhash_lsh", "q24_ann_topk",
         "q25_ann_ivf", "q36_embed_neardup", "q40_sorted_merge",
         "q43_ann_ivf_assign", "q54_ann_hyperplane", "q55_revisit_resolve",
-        "q56_vocab")
+        "q56_vocab", "q60_tfidf", "q72_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
