@@ -128,6 +128,38 @@ object GraftCli {
           pos.tail.toSeq, pos.head, soft = flags.contains("--soft"))
         println(s"extracted $n cdx lines -> ${pos.head}")
         spark.stop()
+      case "dedup" =>
+        // dedup <corpus.parquet> <outDir> [idCol] [textCol] — near-dup
+        // corpus dedup as an operational tool: MinHash-LSH candidates →
+        // connected components → keep each component's min id plus every
+        // singleton (the q69 pipeline); writes kept ids as parquet
+        val spark = session("dedup")
+        val idCol = rest.lift(2).getOrElse("doc_id")
+        val textCol = rest.lift(3).getOrElse("text")
+        val corpus = spark.read.parquet(rest(0))
+          .select(col(idCol), col(textCol))
+        val pairs = graft.operators.llm.MinHashLsh(corpus, idCol, textCol)
+        val cc = graft.operators.llm.ConnectedComponents(
+          pairs, "doc_a", "doc_b")
+        corpus.select(col(idCol))
+          .join(cc.where(col("node") =!= col("component"))
+            .select(col("node").as(idCol)), Seq(idCol), "left_anti")
+          .write.mode("overwrite").parquet(rest(1))
+        println(s"kept ${spark.read.parquet(rest(1)).count()} of " +
+          s"${corpus.count()} docs -> ${rest(1)}")
+        spark.stop()
+      case "decontaminate" =>
+        // decontaminate <corpus.parquet> <eval.parquet> <outDir> [k] —
+        // per-doc distinct word-k-gram hits against the eval set (docs
+        // with no hits are clean and absent from the output)
+        val spark = session("decontaminate")
+        val k = rest.lift(3).flatMap(_.toIntOption).getOrElse(8)
+        graft.operators.llm.TextAnalysis.contaminationHits(
+          spark.read.parquet(rest(0)), "doc_id", "text",
+          spark.read.parquet(rest(1)), "text", k)
+          .write.mode("overwrite").parquet(rest(2))
+        println(s"contamination hits (k=$k) -> ${rest(2)}")
+        spark.stop()
       case other =>
         System.err.println(s"unknown tool: $other"); usage(); sys.exit(2)
     }
@@ -145,5 +177,7 @@ object GraftCli {
       |  warc-extract <out> <warc...> [--soft]  WARC -> per-file .cdx
       |  wat-extract <out> <warc...> [--soft]   WARC -> WAT JSON lines
       |  file-search <file> <start> [<end>]     binary search a sorted file
+      |  dedup <corpus> <out> [id] [text]       near-dup dedup (LSH -> CC -> keep-min)
+      |  decontaminate <corpus> <eval> <out> [k] eval-overlap hit counts
       |""".stripMargin)
 }
