@@ -194,7 +194,10 @@ object ItemSearchers {
       // terminate only on an EMPTY/missing page, as the reference does
       // (it stops when the 'rows' key is absent) — stopping on a merely
       // SHORT page would silently truncate if the server ever caps lim
-      // below the requested page size or returns a transient short page
+      // below the requested page size or returns a transient short page.
+      // (A pathological server replaying the same nonempty page no
+      // matter the off= would loop; the reference shares that behavior,
+      // and a well-formed metamgr always drains to an empty page.)
       var lastPage = -1
       while (lastPage != 0) {
         val rows = mapper.readTree(fetch(pageUrl(collId, off)))
