@@ -129,22 +129,40 @@ object GraftCli {
         println(s"extracted $n cdx lines -> ${pos.head}")
         spark.stop()
       case "dedup" =>
-        // dedup <corpus.parquet> <outDir> [idCol] [textCol] — near-dup
-        // corpus dedup as an operational tool: MinHash-LSH candidates →
-        // connected components → keep each component's min id plus every
-        // singleton (the q69 pipeline); writes kept ids as parquet
+        // dedup <corpus.parquet> <outDir> [idCol] [textCol] [maxBucket]
+        // — near-dup corpus dedup as an operational tool: MinHash-LSH
+        // candidates → connected components → keep each component's min
+        // id plus every singleton (the q69 pipeline); writes kept ids as
+        // parquet. The bucket cap defaults ON (10k ids): the uncapped
+        // expansion measurably OOMs on duplication-heavy corpora
+        // (SCALE.md third-decade control run); dropped buckets land in
+        // <outDir>_skiplist for the cheap exact-dedup follow-up.
         val spark = session("dedup")
         val idCol = rest.lift(2).getOrElse("doc_id")
         val textCol = rest.lift(3).getOrElse("text")
+        val maxBucket = rest.lift(4).flatMap(_.toIntOption).getOrElse(10000)
         val corpus = spark.read.parquet(rest(0))
           .select(col(idCol), col(textCol))
-        val pairs = graft.operators.llm.MinHashLsh(corpus, idCol, textCol)
+        import graft.operators.llm.MinHashLsh
+        val bands = MinHashLsh.bands(MinHashLsh.signature(
+          graft.operators.llm.Shingles.explodeShingles(
+            corpus, idCol, textCol, 3), idCol, 6), idCol, 6, 2)
+          .persist() // feeds both the kept-pair and skip-list plans
+        val (pairs, dropped) =
+          MinHashLsh.candidatePairsCapped(bands, idCol, maxBucket)
+        val nDropped = dropped.count()
+        if (nDropped > 0) {
+          dropped.write.mode("overwrite").parquet(s"${rest(1)}_skiplist")
+          System.err.println(s"WARNING: $nDropped over-$maxBucket buckets " +
+            s"skipped -> ${rest(1)}_skiplist (run exact dedup on them)")
+        }
         val cc = graft.operators.llm.ConnectedComponents(
           pairs, "doc_a", "doc_b")
         corpus.select(col(idCol))
           .join(cc.where(col("node") =!= col("component"))
             .select(col("node").as(idCol)), Seq(idCol), "left_anti")
           .write.mode("overwrite").parquet(rest(1))
+        bands.unpersist(blocking = false)
         println(s"kept ${spark.read.parquet(rest(1)).count()} of " +
           s"${corpus.count()} docs -> ${rest(1)}")
         spark.stop()
@@ -177,7 +195,7 @@ object GraftCli {
       |  warc-extract <out> <warc...> [--soft]  WARC -> per-file .cdx
       |  wat-extract <out> <warc...> [--soft]   WARC -> WAT JSON lines
       |  file-search <file> <start> [<end>]     binary search a sorted file
-      |  dedup <corpus> <out> [id] [text]       near-dup dedup (LSH -> CC -> keep-min)
+      |  dedup <corpus> <out> [id] [text] [cap] near-dup dedup (LSH -> CC -> keep-min)
       |  decontaminate <corpus> <eval> <out> [k] eval-overlap hit counts
       |""".stripMargin)
 }
