@@ -152,9 +152,16 @@ object GraftCli {
           MinHashLsh.candidatePairsCapped(bands, idCol, maxBucket)
         val nDropped = dropped.count()
         if (nDropped > 0) {
-          dropped.write.mode("overwrite").parquet(s"${rest(1)}_skiplist")
+          // resolve bucket keys back to their member DOC IDS (what the
+          // exact-dedup follow-up actually consumes) via the persisted
+          // bands — the skip-list must be actionable, not just counted
+          bands.join(broadcast(dropped.select(col("band"), col("bh"))),
+              Seq("band", "bh"))
+            .select(col("band"), col("bh"), col(idCol))
+            .write.mode("overwrite").parquet(s"${rest(1)}_skiplist")
           System.err.println(s"WARNING: $nDropped over-$maxBucket buckets " +
-            s"skipped -> ${rest(1)}_skiplist (run exact dedup on them)")
+            s"skipped; their member ids -> ${rest(1)}_skiplist " +
+            "(run exact dedup on them)")
         }
         val cc = graft.operators.llm.ConnectedComponents(
           pairs, "doc_a", "doc_b")
