@@ -54,31 +54,18 @@ object Bench {
     // first error per query only (duplicate JSON keys would be collapsed
     // arbitrarily by parsers)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // reps run INTERLEAVED (every query once per pass, then repeat), not
-    // back-to-back: the host's wall-clock drifts in multi-minute phases
-    // (measured ±15% same-code swings), and consecutive reps hand all of
-    // one query's samples to whatever phase it lands in — spreading the
-    // samples across the whole run lets min-of-reps reject a transient
-    // slow window instead of baking it into that query's number
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    (1 to reps).foreach { _ =>
-      names.foreach { name =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try {
-          materialize(name)
-          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-        } catch { case e: Throwable =>
+        try { materialize(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             e.toString.takeWhile(_ != '\n').take(200))
+          None
         }
       }
-    }
-    // EVERY rep must succeed — a query that crashed on any rep benches
-    // -1, never green-by-luckiest-rep
-    val results = names.map { name =>
-      val times = samples(name)
+      // EVERY rep must succeed — a query that crashed on any rep benches
+      // -1, never green-by-luckiest-rep
       name -> (if (times.size == reps) times.min else -1.0)
     }
 
