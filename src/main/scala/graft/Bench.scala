@@ -51,6 +51,13 @@ object Bench {
     // whose per-query numbers are comparable across rounds
     val reps = sys.env.get("GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(5).max(1)
+    // reps run CONSECUTIVELY per query, deliberately: interleaving the
+    // passes (all queries once, repeat) was tried to spread host-phase
+    // noise across samples, and measured +35% TOTAL — 72 queries'
+    // stages thrash Spark's bounded whole-stage-codegen cache
+    // (spark.sql.codegen.cache.maxEntries=100), so every interleaved
+    // pass recompiles nearly every stage. Steady-state per query needs
+    // its generated classes still cached from the previous rep.
     // first error per query only (duplicate JSON keys would be collapsed
     // arbitrarily by parsers)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
