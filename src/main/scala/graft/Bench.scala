@@ -29,6 +29,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // 72 queries × many stages ≫ the default 100-entry generated-class
+      // cache; at 100 every cross-query pass recompiles nearly every stage
+      // (the round-8 interleave experiment measured +35% total from exactly
+      // this). With all passes' classes resident, rep order stops mattering.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -51,28 +56,44 @@ object Bench {
     // whose per-query numbers are comparable across rounds
     val reps = sys.env.get("GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(5).max(1)
-    // reps run CONSECUTIVELY per query, deliberately: interleaving the
-    // passes (all queries once, repeat) was tried to spread host-phase
-    // noise across samples, and measured +35% TOTAL — 72 queries'
-    // stages thrash Spark's bounded whole-stage-codegen cache
-    // (spark.sql.codegen.cache.maxEntries=100), so every interleaved
-    // pass recompiles nearly every stage. Steady-state per query needs
-    // its generated classes still cached from the previous rep.
+    // Reps are INTERLEAVED across full passes (all queries once, repeat ×5):
+    // the round-8 official run showed 2.6-5.5× spikes on untouched queries in
+    // CONTIGUOUS run-order blocks (q45/q46/q47 inflated while their q44/q48
+    // neighbors stayed normal; q69/q70 likewise) — a minutes-long host
+    // contention burst hits a contiguous wall-clock window, and consecutive
+    // reps put all 5 of a query's samples inside it. Spreading each query's
+    // samples across the whole run lets min-of-reps reject any burst shorter
+    // than the run. Round 8 tried this and measured +35% total — that cost
+    // was the 100-entry whole-stage-codegen class cache recompiling every
+    // stage each pass, eliminated by raising
+    // spark.sql.codegen.cache.maxEntries above (re-measured: interleaved ≈
+    // consecutive with the larger cache).
     // first error per query only (duplicate JSON keys would be collapsed
     // arbitrarily by parsers)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { materialize(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          errors.getOrElseUpdate(name,
-            e.toString.takeWhile(_ != '\n').take(200))
-          None
-        }
+    // GRAFT_BENCH_ONLY=q30_multimodal,q47_pii_scrub — diagnostic isolation
+    // runs (suite-order-effect experiments); unset = the official full set.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val names = selected.map(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]](
+      names.map(_ -> List.empty[Double]): _*)
+    for (_ <- 1 to reps; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        materialize(name)
+        samples(name) ::= (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          e.toString.takeWhile(_ != '\n').take(200))
       }
-      // EVERY rep must succeed — a query that crashed on any rep benches
-      // -1, never green-by-luckiest-rep
+    }
+    // EVERY rep must succeed — a query that crashed on any rep benches
+    // -1, never green-by-luckiest-rep
+    val results = names.map { name =>
+      val times = samples(name)
       name -> (if (times.size == reps) times.min else -1.0)
     }
 
