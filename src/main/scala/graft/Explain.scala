@@ -23,9 +23,18 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN_EXEC=1: materialize first, so an AQE plan prints its
+    // FINAL form (runtime stage reuse, coalesced partitions) instead of
+    // the initial one — reuse of identical shuffle stages only appears
+    // after execution.
+    val exec = sys.env.get("GRAFT_EXPLAIN_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val q = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        q.write.format("noop").mode("overwrite").save()
+        println(q.queryExecution.executedPlan.toString)
+      } else q.explain("formatted")
     }
     spark.stop()
   }

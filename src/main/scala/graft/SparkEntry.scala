@@ -1197,9 +1197,11 @@ object SparkEntry {
     }),
 
     // Integer-exact TF-IDF weighting: ONE corpus pass — the (token, doc)
-    // tf agg is persisted and shared by the broadcast df table, the
-    // derived N = countDistinct(doc) one-row broadcast, and the per-doc
-    // weighted sum; weight = tf * ((10000 * N) DIV df), all integers.
+    // tf agg is localCheckpoint-materialized (raw UnsafeRow blocks,
+    // context-cleaned; never the session CacheManager) and shared by the
+    // broadcast df table, the derived N = countDistinct(doc) one-row
+    // broadcast, and the per-doc weighted sum;
+    // weight = tf * ((10000 * N) DIV df), all integers.
     "q60_tfidf" -> ((s, dir) => {
       graft.operators.llm.TextAnalysis.tfIdf(
         tbl(s, dir, "documents").select(col("doc_id"), col("text")),

@@ -272,19 +272,30 @@ object TextAnalysis {
     * log, so scores are bit-exact cross-engine and rank-equivalent to
     * 1/df weighting.
     *
-    * ONE corpus pass. `nDocs = Some(n)` is the zero-extra-work path for
-    * callers with table statistics (N from the catalog, not a scan).
-    * With `None`, N = countDistinct(doc) is derived from the tf output
-    * inside the same plan — and the tf aggregation is PERSISTED so its
-    * three consumers (the df table, the N row, the weighted sum) share
-    * one tokenize+aggregate instead of re-running it: exchange reuse
-    * does NOT save this plan on its own, because column pruning
-    * specializes each branch's aggregate (the df branch drops the tf
-    * count, the N branch drops the token) into three non-identical
-    * exchanges — measured, not guessed. The cache holds one row per
-    * distinct (token, doc) pair, spills to disk past memory, and is
-    * released by the context cleaner when the result goes unreferenced;
-    * a 100 TB corpus that cannot afford it should pass catalog N.
+    * ONE corpus pass, via an RDD-level `localCheckpoint` of the tf
+    * aggregation. The tf output has three consumers (the broadcast df
+    * table, the N row, the weighted sum); left declarative, column
+    * pruning specializes each branch's aggregate (the df branch drops
+    * the tf count, the N branch drops the token) into non-identical
+    * exchanges that each re-tokenize the corpus, and no
+    * pruning-defeating rewrite survives the optimizer (unused aggregate
+    * expressions are pruned per consumer — a rollup-fused variant was
+    * built and its explain showed three specialized scans; measured,
+    * not guessed). The checkpoint materializes the tf rows once as raw
+    * UnsafeRow blocks (MEMORY_AND_DISK, spills past memory) that all
+    * three consumers read. Chosen over `Dataset.persist`, which an
+    * earlier round used: (a) persist pins the plan in the session
+    * CacheManager until an explicit unpersist — a leak for long-lived
+    * sessions that a lazy operator API cannot safely schedule, while
+    * checkpoint blocks are released by the context cleaner as soon as
+    * the result Dataset goes unreferenced; (b) persist pays the
+    * columnar cache encode/decode on every row, the dominant local
+    * cost. Same trade as ConnectedComponents' iteration state. Caveat
+    * shared with it: local (executor-resident) checkpoint blocks don't
+    * survive executor loss — a cluster run under decommissioning that
+    * needs fault tolerance should pass catalog N instead.
+    * `nDocs = Some(n)` stays the zero-extra-work path for callers with
+    * table statistics (N from the catalog, not a scan).
     *
     * The vocabulary-sized df table broadcasts back onto the tf rows, so
     * the big table is never reshuffled by token — token skew ("the")
@@ -298,14 +309,15 @@ object TextAnalysis {
   def tfIdf(df: DataFrame, idCol: String, textCol: String,
             nDocs: Option[Long] = None): DataFrame = {
     nDocs.foreach(n => require(n > 0, s"nDocs must be positive, got $n"))
-    val perDocPlain = df
+    val tf = df
       .select(col(idCol), explode(Shingles.words(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    // With catalog N the plan stays fully declarative (fault-tolerant,
+    // re-derivable lineage); without it, the derived-N consumers make
+    // lineage truncation the right trade — see docstring.
     val perDoc =
-      if (nDocs.isDefined) perDocPlain
-      else perDocPlain.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (nDocs.isDefined) tf else tf.localCheckpoint(eager = false)
     val docFreq = perDoc.groupBy(col("token"))
       .agg(count(lit(1)).as("__df"))
     val weighted = perDoc.join(broadcast(docFreq), "token")
