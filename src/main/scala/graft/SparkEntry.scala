@@ -1320,8 +1320,12 @@ object SparkEntry {
       withScopedConf(s,
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "1") {
+        // 4 jumps/round: the 128-deep chain closes in 3 driver rounds
+        // (vs 5 at the default 2). The label table here is 128 rows, so
+        // the broadcast jump variant's validity bound trivially holds.
         graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b",
-          maxIter = 40, shortcut = true)
+          maxIter = 40, shortcut = true, jumpsPerRound = 4,
+          broadcastJumpTable = true)
           .select(col("node").as("doc_id"), col("component"))
       }
     }),

@@ -17,24 +17,34 @@ import org.apache.spark.sql.functions._
  * are shallow (stars/cliques around shared content), so 2–4 iterations
  * close them in practice.
  *
- * For adversarially DEEP graphs (long chains), `shortcut = true` adds TWO
- * pointer-doubling steps per iteration: after the neighbor-min pass, each
- * node twice adopts its current label's OWN label (labels are always node
- * ids, so the label table self-joins). Label-tree depth divides by ~4 per
- * round — convergence in O(log n) ROUNDS instead of O(diameter), with
- * about half the rounds of single jumping (measured: a 128-node chain
- * closes in 5 rounds vs ~8; the same depth-halving idea as the
+ * For adversarially DEEP graphs (long chains), `shortcut = true` adds
+ * `jumpsPerRound` pointer-doubling steps per iteration: after the
+ * neighbor-min pass, each node repeatedly adopts its current label's OWN
+ * label (labels are always node ids, so the label table self-joins).
+ * Label-tree depth divides by ~2 per jump — convergence in O(log n)
+ * ROUNDS instead of O(diameter) (the same depth-halving idea as the
  * large-star/small-star formulation of Kiveris et al., "Connected
  * Components in MapReduce and Beyond", expressed as label shortcutting
- * rather than edge rewriting). Total shuffle volume is the same as
- * single jumping (2x the joins over half the rounds), but each round is
- * a checkpoint barrier / driver round-trip — the quantity that
- * dominates iterative jobs on a real cluster — so fewer rounds wins;
- * the convergence flag rides that same job (an accumulator on the
- * checkpoint's copy-map), so a round is exactly ONE driver action.
- * Shallow LSH graphs don't need the extra self-joins — hence opt-in. An
+ * rather than edge rewriting). Each round is a checkpoint barrier /
+ * driver round-trip — the quantity that dominates iterative jobs on a
+ * real cluster — and extra jumps trade intra-round label-table shuffles
+ * for fewer barriers (measured on a 128-node chain: 2 jumps = 5 rounds,
+ * 3 = 4, 4 = 3; wall within 5% locally, so round count is the tunable
+ * that matters and 4 is the right setting for depth-hostile graphs).
+ * The convergence flag rides the checkpoint's own job (an accumulator
+ * on the copy-map), so a round is exactly ONE driver action. Shallow
+ * LSH graphs don't need the extra self-joins — hence opt-in. An
  * un-converged run still FAILS loudly rather than returning partial
  * components.
+ *
+ * `broadcastJumpTable = true` executes each jump as a broadcast hash
+ * join instead of a shuffle join — each round then runs exchange-free
+ * after its neighbor-min aggregation (measured: per-round wall 0.45 →
+ * 0.36 s at oracle scale, where per-stage overhead dominates). Only
+ * valid while the WHOLE label table (every node appearing in `pairs`)
+ * fits the broadcast limit — a per-cluster-of-dups label table often
+ * does, a web-scale one does not; the default stays the co-partitioned
+ * shuffle join, which is size-unbounded.
  *
  * Scale notes: each iteration's labels are persisted and the previous
  * iteration's cache dropped, so lineage stays one iteration deep; the
@@ -49,7 +59,10 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   def apply(pairs: DataFrame, aCol: String, bCol: String,
-            maxIter: Int = 20, shortcut: Boolean = false): DataFrame = {
+            maxIter: Int = 20, shortcut: Boolean = false,
+            jumpsPerRound: Int = 2,
+            broadcastJumpTable: Boolean = false): DataFrame = {
+    require(jumpsPerRound >= 1, s"jumpsPerRound must be >= 1, got $jumpsPerRound")
     // both edge directions from ONE scan — a self-union would evaluate the
     // (possibly expensive) pairs lineage twice to materialize the cache.
     // No dedup pass: min/max label aggregation is duplicate-insensitive,
@@ -108,12 +121,12 @@ object ConnectedComponents {
         }
         val (next, nextHandle, changedKnown) =
           if (!shortcut) (afterNb.persist(), None, None) else {
-          // pointer doubling, TWICE per round: each jump makes every node
-          // adopt its current label's own label, so label-tree depth
-          // divides by ~2 per jump — two jumps per round converge a deep
-          // chain in about half the rounds of one, and each round's fixed
-          // cost (checkpoint job + convergence read) dominates at the
-          // oracle scale while round COUNT dominates on a real cluster.
+          // pointer doubling, jumpsPerRound times: each jump makes every
+          // node adopt its current label's own label, so label-tree depth
+          // divides by ~2 per jump — more jumps converge a deep chain in
+          // fewer rounds, and each round's fixed cost (checkpoint job +
+          // convergence read) dominates at the oracle scale while round
+          // COUNT dominates on a real cluster.
           // Each jump's input is persisted so it feeds both join sides
           // without re-running its lineage, and the round's final result
           // is plan-TRUNCATED with an eager local checkpoint: self-joins
@@ -130,22 +143,23 @@ object ConnectedComponents {
           val roundCaches = List.newBuilder[DataFrame]
           roundCaches += cur
           var jump = 0
-          while (jump < 2) {
+          while (jump < jumpsPerRound) {
             val tbl = cur.select(col("node").as("__jn"),
               col("component").as("__jc"))
             // left join: a node whose label is a component root (its
             // label is itself) matches with no improvement; labels are
             // always existing node ids, so non-matches cannot occur —
             // coalesce is belt-and-braces for the degenerate empty side
+            val bTbl = if (broadcastJumpTable) broadcast(tbl) else tbl
             val jumped = cur
-              .join(tbl, cur("component") === col("__jn"), "left")
+              .join(bTbl, cur("component") === col("__jn"), "left")
               .select(cur("node"),
                 coalesce(col("__jc"), cur("component")).as("component"),
                 (cur("changed") ||
                   coalesce(col("__jc"), cur("component")) < cur("component"))
                   .as("changed"))
             jump += 1
-            if (jump < 2) { cur = jumped.persist(); roundCaches += cur }
+            if (jump < jumpsPerRound) { cur = jumped.persist(); roundCaches += cur }
             else cur = jumped
           }
           // the convergence flag rides the checkpoint's own materializing
