@@ -1083,19 +1083,23 @@ object SparkEntry {
 
     // PII scrubbing: deterministic synthesized PII appended to each doc,
     // scrubbed map-side; emails and 6+-digit runs are counted before the
-    // scrub so the oracle checks both detection and replacement.
+    // scrub so the oracle checks both detection and replacement. The
+    // scrub + both counts are ONE fused expression evaluation per row
+    // (PiiScrubExpression) — the round-8 shape ran four regex passes
+    // over the same column; CollapseProject leaves the two-step
+    // projection alone (the struct expr is non-cheap and multiply
+    // referenced), so the plan evaluates it once.
     "q47_pii_scrub" -> ((s, dir) => {
       import graft.operators.llm.TextAnalysis
       val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com ref 1234567"), col("doc_id"), lit(" tel 555123"))
       tbl(s, dir, "documents")
-        .select(col("doc_id"), dirty.as("__dirty"))
         .select(col("doc_id"),
-          TextAnalysis.scrubPii(col("__dirty")).as("clean"),
-          size(regexp_extract_all(col("__dirty"),
-            lit(TextAnalysis.PiiEmailPattern), lit(0))).as("n_emails"),
-          size(regexp_extract_all(col("__dirty"),
-            lit(TextAnalysis.PiiNumberPattern), lit(0))).as("n_numbers"))
+          TextAnalysis.scrubPiiAll(dirty).as("__pii"))
+        .select(col("doc_id"),
+          col("__pii.clean").as("clean"),
+          col("__pii.n_emails").as("n_emails"),
+          col("__pii.n_numbers").as("n_numbers"))
     }),
 
     // S13 end-to-end under the oracle: the documents table rendered as

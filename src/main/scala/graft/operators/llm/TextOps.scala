@@ -215,8 +215,15 @@ object TextAnalysis {
       regexp_replace(text, PiiEmailPattern, "<EMAIL>"),
       PiiNumberPattern, "<NUM>")
 
-  val PiiEmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val PiiNumberPattern = "[0-9]{6,}"
+  /** Fused scrub + detection counts in ONE evaluation per row:
+    * `struct<clean, n_emails, n_numbers>` with semantics byte-identical
+    * to `scrubPii` + the two `regexp_extract_all` counts it used to take
+    * four regex passes to compute. See PiiScrubExpression. */
+  def scrubPiiAll(text: Column): Column =
+    graft.functions.PiiScrubFunctions.piiScrubAll(text)
+
+  val PiiEmailPattern = graft.functions.PiiScrubCodegen.EmailPattern
+  val PiiNumberPattern = graft.functions.PiiScrubCodegen.NumberPattern
 
   /** Word k-grams over a word-array column — no explode, no shuffle; the
     * map-side building block for repetition scoring. Native codegen'd

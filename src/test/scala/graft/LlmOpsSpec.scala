@@ -277,4 +277,45 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     // a: df 2 tf 2; b: df 2 tf 3; c: df 2 tf 2 — order: b (tf), then a/c (token)
     assert(out == Seq(("b", 2L, 3L), ("a", 2L, 2L), ("c", 2L, 2L)))
   }
+
+  test("fused pii scrub == composed built-ins on adversarial shapes") {
+    // Every boundary case the fusion argument leans on: digit runs inside
+    // email local parts (counted in n_numbers, vanish into <EMAIL> in
+    // clean), a digit run starting immediately AFTER a TLD (backtracked
+    // out of the email match, must still scrub), runs of exactly 5 vs 6,
+    // adjacent emails, non-ASCII around matches, empty string.
+    val cases = Seq(
+      "plain text no pii at all",
+      "user123456@example.com",                       // digits inside local part
+      "a@b.com123456 tail",                           // run right after the TLD
+      "12345 a 123456 b 1234567",                     // 5 (kept) / 6 / 7
+      "x@y.io z@w.org",                               // two emails
+      "x@y.ioz@w.org",                                // greedy domain overlap
+      "héllo 99999999 wörld ü@例.com",                 // non-ASCII neighbors
+      "ref 1234567890123456789012345 end",            // very long run
+      ".-_%+@not-an-email@@double@@at",               // regex stress
+      "",
+      "999999@999999.com999999")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = df.select(col("doc_id"),
+        TextAnalysis.scrubPiiAll(col("text")).as("p"))
+      .select(col("doc_id"), col("p.clean"), col("p.n_emails"),
+        col("p.n_numbers"))
+      .as[(Long, String, Int, Int)].collect()
+      .map { case (i, a, b, c) => i -> ((a, b, c)) }.toMap
+    val composed = df.select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("clean"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.PiiEmailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.PiiNumberPattern), lit(0))).as("n_numbers"))
+      .as[(Long, String, Int, Int)].collect()
+      .map { case (i, a, b, c) => i -> ((a, b, c)) }.toMap
+    assert(fused == composed)
+    // and the fused path detected what the fixtures planted
+    assert(fused(1L) == (("<EMAIL>", 1, 1)))
+    assert(fused(2L) == (("<EMAIL><NUM> tail", 1, 1)))
+    assert(fused(3L) == (("12345 a <NUM> b <NUM>", 0, 2)))
+  }
 }
