@@ -74,6 +74,10 @@ object ScaleRehearsal {
       .repartition(cpus.toInt) // testdata is one row group (SCALE.md caveat)
 
     import graft.operators.llm.{ConnectedComponents, MinHashLsh}
+    // diagnostic count BEFORE t0: it re-runs the replicated-corpus
+    // repartition, and inside the timed window it would inflate both the
+    // wall and the SparkListener shuffle volumes this rehearsal reports
+    val nDocs = corpus.count()
     val t0 = System.nanoTime()
     val sh = graft.operators.llm.Shingles
       .explodeShingles(corpus, "doc_id", "text", 3)
@@ -90,19 +94,34 @@ object ScaleRehearsal {
     val cc = ConnectedComponents(pairs, "doc_a", "doc_b")
     val stats = cc.agg(count(lit(1)).as("nodes"),
       countDistinct(col("component")).as("components")).collect()(0)
-    val keep = corpus.select(col("doc_id"))
+    val lshKeep = corpus.select(col("doc_id"))
       .join(cc.where(col("node") =!= col("component"))
         .select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
-      .count()
+    val keep = lshKeep.count()
+    // capped runs stay COMPLETE: exact-dedup follow-up over the skipped
+    // buckets' member ids (the keep-set a capped production run emits —
+    // compare keptFollowup against an uncapped run's kept to validate
+    // the cap+followup pipeline at sizes where uncapped still fits)
+    val keepFollowup =
+      if (nDropped.getLong(0) == 0L) keep
+      else lshKeep.join(
+        MinHashLsh.exactDropWithin(corpus, "doc_id", "text",
+          bands.join(broadcast(dropped.select(col("band"), col("bh"))),
+            Seq("band", "bh")).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti").count()
     val wall = (System.nanoTime() - t0) / 1e9
+    // snapshot the listener totals at the measurement edge — the
+    // summary's own jobs must not inflate the reported volumes
+    val (readB, writeB) = (read.get, write.get)
     bands.unpersist(blocking = false)
 
     def mib(v: Long): String = f"${v / 1048576.0}%.1f"
-    println(f"[rehearsal] copies=$copies docs=${corpus.count()} " +
+    println(f"[rehearsal] copies=$copies docs=$nDocs " +
       f"nodes=${stats.getLong(0)} components=${stats.getLong(1)} " +
-      f"kept=$keep droppedBuckets=${nDropped.getLong(0)} " +
+      f"kept=$keep keptFollowup=$keepFollowup " +
+      f"droppedBuckets=${nDropped.getLong(0)} " +
       f"droppedIds=${nDropped.getLong(1)} wall=$wall%.1f s " +
-      s"shuffleRead=${mib(read.get)} MiB shuffleWrite=${mib(write.get)} MiB")
+      s"shuffleRead=${mib(readB)} MiB shuffleWrite=${mib(writeB)} MiB")
     spark.stop()
   }
 
@@ -141,9 +160,28 @@ object ScaleRehearsal {
         s"shuffleWrite=${mib(write.get - w0)} MiB")
     }
 
-    timed("brute")(AnnOps.bruteTopK(big, "vec_id", "embedding", queries, 10))
-    timed(s"hyperplane(p=$numPlanes)")(AnnOps.hyperplaneTopK(
-      big, "vec_id", "embedding", queries, numPlanes, dim, 10))
+    val brute = AnnOps.bruteTopK(big, "vec_id", "embedding", queries, 10)
+    val single = AnnOps.hyperplaneTopK(
+      big, "vec_id", "embedding", queries, numPlanes, dim, 10)
+    val multi = AnnOps.hyperplaneTopK(
+      big, "vec_id", "embedding", queries, numPlanes, dim, 10,
+      probes = numPlanes)
+    timed("brute")(brute)
+    timed(s"hyperplane(p=$numPlanes,probes=0)")(single)
+    timed(s"hyperplane(p=$numPlanes,probes=$numPlanes)")(multi)
+
+    // recall vs the exact top-10 (untimed diagnostic): the production
+    // quality metric for the scale path — multi-probe exists because
+    // single-probe recall collapses at low corpus density (SCALE.md)
+    val truth = brute.select(col("query_id"), col("cand_id"))
+    val nTruth = truth.count()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      if (nTruth == 0) 1.0
+      else df.select(col("query_id"), col("cand_id"))
+        .join(truth, Seq("query_id", "cand_id"), "left_semi")
+        .count().toDouble / nTruth
+    println(f"[rehearsal-ann] recall@10 single=${recall(single)}%.3f " +
+      f"multi(probes=$numPlanes)=${recall(multi)}%.3f")
     big.unpersist(blocking = false)
   }
 }

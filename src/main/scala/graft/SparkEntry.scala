@@ -1002,8 +1002,9 @@ object SparkEntry {
       val file = warcFixture(s, dir)
       val outBase = tmpDir("q50", dir)
       // the repackaged archives are a deterministic function of the WARC
-      // fixture — built once per sfDir ("-warc2" couples this marker to
-      // warcFixture's v2: a fixture bump must rebuild the repackage too);
+      // fixture — built once per sfDir (the "-warcN" marker suffix must
+      // track warcFixture's version: a fixture bump must rebuild the
+      // repackage too);
       // the timed path is the K11 VALIDITY proof: extracting the
       // repackaged archives as ordinary WARCs
       fixtureOnce(outBase, "v1-warc3", dir, "documents") {

@@ -135,8 +135,12 @@ object GraftCli {
         // id plus every singleton (the q69 pipeline); writes kept ids as
         // parquet. The bucket cap defaults ON (10k ids): the uncapped
         // expansion measurably OOMs on duplication-heavy corpora
-        // (SCALE.md third-decade control run); dropped buckets land in
-        // <outDir>_skiplist for the cheap exact-dedup follow-up.
+        // (SCALE.md third-decade control run). A capped run still emits
+        // ONE COMPLETE keep-set: dropped buckets' member ids land in
+        // <outDir>_skiplist AND the exact-dedup follow-up runs over them
+        // in the same invocation (byte-exact duplicates of a smaller
+        // skip-listed id are removed from the keep-set).
+        if (rest.length < 2) { usage(); sys.exit(2) }
         val spark = session("dedup")
         val idCol = rest.lift(2).getOrElse("doc_id")
         val textCol = rest.lift(3).getOrElse("text")
@@ -161,14 +165,20 @@ object GraftCli {
             .write.mode("overwrite").parquet(s"${rest(1)}_skiplist")
           System.err.println(s"WARNING: $nDropped over-$maxBucket buckets " +
             s"skipped; their member ids -> ${rest(1)}_skiplist " +
-            "(run exact dedup on them)")
+            "(exact-dedup follow-up applied to the keep-set)")
         }
         val cc = graft.operators.llm.ConnectedComponents(
           pairs, "doc_a", "doc_b")
-        corpus.select(col(idCol))
+        val lshKeep = corpus.select(col(idCol))
           .join(cc.where(col("node") =!= col("component"))
             .select(col("node").as(idCol)), Seq(idCol), "left_anti")
-          .write.mode("overwrite").parquet(rest(1))
+        val keep =
+          if (nDropped == 0) lshKeep
+          else lshKeep.join(
+            MinHashLsh.exactDropWithin(corpus, idCol, textCol,
+              spark.read.parquet(s"${rest(1)}_skiplist")),
+            Seq(idCol), "left_anti")
+        keep.write.mode("overwrite").parquet(rest(1))
         bands.unpersist(blocking = false)
         println(s"kept ${spark.read.parquet(rest(1)).count()} of " +
           s"${corpus.count()} docs -> ${rest(1)}")
@@ -177,6 +187,7 @@ object GraftCli {
         // decontaminate <corpus.parquet> <eval.parquet> <outDir> [k] —
         // per-doc distinct word-k-gram hits against the eval set (docs
         // with no hits are clean and absent from the output)
+        if (rest.length < 3) { usage(); sys.exit(2) }
         val spark = session("decontaminate")
         val k = rest.lift(3).flatMap(_.toIntOption).getOrElse(8)
         graft.operators.llm.TextAnalysis.contaminationHits(

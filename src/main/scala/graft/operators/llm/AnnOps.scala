@@ -227,18 +227,51 @@ object AnnOps {
 
   /** LSH-bucketed ANN top-k — the alternative scale path to [[ivfTopK]]:
     * no codebook to train or broadcast; the bucket is a pure function of
-    * the vector itself. Single-probe (the query's own bucket only);
-    * production multi-probe flips low-|dot| bits to visit adjacent
-    * buckets — same plan shape, more query rows. Only the final top-k
-    * window shuffles, carrying (query, cand, dot) pairs, not vectors. */
+    * the vector itself. `probes = 0` is single-probe (the query's own
+    * bucket only); `probes = t > 0` is standard multi-probe: each query
+    * ADDITIONALLY visits the `t` adjacent buckets reached by flipping
+    * one sign bit at the planes where its |dot| margin is smallest —
+    * exactly the planes a near neighbor most plausibly falls on the
+    * other side of. The probe expansion happens on the QUERY side only
+    * (the broadcast side: ×(t+1) rows of it), the corpus side is
+    * untouched, so the plan stays a map-side broadcast probe with ~zero
+    * shuffle — only the final top-k window shuffles (query, cand, dot)
+    * pairs, never vectors. Probe buckets are distinct strings and each
+    * candidate lives in exactly one bucket, so no pair is scored twice. */
   def hyperplaneTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, numPlanes: Int, dim: Int,
-                     k: Int): DataFrame = {
+                     k: Int, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= numPlanes,
+      s"probes must be in [0, numPlanes=$numPlanes], got $probes")
     val e = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
       .withColumn("__b", hyperplaneBucket(col("__q"), numPlanes, dim))
-    val qs = e.where(queryPred)
-      .select(col(idCol).as("query_id"), col("__b").as("__qb"),
+    val qs0 = e.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__b").as("__qb0"),
         col("__q").as("__qv"))
+    val qs =
+      if (probes == 0)
+        qs0.select(col("query_id"), col("__qb0").as("__qb"), col("__qv"))
+      else {
+        val dots = array((0 until numPlanes).map(p =>
+          dot(col("__qv"), typedLit(hyperplane(p, dim)))): _*)
+        // plane indices ranked by |margin| ascending (ties: lower index),
+        // then each ranked index flips its one bucket char
+        qs0.withColumn("__dots", dots)
+          .withColumn("__flips", expr(
+            s"""transform(
+               |  slice(transform(array_sort(transform(
+               |    sequence(0, ${numPlanes - 1}),
+               |    i -> struct(abs(element_at(__dots, i + 1)) AS m,
+               |                i AS i))), s -> s.i), 1, $probes),
+               |  i -> concat(substring(__qb0, 1, i),
+               |              CASE WHEN substring(__qb0, i + 1, 1) = '1'
+               |                   THEN '0' ELSE '1' END,
+               |              substring(__qb0, i + 2, ${numPlanes})))"""
+              .stripMargin))
+          .select(col("query_id"),
+            explode(concat(array(col("__qb0")), col("__flips"))).as("__qb"),
+            col("__qv"))
+      }
     val scored = e.join(broadcast(qs),
         col("__b") === col("__qb") && col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),

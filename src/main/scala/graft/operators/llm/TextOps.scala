@@ -142,6 +142,31 @@ object MinHashLsh {
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
     candidatePairsCapped(bandsDf, idCol, maxBucket = 0)._1
 
+  /** Exact-dedup follow-up for capped runs: among the docs whose buckets
+    * the cap skipped (`skipIds`, one id column named `idCol`), find the
+    * ids that are BYTE-EXACT duplicates of a smaller-id skip-listed doc —
+    * the ids a complete keep-set must additionally drop.
+    *
+    * Rationale: a bucket only outgrows the cap when many documents share
+    * every band hash, which at real duplication rates means exact or
+    * near-exact copies — so a full-digest group-by over just the
+    * skip-listed docs recovers (almost all of) the dedup the skipped
+    * pair expansion would have found, at skip-list cost, not corpus
+    * cost: the two shuffles here move only skip-listed rows, never the
+    * 100 TB side. sha2-256 over the text makes a hash collision (two
+    * different texts dropped as one) cryptographically negligible. */
+  def exactDropWithin(corpus: DataFrame, idCol: String, textCol: String,
+                      skipIds: DataFrame): DataFrame = {
+    val skipDocs = corpus.join(skipIds.select(col(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol), sha2(col(textCol).cast("string"), 256).as("__d"))
+    val minPerDigest = skipDocs.groupBy(col("__d"))
+      .agg(min(col(idCol)).as("__min"))
+    skipDocs.join(minPerDigest, "__d")
+      .where(col(idCol) =!= col("__min"))
+      .select(col(idCol))
+  }
+
   /** End-to-end: corpus (idCol, textCol) → candidate pairs. */
   def apply(corpus: DataFrame, idCol: String, textCol: String,
             shingleLen: Int = 3, numHashes: Int = 6,

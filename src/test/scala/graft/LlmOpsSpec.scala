@@ -278,6 +278,56 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Seq(("b", 2L, 3L), ("a", 2L, 2L), ("c", 2L, 2L)))
   }
 
+  test("hyperplane multi-probe: exact pin vs a JVM recomputation of the probe rule") {
+    val dim = 8; val np = 4; val probes = 2; val k = 3
+    val vecs = (0L until 20L).map(i => (i,
+      Array.tabulate(dim)(d => (((i * 31 + d * 17) % 19) - 9).toFloat / 3.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = AnnOps.hyperplaneTopK(df, "vec_id", "embedding",
+        col("vec_id") === 0, np, dim, k, probes)
+      .select("query_id", "cand_id", "dot")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // independent recomputation with the same deterministic plane rule
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => graft.functions.VectorCodegen.roundCastLong(x.toDouble * 1000.0))
+    val planes = (0 until np).map(p => AnnOps.hyperplane(p, dim).toArray)
+    def dotl(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def bucket(q: Array[Long]): String =
+      planes.map(pl => if (dotl(q, pl) >= 0) '1' else '0').mkString
+    val qv = quant(vecs.head._2)
+    val margins = planes.indices.map(p => (math.abs(dotl(qv, planes(p))), p))
+    val flipIdx = margins.sorted.take(probes).map(_._2)
+    val own = bucket(qv)
+    val probeSet = (own +: flipIdx.map { i =>
+      own.updated(i, if (own(i) == '1') '0' else '1')
+    }).toSet
+    val expected = vecs.drop(1)
+      .map { case (id, v) => (id, quant(v)) }
+      .filter { case (_, q) => probeSet.contains(bucket(q)) }
+      .map { case (id, q) => (0L, id, dotl(qv, q)) }
+      .sortBy { case (_, id, d) => (-d, id) }
+      .take(k).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // the fixture must actually exercise the probe
+  }
+
+  test("exact-dedup follow-up: drops byte-exact copies WITHIN the skip-list only") {
+    val corpus = Seq(
+      (1L, "same text"),     // not skip-listed — never dropped, and does
+      (5L, "same text"),     //   not make 5 a duplicate (5 is its group min)
+      (2L, "dup dup"),
+      (4L, "dup dup"),       // exact copy of 2 inside the skip-list → drop
+      (3L, "unique three"),
+      (6L, "dup dup")        // another copy of 2 → drop
+    ).toDF("doc_id", "text")
+    val skip = Seq(2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val dropped = MinHashLsh.exactDropWithin(corpus, "doc_id", "text", skip)
+      .as[Long].collect().toSet
+    assert(dropped == Set(4L, 6L))
+  }
+
   test("fused pii scrub == composed built-ins on adversarial shapes") {
     // Every boundary case the fusion argument leans on: digit runs inside
     // email local parts (counted in n_numbers, vanish into <EMAIL> in
