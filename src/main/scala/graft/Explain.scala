@@ -12,7 +12,7 @@ object Explain {
       else Seq("q02_join_agg", "q08_range_query", "q16_anti_join",
         "q19_zipnum_roundtrip", "q21_minhash_lsh", "q24_ann_topk",
         "q25_ann_ivf", "q36_embed_neardup", "q40_sorted_merge",
-        "q43_ann_ivf_assign", "q54_ann_hyperplane", "q55_revisit_resolve",
+        "q43_ann_ivf_assign", "q54_ann_hyperplane", "q55_revisit_resolve", "q73_ann_multiprobe",
         "q56_vocab", "q60_tfidf", "q72_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")

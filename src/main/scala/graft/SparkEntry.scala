@@ -444,6 +444,19 @@ object SparkEntry {
         queryPred = col("vec_id") % 101 === 0,
         numPlanes = 6, dim = 64, k = 5)),
 
+    // Multi-probe hyperplane LSH under the oracle: each query probes its
+    // own bucket PLUS the 4 one-bit flips at its lowest-|margin| planes
+    // (the production recall path — single-probe recall collapses in
+    // sparse buckets, SCALE.md). 8 planes so buckets are sparse enough
+    // at sf0.01 that the probe set genuinely changes the result; the
+    // DuckDB oracle re-derives the same md5 planes, margins, flip
+    // ranking, and probe join.
+    "q73_ann_multiprobe" -> ((s, dir) =>
+      graft.operators.llm.AnnOps.hyperplaneTopK(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") % 97 === 0,
+        numPlanes = 8, dim = 64, k = 5, probes = 4)),
+
     // Revisit resolution (as-of join): each warc/revisit capture resolves
     // to the newest prior original of the same (urlkey, digest); originals
     // resolve to themselves; dangling revisits stay NULL. Synthesized
@@ -1845,6 +1858,46 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
         |      i -> qv[i] * a.q[i])) AS BIGINT) AS dot
         |  FROM a JOIN qs ON a.b = qb AND a.vec_id <> query_id)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q73_ann_multiprobe" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |w AS (SELECT p, list(CASE WHEN substring(md5(
+        |      CAST(p AS VARCHAR) || '|' || CAST(c AS VARCHAR)), 1, 1) < '8'
+        |    THEN 1 ELSE -1 END ORDER BY c) AS wv
+        |  FROM range(8) t(p), range(64) s(c) GROUP BY p),
+        |dots AS (SELECT e.vec_id, w.p,
+        |    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |      i -> e.q[i] * w.wv[i])) AS BIGINT) AS dotp
+        |  FROM e CROSS JOIN w),
+        |sig AS (SELECT vec_id, string_agg(
+        |    CASE WHEN dotp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS b
+        |  FROM dots GROUP BY vec_id),
+        |a AS (SELECT e.vec_id, e.q, sig.b FROM e JOIN sig USING (vec_id)),
+        |qs AS (SELECT vec_id AS query_id, q AS qv, b AS qb
+        |  FROM a WHERE vec_id % 97 = 0),
+        |qflips AS (SELECT vec_id AS query_id, p FROM (
+        |    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY abs(dotp), p) AS r
+        |    FROM dots WHERE vec_id IN (SELECT query_id FROM qs)) t
+        |  WHERE r <= 4),
+        |pr AS (SELECT query_id, qb AS pb, qv FROM qs
+        |  UNION ALL
+        |  SELECT q.query_id,
+        |    substring(q.qb, 1, f.p)
+        |      || (CASE WHEN substring(q.qb, f.p + 1, 1) = '1'
+        |          THEN '0' ELSE '1' END)
+        |      || substring(q.qb, f.p + 2, 8), q.qv
+        |  FROM qs q JOIN qflips f ON f.query_id = q.query_id),
+        |d AS (SELECT p.query_id, a.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+        |      i -> p.qv[i] * a.q[i])) AS BIGINT) AS dot
+        |  FROM a JOIN pr p ON a.b = p.pb AND a.vec_id <> p.query_id)
         |SELECT * FROM (SELECT query_id, cand_id, dot,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
