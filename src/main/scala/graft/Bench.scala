@@ -28,7 +28,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // GRAFT_BENCH_AQE=false is a diagnostic toggle only. Measured
+      // (round 9, 10-query subset, min-of-5): AQE OFF is 33% SLOWER
+      // (5.24 → 6.96 s; q60 0.60 → 1.61, q21 0.86 → 1.47) — runtime
+      // partition coalescing pays for its re-planning jobs even at
+      // sf0.1, so the production setting is also the fast local one.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_BENCH_AQE", "true"))
       // 72 queries × many stages ≫ the default 100-entry generated-class
       // cache; at 100 every cross-query pass recompiles nearly every stage
       // (the round-8 interleave experiment measured +35% total from exactly
