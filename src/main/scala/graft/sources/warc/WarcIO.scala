@@ -184,17 +184,23 @@ object WarcRecords {
 
   /** Status + Content-Type of a leading HTTP response block, if any —
     * shared by the WARC and ARC record models (both store the raw HTTP
-    * response as record content). */
+    * response as record content). Tolerances, matching what archived
+    * HTTP actually contains: bare-LF header lines (pre-1.1 servers and
+    * some proxies emit LF-only; the CRLF-strict split silently lost the
+    * mime there), a status line with no reason phrase ("HTTP/1.1 200"),
+    * mixed-case header names, and parameters after the media type
+    * ("text/html; charset=..."). */
   def httpStatusAndMime(payload: Array[Byte]): (Option[Int], Option[String]) = {
     val text = new String(payload, 0, math.min(payload.length, 4096),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!text.startsWith("HTTP/")) (None, None)
     else {
-      val lines = text.split("\r\n")
+      val lines = text.split("\n").map(_.stripSuffix("\r"))
       val status = lines.head.split(" ").lift(1).flatMap(_.toIntOption)
       val mime = lines.tail.takeWhile(_.nonEmpty)
         .find(_.toLowerCase.startsWith("content-type:"))
         .map(_.split(":", 2)(1).trim.split(";")(0).trim)
+        .filter(_.nonEmpty)
       (status, mime)
     }
   }

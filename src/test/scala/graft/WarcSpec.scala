@@ -69,6 +69,24 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
       "payload must stop at Content-Length")
   }
 
+  test("http block tolerances: bare-LF headers, no reason phrase, case, params") {
+    import WarcRecords.httpStatusAndMime
+    // bare-LF header lines (pre-1.1 servers / proxies): mime must still parse
+    val lf = "HTTP/1.0 200\nContent-type: Text/HTML; charset=iso-8859-1\n\nbody"
+    assert(httpStatusAndMime(lf.getBytes("ISO-8859-1")) ==
+      (Some(200), Some("Text/HTML")))
+    // no reason phrase + folded continuation line + parameter after type
+    val folded = "HTTP/1.1 404\r\nCONTENT-TYPE: text/plain;\r\n charset=utf-8\r\n\r\nx"
+    assert(httpStatusAndMime(folded.getBytes("ISO-8859-1")) ==
+      (Some(404), Some("text/plain")))
+    // junk status line / non-HTTP block / empty media type never throw
+    assert(httpStatusAndMime("HTTP/1.1 abc\r\n\r\n".getBytes("ISO-8859-1")) ==
+      (None, None))
+    assert(httpStatusAndMime("<html>".getBytes("ISO-8859-1")) == (None, None))
+    assert(httpStatusAndMime("HTTP/1.1 200\r\nContent-Type: \r\n\r\n"
+      .getBytes("ISO-8859-1")) == (Some(200), None))
+  }
+
   private def arcHttp(url: String, date14: String, body: String,
                       status: String = "200 OK"): Array[Byte] = {
     val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n$body"
