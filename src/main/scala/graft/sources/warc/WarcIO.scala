@@ -206,13 +206,24 @@ object WarcRecords {
   }
 
   /** Parse one member payload as a WARC record: "WARC/1.x" version line,
-    * CRLF headers, blank line, payload block. */
+    * CRLF headers, blank line, payload block. The spec mandates CRLF,
+    * but LF-only WARC headers exist in the wild (hand-built or
+    * re-written archives) and the reference's reader accepts
+    * LF-terminated lines — so the head/block separator is the FIRST of
+    * `\r\n\r\n` or `\n\n` (in a conformant head `\n\n` cannot occur
+    * before the CRLF separator: every header `\n` is followed by `\r`
+    * or ends the head), and header lines split on LF with trailing-CR
+    * strip, which is byte-identical on conformant records. */
   def parse(bytes: Array[Byte]): Option[WarcRecord] = {
-    val sep = indexOf(bytes, "\r\n\r\n".getBytes)
-    if (sep < 0) return None
+    val sep4 = indexOf(bytes, "\r\n\r\n".getBytes)
+    val sep2 = indexOf(bytes, "\n\n".getBytes)
+    val (sep, sepLen) =
+      if (sep4 >= 0 && (sep2 < 0 || sep4 < sep2)) (sep4, 4)
+      else if (sep2 >= 0) (sep2, 2)
+      else return None
     val head = new String(bytes, 0, sep,
       java.nio.charset.StandardCharsets.UTF_8)
-    val lines = head.split("\r\n")
+    val lines = head.split("\n").map(_.stripSuffix("\r"))
     if (!lines.head.startsWith("WARC/")) return None
     val headers = lines.tail.flatMap { l =>
       val i = l.indexOf(':')
@@ -222,7 +233,7 @@ object WarcRecords {
     // Respect Content-Length: a spec-conformant record ends with \r\n\r\n
     // INSIDE the member, after the block — without the truncation those
     // separator bytes would pollute payload digests.
-    val avail = bytes.length - (sep + 4)
+    val avail = bytes.length - (sep + sepLen)
     val blockLen = ci.get("content-length").flatMap(_.toIntOption)
       .filter(l => l >= 0 && l <= avail).getOrElse(avail)
     Some(WarcRecord(
@@ -231,7 +242,8 @@ object WarcRecords {
       date = ci.get("warc-date"),
       contentType = ci.get("content-type"),
       headers = headers,
-      payload = java.util.Arrays.copyOfRange(bytes, sep + 4, sep + 4 + blockLen)))
+      payload = java.util.Arrays.copyOfRange(bytes, sep + sepLen,
+        sep + sepLen + blockLen)))
   }
 
   /** SHA1 digest in Base32 (RFC 4648, A-Z2-7) — the CDX digest convention. */

@@ -69,6 +69,19 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
       "payload must stop at Content-Length")
   }
 
+  test("LF-only WARC headers parse identically to their CRLF form") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody"
+    def rec(nl: String) = WarcRecords.parse(
+      (s"WARC/1.0${nl}WARC-Type: response${nl}" +
+        s"WARC-Target-URI: http://a.org/${nl}WARC-Date: 2012-01-03T08:45:08Z${nl}" +
+        s"Content-Length: ${http.length}${nl}${nl}" + http).getBytes("UTF-8")).get
+    val (crlf, lf) = (rec("\r\n"), rec("\n"))
+    assert(lf.warcType == crlf.warcType && lf.targetUri == crlf.targetUri &&
+      lf.date == crlf.date && lf.headers == crlf.headers)
+    assert(new String(lf.payload, "UTF-8") == http &&
+      java.util.Arrays.equals(lf.payload, crlf.payload))
+  }
+
   test("http block tolerances: bare-LF headers, no reason phrase, case, params") {
     import WarcRecords.httpStatusAndMime
     // bare-LF header lines (pre-1.1 servers / proxies): mime must still parse
