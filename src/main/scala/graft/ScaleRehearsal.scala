@@ -75,9 +75,11 @@ object ScaleRehearsal {
 
     import graft.operators.llm.{ConnectedComponents, MinHashLsh}
     // diagnostic count BEFORE t0: it re-runs the replicated-corpus
-    // repartition, and inside the timed window it would inflate both the
-    // wall and the SparkListener shuffle volumes this rehearsal reports
+    // repartition, and inside the timed window it would inflate the wall;
+    // its shuffle is excluded from the reported volumes by baselining the
+    // listener totals AFTER it (the listener is session-global)
     val nDocs = corpus.count()
+    val (r0, w0) = (read.get, write.get)
     val t0 = System.nanoTime()
     val sh = graft.operators.llm.Shingles
       .explodeShingles(corpus, "doc_id", "text", 3)
@@ -112,7 +114,7 @@ object ScaleRehearsal {
     val wall = (System.nanoTime() - t0) / 1e9
     // snapshot the listener totals at the measurement edge — the
     // summary's own jobs must not inflate the reported volumes
-    val (readB, writeB) = (read.get, write.get)
+    val (readB, writeB) = (read.get - r0, write.get - w0)
     bands.unpersist(blocking = false)
 
     def mib(v: Long): String = f"${v / 1048576.0}%.1f"
