@@ -74,6 +74,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("record parsers and the PII scrubber never throw on arbitrary bytes") {
+    import graft.sources.warc.{ArcRecords, WarcRecords}
+    val junk: Gen[Array[Byte]] = Gen.frequency(
+      3 -> Gen.listOf(Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray),
+      // prefix-shaped junk: looks like a record long enough to reach the
+      // deeper parse paths before going wrong
+      1 -> Gen.listOf(Gen.chooseNum(0, 255)).map(bs =>
+        "WARC/1.0\r\nContent-Length: 999999\r\n\r\n".getBytes("UTF-8") ++
+          bs.map(_.toByte)),
+      1 -> Gen.listOf(Gen.chooseNum(0, 255)).map(bs =>
+        "http://a.org/x 1.2.3.4 20120101000000 text/html ".getBytes("UTF-8") ++
+          bs.map(_.toByte)),
+      1 -> Gen.listOf(Gen.chooseNum(0, 255)).map(bs =>
+        "HTTP/1.1 ".getBytes("UTF-8") ++ bs.map(_.toByte)))
+    forAll(junk) { bytes =>
+      WarcRecords.parse(bytes)              // Option, never a throw
+      ArcRecords.parse(bytes)
+      WarcRecords.httpStatusAndMime(bytes)
+      graft.functions.PiiScrubCodegen.scrubAll(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+    }
+  }
+
   test("gzipMember → gunzipLines is the identity on arbitrary line sets") {
     val lines = Gen.listOf(Gen.nonEmptyListOf(
       Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.const('\r')))
