@@ -33,7 +33,12 @@ object Bench {
       // (5.24 → 6.96 s; q60 0.60 → 1.61, q21 0.86 → 1.47) — runtime
       // partition coalescing pays for its re-planning jobs even at
       // sf0.1, so the production setting is also the fast local one.
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_BENCH_AQE", "true"))
+      // only the exact strings "false"/"0" disable; any other value
+      // (incl. malformed) keeps the default — the session must never
+      // die on a bad env var ("a bench must always emit its report")
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.get("GRAFT_BENCH_AQE").map(_.trim.toLowerCase)
+          .exists(v => v == "false" || v == "0")).toString)
       // 72 queries × many stages ≫ the default 100-entry generated-class
       // cache; at 100 every cross-query pass recompiles nearly every stage
       // (the round-8 interleave experiment measured +35% total from exactly

@@ -32,7 +32,11 @@ object Explain {
       println(s"\n========== $n ==========")
       val q = SparkEntry.queries(n)(spark, sfDir)
       if (exec) {
-        q.write.format("noop").mode("overwrite").save()
+        // the action must run on THIS Dataset's own QueryExecution — a
+        // write wraps the plan in a new one, leaving q.queryExecution's
+        // AdaptiveSparkPlan un-finalized (isFinalPlan=false, the very
+        // initial plan this flag exists to avoid printing)
+        q.foreach((_: org.apache.spark.sql.Row) => ())
         println(q.queryExecution.executedPlan.toString)
       } else q.explain("formatted")
     }

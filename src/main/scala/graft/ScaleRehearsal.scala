@@ -174,14 +174,17 @@ object ScaleRehearsal {
 
     // recall vs the exact top-10 (untimed diagnostic): the production
     // quality metric for the scale path — multi-probe exists because
-    // single-probe recall collapses at low corpus density (SCALE.md)
-    val truth = brute.select(col("query_id"), col("cand_id"))
-    val nTruth = truth.count()
+    // single-probe recall collapses at low corpus density (SCALE.md).
+    // Top-k outputs are <= queries×k rows, so compare COLLECTED sets —
+    // a join against the un-cached brute plan would re-run the exact
+    // cross-scoring (the rehearsal's most expensive plan) per recall
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("cand_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(brute)
     def recall(df: org.apache.spark.sql.DataFrame): Double =
-      if (nTruth == 0) 1.0
-      else df.select(col("query_id"), col("cand_id"))
-        .join(truth, Seq("query_id", "cand_id"), "left_semi")
-        .count().toDouble / nTruth
+      if (truth.isEmpty) 1.0
+      else (pairs(df) intersect truth).size.toDouble / truth.size
     println(f"[rehearsal-ann] recall@10 single=${recall(single)}%.3f " +
       f"multi(probes=$numPlanes)=${recall(multi)}%.3f")
     big.unpersist(blocking = false)

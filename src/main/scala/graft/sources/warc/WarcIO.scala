@@ -216,7 +216,12 @@ object WarcRecords {
     * strip, which is byte-identical on conformant records. */
   def parse(bytes: Array[Byte]): Option[WarcRecord] = {
     val sep4 = indexOf(bytes, "\r\n\r\n".getBytes)
-    val sep2 = indexOf(bytes, "\n\n".getBytes)
+    // only a \n\n BEFORE the CRLF separator can win the comparison, so
+    // bound its scan there — an unbounded scan would walk a conformant
+    // record's whole (possibly multi-MB binary) payload looking for a
+    // byte pair that no longer matters
+    val sep2 = indexOf(bytes, "\n\n".getBytes,
+      end = if (sep4 >= 0) sep4 + 2 else bytes.length)
     val (sep, sepLen) =
       if (sep4 >= 0 && (sep2 < 0 || sep4 < sep2)) (sep4, 4)
       else if (sep2 >= 0) (sep2, 2)
@@ -263,9 +268,11 @@ object WarcRecords {
     sb.toString
   }
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
+  private def indexOf(hay: Array[Byte], needle: Array[Byte],
+                      end: Int = Int.MaxValue): Int = {
     var i = 0
-    while (i <= hay.length - needle.length) {
+    val limit = math.min(hay.length, end) - needle.length
+    while (i <= limit) {
       var j = 0
       while (j < needle.length && hay(i + j) == needle(j)) j += 1
       if (j == needle.length) return i
