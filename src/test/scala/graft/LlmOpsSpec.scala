@@ -279,38 +279,45 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("hyperplane multi-probe: exact pin vs a JVM recomputation of the probe rule") {
-    val dim = 8; val np = 4; val probes = 2; val k = 3
-    val vecs = (0L until 20L).map(i => (i,
-      Array.tabulate(dim)(d => (((i * 31 + d * 17) % 19) - 9).toFloat / 3.0f)))
-    val df = vecs.toDF("vec_id", "embedding")
-    val got = AnnOps.hyperplaneTopK(df, "vec_id", "embedding",
-        col("vec_id") === 0, np, dim, k, probes)
-      .select("query_id", "cand_id", "dot")
-      .as[(Long, Long, Long)].collect().toSet
-
-    // independent recomputation with the same deterministic plane rule
+    // independent recomputation with the same deterministic plane rule,
+    // across several (dim, planes, probes, seed) fixtures — margin
+    // ranking with index tie-break, one-bit flips, in-probe top-k
     def quant(v: Array[Float]): Array[Long] =
       v.map(x => graft.functions.VectorCodegen.roundCastLong(x.toDouble * 1000.0))
-    val planes = (0 until np).map(p => AnnOps.hyperplane(p, dim).toArray)
     def dotl(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => x * y }.sum
-    def bucket(q: Array[Long]): String =
-      planes.map(pl => if (dotl(q, pl) >= 0) '1' else '0').mkString
-    val qv = quant(vecs.head._2)
-    val margins = planes.indices.map(p => (math.abs(dotl(qv, planes(p))), p))
-    val flipIdx = margins.sorted.take(probes).map(_._2)
-    val own = bucket(qv)
-    val probeSet = (own +: flipIdx.map { i =>
-      own.updated(i, if (own(i) == '1') '0' else '1')
-    }).toSet
-    val expected = vecs.drop(1)
-      .map { case (id, v) => (id, quant(v)) }
-      .filter { case (_, q) => probeSet.contains(bucket(q)) }
-      .map { case (id, q) => (0L, id, dotl(qv, q)) }
-      .sortBy { case (_, id, d) => (-d, id) }
-      .take(k).toSet
-    assert(got == expected)
-    assert(expected.nonEmpty) // the fixture must actually exercise the probe
+    var exercised = 0
+    for ((dim, np, probes, seed) <- Seq((8, 4, 2, 0), (8, 4, 4, 7),
+        (16, 5, 1, 3), (4, 3, 3, 11))) {
+      val k = 3
+      val vecs = (0L until 24L).map(i => (i, Array.tabulate(dim)(d =>
+        (((i * 31 + d * 17 + seed * 7) % 19) - 9).toFloat / 3.0f)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = AnnOps.hyperplaneTopK(df, "vec_id", "embedding",
+          col("vec_id") === 0, np, dim, k, probes)
+        .select("query_id", "cand_id", "dot")
+        .as[(Long, Long, Long)].collect().toSet
+
+      val planes = (0 until np).map(p => AnnOps.hyperplane(p, dim).toArray)
+      def bucket(q: Array[Long]): String =
+        planes.map(pl => if (dotl(q, pl) >= 0) '1' else '0').mkString
+      val qv = quant(vecs.head._2)
+      val margins = planes.indices.map(p => (math.abs(dotl(qv, planes(p))), p))
+      val flipIdx = margins.sorted.take(probes).map(_._2)
+      val own = bucket(qv)
+      val probeSet = (own +: flipIdx.map { i =>
+        own.updated(i, if (own(i) == '1') '0' else '1')
+      }).toSet
+      val expected = vecs.drop(1)
+        .map { case (id, v) => (id, quant(v)) }
+        .filter { case (_, q) => probeSet.contains(bucket(q)) }
+        .map { case (id, q) => (0L, id, dotl(qv, q)) }
+        .sortBy { case (_, id, d) => (-d, id) }
+        .take(k).toSet
+      assert(got == expected, s"(dim=$dim np=$np probes=$probes seed=$seed)")
+      if (expected.nonEmpty) exercised += 1
+    }
+    assert(exercised >= 3) // the fixtures must actually exercise the probe
   }
 
   test("exact-dedup follow-up: drops byte-exact copies WITHIN the skip-list only") {
