@@ -128,6 +128,20 @@ object GraftCli {
           pos.tail.toSeq, pos.head, soft = flags.contains("--soft"))
         println(s"extracted $n cdx lines -> ${pos.head}")
         spark.stop()
+      case "date-filter" =>
+        // date-filter <root> <expr> [extSuffix] — list files accepted by
+        // the reference's mtime filter expression (S15 frontend): forms
+        // `OP X`, `mtime OP X`, `X OP mtime`, `X OP mtime OP2 Y`; X is
+        // an ISO datetime, archive timestamp, or a path (that file's
+        // mtime). Lower bounds prune whole directory subtrees at
+        // LISTING time — the selected paths feed any loader unchanged.
+        if (rest.length < 2) { usage(); sys.exit(2) }
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val expr = graft.sources.DateFilterExpr.parse(rest(1), conf)
+        val root = new org.apache.hadoop.fs.Path(rest(0))
+        val fs = root.getFileSystem(conf)
+        expr.listFiles(fs, root, rest.lift(2).getOrElse(""))
+          .foreach(p => println(p.toString))
       case "dedup" =>
         // dedup <corpus.parquet> <outDir> [idCol] [textCol] [maxBucket]
         // — near-dup corpus dedup as an operational tool: MinHash-LSH
@@ -213,6 +227,7 @@ object GraftCli {
       |  warc-extract <out> <warc...> [--soft]  WARC -> per-file .cdx
       |  wat-extract <out> <warc...> [--soft]   WARC -> WAT JSON lines
       |  file-search <file> <start> [<end>]     binary search a sorted file
+      |  date-filter <root> <expr> [ext]        mtime-expression file listing
       |  dedup <corpus> <out> [id] [text] [cap] near-dup dedup (LSH -> CC -> keep-min)
       |  decontaminate <corpus> <eval> <out> [k] eval-overlap hit counts
       |""".stripMargin)

@@ -57,6 +57,84 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(old == Set("top"))
   }
 
+  test("S15: DateFilter expression grammar — all four reference forms") {
+    import graft.sources.DateFilterExpr
+    import graft.sources.DateFilterExpr._
+    val t = "2012-01-03T08:45:08"
+    val tMs = 1325580308000L // the above in UTC
+    // OP X → mtime OP X
+    assert(DateFilterExpr.parse(s"< $t") ==
+      DateFilterExpr(None, Some((Lt, tMs))))
+    // mtime OP X
+    assert(DateFilterExpr.parse(s"mtime >= $t") ==
+      DateFilterExpr(None, Some((GtEq, tMs))))
+    // X OP mtime (archive-timestamp operand, padded)
+    assert(DateFilterExpr.parse("2012 < mtime") ==
+      DateFilterExpr(Some((Lt, 1325376000000L)), None))
+    // X OP mtime OP2 Y (band)
+    assert(DateFilterExpr.parse(s"20120101 <= mtime < $t") ==
+      DateFilterExpr(Some((LtEq, 1325376000000L)), Some((Lt, tMs))))
+    intercept[IllegalArgumentException] { DateFilterExpr.parse("a b c") }
+    intercept[IllegalArgumentException] { DateFilterExpr.parse("x ~ mtime") }
+    intercept[IllegalArgumentException] {
+      DateFilterExpr.parse("1 < notmtime < 2")
+    }
+  }
+
+  test("S15: DateFilter directory semantics — lower bounds prune subtrees, upper don't") {
+    import graft.sources.DateFilterExpr
+    import org.apache.hadoop.fs.Path
+    val root = mkTree()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    val old = now - 48 * 3600 * 1000
+    // make a/ and everything under it old; top.cdx recent
+    Files.setLastModifiedTime(root.resolve("a/b/deep.cdx"),
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    Files.setLastModifiedTime(root.resolve("a/mid.cdx"),
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    Files.setLastModifiedTime(root.resolve("a/b"),
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    Files.setLastModifiedTime(root.resolve("a"),
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    def names(e: DateFilterExpr) =
+      e.listFiles(fs, new Path(root.toString), extSuffix = ".cdx")
+        .map(_.getName).toSet
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss",
+      java.util.Locale.ROOT)
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val cut = fmt.format(new java.util.Date(now - 3600 * 1000))
+    // lower bound: old a/ subtree pruned WITHOUT descending; recent kept
+    // (.hidden.cdx sits under the pruned a/, so it never surfaces)
+    assert(names(DateFilterExpr.parse(s"$cut < mtime")) == Set("top.cdx"))
+    // upper bound: directories are NOT pruned (old files inside a
+    // recently-modified root must still be found) — only files compare
+    assert(names(DateFilterExpr.parse(s"mtime < $cut")) ==
+      Set("mid.cdx", "deep.cdx"))
+    // band selects nothing older than cut but newer than far future
+    assert(names(DateFilterExpr.parse(s"$cut < mtime < 2099")) ==
+      Set("top.cdx"))
+  }
+
+  test("S15: DateFilter path-valued bound — 'newer than file F'") {
+    import graft.sources.DateFilterExpr
+    import org.apache.hadoop.fs.Path
+    val root = mkTree()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val ref = root.resolve("a/mid.cdx")
+    Files.setLastModifiedTime(ref,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000))
+    val e = DateFilterExpr.parse(s"$ref < mtime",
+      spark.sparkContext.hadoopConfiguration)
+    val got = e.listFiles(fs, new Path(root.toString), extSuffix = ".cdx")
+      .map(_.getName).toSet
+    // everything written "now" is newer than the hour-old reference file
+    assert(got.contains("top.cdx") && !got.contains("mid.cdx"))
+  }
+
   test("K6: SequenceFile write -> read roundtrip, null-safe") {
     import spark.implicits._
     val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "seq")
