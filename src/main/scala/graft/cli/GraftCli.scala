@@ -198,17 +198,34 @@ object GraftCli {
           s"${corpus.count()} docs -> ${rest(1)}")
         spark.stop()
       case "decontaminate" =>
-        // decontaminate <corpus.parquet> <eval.parquet> <outDir> [k] —
-        // per-doc distinct word-k-gram hits against the eval set (docs
-        // with no hits are clean and absent from the output)
+        // decontaminate <corpus.parquet> <eval.parquet> <outDir> [k]
+        // [dropAt] — per-doc distinct word-k-gram hits against the eval
+        // set (docs with no hits are clean and absent from the output).
+        // With dropAt set, the loop is CLOSED the way dedup's keep-set
+        // is: docs with >= dropAt hits are quarantined to
+        // <outDir>_dropped (id + hit count, the audit trail) and the
+        // output becomes the CLEAN corpus rows — an anti-join on the
+        // hits table, so the 100 TB side still never shuffles wide.
         if (rest.length < 3) { usage(); sys.exit(2) }
         val spark = session("decontaminate")
         val k = rest.lift(3).flatMap(_.toIntOption).getOrElse(8)
-        graft.operators.llm.TextAnalysis.contaminationHits(
-          spark.read.parquet(rest(0)), "doc_id", "text",
-          spark.read.parquet(rest(1)), "text", k)
-          .write.mode("overwrite").parquet(rest(2))
-        println(s"contamination hits (k=$k) -> ${rest(2)}")
+        val corpus = spark.read.parquet(rest(0))
+        val hits = graft.operators.llm.TextAnalysis.contaminationHits(
+          corpus, "doc_id", "text", spark.read.parquet(rest(1)), "text", k)
+        rest.lift(4).flatMap(_.toLongOption) match {
+          case None =>
+            hits.write.mode("overwrite").parquet(rest(2))
+            println(s"contamination hits (k=$k) -> ${rest(2)}")
+          case Some(dropAt) =>
+            val dropped = hits.where(col("n_hits") >= dropAt)
+            dropped.write.mode("overwrite").parquet(s"${rest(2)}_dropped")
+            corpus.join(dropped.select(col("doc_id")),
+                Seq("doc_id"), "left_anti")
+              .write.mode("overwrite").parquet(rest(2))
+            val nDrop = spark.read.parquet(s"${rest(2)}_dropped").count()
+            println(s"dropped $nDrop docs with >= $dropAt eval ${k}-gram " +
+              s"hits -> ${rest(2)}_dropped; clean corpus -> ${rest(2)}")
+        }
         spark.stop()
       case other =>
         System.err.println(s"unknown tool: $other"); usage(); sys.exit(2)
@@ -229,6 +246,6 @@ object GraftCli {
       |  file-search <file> <start> [<end>]     binary search a sorted file
       |  date-filter <root> <expr> [ext]        mtime-expression file listing
       |  dedup <corpus> <out> [id] [text] [cap] near-dup dedup (LSH -> CC -> keep-min)
-      |  decontaminate <corpus> <eval> <out> [k] eval-overlap hit counts
+      |  decontaminate <corpus> <eval> <out> [k] [dropAt]  hit counts, or clean corpus + quarantine at >= dropAt hits
       |""".stripMargin)
 }
