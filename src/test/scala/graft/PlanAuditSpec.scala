@@ -17,6 +17,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 
+  test("scale pins: shuffle budgets and broadcast-join shapes hold") {
+    // The load-bearing scale properties of SCALE.md, pinned so a rewrite
+    // cannot silently regress them: each pipeline's shuffle-exchange
+    // count stays within its designed budget, and the asymmetric joins
+    // stay BROADCAST (a sort-merge join here would shuffle the 100 TB
+    // side). Counts are structural (initial physical plan), so they are
+    // stable under AQE's runtime re-planning.
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    def shuffles(s: String): Int = s.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange"))
+    val budgets = Map(
+      "q05_dedup_exact" -> 1,   // one map-side-combinable agg
+      "q29_fingerprint" -> 1,   // sample-before-dedup, fan-out keyed
+      "q36_embed_neardup" -> 1, // in-bucket expansion, never a self-join
+      "q56_vocab" -> 2,         // (token,doc) agg + vocab-sized second
+      "q21_minhash_lsh" -> 3,   // signature agg, bucket groupBy, distinct
+      "q72_decontaminate" -> 3, // eval-side prep + final per-doc count
+      "q60_tfidf" -> 4)         // tf agg, df agg, N, per-doc sum
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, max) =>
+      val n = shuffles(plan(name))
+      if (n > max) Some(s"$name: $n shuffles > budget $max") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+    // the corpus side of the asymmetric joins must stay off the wire
+    for (name <- Seq("q72_decontaminate", "q60_tfidf")) {
+      val s = plan(name)
+      assert(s.contains("BroadcastHashJoin"), s"$name lost its broadcast")
+      assert(!s.contains("SortMergeJoin"),
+        s"$name plans a sort-merge join — the big side would shuffle")
+    }
+  }
+
   test("no query plans a CartesianProduct or a Python eval boundary") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
