@@ -35,15 +35,20 @@ object ZipNumReader {
     slicesRdd(spark, slices, start, end)
   }
 
-  /** Lines of the given slices, residual-trimmed to [start, end). */
+  /** Lines of the given slices, residual-trimmed to [start, end).
+    *
+    * `parallelize(seq, n)` with `seq.length == n` deterministically
+    * places element i in partition i (ParallelCollectionRDD slices at
+    * `i*len/numSlices`), so the slice descriptions need NO partitionBy —
+    * an earlier IdentityPartitioner pass here was a real (if tiny,
+    * metadata-only) shuffle stage per read that broke the literal
+    * zero-shuffle contract the merge pipeline advertises, and an extra
+    * stage barrier per input cluster. */
   def slicesRdd(spark: SparkSession, slices: Seq[Slice],
                 start: Option[String], end: Option[String]): RDD[String] = {
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val n = math.max(1, slices.size)
     spark.sparkContext
-      .parallelize(slices.zipWithIndex.map(_.swap), n)
-      .partitionBy(new IdentityPartitioner(n))
-      .values
+      .parallelize(slices, math.max(1, slices.size))
       .mapPartitions(_.flatMap(readSlice(conf.value, _, start, end)),
         preservesPartitioning = true)
   }
@@ -68,10 +73,11 @@ object ZipNumReader {
         val hi = if (i == nPart - 1) None else Some(boundaries(i))
         (lo, hi, index.slices(index.prune(lo, hi)))
       }
+    // parallelize with parts.length == nPart puts range i in partition i
+    // deterministically (see slicesRdd) — no partitioner, no shuffle, no
+    // extra stage barrier per input cluster
     spark.sparkContext
-      .parallelize(parts.zipWithIndex.map(_.swap), nPart)
-      .partitionBy(new IdentityPartitioner(nPart))
-      .values
+      .parallelize(parts, nPart)
       .mapPartitions(_.flatMap { case (lo, hi, ss) =>
         ss.iterator.flatMap(readSlice(conf.value, _, lo, hi))
       }, preservesPartitioning = true)
@@ -115,10 +121,4 @@ object ZipNumReader {
     (new graft.util.IoUtil.AutoCloseIterator(trimmed, closer), closer)
   }
 
-  /** Partition i ↔ planned spec i: keeps slice order == partition order so
-    * partition-ordered iteration yields globally sorted output. */
-  private final class IdentityPartitioner(n: Int) extends org.apache.spark.Partitioner {
-    override def numPartitions: Int = n
-    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-  }
 }

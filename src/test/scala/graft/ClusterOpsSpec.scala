@@ -71,6 +71,43 @@ class ClusterOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(back == (a ++ b).sorted)
   }
 
+  test("merge shuffles ZERO bytes — listener-verified, not just named") {
+    val a = mkLines(300, _ % 3)
+    val b = mkLines(200, i => i % 3 + 2)
+    val da = tmp("za") + "/c"
+    val db = tmp("zb") + "/c"
+    val interior = IndexedSeq("org,s1", "org,s3")
+    ClusterOps.build(spark, spark.sparkContext.parallelize(a, 3), da, interior,
+      linesPerBlock = 50)
+    ClusterOps.build(spark, spark.sparkContext.parallelize(b, 3), db, interior,
+      linesPerBlock = 50)
+    // builds above DO shuffle — drain their events, then listen
+    org.apache.spark.sql.graftshim.ListenerShim.drain(spark.sparkContext)
+    val moved = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) moved.addAndGet(
+          m.shuffleReadMetrics.totalBytesRead +
+            m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = tmp("zout") + "/c"
+      ClusterOps.merge(spark, Seq(da, db), out, nShards = 3)
+      // snapshot BEFORE the verification count — Dataset.count() itself
+      // exchanges per-partition partials (that's the count's shuffle,
+      // not the merge's)
+      org.apache.spark.sql.graftshim.ListenerShim.drain(spark.sparkContext)
+      val mergeMoved = moved.get
+      assert(ZipNumReader.lines(spark, out).count() == 500)
+      assert(mergeMoved == 0,
+        s"the zero-shuffle merge moved $mergeMoved bytes through a shuffle")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("merge of FIVE clusters (odd count exercises the balanced tree)") {
     val sets = (0 until 5).map(j => mkLines(60, i => (i + j) % 5))
     val interior = IndexedSeq("org,s2")
