@@ -207,24 +207,42 @@ object GraftCli {
         // output becomes the CLEAN corpus rows — an anti-join on the
         // hits table, so the 100 TB side still never shuffles wide.
         if (rest.length < 3) { usage(); sys.exit(2) }
+        // a malformed number must ABORT, not silently change what rest(2)
+        // contains: "8 1O" (typo) falling back to hits-mode would hand a
+        // pipeline the hits table where it expects the clean corpus
+        val k = rest.lift(3) match {
+          case None => 8
+          case Some(v) => v.toIntOption.getOrElse { usage(); sys.exit(2) }
+        }
+        val dropAtOpt = rest.lift(4) match {
+          case None => None
+          case Some(v) => v.toLongOption match {
+            case some @ Some(_) => some
+            case None => usage(); sys.exit(2)
+          }
+        }
         val spark = session("decontaminate")
-        val k = rest.lift(3).flatMap(_.toIntOption).getOrElse(8)
         val corpus = spark.read.parquet(rest(0))
         val hits = graft.operators.llm.TextAnalysis.contaminationHits(
           corpus, "doc_id", "text", spark.read.parquet(rest(1)), "text", k)
-        rest.lift(4).flatMap(_.toLongOption) match {
+        dropAtOpt match {
           case None =>
             hits.write.mode("overwrite").parquet(rest(2))
             println(s"contamination hits (k=$k) -> ${rest(2)}")
           case Some(dropAt) =>
-            val dropped = hits.where(col("n_hits") >= dropAt)
-            dropped.write.mode("overwrite").parquet(s"${rest(2)}_dropped")
-            corpus.join(dropped.select(col("doc_id")),
+            hits.where(col("n_hits") >= dropAt)
+              .write.mode("overwrite").parquet(s"${rest(2)}_dropped")
+            // anti-join against the WRITTEN drop list, broadcast: the
+            // parquet read gives the planner a real (tiny) size so the
+            // corpus side never shuffles, and the contamination pipeline
+            // isn't recomputed a second time for the join
+            val dropped = spark.read.parquet(s"${rest(2)}_dropped")
+            corpus.join(broadcast(dropped.select(col("doc_id"))),
                 Seq("doc_id"), "left_anti")
               .write.mode("overwrite").parquet(rest(2))
-            val nDrop = spark.read.parquet(s"${rest(2)}_dropped").count()
-            println(s"dropped $nDrop docs with >= $dropAt eval ${k}-gram " +
-              s"hits -> ${rest(2)}_dropped; clean corpus -> ${rest(2)}")
+            println(s"dropped ${dropped.count()} docs with >= $dropAt " +
+              s"eval ${k}-gram hits -> ${rest(2)}_dropped; " +
+              s"clean corpus -> ${rest(2)}")
         }
         spark.stop()
       case other =>

@@ -18,9 +18,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *   - `X OP mtime`          →  bound with the DATE on the left
  *   - `X OP mtime OP2 Y`    →  band: `X OP mtime` and `mtime OP2 Y`
  *
- * Operand `X` is a date (`yyyy-MM-dd HH:mm:ss`, or a 4/6/8/14-digit
- * archive timestamp, both UTC) or a PATH — in which case that file's
- * own modification time is the bound ("newer than file F", the
+ * Operand `X` is a date (`yyyy-MM-dd'T'HH:mm:ss` — T-separated, since
+ * the grammar tokenizes on whitespace — or a 4/6/8/14-digit archive
+ * timestamp, both UTC) or a PATH — in which case that file's own
+ * modification time is the bound ("newer than file F", the
  * reference's incremental-job idiom).
  *
  * Directory semantics match the reference exactly: LOWER bounds
@@ -57,20 +58,31 @@ final case class DateFilterExpr(
   }
 
   /** Recursive listing with subtree pruning: a directory that fails a
-    * lower bound is not descended into. Returns accepted FILE paths. */
+    * lower bound is not descended into. Returns accepted FILE paths.
+    *
+    * Matches the reference walk's other two contracts too: the ROOT is
+    * seeded unfiltered (its own mtime only changes when DIRECT entries
+    * change, so filtering it would wrongly empty the listing when the
+    * changes sit deeper), and hidden entries (`_`/`.` prefixes —
+    * `_temporary`, `_SUCCESS`, dot-files) are excluded the way every
+    * Hadoop input walk excludes them (LSRPigLoader's hiddenFileFilter),
+    * so in-flight job temp files never reach a loader. */
   def listFiles(fs: FileSystem, root: Path,
                 extSuffix: String = ""): Seq[Path] = {
     val out = Seq.newBuilder[Path]
-    def walk(p: Path): Unit = {
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    def walk(p: Path, isRoot: Boolean): Unit = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory) {
-        if (accept(st.getModificationTime, isDir = true))
-          fs.listStatus(p).foreach(c => walk(c.getPath))
+        if (isRoot || accept(st.getModificationTime, isDir = true))
+          fs.listStatus(p).filterNot(c => hidden(c.getPath))
+            .foreach(c => walk(c.getPath, isRoot = false))
       } else if (extSuffix.isEmpty || p.getName.endsWith(extSuffix)) {
         if (accept(st.getModificationTime, isDir = false)) out += p
       }
     }
-    walk(root)
+    walk(root, isRoot = true)
     out.result()
   }
 }
@@ -119,12 +131,17 @@ object DateFilterExpr {
     * digits, padded like ArchiveUtils), or a path whose own mtime is
     * the bound. UTC throughout — the reference's locale-defaulted
     * SimpleDateFormat is not portable. */
-  private def parseDateMs(s: String, fs: FileSystem): Long = {
+  private def parseDateMs(s: String, conf: Configuration): Long = {
+    // full-string parse only: SimpleDateFormat.parse(String) accepts a
+    // matching PREFIX and drops the tail, which would silently misread
+    // a path operand like `2024-01-01T00:00:00-snapshot/marker` as a
+    // date (and accept zone suffixes while ignoring them)
     val fmt = new SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss", Locale.ROOT)
     fmt.setTimeZone(TimeZone.getTimeZone("UTC"))
     fmt.setLenient(false)
-    try return fmt.parse(s).getTime
-    catch { case _: java.text.ParseException => }
+    val pos = new java.text.ParsePosition(0)
+    val parsed = fmt.parse(s, pos)
+    if (parsed != null && pos.getIndex == s.length) return parsed.getTime
     if (s.nonEmpty && s.length <= 14 && s.forall(_.isDigit) &&
         Set(4, 6, 8, 14).contains(s.length)) {
       val padded = s + "20000101000000".substring(s.length)
@@ -133,21 +150,24 @@ object DateFilterExpr {
       f14.setLenient(false)
       return f14.parse(padded).getTime
     }
-    fs.getFileStatus(new Path(s)).getModificationTime
+    // a path operand resolves on ITS OWN scheme's FileSystem — a
+    // session-default fs (e.g. HDFS) must not reject or re-anchor a
+    // file:/ operand used against a local root
+    val p = new Path(s)
+    p.getFileSystem(conf).getFileStatus(p).getModificationTime
   }
 
   /** DateFilter.java:138-185 token grammar, verbatim. */
   def parse(expr: String,
             conf: Configuration = new Configuration()): DateFilterExpr = {
-    val fs = FileSystem.get(conf)
     val p = expr.trim.split("\\s+")
     p.length match {
       case 2 => // OP X  →  mtime OP X
-        DateFilterExpr(None, Some((parseOp(p(0)), parseDateMs(p(1), fs))))
+        DateFilterExpr(None, Some((parseOp(p(0)), parseDateMs(p(1), conf))))
       case 3 if p(0) == "mtime" =>
-        DateFilterExpr(None, Some((parseOp(p(1)), parseDateMs(p(2), fs))))
+        DateFilterExpr(None, Some((parseOp(p(1)), parseDateMs(p(2), conf))))
       case 3 if p(2) == "mtime" =>
-        DateFilterExpr(Some((parseOp(p(1)), parseDateMs(p(0), fs))), None)
+        DateFilterExpr(Some((parseOp(p(1)), parseDateMs(p(0), conf))), None)
       case 3 =>
         throw new IllegalArgumentException(
           "Must Specify mtime as param: X < mtime or mtime > X")
@@ -155,8 +175,8 @@ object DateFilterExpr {
         if (p(2) != "mtime") throw new IllegalArgumentException(
           "Must Specify mtime as param: X < mtime < Y")
         DateFilterExpr(
-          Some((parseOp(p(1)), parseDateMs(p(0), fs))),
-          Some((parseOp(p(3)), parseDateMs(p(4), fs))))
+          Some((parseOp(p(1)), parseDateMs(p(0), conf))),
+          Some((parseOp(p(3)), parseDateMs(p(4), conf))))
       case _ =>
         throw new IllegalArgumentException(
           "Must use form: OP X, X OP mtime, mtime OP X, X OP mtime OP2 Y, " +

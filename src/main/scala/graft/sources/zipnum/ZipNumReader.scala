@@ -49,8 +49,7 @@ object ZipNumReader {
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     spark.sparkContext
       .parallelize(slices, math.max(1, slices.size))
-      .mapPartitions(_.flatMap(readSlice(conf.value, _, start, end)),
-        preservesPartitioning = true)
+      .mapPartitions(_.flatMap(readSlice(conf.value, _, start, end)))
   }
 
   /**
@@ -80,7 +79,7 @@ object ZipNumReader {
       .parallelize(parts, nPart)
       .mapPartitions(_.flatMap { case (lo, hi, ss) =>
         ss.iterator.flatMap(readSlice(conf.value, _, lo, hi))
-      }, preservesPartitioning = true)
+      })
   }
 
   /** Stream one slice: seek once, read `length` bytes through one handle. */

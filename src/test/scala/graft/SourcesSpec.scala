@@ -117,6 +117,31 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       Set("top.cdx"))
   }
 
+  test("S15: DateFilter walk — root unfiltered, hidden entries excluded") {
+    import graft.sources.DateFilterExpr
+    import org.apache.hadoop.fs.Path
+    val root = mkTree()
+    Files.createDirectories(root.resolve("_temporary"))
+    Files.writeString(root.resolve("_temporary/part-0.cdx"), "tmp\n")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 48 * 3600 * 1000
+    // ROOT mtime made stale: only its DIRECT entries changed long ago as
+    // far as the filter can see, but children are recent — the reference
+    // seeds the root unfiltered, so the listing must NOT come back empty
+    Files.setLastModifiedTime(root,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    val got = DateFilterExpr.parse(
+        s"${new java.text.SimpleDateFormat("yyyyMMdd").format(
+          new java.util.Date(old + 3600 * 1000))} < mtime")
+      .listFiles(fs, new Path(root.toString), extSuffix = ".cdx")
+      .map(_.getName).toSet
+    assert(got.contains("top.cdx"), "stale root mtime must not empty the walk")
+    // hidden entries never surface: in-flight _temporary trees and
+    // dot-files are excluded the way every Hadoop input walk excludes them
+    assert(!got.contains("part-0.cdx") && !got.contains(".hidden.cdx"))
+  }
+
   test("S15: DateFilter path-valued bound — 'newer than file F'") {
     import graft.sources.DateFilterExpr
     import org.apache.hadoop.fs.Path
