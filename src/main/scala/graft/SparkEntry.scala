@@ -502,6 +502,17 @@ object SparkEntry {
       graft.operators.Sketches.kmvDistinct(
         tbl(s, dir, "orders"), "o_custkey", k = 256)),
 
+    // Deterministic mergeable approximate quantiles (the scale companion
+    // to q58's exact percentiles): bottom-k-by-hash distinct-value
+    // sample with exact counts, all-integer probe lookup — a pure
+    // function of the value multiset, replayed bit-for-bit by the
+    // oracle (percentile_approx could never be).
+    "q74_kmv_quantiles" -> ((s, dir) =>
+      graft.operators.Sketches.kmvQuantiles(
+        tbl(s, dir, "lineitem")
+          .select(cents(col("l_extendedprice")).as("price_cents")),
+        "price_cents", k = 512)),
+
     // BPE-style pre-tokenization count vs whitespace count per doc — the
     // token-budget signal an LLM pipeline bills by; pure map-side.
     "q59_bpe_tokens" -> ((s, dir) => {
@@ -1954,6 +1965,24 @@ object SparkEntry {
         |    ELSE CAST(255 AS BIGINT) * 281474976710656 // max(hv)
         |  END AS est_distinct
         |FROM mins""".stripMargin,
+
+    "q74_kmv_quantiles" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |sampled AS (SELECT v FROM (SELECT DISTINCT v,
+        |    CAST(concat('0x', substring(md5(CAST(v AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS hv FROM v)
+        |  ORDER BY hv, v LIMIT 512),
+        |cnts AS (SELECT v.v, count(*) AS cnt FROM v
+        |  JOIN sampled USING (v) GROUP BY 1),
+        |cum AS (SELECT v, cnt,
+        |    sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER () AS total
+        |  FROM cnts)
+        |SELECT CAST(p_bp AS INTEGER) AS p_bp, min(v) AS value
+        |FROM cum, unnest([100, 1000, 2500, 5000, 7500, 9000, 9900]) t(p_bp)
+        |WHERE cum * 10000 >= p_bp * total
+        |GROUP BY 1""".stripMargin,
 
     "q59_bpe_tokens" ->
       """SELECT doc_id,

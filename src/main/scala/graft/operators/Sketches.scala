@@ -66,4 +66,79 @@ object Sketches {
           expr(s"CAST(${k - 1} AS BIGINT) * ${1L << HashBits} DIV h_k"))
           .as("est_distinct"))
   }
+
+  /** Deterministic mergeable approximate quantiles over an integer
+    * column (beyond-reference surface) — the scale companion to exact
+    * per-group percentiles (q58): exact `percentile` over 100 TB
+    * shuffles one row per distinct (group, value), while this bounds
+    * the wire at k values regardless of domain size, and unlike
+    * `percentile_approx` (whose sketch merge is implementation- and
+    * partition-order-specific) it is a PURE FUNCTION of the value set +
+    * counts, so an external engine replays it bit-for-bit.
+    *
+    * Construction: the sample is the k distinct values with the
+    * smallest (48-bit md5 hash, value) pairs — the same KMV bottom-k
+    * idea as [[kmvDistinct]], so it is deterministic and mergeable
+    * (union of samples, re-truncated to k, is the sample of the
+    * union). Exact counts for JUST the sampled values come from a
+    * second pass whose aggregation carries at most k groups. The
+    * p-basis-point quantile estimate is the smallest sampled value
+    * whose cumulative sampled count reaches p/10000 of the total
+    * sampled count — an all-integer ratio estimator (distinct-value
+    * sampling, Beyer et al. SIGMOD'07 lineage): exact when the domain
+    * has <= k distinct values, and at larger domains its error follows
+    * the count-variance of the uniform value sample.
+    *
+    * Scale shape: pass 1 is the bounded-heap KMV scan (<= k rows per
+    * partition reach the wire); pass 2 filters map-side through a
+    * broadcast of the <= k sampled values and aggregates <= k groups;
+    * the final cumulative window runs on <= k rows. Nothing anywhere
+    * shuffles more than k·partitions rows. */
+  def kmvQuantiles(df: DataFrame, valueCol: String, k: Int,
+                   probesBp: Seq[Int] = Seq(100, 1000, 2500, 5000,
+                     7500, 9000, 9900)): DataFrame = {
+    require(k >= 2 && k <= 32768, s"k must be in [2, 32768], got $k")
+    require(probesBp.nonEmpty && probesBp.forall(p => p >= 1 && p <= 10000),
+      s"probesBp must be basis points in [1, 10000], got $probesBp")
+    import df.sparkSession.implicits._
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"))
+    val hashed = vals.select(hash48(col("v")).as("hv"), col("v"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    // pass 1: per-partition bounded heap of the k smallest DISTINCT
+    // (hash, value) pairs — value in the order key breaks 48-bit
+    // collisions deterministically
+    val partMins = hashed.mapPartitions { it =>
+      val heap = new java.util.TreeSet[(Long, Long)](
+        implicitly[Ordering[(Long, Long)]])
+      it.foreach { p =>
+        if (heap.size < k) heap.add(p)
+        else if (implicitly[Ordering[(Long, Long)]].lt(p, heap.last())) {
+          heap.add(p); if (heap.size > k) heap.pollLast()
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heap.iterator().asScala
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val sampled = partMins.toDF("hv", "v").distinct()
+      .orderBy(col("hv"), col("v")).limit(k)
+      .select(col("v"))
+    // pass 2: exact counts of just the sampled values (map-side
+    // broadcast-semi filter, <= k groups on the wire)
+    val counts = vals
+      .join(broadcast(sampled), Seq("v"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    // <= k rows: cumulative distribution + integer probe lookup
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+    cum.crossJoin(broadcast(
+        probesBp.toDF("p_bp").select(col("p_bp").cast("int"))))
+      .where(col("cum") * 10000 >= col("p_bp") * col("total"))
+      .groupBy(col("p_bp"))
+      .agg(min(col("v")).as("value"))
+  }
 }

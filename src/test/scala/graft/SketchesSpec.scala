@@ -47,4 +47,31 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       .collect()(0)
     assert(row.getLong(0) == 0 && row.getLong(2) == 0)
   }
+
+  test("kmv quantiles: exact when the domain fits the sample (<= k distinct)") {
+    // value i repeated i times, i in 1..50: total 1275; the exact p-bp
+    // quantile is the smallest v with cum(v)*10000 >= p*1275
+    val df = (1 to 50).flatMap(i => Seq.fill(i)(i)).toDF("x")
+    val got = Sketches.kmvQuantiles(df, "x", k = 256)
+      .as[(Int, Long)].collect().toMap
+    val cum = (1 to 50).map(i => i -> (i * (i + 1) / 2)).toMap
+    def exact(p: Int): Long =
+      (1 to 50).find(v => cum(v).toLong * 10000 >= p.toLong * 1275).get.toLong
+    for (p <- Seq(100, 1000, 2500, 5000, 7500, 9000, 9900))
+      assert(got(p) == exact(p), s"p=$p")
+  }
+
+  test("kmv quantiles: partitioning-invariant and sane beyond k distinct") {
+    val vals = (1 to 20000).map(i => (i * 7919) % 100000)  // scattered domain
+    val a = Sketches.kmvQuantiles(vals.toDF("x").repartition(1), "x", k = 512)
+      .as[(Int, Long)].collect().toMap
+    val b = Sketches.kmvQuantiles(vals.toDF("x").repartition(13), "x", k = 512)
+      .as[(Int, Long)].collect().toMap
+    assert(a == b)                     // pure function of the value multiset
+    assert(a(100) <= a(5000) && a(5000) <= a(9900))  // monotone in p
+    // uniform-ish data: the p50 estimate lands within 15% of true median
+    val sorted = vals.sorted
+    val median = sorted(sorted.length / 2).toLong
+    assert(math.abs(a(5000) - median).toDouble / median < 0.15)
+  }
 }
