@@ -232,12 +232,15 @@ object GraftCli {
           case Some(dropAt) =>
             hits.where(col("n_hits") >= dropAt)
               .write.mode("overwrite").parquet(s"${rest(2)}_dropped")
-            // anti-join against the WRITTEN drop list, broadcast: the
-            // parquet read gives the planner a real (tiny) size so the
-            // corpus side never shuffles, and the contamination pipeline
-            // isn't recomputed a second time for the join
+            // anti-join against the WRITTEN drop list: the parquet read
+            // gives the planner real file statistics, so a small list
+            // auto-broadcasts (corpus never shuffles) while a huge one —
+            // a low threshold on a dirty corpus is unbounded — falls
+            // back to a shuffle join instead of dying on the broadcast
+            // limit; either way the contamination pipeline isn't
+            // recomputed for the join
             val dropped = spark.read.parquet(s"${rest(2)}_dropped")
-            corpus.join(broadcast(dropped.select(col("doc_id"))),
+            corpus.join(dropped.select(col("doc_id")),
                 Seq("doc_id"), "left_anti")
               .write.mode("overwrite").parquet(rest(2))
             println(s"dropped ${dropped.count()} docs with >= $dropAt " +

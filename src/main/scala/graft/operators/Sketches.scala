@@ -48,17 +48,7 @@ object Sketches {
     val hashes = df.where(col(valueCol).isNotNull)
       .select(hash48(col(valueCol)).as("hv"))
       .as(Encoders.scalaLong)
-    // bounded per-partition sketch: a TreeSet holds the partition's
-    // <= k smallest distinct hashes; O(log k) per row, O(k) memory
-    val partMins = hashes.mapPartitions { it =>
-      val heap = new java.util.TreeSet[java.lang.Long]()
-      it.foreach { h =>
-        if (heap.size < k) heap.add(h)
-        else if (h < heap.last) { heap.add(h); if (heap.size > k) heap.pollLast() }
-      }
-      import scala.jdk.CollectionConverters._
-      heap.iterator().asScala.map(Long.unbox)
-    }(Encoders.scalaLong)
+    val partMins = hashes.mapPartitions(bottomK(_, k))(Encoders.scalaLong)
     val mins = partMins.toDF("hv").distinct().orderBy(col("hv")).limit(k)
     mins.agg(count(lit(1)).as("n_mins"), max(col("hv")).as("h_k"))
       .select(col("n_mins"), col("h_k"),
@@ -108,18 +98,8 @@ object Sketches {
     // pass 1: per-partition bounded heap of the k smallest DISTINCT
     // (hash, value) pairs — value in the order key breaks 48-bit
     // collisions deterministically
-    val partMins = hashed.mapPartitions { it =>
-      val heap = new java.util.TreeSet[(Long, Long)](
-        implicitly[Ordering[(Long, Long)]])
-      it.foreach { p =>
-        if (heap.size < k) heap.add(p)
-        else if (implicitly[Ordering[(Long, Long)]].lt(p, heap.last())) {
-          heap.add(p); if (heap.size > k) heap.pollLast()
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heap.iterator().asScala
-    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val partMins = hashed.mapPartitions(bottomK(_, k))(
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     val sampled = partMins.toDF("hv", "v").distinct()
       .orderBy(col("hv"), col("v")).limit(k)
       .select(col("v"))
@@ -128,17 +108,43 @@ object Sketches {
     val counts = vals
       .join(broadcast(sampled), Seq("v"), "left_semi")
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    // <= k rows: cumulative distribution + integer probe lookup
+    // <= k rows: cumulative distribution + integer probe lookup. Both
+    // running and grand totals are WINDOW sums over the same tiny frame
+    // — a separate `counts.agg(sum)` branch would re-evaluate the whole
+    // two-pass subtree unless exchange reuse (an optimization, not a
+    // contract) happened to kick in
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(w))
-      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .withColumn("total", sum(col("cnt")).over(wAll))
     cum.crossJoin(broadcast(
         probesBp.toDF("p_bp").select(col("p_bp").cast("int"))))
       .where(col("cum") * 10000 >= col("p_bp") * col("total"))
       .groupBy(col("p_bp"))
       .agg(min(col("v")).as("value"))
+  }
+
+  /** Per-partition bounded bottom-k over DISTINCT elements: a TreeSet
+    * holds the partition's <= k smallest (dedup by membership, strict-lt
+    * admission so equal elements never evict, poll after add); O(log k)
+    * per element, O(k) memory. Shared by both KMV sketches so the
+    * admission invariants live in exactly one place. */
+  private def bottomK[T](it: Iterator[T], k: Int)
+                        (implicit ord: Ordering[T]): Iterator[T] = {
+    val heap = new java.util.TreeSet[T](ord)
+    it.foreach { e =>
+      if (heap.size < k) heap.add(e)
+      else if (ord.lt(e, heap.last())) {
+        heap.add(e); if (heap.size > k) heap.pollLast()
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heap.iterator().asScala
   }
 }

@@ -131,9 +131,14 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     // seeds the root unfiltered, so the listing must NOT come back empty
     Files.setLastModifiedTime(root,
       java.nio.file.attribute.FileTime.fromMillis(old))
+    // second-granularity UTC bound strictly ABOVE the root's mtime — a
+    // day-granularity bound would collapse to midnight and the stale
+    // root would pass it anyway, making the guard vacuous
+    val bfmt = new java.text.SimpleDateFormat("yyyyMMddHHmmss",
+      java.util.Locale.ROOT)
+    bfmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     val got = DateFilterExpr.parse(
-        s"${new java.text.SimpleDateFormat("yyyyMMdd").format(
-          new java.util.Date(old + 3600 * 1000))} < mtime")
+        s"${bfmt.format(new java.util.Date(old + 3600 * 1000))} < mtime")
       .listFiles(fs, new Path(root.toString), extSuffix = ".cdx")
       .map(_.getName).toSet
     assert(got.contains("top.cdx"), "stale root mtime must not empty the walk")
