@@ -228,9 +228,17 @@ object WarcRecords {
       else return None
     val head = new String(bytes, 0, sep,
       java.nio.charset.StandardCharsets.UTF_8)
-    val lines = head.split("\n").map(_.stripSuffix("\r"))
-    if (!lines.head.startsWith("WARC/")) return None
-    val headers = lines.tail.flatMap { l =>
+    val rawLines = head.split("\n").map(_.stripSuffix("\r"))
+    if (!rawLines.head.startsWith("WARC/")) return None
+    // LWS folding (the WARC header grammar inherits it): a line starting
+    // with SP/HTAB continues the previous header's value — dropping it
+    // would truncate folded WARC-Target-URIs and the like
+    val lines = rawLines.tail.foldLeft(List.empty[String]) { (acc, l) =>
+      if (l.nonEmpty && (l.head == ' ' || l.head == '\t') && acc.nonEmpty)
+        (acc.head + " " + l.trim) :: acc.tail
+      else l :: acc
+    }.reverse
+    val headers = lines.flatMap { l =>
       val i = l.indexOf(':')
       if (i < 0) None else Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
     }.toMap

@@ -82,6 +82,18 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
       java.util.Arrays.equals(lf.payload, crlf.payload))
   }
 
+  test("folded WARC header values are unfolded, not dropped") {
+    val http = "HTTP/1.1 200 OK\r\n\r\nok"
+    val rec = WarcRecords.parse(
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://example.org/very/long\r\n\t/folded/path\r\n" +
+        s"WARC-Date: 2012-01-03T08:45:08Z\r\nContent-Length: ${http.length}\r\n\r\n" +
+        http).getBytes("UTF-8")).get
+    // LWS-folded continuation joins with a single space (header grammar)
+    assert(rec.targetUri.contains("http://example.org/very/long /folded/path"))
+    assert(rec.timestamp14.contains("20120103084508"))
+  }
+
   test("http block tolerances: bare-LF headers, no reason phrase, case, params") {
     import WarcRecords.httpStatusAndMime
     // bare-LF header lines (pre-1.1 servers / proxies): mime must still parse
