@@ -36,8 +36,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q36_embed_neardup" -> 1, // in-bucket expansion, never a self-join
       "q56_vocab" -> 2,         // (token,doc) agg + vocab-sized second
       "q21_minhash_lsh" -> 3,   // signature agg, bucket groupBy, distinct
+      "q57_kmv_distinct" -> 1,  // only the <= k·partitions sketch merge
       "q72_decontaminate" -> 3, // eval-side prep + final per-doc count
-      "q60_tfidf" -> 4)         // tf agg, df agg, N, per-doc sum
+      "q60_tfidf" -> 4,         // tf agg, df agg, N, per-doc sum
+      // every q74 exchange carries <= k (or k·partitions) rows: the
+      // sample distinct, the <= k-group count agg, the tiny window
+      "q74_kmv_quantiles" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val n = shuffles(plan(name))
       if (n > max) Some(s"$name: $n shuffles > budget $max") else None
