@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
 
 /**
  * Scale rehearsals (SCALE.md "three measured decades"), two modes:
@@ -79,6 +80,9 @@ object ScaleRehearsal {
     // its shuffle is excluded from the reported volumes by baselining the
     // listener totals AFTER it (the listener is session-global)
     val nDocs = corpus.count()
+    // task-end events are async: drain the bus so the diagnostic count's
+    // shuffle lands in the baseline, not the measured window
+    graftshim.ListenerShim.drain(spark.sparkContext)
     val (r0, w0) = (read.get, write.get)
     val t0 = System.nanoTime()
     val sh = graft.operators.llm.Shingles
@@ -104,6 +108,9 @@ object ScaleRehearsal {
     // buckets' member ids (the keep-set a capped production run emits —
     // compare keptFollowup against an uncapped run's kept to validate
     // the cap+followup pipeline at sizes where uncapped still fits)
+    // follow-up timed on its OWN clock: `wall` keeps the pre-round-9
+    // definition (LSH+CC+keep only) so decade entries stay comparable
+    val tF = System.nanoTime()
     val keepFollowup =
       if (nDropped.getLong(0) == 0L) keep
       else lshKeep.join(
@@ -111,9 +118,12 @@ object ScaleRehearsal {
           bands.join(broadcast(dropped.select(col("band"), col("bh"))),
             Seq("band", "bh")).select(col("doc_id"))),
         Seq("doc_id"), "left_anti").count()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val wallFollowup = (System.nanoTime() - tF) / 1e9
+    val wall = (System.nanoTime() - t0) / 1e9 - wallFollowup
     // snapshot the listener totals at the measurement edge — the
-    // summary's own jobs must not inflate the reported volumes
+    // summary's own jobs must not inflate the reported volumes (drain so
+    // the last job's bytes have actually arrived)
+    graftshim.ListenerShim.drain(spark.sparkContext)
     val (readB, writeB) = (read.get - r0, write.get - w0)
     bands.unpersist(blocking = false)
 
@@ -123,6 +133,7 @@ object ScaleRehearsal {
       f"kept=$keep keptFollowup=$keepFollowup " +
       f"droppedBuckets=${nDropped.getLong(0)} " +
       f"droppedIds=${nDropped.getLong(1)} wall=$wall%.1f s " +
+      f"wallFollowup=$wallFollowup%.1f s " +
       s"shuffleRead=${mib(readB)} MiB shuffleWrite=${mib(writeB)} MiB")
     spark.stop()
   }
@@ -151,10 +162,12 @@ object ScaleRehearsal {
     val queries = col("vec_id") < 3
 
     def timed(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      graftshim.ListenerShim.drain(spark.sparkContext)
       val (r0, w0) = (read.get, write.get)
       val t0 = System.nanoTime()
       val rows = df.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      graftshim.ListenerShim.drain(spark.sparkContext)
       def mib(v: Long): String = f"${v / 1048576.0}%.1f"
       println(f"[rehearsal-ann] $label copies=$copies vectors=$n " +
         f"rows=$rows wall=$wall%.2f s " +

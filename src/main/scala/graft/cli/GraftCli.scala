@@ -133,7 +133,9 @@ object GraftCli {
         // the reference's mtime filter expression (S15 frontend): forms
         // `OP X`, `mtime OP X`, `X OP mtime`, `X OP mtime OP2 Y`; X is
         // an ISO datetime, archive timestamp, or a path (that file's
-        // mtime). Lower bounds prune whole directory subtrees at
+        // mtime); an all-digit 4/6/8/14-char operand is ALWAYS a
+        // timestamp — write `path:2024` to bound by a file named 2024.
+        // Lower bounds prune whole directory subtrees at
         // LISTING time — the selected paths feed any loader unchanged.
         if (rest.length < 2) { usage(); sys.exit(2) }
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -266,6 +268,7 @@ object GraftCli {
       |  wat-extract <out> <warc...> [--soft]   WARC -> WAT JSON lines
       |  file-search <file> <start> [<end>]     binary search a sorted file
       |  date-filter <root> <expr> [ext]        mtime-expression file listing
+      |                                         (all-digit operand = timestamp; path:X forces a path bound)
       |  dedup <corpus> <out> [id] [text] [cap] near-dup dedup (LSH -> CC -> keep-min)
       |  decontaminate <corpus> <eval> <out> [k] [dropAt]  hit counts, or clean corpus + quarantine at >= dropAt hits
       |""".stripMargin)

@@ -22,7 +22,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * the grammar tokenizes on whitespace — or a 4/6/8/14-digit archive
  * timestamp, both UTC) or a PATH — in which case that file's own
  * modification time is the bound ("newer than file F", the
- * reference's incremental-job idiom).
+ * reference's incremental-job idiom). Precedence is date-first (as in
+ * the reference): an all-digit name of length 4/6/8/14 always parses
+ * as a timestamp; write `path:X` to force path interpretation.
  *
  * Directory semantics match the reference exactly: LOWER bounds
  * (`mtime > X` shapes) are applied to directories — a directory whose
@@ -72,17 +74,20 @@ final case class DateFilterExpr(
     val out = Seq.newBuilder[Path]
     def hidden(p: Path): Boolean =
       p.getName.startsWith("_") || p.getName.startsWith(".")
-    def walk(p: Path, isRoot: Boolean): Unit = {
-      val st = fs.getFileStatus(p)
+    // walk on the FileStatus listStatus already returned — a per-child
+    // getFileStatus would double the namenode RPCs of a million-file
+    // listing; only the root seed needs its own stat
+    def walk(st: org.apache.hadoop.fs.FileStatus, isRoot: Boolean): Unit = {
+      val p = st.getPath
       if (st.isDirectory) {
         if (isRoot || accept(st.getModificationTime, isDir = true))
           fs.listStatus(p).filterNot(c => hidden(c.getPath))
-            .foreach(c => walk(c.getPath, isRoot = false))
+            .foreach(c => walk(c, isRoot = false))
       } else if (extSuffix.isEmpty || p.getName.endsWith(extSuffix)) {
         if (accept(st.getModificationTime, isDir = false)) out += p
       }
     }
-    walk(root, isRoot = true)
+    walk(fs.getFileStatus(root), isRoot = true)
     out.result()
   }
 }
@@ -132,6 +137,12 @@ object DateFilterExpr {
     * the bound. UTC throughout — the reference's locale-defaulted
     * SimpleDateFormat is not portable. */
   private def parseDateMs(s: String, conf: Configuration): Long = {
+    // precedence trap (faithful to the reference, but silent): an
+    // all-digit operand of length 4/6/8/14 parses as an archive
+    // TIMESTAMP, never as a path — a marker file named `2024` becomes
+    // "newer than year 2024". `path:X` (or a `./`-qualified name)
+    // forces path interpretation.
+    if (s.startsWith("path:")) return pathMtime(s.stripPrefix("path:"), conf)
     // full-string parse only: SimpleDateFormat.parse(String) accepts a
     // matching PREFIX and drops the tail, which would silently misread
     // a path operand like `2024-01-01T00:00:00-snapshot/marker` as a
@@ -150,9 +161,13 @@ object DateFilterExpr {
       f14.setLenient(false)
       return f14.parse(padded).getTime
     }
-    // a path operand resolves on ITS OWN scheme's FileSystem — a
-    // session-default fs (e.g. HDFS) must not reject or re-anchor a
-    // file:/ operand used against a local root
+    pathMtime(s, conf)
+  }
+
+  // a path operand resolves on ITS OWN scheme's FileSystem — a
+  // session-default fs (e.g. HDFS) must not reject or re-anchor a
+  // file:/ operand used against a local root
+  private def pathMtime(s: String, conf: Configuration): Long = {
     val p = new Path(s)
     p.getFileSystem(conf).getFileStatus(p).getModificationTime
   }

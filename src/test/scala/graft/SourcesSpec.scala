@@ -163,6 +163,24 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getName).toSet
     // everything written "now" is newer than the hour-old reference file
     assert(got.contains("top.cdx") && !got.contains("mid.cdx"))
+
+    // precedence escape hatch: an all-digit name like `2024` parses as a
+    // TIMESTAMP (year 2024), but `path:` forces the file's own mtime
+    val marker = root.resolve("2024")
+    Files.writeString(marker, "marker\n")
+    Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000))
+    val asDate = DateFilterExpr.parse("2024 < mtime",
+      spark.sparkContext.hadoopConfiguration)
+    // interpreted as year 2024: nothing in the tree is newer than 2024-01-01?
+    // (tree is written "now", 2026) — everything passes, proving date semantics
+    assert(asDate.listFiles(fs, new Path(root.toString), ".cdx").nonEmpty)
+    val asPath = DateFilterExpr.parse(s"path:$marker < mtime",
+      spark.sparkContext.hadoopConfiguration)
+    val gotPath = asPath.listFiles(fs, new Path(root.toString), ".cdx")
+      .map(_.getName).toSet
+    assert(gotPath.contains("top.cdx") && !gotPath.contains("mid.cdx"))
   }
 
   test("K6: SequenceFile write -> read roundtrip, null-safe") {
