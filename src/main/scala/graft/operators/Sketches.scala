@@ -79,55 +79,93 @@ object Sketches {
     * has <= k distinct values, and at larger domains its error follows
     * the count-variance of the uniform value sample.
     *
-    * Scale shape: pass 1 is the bounded-heap KMV scan (<= k rows per
-    * partition reach the wire); pass 2 filters map-side through a
-    * broadcast of the <= k sampled values and aggregates <= k groups;
-    * the final cumulative window runs on <= k rows. Nothing anywhere
-    * shuffles more than k·partitions rows. */
+    * Scale shape, two selectable plans with identical output:
+    *
+    *  - `preAggregate = false` (default, unbounded domains): pass 1 is
+    *    the bounded-heap KMV scan (<= k rows per partition reach the
+    *    wire); pass 2 filters map-side through a broadcast of the <= k
+    *    sampled values and aggregates <= k groups. Nothing shuffles
+    *    more than k·partitions rows — but the input is SCANNED TWICE.
+    *  - `preAggregate = true` (bounded domains — prices, lengths,
+    *    scores: the common quantile targets): one `groupBy(value)`
+    *    count first (map-side partial, wire = per-partition distinct
+    *    values), then hash + bottom-k run over the distinct table and
+    *    the counts ride the same rows — ONE scan, no broadcast, no
+    *    second pass. Wins whenever shuffling the distinct set is
+    *    cheaper than re-scanning the corpus; loses on near-unique
+    *    domains where the distinct set IS the corpus.
+    *
+    * The final cumulative fold runs on <= k rows either way. */
   def kmvQuantiles(df: DataFrame, valueCol: String, k: Int,
                    probesBp: Seq[Int] = Seq(100, 1000, 2500, 5000,
-                     7500, 9000, 9900)): DataFrame = {
+                     7500, 9000, 9900),
+                   preAggregate: Boolean = false): DataFrame = {
     require(k >= 2 && k <= 32768, s"k must be in [2, 32768], got $k")
     require(probesBp.nonEmpty && probesBp.forall(p => p >= 1 && p <= 10000),
       s"probesBp must be basis points in [1, 10000], got $probesBp")
     import df.sparkSession.implicits._
     val vals = df.where(col(valueCol).isNotNull)
       .select(col(valueCol).cast("long").as("v"))
-    val hashed = vals.select(hash48(col("v")).as("hv"), col("v"))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-    // pass 1: per-partition bounded heap of the k smallest DISTINCT
-    // (hash, value) pairs — value in the order key breaks 48-bit
-    // collisions deterministically
-    val partMins = hashed.mapPartitions(bottomK(_, k))(
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-    val sampled = partMins.toDF("hv", "v").distinct()
-      .orderBy(col("hv"), col("v")).limit(k)
-      .select(col("v"))
-    // pass 2: exact counts of just the sampled values (map-side
-    // broadcast-semi filter, <= k groups on the wire)
-    val counts = vals
-      .join(broadcast(sampled), Seq("v"), "left_semi")
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    // <= k rows: cumulative distribution + integer probe lookup. Both
-    // running and grand totals are WINDOW sums over the same tiny frame
-    // — a separate `counts.agg(sum)` branch would re-evaluate the whole
-    // two-pass subtree unless exchange reuse (an optimization, not a
-    // contract) happened to kick in
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("total", sum(col("cnt")).over(wAll))
-    cum.crossJoin(broadcast(
-        probesBp.toDF("p_bp").select(col("p_bp").cast("int"))))
-      .where(col("cum") * 10000 >= col("p_bp") * col("total"))
-      .groupBy(col("p_bp"))
-      .agg(min(col("v")).as("value"))
+    val counts: DataFrame = if (preAggregate) {
+      // one-scan plan: distinct counts first, then hash + bottom-k over
+      // the (already distinct) value table — counts ride the heap rows
+      val enc3 = Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+      val byValue = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .select(hash48(col("v")).as("hv"), col("v"), col("cnt"))
+        .as(enc3)
+      // (hv, v) is unique after the groupBy, so the lexicographic
+      // (hv, v, cnt) ordering never reaches cnt — same admission order
+      // as the two-pass plan
+      byValue.mapPartitions(bottomK(_, k))(enc3)
+        .repartition(1)
+        .mapPartitions(bottomK(_, k))(enc3)
+        .toDF("hv", "v", "cnt")
+        .select(col("v"), col("cnt"))
+    } else {
+      val hashed = vals.select(hash48(col("v")).as("hv"), col("v"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      // pass 1: per-partition bounded heap of the k smallest DISTINCT
+      // (hash, value) pairs — value in the order key breaks 48-bit
+      // collisions deterministically; the global merge is the SAME heap
+      // over one exchange of the <= k-per-partition survivors (NOT
+      // coalesce(1), which would narrowly fuse the per-partition heaps
+      // into a single serial task; and not distinct + TakeOrdered, which
+      // shuffles these rows twice for the same bottom-k-of-distinct)
+      val partMins = hashed.mapPartitions(bottomK(_, k))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      val sampled = partMins.repartition(1)
+        .mapPartitions(bottomK(_, k))(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("hv", "v")
+        .select(col("v"))
+      // pass 2: exact counts of just the sampled values (map-side
+      // broadcast-semi filter, <= k groups on the wire)
+      vals.join(broadcast(sampled), Seq("v"), "left_semi")
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    }
+    // <= k rows: collapse the cumulative distribution + probe lookup
+    // into ONE single-partition aggregation and one codegen'd projection
+    // over the sorted (v, cnt) array — a window + probe-crossJoin +
+    // groupBy tail re-shuffles these k rows twice for the same result
+    val probesArr = array(probesBp.map(p => lit(p)): _*)
+    counts
+      .agg(sort_array(collect_list(struct(col("v"), col("cnt")))).as("a"))
+      .where(size(col("a")) > 0) // empty input -> 0 rows, not null probes
+      .select(explode(probesArr).as("p_bp"), col("a"),
+        aggregate(col("a"), lit(0L), (acc, x) => acc + x("cnt")).as("total"))
+      .select(col("p_bp"),
+        // smallest sampled v whose cumulative count reaches p/10000 of
+        // the total: fold with (cum, found) state, keep the first hit
+        aggregate(col("a"),
+          struct(lit(0L).as("cum"), lit(null).cast("long").as("found")),
+          (s, x) => {
+            val cum = s("cum") + x("cnt")
+            struct(cum.as("cum"),
+              coalesce(s("found"),
+                when(cum * 10000 >= col("p_bp") * col("total"), x("v")))
+                .as("found"))
+          }).getField("found").as("value"))
   }
 
   /** Per-partition bounded bottom-k over DISTINCT elements: a TreeSet

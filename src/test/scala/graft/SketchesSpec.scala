@@ -74,4 +74,24 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     val median = sorted(sorted.length / 2).toLong
     assert(math.abs(a(5000) - median).toDouble / median < 0.15)
   }
+
+  test("kmv quantiles: preAggregate plan is value-identical to two-pass") {
+    // duplicated + skewed multiset, multiple partitions: the one-scan
+    // distinct-count plan and the two-scan bounded-wire plan must agree
+    // bit for bit (same sample, same counts, same fold)
+    val vals = (1 to 5000).flatMap(i => Seq.fill(1 + i % 7)((i * 31) % 400))
+    for (parts <- Seq(1, 13)) {
+      val df = vals.toDF("x").repartition(parts)
+      val two = Sketches.kmvQuantiles(df, "x", k = 64)
+        .as[(Int, Long)].collect().toMap
+      val one = Sketches.kmvQuantiles(df, "x", k = 64, preAggregate = true)
+        .as[(Int, Long)].collect().toMap
+      assert(one == two, s"parts=$parts")
+    }
+    // empty input: both plans produce zero rows, not null probes
+    val empty = Seq.empty[Int].toDF("x")
+    assert(Sketches.kmvQuantiles(empty, "x", k = 8).count() == 0)
+    assert(Sketches.kmvQuantiles(empty, "x", k = 8,
+      preAggregate = true).count() == 0)
+  }
 }
