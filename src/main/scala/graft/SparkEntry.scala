@@ -1258,6 +1258,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
     }),
 
+    // Budget-driven mixture sampling (data mixing): per-language keep
+    // rates DERIVED from observed sizes vs row budgets — cap English,
+    // keep German whole (budget > stratum), drop Chinese, default-cap
+    // the rest. sum(doc_id) pins the exact kept row set, not just its
+    // size. One tiny count agg broadcast back; the corpus never
+    // shuffles.
+    "q75_budget_mixture" -> ((s, dir) => {
+      graft.operators.llm.Sampling.budgetSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", salt = "mix",
+        budgets = Seq("en" -> 500L, "de" -> 100000L, "zh" -> 0L),
+        defaultBudget = 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // Interval (range) join re-expressed as an equi-join on (key, day)
     // with residual bounds — the shuffle-joinable form of a non-equi
     // join that would otherwise plan as BroadcastNestedLoopJoin. 24
@@ -2514,6 +2530,20 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc
         |FROM s WHERE p < bound GROUP BY 1""".stripMargin,
+
+    "q75_budget_mixture" ->
+      """WITH n AS (SELECT lang, count(*) AS nn FROM documents GROUP BY 1),
+        |k AS (SELECT d.doc_id, d.lang, n.nn,
+        |    CASE d.lang WHEN 'en' THEN 500 WHEN 'de' THEN 100000
+        |      WHEN 'zh' THEN 0 ELSE 300 END AS b
+        |  FROM documents d JOIN n USING (lang))
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM k
+        |WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN b >= nn THEN 'g'
+        |       ELSE printf('%04x', CAST((b * 65536) // nn AS INTEGER)) END
+        |GROUP BY 1""".stripMargin,
 
     "q62_interval_join" ->
       """WITH w AS (SELECT i AS win_id, i % 8 AS bucket,

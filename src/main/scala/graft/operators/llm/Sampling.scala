@@ -69,6 +69,62 @@ object Sampling {
       md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2) < bound)
   }
 
+  /** Budget-driven mixture sampling — the data-mixing step of corpus
+    * assembly ("cap the dominant crawl at N docs, keep the rare
+    * language whole"): each stratum's keep rate is DERIVED from its
+    * observed size, rate = min(1, budget / n), then applied with the
+    * same salted-hash determinism as [[hashSample]]. Unlike
+    * [[stratifiedHashSample]] the caller states the outcome (row
+    * budgets), not the mechanism (rates), so the mix holds as the
+    * corpus grows — re-running after ingest re-derives the rates.
+    *
+    * Rates are quantized to 1/65536 (first FOUR hex chars of the salted
+    * md5 compare against a 4-hex bound string), so the kept fraction
+    * tracks the budget within hash-uniformity error (~1/sqrt(n)) plus
+    * at most 1/65536 of quantization — and any engine with md5
+    * reproduces the exact row set with string comparison alone.
+    * floor()ing the bound keeps AT MOST ~the budget (never blows a
+    * cap); a stratum at or under budget keeps every row (bound
+    * "10000" sorts above all 4-hex prefixes).
+    *
+    * Scale shape: one tiny groupBy(strata) count (map-side partials,
+    * <= |strata| rows on the wire) broadcast back onto the corpus; the
+    * corpus itself never shuffles — the filter is a map-side
+    * projection at any scale. Strata absent from `budgets` fall back
+    * to `defaultBudget` rows (0 drops them; any budget >= the stratum
+    * size keeps it whole — budgets cap at 2^47 so the rate arithmetic
+    * stays in exact signed-64 integer range). */
+  def budgetSample(df: DataFrame, idCol: String, strataCol: String,
+                   salt: String, budgets: Seq[(String, Long)],
+                   defaultBudget: Long): DataFrame = {
+    // 2^47: budget * 65536 must not overflow a signed long in the
+    // under-budget branch (the >= n branch short-circuits larger
+    // "keep everything" sentinels like Long.MaxValue only when the
+    // stratum is actually smaller, so the bound applies to the budget
+    // itself)
+    def ok(b: Long, s: String): Unit = require(
+      b >= 0L && b <= (1L << 47),
+      s"budget for '$s' must be in [0, 2^47], got $b")
+    budgets.foreach { case (s, b) => ok(b, s) }
+    ok(defaultBudget, "default")
+    val budget = budgets.foldRight(lit(defaultBudget): Column) {
+      case ((stratum, b), acc) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+    val bound =
+      // over-budget: keep all ("g" sorts after every lowercase hex char)
+      when(budget >= col("__n"), lit("g"))
+        .otherwise(lpad(lower(hex(
+          (budget * 65536L).cast("long") / col("__n"))), 4, "0"))
+    df.join(broadcast(counts), Seq(strataCol))
+      .where(substring(
+        md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 4)
+        < bound)
+      .drop("__n")
+  }
+
   /** Bounds compare lexicographically against LOWERCASE md5 hex — an
     * uppercase, non-hex, or wrong-length bound (e.g. "CC", "c") would
     * silently mis-assign every row instead of failing. */

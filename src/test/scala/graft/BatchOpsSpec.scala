@@ -167,6 +167,36 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept == again)
   }
 
+  test("budget mixture sample: derived rates track budgets, caps never blow") {
+    import graft.operators.llm.Sampling
+    val df = (0L until 3000L).map { i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh")
+    }.toDF("doc_id", "lang") // 1000 docs per lang
+    val kept = Sampling.budgetSample(df, "doc_id", "lang", "m",
+      Seq("en" -> 250L, "de" -> 5000L), defaultBudget = 0L)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // en: rate floor(250*65536/1000)/65536 ≈ 25% of 1000, hash-uniform
+    // error ~ ±3σ·sqrt(250); the floor means the cap is never EXCEEDED
+    // by more than hash noise, so bound the top at budget + 3σ
+    assert(kept("en") > 180 && kept("en") < 295, kept)
+    assert(kept("de") == 1000L)     // over-budget stratum kept whole
+    assert(!kept.contains("zh"))    // default budget 0 drops the stratum
+    // determinism + subset property: the kept set is a subset of the
+    // kept set under a LARGER budget (same salt ⇒ nested samples)
+    val small = Sampling.budgetSample(df, "doc_id", "lang", "m",
+      Seq("en" -> 100L), 0L).select($"doc_id").as[Long].collect().toSet
+    val large = Sampling.budgetSample(df, "doc_id", "lang", "m",
+      Seq("en" -> 500L), 0L).select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large) && small.nonEmpty)
+    // budget validation: negative and overflow-range budgets fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSample(df, "doc_id", "lang", "m", Seq("en" -> -1L), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSample(df, "doc_id", "lang", "m", Nil, Long.MaxValue)
+    }
+  }
+
   test("tfidf: rare tokens outweigh common ones, integer-exact") {
     import graft.operators.llm.TextAnalysis
     val docs = Seq(
