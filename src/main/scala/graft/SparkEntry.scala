@@ -1258,6 +1258,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
     }),
 
+    // Sequence packing (concatenate-then-chunk): every doc assigned to
+    // the 4096-token training sequence its first token lands in, via an
+    // exact global prefix sum done scale-properly (range partition +
+    // per-partition totals + map-side offsets — never a one-partition
+    // window). Aggregated per sequence; sum(global_start) pins the
+    // exact prefix sums, not just the chunk assignment.
+    "q76_sequence_pack" -> ((s, dir) => {
+      import graft.operators.llm.{Packing, TextAnalysis}
+      Packing.byTokenBudget(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", budget = 4096L)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          sum(col("global_start")).as("sum_starts"))
+    }),
+
     // Budget-driven mixture sampling (data mixing): per-language keep
     // rates DERIVED from observed sizes vs row budgets — cap English,
     // keep German whole (budget > stratum), drop Chinese, default-cap
@@ -2530,6 +2549,20 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc
         |FROM s WHERE p < bound GROUP BY 1""".stripMargin,
+
+    "q76_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS global_start
+        |  FROM t)
+        |SELECT global_start // 4096 AS seq_id, count(*) AS n_docs,
+        |  min(doc_id) AS first_doc,
+        |  CAST(sum(global_start) AS BIGINT) AS sum_starts
+        |FROM p GROUP BY 1""".stripMargin,
 
     "q75_budget_mixture" ->
       """WITH n AS (SELECT lang, count(*) AS nn FROM documents GROUP BY 1),

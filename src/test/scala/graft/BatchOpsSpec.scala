@@ -197,6 +197,39 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("sequence packing: exact global prefix sums, partition-invariant") {
+    import graft.operators.llm.Packing
+    // token counts 1..200 in shuffled insertion order; the prefix sum
+    // must follow ID order, not input order
+    val rows = scala.util.Random.shuffle(
+      (1L to 200L).map(i => (i, i)).toList)
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("doc_id", "n_tok").repartition(parts)
+      val got = Packing.byTokenBudget(df, "doc_id", "n_tok", budget = 100L)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, start, seq) => id -> ((start, seq)) }.toMap
+      // exact exclusive prefix sums: start(i) = sum(1..i-1) = i(i-1)/2
+      (1L to 200L).foreach { i =>
+        val exp = i * (i - 1) / 2
+        assert(got(i) == ((exp, exp / 100)), s"doc $i parts=$parts")
+      }
+    }
+    // a doc can straddle a chunk boundary: it belongs to the chunk its
+    // FIRST token lands in (doc 14 starts at 91 -> seq 0 even though it
+    // ends at 105)
+    val df2 = (1L to 20L).map(i => (i, i)).toDF("doc_id", "n_tok")
+    val s14 = Packing.byTokenBudget(df2, "doc_id", "n_tok", 100L)
+      .where($"doc_id" === 14L).as[(Long, Long, Long)].collect()(0)
+    assert(s14 == ((14L, 91L, 0L)))
+    // empty input and invalid budget
+    assert(Packing.byTokenBudget(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tok"), "doc_id", "n_tok",
+      8L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Packing.byTokenBudget(df2, "doc_id", "n_tok", 0L)
+    }
+  }
+
   test("tfidf: rare tokens outweigh common ones, integer-exact") {
     import graft.operators.llm.TextAnalysis
     val docs = Seq(
