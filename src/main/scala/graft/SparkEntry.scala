@@ -303,7 +303,12 @@ object SparkEntry {
           .otherwise(concat(date_format(col("ts"), "yyyyMMddHHmmss"), lit("+"),
             round(col("value")).cast("long"))),
         lit("sha1:ABC"), lit("-"), lit("-"))
-      graft.model.CrawlLog.fromLines(fanOut(e).select(line.as("line")))
+      // fan out only the five columns the line render needs — fanning the
+      // whole table would shuffle the wide props JSON column for nothing
+      graft.model.CrawlLog.fromLines(
+        fanOut(e.select(col("ts"), col("event_type"), col("value"),
+          col("user_id"), col("event_id")))
+          .select(line.as("line")))
         .select(col("uri"), col("status"), col("size"),
           col("fetch_start"), col("fetch_duration"))
     }),

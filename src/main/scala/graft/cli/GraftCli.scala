@@ -161,6 +161,10 @@ object GraftCli {
         val idCol = rest.lift(2).getOrElse("doc_id")
         val textCol = rest.lift(3).getOrElse("text")
         val maxBucket = rest.lift(4).flatMap(_.toIntOption).getOrElse(10000)
+        // 0 (default) = distributed fixpoint; a per-shard / small-corpus
+        // run passes an edge count below which CC finishes in one
+        // union-find task (ConnectedComponents.localBelow)
+        val localBelow = rest.lift(5).flatMap(_.toLongOption).getOrElse(0L)
         val corpus = spark.read.parquet(rest(0))
           .select(col(idCol), col(textCol))
         import graft.operators.llm.MinHashLsh
@@ -184,7 +188,7 @@ object GraftCli {
             "(exact-dedup follow-up applied to the keep-set)")
         }
         val cc = graft.operators.llm.ConnectedComponents(
-          pairs, "doc_a", "doc_b")
+          pairs, "doc_a", "doc_b", localBelow = localBelow)
         val lshKeep = corpus.select(col(idCol))
           .join(cc.where(col("node") =!= col("component"))
             .select(col("node").as(idCol)), Seq(idCol), "left_anti")
@@ -269,7 +273,8 @@ object GraftCli {
       |  file-search <file> <start> [<end>]     binary search a sorted file
       |  date-filter <root> <expr> [ext]        mtime-expression file listing
       |                                         (all-digit operand = timestamp; path:X forces a path bound)
-      |  dedup <corpus> <out> [id] [text] [cap] near-dup dedup (LSH -> CC -> keep-min)
+      |  dedup <corpus> <out> [id] [text] [cap] [localBelow]  near-dup dedup (LSH -> CC -> keep-min;
+      |                                         localBelow>0 finishes small graphs in one union-find task)
       |  decontaminate <corpus> <eval> <out> [k] [dropAt]  hit counts, or clean corpus + quarantine at >= dropAt hits
       |""".stripMargin)
 }
