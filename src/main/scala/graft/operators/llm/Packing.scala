@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** (idCol, tokCol) → (idCol, "global_start", "seq_id"). `tokCol` must
-    * be non-negative; null counts as 0. */
+    * be non-negative; null counts as 0. `idCol` must be UNIQUE — ties
+    * have no defined layout order, so duplicate ids would make their
+    * rows' prefix sums partition-placement-dependent. */
   def byTokenBudget(df: DataFrame, idCol: String, tokCol: String,
                     budget: Long): DataFrame = {
     require(budget >= 1L, s"budget must be >= 1 token, got $budget")

@@ -97,14 +97,11 @@ object Sampling {
   def budgetSample(df: DataFrame, idCol: String, strataCol: String,
                    salt: String, budgets: Seq[(String, Long)],
                    defaultBudget: Long): DataFrame = {
-    // 2^47: budget * 65536 must not overflow a signed long in the
-    // under-budget branch (the >= n branch short-circuits larger
-    // "keep everything" sentinels like Long.MaxValue only when the
-    // stratum is actually smaller, so the bound applies to the budget
-    // itself)
+    // below 2^47: budget * 65536 must stay inside a signed long in the
+    // under-budget branch (2^47 * 65536 is exactly 2^63 — one past max)
     def ok(b: Long, s: String): Unit = require(
-      b >= 0L && b <= (1L << 47),
-      s"budget for '$s' must be in [0, 2^47], got $b")
+      b >= 0L && b < (1L << 47),
+      s"budget for '$s' must be in [0, 2^47), got $b")
     budgets.foreach { case (s, b) => ok(b, s) }
     ok(defaultBudget, "default")
     val budget = budgets.foldRight(lit(defaultBudget): Column) {
@@ -113,16 +110,24 @@ object Sampling {
     }
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("__n"))
-    val bound =
-      // over-budget: keep all ("g" sorts after every lowercase hex char)
-      when(budget >= col("__n"), lit("g"))
-        .otherwise(lpad(lower(hex(
-          (budget * 65536L).cast("long") / col("__n"))), 4, "0"))
-    df.join(broadcast(counts), Seq(strataCol))
+      .withColumnRenamed(strataCol, "__stratum")
+    // null-safe join: a NULL stratum is still a stratum (it groups, gets
+    // the default budget, and must not be silently dropped the way a
+    // plain equi-join on a null key would)
+    df.join(broadcast(counts), col(strataCol) <=> col("__stratum"))
+      .withColumn("__budget", budget)
+      .withColumn("__bound",
+        // over-budget: keep all ("g" sorts after every lowercase hex
+        // char). The under-budget rate uses SQL `div` — `/` on columns
+        // is DOUBLE division, which both loses integer exactness past
+        // 2^53 and only reaches hex() through an implicit re-cast
+        when(col("__budget") >= col("__n"), lit("g"))
+          .otherwise(lpad(lower(hex(
+            expr("(__budget * 65536) div __n"))), 4, "0")))
       .where(substring(
         md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 4)
-        < bound)
-      .drop("__n")
+        < col("__bound"))
+      .drop("__stratum", "__n", "__budget", "__bound")
   }
 
   /** Bounds compare lexicographically against LOWERCASE md5 hex — an

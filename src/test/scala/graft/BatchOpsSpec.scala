@@ -188,6 +188,13 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     val large = Sampling.budgetSample(df, "doc_id", "lang", "m",
       Seq("en" -> 500L), 0L).select($"doc_id").as[Long].collect().toSet
     assert(small.subsetOf(large) && small.nonEmpty)
+    // a NULL stratum is still a stratum: it takes the default budget
+    // instead of being silently dropped by a null-key equi-join
+    val withNull = (0L until 100L).map(i => (i, null: String))
+      .toDF("doc_id", "lang")
+    val keptNull = Sampling.budgetSample(withNull, "doc_id", "lang", "m",
+      Nil, defaultBudget = 1000L).count()
+    assert(keptNull == 100L)
     // budget validation: negative and overflow-range budgets fail loudly
     intercept[IllegalArgumentException] {
       Sampling.budgetSample(df, "doc_id", "lang", "m", Seq("en" -> -1L), 0L)
