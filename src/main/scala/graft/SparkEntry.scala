@@ -1282,6 +1282,37 @@ object SparkEntry {
           sum(col("global_start")).as("sum_starts"))
     }),
 
+    // C4-style line-level exact dedup: docs cut into 10-word chunks,
+    // every chunk occurrence after its global-first (by (doc, pos)) is
+    // dropped corpus-wide, docs reassembled from surviving chunks —
+    // fully-duplicated docs vanish. Two map-side-combinable shuffles
+    // (min-key keep-first, per-doc regroup); never a window, never a
+    // join back. clean_md5 pins the exact reassembled text.
+    "q77_chunk_dedup" -> ((s, dir) => {
+      graft.operators.llm.TextAnalysis.chunkDedup(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkWords = 10)
+        .select(col("doc_id"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // Deterministic corpus shuffle + sharding (training order): rows
+    // totally ordered by (md5(salt|id), id), exact global rank via
+    // range-partition + per-partition counts + map-side offsets (never
+    // a one-partition window), cut into 64-row shards. perm_check =
+    // sum(rank * doc_id) pins the exact permutation, not just shard
+    // sizes.
+    "q78_shuffle_shard" -> ((s, dir) => {
+      graft.operators.llm.Sampling.deterministicShard(
+        tbl(s, dir, "documents").select(col("doc_id")),
+        "doc_id", salt = "ord", shardSize = 64L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("rank")).as("first_rank"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(expr("`rank` * doc_id")).as("perm_check"))
+    }),
+
     // Budget-driven mixture sampling (data mixing): per-language keep
     // rates DERIVED from observed sizes vs row budgets — cap English,
     // keep German whole (budget > stratum), drop Chinese, default-cap
@@ -2568,6 +2599,29 @@ object SparkEntry {
         |  min(doc_id) AS first_doc,
         |  CAST(sum(global_start) AS BIGINT) AS sum_starts
         |FROM p GROUP BY 1""".stripMargin,
+
+    "q77_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(w[i*10+1 : i*10+10], ' ') AS chunk
+        |  FROM t, LATERAL (SELECT unnest(range((len(w)+9)//10)) AS i) u),
+        |k AS (SELECT chunk, min(doc_id*4294967296 + chunk_idx) AS kk
+        |  FROM c GROUP BY 1)
+        |SELECT kk // 4294967296 AS doc_id, count(*) AS n_kept,
+        |  md5(string_agg(chunk, ' ' ORDER BY kk % 4294967296)) AS clean_md5
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "q78_shuffle_shard" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY
+        |      md5('ord|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rnk
+        |  FROM documents)
+        |SELECT rnk // 64 AS shard, count(*) AS n_docs,
+        |  min(rnk) AS first_rank,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(rnk * doc_id) AS BIGINT) AS perm_check
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q75_budget_mixture" ->
       """WITH n AS (SELECT lang, count(*) AS nn FROM documents GROUP BY 1),

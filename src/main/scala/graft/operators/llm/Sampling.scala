@@ -1,6 +1,7 @@
 package graft.operators.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /**
@@ -128,6 +129,67 @@ object Sampling {
         md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 4)
         < col("__bound"))
       .drop("__stratum", "__n", "__budget", "__bound")
+  }
+
+  /** Deterministic corpus shuffle + sharding — the training-order step:
+    * rows are totally ordered by (md5(salt|id), id), a reproducible
+    * pseudo-random permutation any engine with md5 replays, assigned
+    * their exact 0-based global rank, and cut into `shardSize`-row
+    * shards (shard = rank div shardSize) so a data loader can address
+    * shard files directly. Re-salting re-shuffles; re-running does not.
+    * Returns (idCol, rank, shard). `idCol` must be unique (it is the
+    * order tie-break).
+    *
+    * Scale shape — an exact global rank WITHOUT a one-partition window
+    * (`row_number() over (order by hash)` funnels the corpus through a
+    * single task — dead at 100 TB): range-partition + sort by the hash
+    * (ONE boundary shuffle, the same total-order primitive as the
+    * cluster build), per-partition row counts to the driver (one row of
+    * metadata per partition), then each partition emits offset + local
+    * position map-side. The same technique as [[Packing.byTokenBudget]]'s
+    * prefix sum, with row count as the measure. */
+  def deterministicShard(df: DataFrame, idCol: String, salt: String,
+                         shardSize: Long): DataFrame = {
+    require(shardSize >= 1L, s"shardSize must be >= 1, got $shardSize")
+    val spark = df.sparkSession
+    val keyed = df
+      .select(col(idCol).cast("long").as("__id"))
+      .select(col("__id"),
+        md5(concat(lit(salt + "|"), col("__id").cast("string"))).as("__h"))
+      .repartitionByRange(col("__h"), col("__id"))
+      .sortWithinPartitions(col("__h"), col("__id"))
+      .persist()
+    try {
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      val totals = keyed.select(col("__id")).as(Encoders.scalaLong)
+        .mapPartitions { it =>
+          var n = 0L
+          it.foreach(_ => n += 1L)
+          Iterator.single((TaskContext.getPartitionId().toLong, n))
+        }(enc)
+        .collect()
+        .sortBy(_._1)
+      // exclusive prefix: a partition's first rank is the row count of
+      // every partition before it in hash order
+      var running = 0L
+      val offsets = totals.map { case (pid, n) =>
+        val o = pid -> running; running += n; o
+      }.toMap
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val ranked = keyed
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+        .mapPartitions { it =>
+          var r = bOffsets.value
+            .getOrElse(TaskContext.getPartitionId().toLong, 0L)
+          it.map { case (id, _) => val row = (id, r); r += 1L; row }
+        }(enc)
+        .toDF("__id", "rank")
+        .select(col("__id").as(idCol), col("rank"),
+          expr(s"`rank` div $shardSize").as("shard"))
+      // materialize before the finally unpersists the sorted cache the
+      // two passes (totals + ranked) both read
+      ranked.localCheckpoint(true)
+    } finally keyed.unpersist(blocking = false)
   }
 
   /** Bounds compare lexicographically against LOWERCASE md5 hex — an

@@ -415,4 +415,50 @@ object TextAnalysis {
         md5(concat_ws(",", col("__hs"))).as("fingerprint"),
         size(col("__hs")).cast("long").as("n_sampled"))
   }
+
+  /** C4-style LINE-level exact dedup, generalized to fixed-size word
+    * chunks (training corpora repeat boilerplate lines — navbars, license
+    * headers — far more often than whole documents): each document is cut
+    * into consecutive `chunkWords`-word chunks, every occurrence of a
+    * chunk AFTER its first (in global (doc, position) order) is dropped
+    * corpus-wide — including repeats within one document — and documents
+    * are reassembled from their surviving chunks in position order.
+    * Documents whose every chunk was seen earlier vanish entirely.
+    * Returns (idCol, n_kept, clean_text).
+    *
+    * Scale shape: chunking is a map-side projection (transform+slice over
+    * the word array — no per-chunk row until the single posexplode), then
+    * TWO keyed shuffles, both map-side-combinable aggregations: (1)
+    * groupBy(chunk) with min(packed (doc, pos) key) — the keep-first rule
+    * as a partial-aggregable min, NOT a window over every occurrence; (2)
+    * regroup by doc to reassemble. The winning rows ARE the agg output
+    * (the chunk text is the group key), so there is no join back against
+    * the occurrence table. Requires ids < 2^31 and positions < 2^32: the
+    * keep-first key is doc*2^32+pos packed into one signed long, exact
+    * for any engine. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val cw = chunkWords
+    df.select(col(idCol).cast("long").as("__doc"),
+        Shingles.words(col(textCol)).as("__w"))
+      .select(col("__doc"),
+        // sequence(0, -1) would yield [0, -1] (Spark infers a negative
+        // step), so the empty-doc case must short-circuit to array()
+        posexplode(expr(
+          s"CASE WHEN size(__w) <= 0 THEN array() ELSE " +
+            s"transform(sequence(0, cast((size(__w) + ${cw - 1}) div $cw " +
+            s"as int) - 1), i -> array_join(slice(__w, i * $cw + 1, $cw), " +
+            "' ')) END")).as(Seq("__idx", "chunk")))
+      .groupBy(col("chunk"))
+      .agg(min(col("__doc") * lit(1L << 32) + col("__idx")).as("__k"))
+      .select(expr("__k div 4294967296").as("__doc"),
+        pmod(col("__k"), lit(1L << 32)).as("__idx"), col("chunk"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+      .select(col("__doc").as(idCol), col("n_kept"), col("clean_text"))
+  }
 }

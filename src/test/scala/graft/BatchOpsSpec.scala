@@ -256,4 +256,26 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(statsPath == out)
   }
+
+  test("deterministic shard: exact hash-order permutation, partition-invariant") {
+    import graft.operators.llm.Sampling
+    val df = (0L until 200L).toDF("doc_id")
+    val out = Sampling.deterministicShard(df, "doc_id", "s", 32L)
+      .as[(Long, Long, Long)].collect()
+    // ranks are exactly the permutation 0..n-1
+    assert(out.map(_._2).sorted.toSeq == (0L until 200L).toSeq)
+    // rank order == independently computed (md5("s|id"), id) sort order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md.digest(s"s|$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = (0L until 200L).sortBy(id => (h(id), id)).toSeq
+    assert(out.sortBy(_._2).map(_._1).toSeq == expect)
+    // shard is the rank's block
+    assert(out.forall { case (_, r, sh) => sh == r / 32L })
+    // input partitioning must not change a single assignment
+    val out2 = Sampling.deterministicShard(
+      df.repartition(7), "doc_id", "s", 32L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out2 == out.toSet)
+  }
 }

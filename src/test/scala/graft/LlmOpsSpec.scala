@@ -402,4 +402,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(fused(2L) == (("<EMAIL><NUM> tail", 1, 1)))
     assert(fused(3L) == (("12345 a <NUM> b <NUM>", 0, 2)))
   }
+
+  test("chunk dedup: keep-first across AND within docs, position order") {
+    val docs = Seq(
+      (1L, "a b c d a b"), // chunks [a b][c d][a b] — in-doc repeat drops
+      (2L, "c d e f"),     // [c d] seen at doc1 → drops; [e f] survives
+      (3L, "a b c d"))     // every chunk seen earlier → doc vanishes
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDedup(docs, "doc_id", "text", 2)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, "a b c d"), (2L, 1L, "e f")))
+    // a tail chunk shorter than chunkWords is a chunk of its own, and
+    // does NOT collide with the same words inside a full chunk
+    val odd = Seq((7L, "x y z")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.chunkDedup(odd, "doc_id", "text", 2)
+      .as[(Long, Long, String)].collect()
+    assert(o2.toSeq == Seq((7L, 2L, "x y z")))
+  }
 }
