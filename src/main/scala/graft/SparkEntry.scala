@@ -1313,6 +1313,20 @@ object SparkEntry {
           sum(expr("`rank` * doc_id")).as("perm_check"))
     }),
 
+    // Exact deterministic per-source cap (per-domain cap of web-corpus
+    // curation): each source keeps exactly min(17, |source|) docs, the
+    // first 17 in salted-hash order, via distributed selection — bucket
+    // counts + per-stratum cutoff; only the cutoff bucket's rows ever
+    // enter a window. sum_ids pins the exact kept set.
+    "q79_stratum_cap" -> ((s, dir) => {
+      graft.operators.llm.Sampling.capPerStratum(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", salt = "cap", cap = 17L, prefixLen = 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // Budget-driven mixture sampling (data mixing): per-language keep
     // rates DERIVED from observed sizes vs row budgets — cap English,
     // keep German whole (budget > stratum), drop Chinese, default-cap
@@ -2599,6 +2613,15 @@ object SparkEntry {
         |  min(doc_id) AS first_doc,
         |  CAST(sum(global_start) AS BIGINT) AS sum_starts
         |FROM p GROUP BY 1""".stripMargin,
+
+    "q79_stratum_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM r WHERE rn <= 17 GROUP BY 1""".stripMargin,
 
     "q77_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -2,6 +2,7 @@ package graft.operators.llm
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -129,6 +130,75 @@ object Sampling {
         md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 4)
         < col("__bound"))
       .drop("__stratum", "__n", "__budget", "__bound")
+  }
+
+  /** EXACT deterministic per-stratum cap — "at most `cap` documents per
+    * domain/source", the per-domain cap of web-corpus curation, keeping
+    * for each stratum exactly min(cap, |stratum|) rows: the ones whose
+    * salted hash ranks first in (md5(salt|id), id) order. Equivalent to
+    * `row_number() over (partition by stratum order by hash) <= cap`,
+    * WITHOUT ranking whole strata: a hot domain holding 1% of a 100 TB
+    * corpus would funnel through one reducer under that window.
+    * Keeps all input columns. Unlike [[budgetSample]] (rate-quantized,
+    * ~budget) the cap here is exact — and costs a second small pass
+    * where budgetSample is one count + a map-side filter.
+    *
+    * Distributed-selection shape: (1) count rows per (stratum,
+    * `prefixLen`-hex hash-prefix bucket) — a map-side-combinable agg of
+    * at most 16^prefixLen rows per stratum; (2) a per-stratum running
+    * sum over those BUCKET COUNTS (a keyed window over <= 16^prefixLen
+    * rows per stratum, never over data rows) finds each stratum's
+    * cutoff bucket and how many rows it still needs from it; (3) rows
+    * in buckets strictly below the cutoff pass with NO shuffle, and
+    * only the cutoff bucket's rows — ~16^-prefixLen of each stratum —
+    * are ranked in a window. Strata at or under the cap never reach
+    * the window at all (no cutoff row joins them).
+    *
+    * The below/boundary union reads the source twice (both reads
+    * map-side, filters pushed) — chosen over the single-pass
+    * alternative, a corpus-wide shuffle into (stratum, bucket) windows,
+    * because at 100 TB a second columnar scan is cheaper than shuffling
+    * every row to rank the ~16^-prefixLen that can straddle a cutoff.
+    * The cutoff table carries one small row per OVER-cap stratum and is
+    * broadcast — right up to millions of capped domains; past that,
+    * drop the hint and let the corpus shuffle-join on stratum. */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                    salt: String, cap: Long,
+                    prefixLen: Int = 4): DataFrame = {
+    require(cap >= 0L, s"cap must be >= 0, got $cap")
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"prefixLen must be in [1, 8], got $prefixLen")
+    val outCols = df.columns.map(col).toSeq
+    val withH = df
+      .withColumn("__h",
+        md5(concat(lit(salt + "|"), col(idCol).cast("string"))))
+      .withColumn("__b", substring(col("__h"), 1, prefixLen))
+    val counts = withH.groupBy(col(strataCol).as("__stratum"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val cum = counts.withColumn("__cum",
+      sum(col("__n")).over(
+        Window.partitionBy(col("__stratum")).orderBy(col("__b"))))
+    // first bucket where the running count reaches the cap; __need =
+    // rows still wanted from it. Strata under the cap produce no row.
+    val cut = cum.where(col("__cum") >= lit(cap))
+      .groupBy(col("__stratum"))
+      .agg(min(struct(col("__b"), (col("__cum") - col("__n"))
+        .as("__before"))).as("__c"))
+      .select(col("__stratum"), col("__c.__b").as("__bStar"),
+        (lit(cap) - col("__c.__before")).as("__need"))
+    // null-safe: a NULL stratum is capped like any other
+    val joined = withH.join(broadcast(cut),
+      col(strataCol) <=> col("__stratum"), "left")
+    val below = joined
+      .where(col("__bStar").isNull || col("__b") < col("__bStar"))
+      .select(outCols: _*)
+    val boundary = joined.where(col("__b") === col("__bStar"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("__h"), col(idCol))))
+      .where(col("__rn") <= col("__need"))
+      .select(outCols: _*)
+    below.union(boundary)
   }
 
   /** Deterministic corpus shuffle + sharding — the training-order step:

@@ -257,6 +257,34 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(statsPath == out)
   }
 
+  test("stratum cap: exactly min(cap, n) kept, hash-order prefix, NULL stratum") {
+    import graft.operators.llm.Sampling
+    // 3 strata: "big" (40 rows), "small" (3 rows), NULL (10 rows)
+    val df = ((0L until 40L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "small")) ++
+      (200L until 210L).map(i => (i, null: String))).toDF("doc_id", "src")
+    for (pl <- Seq(1, 2, 4)) {
+      val kept = Sampling.capPerStratum(df, "doc_id", "src", "t", 5L, pl)
+        .as[(Long, String)].collect()
+      val byStratum = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+      // exact sizes: capped, whole, capped — at every bucket width
+      assert(byStratum("big").size == 5, s"prefixLen=$pl")
+      assert(byStratum("small") == Set(100L, 101L, 102L), s"prefixLen=$pl")
+      assert(byStratum(null).size == 5, s"prefixLen=$pl")
+      // the kept rows are exactly the first `cap` in (md5, id) order
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long): String = md.digest(s"t|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(byStratum("big") ==
+        (0L until 40L).sortBy(id => (h(id), id)).take(5).toSet)
+      assert(byStratum(null) ==
+        (200L until 210L).sortBy(id => (h(id), id)).take(5).toSet)
+    }
+    // cap 0 drops everything; cap >= all keeps everything
+    assert(Sampling.capPerStratum(df, "doc_id", "src", "t", 0L).count() == 0)
+    assert(Sampling.capPerStratum(df, "doc_id", "src", "t", 99L).count() == 53)
+  }
+
   test("deterministic shard: exact hash-order permutation, partition-invariant") {
     import graft.operators.llm.Sampling
     val df = (0L until 200L).toDF("doc_id")
