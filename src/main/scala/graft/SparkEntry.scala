@@ -1343,6 +1343,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // Codebook training: 3 Lloyd rounds of deterministic spherical
+    // k-means (integer-sum centroids, exact-double cosine assignment)
+    // from 8 seed vectors; output is the final per-vector assignment.
+    // Per round: one map-side-combined K-row groupBy + a K×dim driver
+    // collect, re-broadcast as assignment literals — the MLlib topology.
+    "q80_kmeans" -> ((s, dir) =>
+      graft.operators.llm.KMeans.lloyd(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        seedPred = col("vec_id") < 8, iters = 3)),
+
+    // SemDeDup-shaped semantic dedup: cluster with TRAINED k-means
+    // (q80's Lloyd rounds), then cosine near-dup prune WITHIN clusters
+    // only — pairwise cost falls from O(n²) to Σ cluster², and the
+    // trained partition keeps semantic neighbors together (unlike the
+    // precomputed label of q70). Keep-min-id drops the larger id of
+    // each qualifying pair (the q36/q69 keep rule); survivors keep
+    // their cluster id.
+    "q81_semdedup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val clusters = graft.operators.llm.KMeans.lloyd(
+        emb, "vec_id", "embedding", seedPred = col("vec_id") < 8, iters = 3)
+      val drops = graft.operators.llm.AnnOps.withinBucketCosinePairs(
+        emb.join(clusters, "vec_id"), "vec_id", "embedding", "cluster",
+        minCos2Bp = 500L)
+        .select(col("vec_b").as("vec_id")).distinct()
+      clusters.join(drops, Seq("vec_id"), "left_anti")
+    }),
+
     // Interval (range) join re-expressed as an equi-join on (key, day)
     // with residual bounds — the shuffle-joinable form of a non-equi
     // join that would otherwise plan as BroadcastNestedLoopJoin. 24
@@ -2659,6 +2687,97 @@ object SparkEntry {
         |  CASE WHEN b >= nn THEN 'g'
         |       ELSE printf('%04x', CAST((b * 65536) // nn AS INTEGER)) END
         |GROUP BY 1""".stripMargin,
+
+    "q80_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(1, len(q) + 1)) AS i
+        |  FROM (SELECT q FROM e LIMIT 1)),
+        |c0 AS (SELECT vec_id AS cid, q AS s FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT e.vec_id, e.q, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+        |          / sqrt(CAST(list_sum(list_transform(range(1, len(c.s) + 1),
+        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+        |    FROM e CROSS JOIN c0 c) WHERE rk = 1),
+        |c1 AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
+        |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
+        |    FROM a1 CROSS JOIN dims GROUP BY 1, 2) GROUP BY 1),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT e.vec_id, e.q, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+        |          / sqrt(CAST(list_sum(list_transform(range(1, len(c.s) + 1),
+        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+        |    FROM e CROSS JOIN c1 c) WHERE rk = 1),
+        |c2 AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
+        |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
+        |    FROM a2 CROSS JOIN dims GROUP BY 1, 2) GROUP BY 1),
+        |a3 AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+        |          / sqrt(CAST(list_sum(list_transform(range(1, len(c.s) + 1),
+        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+        |    FROM e CROSS JOIN c2 c) WHERE rk = 1)
+        |SELECT vec_id, cid AS cluster FROM a3""".stripMargin,
+
+    "q81_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(1, len(q) + 1)) AS i
+        |  FROM (SELECT q FROM e LIMIT 1)),
+        |c0 AS (SELECT vec_id AS cid, q AS s FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT e.vec_id, e.q, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+        |          / sqrt(CAST(list_sum(list_transform(range(1, len(c.s) + 1),
+        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+        |    FROM e CROSS JOIN c0 c) WHERE rk = 1),
+        |c1 AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
+        |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
+        |    FROM a1 CROSS JOIN dims GROUP BY 1, 2) GROUP BY 1),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT e.vec_id, e.q, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+        |          / sqrt(CAST(list_sum(list_transform(range(1, len(c.s) + 1),
+        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+        |    FROM e CROSS JOIN c1 c) WHERE rk = 1),
+        |c2 AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
+        |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
+        |    FROM a2 CROSS JOIN dims GROUP BY 1, 2) GROUP BY 1),
+        |a3 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT e.vec_id, e.q, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+        |          / sqrt(CAST(list_sum(list_transform(range(1, len(c.s) + 1),
+        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+        |    FROM e CROSS JOIN c2 c) WHERE rk = 1),
+        |p AS (SELECT x.vec_id AS va, y.vec_id AS vb,
+        |    CAST(list_sum(list_transform(range(1, len(x.q) + 1),
+        |      i -> x.q[i] * y.q[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, len(x.q) + 1),
+        |      i -> x.q[i] * x.q[i])) AS BIGINT) AS na2,
+        |    CAST(list_sum(list_transform(range(1, len(y.q) + 1),
+        |      i -> y.q[i] * y.q[i])) AS BIGINT) AS nb2
+        |  FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |drops AS (SELECT DISTINCT vb FROM p
+        |  WHERE CAST(CASE WHEN dot <= 0 OR na2 = 0 OR nb2 = 0 THEN 0
+        |      ELSE CAST(CAST(dot AS HUGEINT) * dot // na2 AS HUGEINT)
+        |           * 10000 // nb2 END AS BIGINT) >= 500)
+        |SELECT vec_id, cid AS cluster FROM a3
+        |WHERE vec_id NOT IN (SELECT vb FROM drops)""".stripMargin,
 
     "q62_interval_join" ->
       """WITH w AS (SELECT i AS win_id, i % 8 AS bucket,

@@ -1,0 +1,106 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic spherical k-means (Lloyd) over an embedding column —
+ * the codebook TRAINER behind the IVF assignment path
+ * ([[AnnOps.ivfTopKWithCodebook]] consumes a codebook; this produces
+ * one), and the cluster step of cluster-based curation (SemDeDup-style
+ * pipelines: cluster, then prune within clusters).
+ *
+ * Engine-portable determinism — every quantity either is an exact
+ * integer or is the same IEEE-754 double in any engine:
+ *  - vectors are integer-quantized (round(x*1000), [[AnnOps.quantize]]);
+ *  - a centroid is the exact component-wise Long SUM of its members
+ *    (order-independent — no float accumulation, no mean division);
+ *  - assignment is argmax of cosine against the sum vector:
+ *    dot(x, s) / sqrt(s·s). Numerator and s·s are exact Longs below
+ *    2^53, so the double conversion is exact and the divide/sqrt are
+ *    correctly rounded — bit-identical in Spark and the DuckDB oracle.
+ *    (Cosine is scale-invariant, so scoring against the sum IS scoring
+ *    against the mean — the division by the member count cancels.)
+ *  - ties take the smallest centroid id; a centroid that loses all
+ *    members disappears (standard Lloyd degeneracy; K can shrink).
+ *
+ * Scale shape (the MLlib KMeans topology): per iteration ONE map-side
+ * partially-aggregated groupBy — each task emits at most K×(dim+1)
+ * longs, the shuffle is K rows regardless of input size — and a
+ * K×dim driver collect, re-broadcast as literals in the next
+ * assignment expression (codegen'd [[AnnOps.dot]] against a constant
+ * array; no join, no per-row allocation). The input is scanned
+ * `iters` times: callers clustering anything bigger than the page
+ * cache should persist the projected (id, vec) upstream. Long sums
+ * bound the input: |component| ≤ ~2^11 quantized ⇒ safe past 2^40
+ * members per cluster; swap the sums to doubles beyond that (and lose
+ * hash-exactness, as any float k-means does).
+ */
+object KMeans {
+
+  /** Train `iters` Lloyd rounds from the rows matching `seedPred`
+    * (their quantized vectors are the initial centroids, their ids the
+    * cluster ids) and return the final assignment: (idCol, cluster).
+    * `iters` counts assignments: iters=3 is assign/update, assign/
+    * update, assign-and-emit. */
+  def lloyd(emb: DataFrame, idCol: String, vecCol: String,
+            seedPred: Column, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = emb.select(col(idCol).cast("long").as("__id"),
+      AnnOps.quantize(col(vecCol)).as("__q"))
+    var centroids: Seq[(Long, Array[Long])] =
+      emb.where(seedPred)
+        .select(col(idCol).cast("long"), AnnOps.quantize(col(vecCol)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq
+    require(centroids.nonEmpty, "seedPred matched no rows")
+    val dim = centroids.head._2.length
+
+    for (_ <- 1 until iters) {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("__q"), i + 1)).as(s"s$i"))
+      centroids = e
+        .withColumn("__c", assign(centroids))
+        .groupBy(col("__c"))
+        .agg(sums.head, sums.tail: _*)
+        .collect()
+        .map(r => (r.getLong(0),
+          Array.tabulate(dim)(i => r.getLong(i + 1))))
+        .sortBy(_._1).toSeq
+    }
+    e.select(col("__id").as(idCol), assign(centroids).as("cluster"))
+  }
+
+  /** Final centroids as a driver-side codebook (id, sum-vector) — the
+    * shape [[AnnOps.ivfTopKWithCodebook]] takes. */
+  def codebook(emb: DataFrame, idCol: String, vecCol: String,
+               seedPred: Column, iters: Int = 3): Seq[(Long, Seq[Long])] = {
+    val assigned = lloyd(emb, idCol, vecCol, seedPred, iters)
+    val e = emb.select(col(idCol).cast("long").as("__id"),
+      AnnOps.quantize(col(vecCol)).as("__q"))
+    val dim = e.select(size(col("__q"))).head().getInt(0)
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("__q"), i + 1)).as(s"s$i"))
+    assigned.join(e, assigned(idCol) === e("__id"))
+      .groupBy(col("cluster")).agg(sums.head, sums.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0),
+        Array.tabulate(dim)(i => r.getLong(i + 1)).toSeq))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Argmax-cosine assignment against broadcast-literal centroids: one
+    * struct per centroid (score, -id), array_max picks max score then
+    * max(-id) = min id on ties. */
+  private def assign(centroids: Seq[(Long, Array[Long])]): Column = {
+    val scored = centroids.map { case (cid, s) =>
+      val norm = math.sqrt(s.map(v => v * v).sum.toDouble)
+      struct(
+        (AnnOps.dot(col("__q"), typedLit(s.toSeq)).cast("double") /
+          lit(norm)).as("score"),
+        lit(-cid).as("nid"))
+    }
+    (array_max(array(scored: _*)).getField("nid") * lit(-1L)).as("cluster")
+  }
+}

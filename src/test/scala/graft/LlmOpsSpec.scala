@@ -419,4 +419,84 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long, String)].collect()
     assert(o2.toSeq == Seq((7L, 2L, "x y z")))
   }
+
+  // ---- k-means (Lloyd) codebook training ----
+
+  /** The exact algorithm KMeans.lloyd claims, in plain Scala: integer
+    * sums, exact-double cosine, smallest-id tie-break, dead clusters
+    * drop. */
+  private def refLloyd(data: Seq[(Long, Array[Long])], seedIds: Set[Long],
+                       iters: Int): Map[Long, Long] = {
+    var cents: Seq[(Long, Array[Long])] =
+      data.filter(d => seedIds(d._1)).sortBy(_._1)
+    def assign(q: Array[Long]): Long =
+      cents.map { case (cid, s) =>
+        val dot = q.zip(s).map { case (a, b) => a * b }.sum.toDouble
+        val norm = math.sqrt(s.map(v => v * v).sum.toDouble)
+        (dot / norm, -cid)
+      }.max match { case (_, nid) => -nid }
+    for (_ <- 1 until iters) {
+      cents = data.groupBy(d => assign(d._2)).toSeq.sortBy(_._1)
+        .map { case (cid, members) =>
+          (cid, members.map(_._2).transpose.map(_.sum).toArray)
+        }
+    }
+    data.map(d => d._1 -> assign(d._2)).toMap
+  }
+
+  private def toEmb(rows: Seq[(Long, Array[Long])]) =
+    rows.map { case (id, q) => (id, q.map(_ / 1000.0f)) }
+      .toDF("vec_id", "embedding")
+
+  test("kmeans: separated groups converge to their seeds, deterministic") {
+    // group A hugs direction (1,0,..), group B hugs (0,1,..); seeds 0, 10
+    val rows = (0L until 10L).map(i =>
+      (i, Array(1000L - i * 7, i * 3, 50L, 0L))) ++
+      (10L until 20L).map(i =>
+        (i, Array((i - 10) * 3, 1000L - (i - 10) * 7, 0L, 50L)))
+    val got = graft.operators.llm.KMeans.lloyd(
+      toEmb(rows), "vec_id", "embedding", col("vec_id").isin(0L, 10L), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == rows.map(r => r._1 -> (if (r._1 < 10) 0L else 10L)).toMap)
+    val again = graft.operators.llm.KMeans.lloyd(
+      toEmb(rows), "vec_id", "embedding", col("vec_id").isin(0L, 10L), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("kmeans: matches the reference algorithm on pseudo-random data") {
+    val r = new scala.util.Random(42)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(6)((r.nextInt(2001) - 1000).toLong)))
+    // floats round-trip: embed v/1000f, re-quantize the way lloyd will,
+    // and hand THAT to the reference — both sides see identical ints
+    val quant = rows.map { case (id, q) =>
+      (id, q.map(v => math.round((v / 1000.0f).toDouble * 1000)))
+    }
+    for (iters <- Seq(1, 2, 4)) {
+      val got = graft.operators.llm.KMeans.lloyd(
+        toEmb(rows), "vec_id", "embedding", col("vec_id") < 5, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refLloyd(quant, Set(0L, 1L, 2L, 3L, 4L), iters),
+        s"iters=$iters")
+    }
+  }
+
+  test("kmeans: duplicate seeds tie-break to the smaller id; loser dies") {
+    val rows = Seq(
+      (0L, Array(1000L, 0L)), (1L, Array(1000L, 0L)),
+      (2L, Array(990L, 10L)), (3L, Array(980L, 20L)))
+    val got = graft.operators.llm.KMeans.lloyd(
+      toEmb(rows), "vec_id", "embedding", col("vec_id") < 2, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L)) // cluster 1 lost every tie and died
+  }
+
+  test("kmeans: codebook emits the final clusters' exact sum vectors") {
+    val rows = (0L until 8L).map(i =>
+      (i, Array(if (i < 4) 1000L else 0L, if (i < 4) 0L else 1000L)))
+    val cb = graft.operators.llm.KMeans.codebook(
+      toEmb(rows), "vec_id", "embedding", col("vec_id").isin(0L, 4L), 2)
+    assert(cb == Seq((0L, Seq(4000L, 0L)), (4L, Seq(0L, 4000L))))
+  }
 }
