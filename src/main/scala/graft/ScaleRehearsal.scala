@@ -27,12 +27,17 @@ import org.apache.spark.sql.graftshim
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val (mode, rest) = args.headOption match {
-      case Some(m) if m == "ann" || m == "dedup" => (m, args.drop(1))
+      case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" =>
+        (m, args.drop(1))
       case _ => ("dedup", args)
     }
     val copies = rest.headOption.flatMap(_.toIntOption).getOrElse(100)
     val maxBucket = rest.lift(1).flatMap(_.toIntOption)
-      .getOrElse(if (mode == "ann") 12 else 400) // ann: numPlanes
+      .getOrElse(mode match {
+        case "ann" => 12 // numPlanes
+        case "kmeans" => 8 // k (seed count)
+        case _ => 400
+      })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -58,6 +63,8 @@ object ScaleRehearsal {
 
     if (mode == "ann") { annRehearsal(spark, copies, maxBucket, sfDir,
       read, write); spark.stop(); return }
+    if (mode == "kmeans") { kmeansRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
 
     // the q69 corpus rule (base + appended-text variants), replicated
     // with disjoint id spaces; every copy of a doc is a near-dup of every
@@ -200,6 +207,42 @@ object ScaleRehearsal {
       else (pairs(df) intersect truth).size.toDouble / truth.size
     println(f"[rehearsal-ann] recall@10 single=${recall(single)}%.3f " +
       f"multi(probes=$numPlanes)=${recall(multi)}%.3f")
+    big.unpersist(blocking = false)
+  }
+
+  /** k-means decades: distributed Lloyd (localBelow = 0 — the endgame
+    * stays off; this measures the path a 100 TB corpus runs) over the
+    * replicated perturbed embeddings. The claim under test: per-round
+    * shuffle stays K rows × (dim+1) longs REGARDLESS of corpus size
+    * (map-side partial aggregation), so total shuffle is ~flat across
+    * decades while wall grows with the scan. */
+  private def kmeansRehearsal(spark: SparkSession, copies: Int, k: Int,
+                              sfDir: String, read: AtomicLong,
+                              write: AtomicLong): Unit = {
+    import graft.operators.llm.KMeans
+    val big = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("vec_id"), col("embedding"))
+      .select((col("vec_id") + col("__c") * 10000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + CAST((__c * 31 + i) % 13 " +
+          "AS FLOAT) * CAST(0.001 AS FLOAT))").as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    val n = big.count()
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (r0, w0) = (read.get, write.get)
+    val t0 = System.nanoTime()
+    val assigned = KMeans.lloyd(big, "vec_id", "embedding",
+      col("vec_id") < k, iters = 3)
+    val sizes = assigned.groupBy(col("cluster")).count()
+      .orderBy(col("cluster")).collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(",")
+    val wall = (System.nanoTime() - t0) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    def mib(v: Long): String = f"${(v / 1048576.0)}%.2f"
+    println(f"[rehearsal-kmeans] copies=$copies vectors=$n k=$k iters=3 " +
+      f"wall=$wall%.1f s shuffleRead=${mib(read.get - r0)} MiB " +
+      s"shuffleWrite=${mib(write.get - w0)} MiB clusters=$sizes")
     big.unpersist(blocking = false)
   }
 }

@@ -1351,7 +1351,8 @@ object SparkEntry {
     "q80_kmeans" -> ((s, dir) =>
       graft.operators.llm.KMeans.lloyd(
         tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        seedPred = col("vec_id") < 8, iters = 3)),
+        seedPred = col("vec_id") < 8, iters = 3,
+        localBelow = LocalKmeansRows)),
 
     // SemDeDup-shaped semantic dedup: cluster with TRAINED k-means
     // (q80's Lloyd rounds), then cosine near-dup prune WITHIN clusters
@@ -1363,11 +1364,13 @@ object SparkEntry {
     "q81_semdedup" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val clusters = graft.operators.llm.KMeans.lloyd(
-        emb, "vec_id", "embedding", seedPred = col("vec_id") < 8, iters = 3)
+        emb, "vec_id", "embedding", seedPred = col("vec_id") < 8, iters = 3,
+        localBelow = LocalKmeansRows)
+      // no distinct on drops: left_anti is duplicate-insensitive
       val drops = graft.operators.llm.AnnOps.withinBucketCosinePairs(
         emb.join(clusters, "vec_id"), "vec_id", "embedding", "cluster",
         minCos2Bp = 500L)
-        .select(col("vec_b").as("vec_id")).distinct()
+        .select(col("vec_b").as("vec_id"))
       clusters.join(drops, Seq("vec_id"), "left_anti")
     }),
 
@@ -1651,6 +1654,13 @@ object SparkEntry {
     * working set; a production web-scale run passes 0 and keeps the
     * distributed fixpoint. */
   private val LocalCcEdges = 1L << 22
+
+  /** Lloyd small-input endgame threshold for q80/q81: below this many
+    * vectors the per-round assign+agg+collect cycle is pure job
+    * overhead, so training runs in-driver on one take() (KMeans.lloyd
+    * localBelow — labels identical, pinned). 128k × 64-dim longs ≈
+    * 64 MB of driver heap; production corpora pass 0. */
+  private val LocalKmeansRows = 1L << 17
 
   /** q49's served corpus, collected once per source-table identity. */
   private val httpLinesCache =

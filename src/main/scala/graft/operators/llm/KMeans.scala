@@ -42,10 +42,20 @@ object KMeans {
     * (their quantized vectors are the initial centroids, their ids the
     * cluster ids) and return the final assignment: (idCol, cluster).
     * `iters` counts assignments: iters=3 is assign/update, assign/
-    * update, assign-and-emit. */
+    * update, assign-and-emit.
+    *
+    * `localBelow = n` (opt-in) finishes SMALL inputs in the driver:
+    * a single take(n+1) both guards the size and IS the data, so
+    * iters × (assign + K-row agg + collect) collapse to one job plus
+    * in-driver rounds over the same integer sums and exact-double
+    * cosine — labels identical (pinned). The [[ConnectedComponents]]
+    * `localBelow` endgame, applied to Lloyd's per-round job overhead;
+    * production corpora keep 0 and never pay the probe. */
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
-            seedPred: Column, iters: Int = 3): DataFrame = {
+            seedPred: Column, iters: Int = 3,
+            localBelow: Long = 0L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
     val e = emb.select(col(idCol).cast("long").as("__id"),
       AnnOps.quantize(col(vecCol)).as("__q"))
     var centroids: Seq[(Long, Array[Long])] =
@@ -56,6 +66,27 @@ object KMeans {
         .sortBy(_._1).toSeq
     require(centroids.nonEmpty, "seedPred matched no rows")
     val dim = centroids.head._2.length
+
+    if (localBelow > 0L) {
+      val probe = e.take(localBelow.toInt + 1)
+      if (probe.length <= localBelow) {
+        val data = probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        for (_ <- 1 until iters) {
+          centroids = data.groupBy(d => assignLocal(centroids, d._2))
+            .toSeq.sortBy(_._1)
+            .map { case (cid, members) =>
+              val s = new Array[Long](dim)
+              members.foreach(m =>
+                (0 until dim).foreach(i => s(i) += m._2(i)))
+              (cid, s)
+            }
+        }
+        val cents = centroids
+        import emb.sparkSession.implicits._
+        return data.map(d => (d._1, assignLocal(cents, d._2))).toSeq
+          .toDF(idCol, "cluster")
+      }
+    }
 
     for (_ <- 1 until iters) {
       val sums = (0 until dim).map(i =>
@@ -70,6 +101,23 @@ object KMeans {
         .sortBy(_._1).toSeq
     }
     e.select(col("__id").as(idCol), assign(centroids).as("cluster"))
+  }
+
+  /** Driver-side twin of [[assign]]: same exact-Long dot, same
+    * correctly-rounded double divide/sqrt, same (score, -id) max. */
+  private def assignLocal(centroids: Seq[(Long, Array[Long])],
+                          q: Array[Long]): Long = {
+    var bestScore = Double.NegativeInfinity
+    var bestNid = Long.MinValue
+    centroids.foreach { case (cid, s) =>
+      var dot = 0L; var ss = 0L; var i = 0
+      while (i < s.length) { dot += q(i) * s(i); ss += s(i) * s(i); i += 1 }
+      val score = dot.toDouble / math.sqrt(ss.toDouble)
+      if (score > bestScore || (score == bestScore && -cid > bestNid)) {
+        bestScore = score; bestNid = -cid
+      }
+    }
+    -bestNid
   }
 
   /** Final centroids as a driver-side codebook (id, sum-vector) — the

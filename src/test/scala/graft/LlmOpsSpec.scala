@@ -482,6 +482,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("kmeans: localBelow endgame labels == distributed; big threshold bypasses") {
+    val r = new scala.util.Random(7)
+    val rows = (0L until 50L).map(i =>
+      (i, Array.fill(5)((r.nextInt(2001) - 1000).toLong)))
+    for (iters <- Seq(1, 3)) {
+      val dist = graft.operators.llm.KMeans.lloyd(
+        toEmb(rows), "vec_id", "embedding", col("vec_id") < 4, iters)
+        .as[(Long, Long)].collect().toMap
+      val local = graft.operators.llm.KMeans.lloyd(
+        toEmb(rows), "vec_id", "embedding", col("vec_id") < 4, iters,
+        localBelow = 1L << 16)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"iters=$iters")
+      // threshold smaller than the input: probe overflows, distributed path
+      val bypass = graft.operators.llm.KMeans.lloyd(
+        toEmb(rows), "vec_id", "embedding", col("vec_id") < 4, iters,
+        localBelow = 10L)
+        .as[(Long, Long)].collect().toMap
+      assert(bypass == dist, s"iters=$iters bypass")
+    }
+  }
+
   test("kmeans: duplicate seeds tie-break to the smaller id; loser dies") {
     val rows = Seq(
       (0L, Array(1000L, 0L)), (1L, Array(1000L, 0L)),
