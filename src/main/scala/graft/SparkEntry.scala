@@ -18,14 +18,26 @@ import org.apache.spark.sql.expressions.Window
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects by default; read nanos as LONG and truncate to micros (same
-    // second-level values the oracle sees).
+    // Some testdata generations store events.ts as TIMESTAMP(NANOS), which
+    // Spark's parquet reader rejects by default: read nanos as LONG and
+    // truncate to micros (same second-level values the oracle sees). Newer
+    // generations store TIMESTAMP(MICROS), which reads natively — the shim
+    // must only fire when ts actually arrives as LONG.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as NTZ;
+          // the session tz is pinned UTC, so the cast is value-preserving and
+          // keeps downstream unix_micros()/window code on one type.
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   /** round(x*100) as BIGINT — exact, order-independent summand. */
