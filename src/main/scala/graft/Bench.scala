@@ -142,8 +142,17 @@ object Bench {
     val notes = "q51_stream_daycap times real micro-batch machinery vs a " +
       "batch oracle; its ratio is a floor, not a plan gap"
     // errors are reported in-band (a failed query benches as -1 + an
-    // errors entry) — exit 0 so the driver always collects the report
+    // errors entry) AND fail the process: a bench with any broken query
+    // must never be recorded as a clean run (round-10 lesson — rc:0 with
+    // AnalysisExceptions in the tail stamped a broken run as success).
+    // The report line is printed BEFORE the nonzero exit so the driver
+    // still collects the partial timings for diagnosis.
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":"$sfDir"$duckField}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries failed: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }
