@@ -1386,6 +1386,41 @@ object SparkEntry {
       clusters.join(drops, Seq("vec_id"), "left_anti")
     }),
 
+    // Exact heavy hitters over the token stream without shuffling the
+    // tail: per-partition Misra-Gries candidate summaries (<= k-1 rows
+    // each), then ONE exact aggregation where non-candidates collapse
+    // into a NULL group. k=40 → every token above 2.5% corpus share.
+    "q82_heavy_hitters" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(graft.operators.llm.Shingles.words(col("text")))
+          .as("token"))
+        .where(col("token") =!= "")
+      graft.operators.Sketches.heavyHitters(toks, "token", k = 40)
+    }),
+
+    // Gopher-style quality rules as one map-side projection; word-count
+    // bounds tightened to [30, 80] so the synthetic corpus (10–99 words
+    // per doc) exercises both outcomes of the filter.
+    "q83_gopher_quality" -> ((s, dir) =>
+      graft.operators.llm.TextAnalysis.gopherQuality(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        minWords = 30, maxWords = 80)),
+
+    // Duplicate-text fraction: share of each doc's overlapping 8-gram
+    // occurrences whose gram appears in >= 2 distinct documents.
+    "q84_dup_fraction" -> ((s, dir) =>
+      graft.operators.llm.TextAnalysis.dupGramFraction(
+        tbl(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // DSIR-style importance scoring: hashed-unigram probability-ratio
+    // weights (target = the English subset) summed per corpus doc.
+    "q85_dsir" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.llm.TextAnalysis.dsirScore(
+        docs, "doc_id", "text",
+        docs.where(col("lang") === "en"), "text")
+    }),
+
     // Interval (range) join re-expressed as an equi-join on (key, day)
     // with residual bounds — the shuffle-joinable form of a non-equi
     // join that would otherwise plan as BroadcastNestedLoopJoin. 24
@@ -2800,6 +2835,84 @@ object SparkEntry {
         |           * 10000 // nb2 END AS BIGINT) >= 500)
         |SELECT vec_id, cid AS cluster FROM a3
         |WHERE vec_id NOT IN (SELECT vb FROM drops)""".stripMargin,
+
+    "q82_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS v
+        |  FROM documents),
+        |tok AS (SELECT v FROM t WHERE v <> ''),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT v AS value, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST((10000 * count(*)) // total AS BIGINT) AS share_bp
+        |FROM tok, tot GROUP BY v, total
+        |HAVING count(*) * 40 > total""".stripMargin,
+
+    "q83_gopher_quality" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |      AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','a','of','to','and','in'],
+        |      s -> list_contains(w, s))) AS BIGINT) AS n_stop
+        |  FROM base),
+        |r AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN (10 * sum_len) // n_words END
+        |      AS mean_word_len_x10,
+        |    CASE WHEN n_words > 0 THEN (10000 * n_sym) // n_words END
+        |      AS symbol_bp,
+        |    CASE WHEN n_words > 0 THEN (10000 * n_alpha) // n_words END
+        |      AS alpha_bp,
+        |    n_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len_x10, symbol_bp, alpha_bp,
+        |  n_stop,
+        |  (n_words BETWEEN 30 AND 80)
+        |    AND (mean_word_len_x10 BETWEEN 30 AND 100)
+        |    AND symbol_bp <= 1000 AND alpha_bp >= 8000 AND n_stop >= 2
+        |    AS passes
+        |FROM r""".stripMargin,
+
+    "q84_dup_fraction" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |per AS (SELECT doc_id, h, count(*) AS occ FROM g GROUP BY 1, 2),
+        |nd AS (SELECT h, count(*) AS ndocs FROM per GROUP BY 1)
+        |SELECT per.doc_id,
+        |  CAST(sum(occ) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS BIGINT)
+        |    AS dup_grams,
+        |  CAST((10000 * sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END))
+        |    // sum(occ) AS BIGINT) AS dup_bp
+        |FROM per JOIN nd USING (h) GROUP BY 1""".stripMargin,
+
+    "q85_dsir" ->
+      """WITH ct AS (SELECT doc_id, substr(md5(t), 1, 2) AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) WHERE t <> ''),
+        |tt AS (SELECT substr(md5(t), 1, 2) AS b
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents WHERE lang = 'en') WHERE t <> ''),
+        |cb AS (SELECT b, count(*) AS cnt_c FROM ct GROUP BY 1),
+        |tb AS (SELECT b, count(*) AS cnt_t FROM tt GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM ct) AS total_c,
+        |               (SELECT count(*) FROM tt) AS total_t),
+        |wt AS (SELECT cb.b,
+        |    ((COALESCE(cnt_t, 0) + 1) * (total_c + 256) * 10000) //
+        |    ((cnt_c + 1) * (total_t + 256)) AS w
+        |  FROM cb LEFT JOIN tb ON cb.b = tb.b, tot)
+        |SELECT ct.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w) AS BIGINT) AS score,
+        |  CAST(sum(w) // count(*) AS BIGINT) AS avg_bp
+        |FROM ct JOIN wt ON ct.b = wt.b GROUP BY 1""".stripMargin,
 
     "q62_interval_join" ->
       """WITH w AS (SELECT i AS win_id, i % 8 AS bucket,

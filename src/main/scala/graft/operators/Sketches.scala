@@ -168,6 +168,83 @@ object Sketches {
           }).getField("found").as("value"))
   }
 
+  /** EXACT heavy hitters — every value whose count strictly exceeds
+    * total/k, with its exact count — without ever shuffling the full
+    * value distribution (beyond-reference surface: frequent tokens /
+    * domains / digests over a 100 TB corpus, where a plain
+    * groupBy-then-filter shuffles one row per distinct value and the
+    * long tail IS the corpus).
+    *
+    * Two passes, both wire-bounded:
+    *
+    *  1. Per-partition Misra-Gries summaries with k-1 counters
+    *     (mapPartitions over the codegen-projected values — each
+    *     partition emits <= k-1 candidate values). The union of
+    *     per-partition candidates is a SUPERSET of the global heavy
+    *     hitters: if x is absent from partition p's summary then
+    *     count_p(x) <= N_p/k (the MG guarantee), so a value absent from
+    *     every summary has count <= N/k and cannot be heavy. At most
+    *     (k-1)·numPartitions candidate rows exist, ever.
+    *  2. One exact aggregation whose group count is bounded by the
+    *     candidate set + 1: values stream map-side through a broadcast
+    *     join against the candidates, non-candidates collapse into a
+    *     single NULL group (they only contribute to the total), and the
+    *     HAVING filter `cnt * k > total` runs on the tiny aggregate.
+    *
+    * Exact, deterministic, engine-replayable (the oracle is a plain
+    * GROUP BY + HAVING). Output: (value, cnt, share_bp) with share_bp =
+    * 10000·cnt DIV total. NULLs are excluded (same semantics as
+    * countDistinct-family aggregates). */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
+    import df.sparkSession.implicits._
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("v"))
+    val cands = vals.as(Encoders.STRING)
+      .mapPartitions(misraGries(_, k))(Encoders.STRING)
+      .toDF("v").distinct()
+    val marked = vals.join(
+      broadcast(cands.withColumn("__cand", lit(1))), Seq("v"), "left")
+    // two consumers (the total and the HAVING filter) — materialize the
+    // <= candidates+1 row aggregate once instead of re-deriving the
+    // corpus pass per consumer (same trade as tfIdf's tf table)
+    val grouped = marked
+      .groupBy(when(col("__cand").isNotNull, col("v")).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val total = grouped.agg(sum(col("cnt")).as("total"))
+    grouped.where(col("value").isNotNull)
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * k > col("total"))
+      .select(col("value"), col("cnt"),
+        expr("CAST((10000 * cnt) DIV total AS BIGINT)").as("share_bp"))
+  }
+
+  /** Misra-Gries frequent-items summary with k-1 counters: counted
+    * values increment; a novel value either takes a free counter or
+    * decrements ALL counters (dropping zeros). Each decrement round
+    * retires k-1 counts plus the arriving element, so total work is
+    * O(n) amortized, O(k) memory. Survivors' true partition counts
+    * exceed N_p/k - (undercount), which is all the candidate-superset
+    * proof needs. */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = new java.util.HashMap[String, Long]()
+    it.foreach { v =>
+      val c = counters.getOrDefault(v, 0L)
+      if (c != 0L) counters.put(v, c + 1)
+      else if (counters.size < k - 1) counters.put(v, 1L)
+      else {
+        val e = counters.entrySet().iterator()
+        while (e.hasNext) {
+          val ent = e.next()
+          if (ent.getValue == 1L) e.remove() else ent.setValue(ent.getValue - 1)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counters.keySet().iterator().asScala.toList.iterator
+  }
+
   /** Per-partition bounded bottom-k over DISTINCT elements: a TreeSet
     * holds the partition's <= k smallest (dedup by membership, strict-lt
     * admission so equal elements never evict, poll after add); O(log k)

@@ -461,4 +461,159 @@ object TextAnalysis {
           x => x.getField("chunk")), " ").as("clean_text"))
       .select(col("__doc").as(idCol), col("n_kept"), col("clean_text"))
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — the standard pre-training
+    * quality gate): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, and a stopword
+    * check, evaluated as ONE map-side projection per row (no shuffle at
+    * any scale — this runs as a filter stage over the full corpus).
+    *
+    * All metrics are integer-exact so any engine replays them: mean
+    * word length in tenths (DIV), ratios in basis points (DIV). `passes`
+    * is the conjunction the pipeline filters on; the per-rule metrics
+    * are kept in the output because curation pipelines tune thresholds
+    * from their distributions. Documents with zero words fail. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanLenX10: Int = 30, maxMeanLenX10: Int = 100,
+                    maxSymbolBp: Int = 1000, minAlphaBp: Int = 8000,
+                    minStopwords: Int = 2,
+                    stopwords: Seq[String] =
+                      Seq("the", "a", "of", "to", "and", "in")): DataFrame = {
+    val stages = df.select(col(idCol), col(textCol).as("__t"),
+        filter(Shingles.words(col(textCol)), w => w =!= "").as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
+          .as("__sum_len"),
+        // symbols = anything not alphanumeric-or-space; the character
+        // class has identical semantics in Java regex and RE2 engines
+        length(regexp_replace(col("__t"), "[A-Za-z0-9 ]", ""))
+          .cast("long").as("__n_sym"),
+        size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("__n_alpha"),
+        size(filter(array(stopwords.map(lit(_)): _*),
+          s => array_contains(col("__w"), s))).cast("long").as("n_stop"))
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") > 0,
+          expr("CAST((10 * __sum_len) DIV n_words AS BIGINT)"))
+          .as("mean_word_len_x10"),
+        when(col("n_words") > 0,
+          expr("CAST((10000 * __n_sym) DIV n_words AS BIGINT)"))
+          .as("symbol_bp"),
+        when(col("n_words") > 0,
+          expr("CAST((10000 * __n_alpha) DIV n_words AS BIGINT)"))
+          .as("alpha_bp"),
+        col("n_stop"))
+    stages.withColumn("passes",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len_x10").between(minMeanLenX10, maxMeanLenX10) &&
+        col("symbol_bp") <= maxSymbolBp &&
+        col("alpha_bp") >= minAlphaBp &&
+        col("n_stop") >= minStopwords)
+  }
+
+  /** Duplicate-text fraction: for each document, the share (in basis
+    * points) of its overlapping word-k-gram occurrences whose gram also
+    * appears in at least one OTHER document — the corpus-level
+    * substring-duplication signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), reduced to gram
+    * granularity so it is exact, deterministic, and oracle-replayable.
+    * High-dup_bp documents are boilerplate/mirror candidates that
+    * survive document-level dedup (they differ somewhere) but still
+    * flood training with repeated spans.
+    *
+    * Scale shape: grams hash to md5 on the map side (fixed-width wire
+    * rows, never the gram text), then THREE map-side-combinable keyed
+    * exchanges: (1) (gram, doc) occurrence counts; (2) one window over
+    * the gram hash for the distinct-doc count — on the ALREADY
+    * per-(gram,doc)-reduced rows, so a gram's partition carries one row
+    * per document containing it, not per occurrence; (3) the per-doc
+    * fraction aggregation. Cross-doc gram skew is bounded by that
+    * reduction: a gram must appear in millions of DISTINCT documents
+    * (pure boilerplate — exactly what the score exists to flag) before
+    * its window partition grows large; such grams are cap-and-flag
+    * material upstream, same policy as the LSH bucket cap. Documents
+    * shorter than k words yield no grams and are absent from the
+    * output. */
+  def dupGramFraction(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Shingles.explodeShingles(df, idCol, textCol, k)
+      .select(col(idCol), md5(col("shingle")).as("__h"))
+      .groupBy(col("__h"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    val withDocs = per.withColumn("__ndocs",
+      count(lit(1)).over(Window.partitionBy(col("__h"))))
+    withDocs.groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_grams"),
+        sum(when(col("__ndocs") >= 2, col("__occ")).otherwise(0L))
+          .as("dup_grams"))
+      .select(col(idCol), col("n_grams"), col("dup_grams"),
+        expr("CAST((10000 * dup_grams) DIV n_grams AS BIGINT)").as("dup_bp"))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * corpus document by how much its hashed-unigram distribution looks
+    * like a TARGET domain sample vs the corpus itself. The per-bucket
+    * weight is the smoothed probability ratio in basis points,
+    *
+    *   w(b) = ((cnt_target(b)+1) · (total_corpus+B) · 10000)
+    *            DIV ((cnt_corpus(b)+1) · (total_target+B))
+    *
+    * (Laplace-smoothed, B = 16^prefixLen buckets), and a document's
+    * score is the sum of w over its token occurrences — the integer
+    * rank-equivalent of DSIR's summed log-ratios (a sum of ratios in
+    * place of a sum of logs: monotone per token, engine-exact, no
+    * floats to drift cross-engine). Tokens hash into md5-prefix buckets
+    * so the feature space is FIXED-SIZE regardless of vocabulary — the
+    * property that makes the method viable at 100 TB.
+    *
+    * Scale shape: both bucket-count aggregations are B-row outputs with
+    * map-side partials (the target side is benchmark-sized anyway); the
+    * B-row weight table broadcasts; corpus tokens stream map-side
+    * through the broadcast join; the only full-width shuffle is the
+    * final per-doc sum. Overflow bound: the weight numerator is <
+    * (total_target+1)·(total_corpus+B)·10⁴ — move to DECIMAL(38,0)
+    * arithmetic past ~10¹⁴ combined token counts. */
+  def dsirScore(corpus: DataFrame, idCol: String, textCol: String,
+                target: DataFrame, targetTextCol: String,
+                prefixLen: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 4,
+      s"prefixLen must be in [1, 4], got $prefixLen")
+    val buckets = 1L << (4 * prefixLen)
+    def tokens(d: DataFrame, c: String, keep: Seq[Column]): DataFrame =
+      d.select(keep :+ explode(Shingles.words(col(c))).as("__tok"): _*)
+        .where(col("__tok") =!= "")
+        .withColumn("__b", substring(md5(col("__tok")), 1, prefixLen))
+        .drop("__tok")
+    val corpusTok = tokens(corpus, textCol, Seq(col(idCol)))
+    val targetTok = tokens(target, targetTextCol, Seq.empty)
+    // each count table has two consumers (the weight join and its own
+    // total); left declarative each consumer would re-derive the
+    // aggregation — and re-scan its corpus. The tables are <= B rows, so
+    // materializing them once is free (same trade as tfIdf's tf table,
+    // see its docstring for checkpoint-vs-persist rationale).
+    val corpusCnt = corpusTok.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt_c")).localCheckpoint(eager = false)
+    val targetCnt = targetTok.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt_t")).localCheckpoint(eager = false)
+    // totals fold out of the B-row count tables — NOT extra corpus scans
+    val weights = corpusCnt
+      .join(targetCnt, Seq("__b"), "left")
+      .na.fill(0L, Seq("__cnt_t"))
+      .crossJoin(broadcast(corpusCnt.agg(sum(col("__cnt_c")).as("__total_c"))))
+      .crossJoin(broadcast(
+        targetCnt.agg(coalesce(sum(col("__cnt_t")), lit(0L)).as("__total_t"))))
+      .select(col("__b"),
+        expr(s"CAST(((__cnt_t + 1) * (__total_c + $buckets) * 10000) DIV " +
+          s"((__cnt_c + 1) * (__total_t + $buckets)) AS BIGINT)").as("__w"))
+    corpusTok.join(broadcast(weights), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("score"))
+      .select(col(idCol), col("n_tokens"), col("score"),
+        expr("CAST(score DIV n_tokens AS BIGINT)").as("avg_bp"))
+  }
 }

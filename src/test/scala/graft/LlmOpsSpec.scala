@@ -521,4 +521,80 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       toEmb(rows), "vec_id", "embedding", col("vec_id").isin(0L, 4L), 2)
     assert(cb == Seq((0L, Seq(4000L, 0L)), (4L, Seq(0L, 4000L))))
   }
+
+  test("gopher quality: metrics are exact on a hand-computed doc") {
+    // 4 words, lengths 3+1+7+2=13, one 7-symbol run, 3 alpha words,
+    // stopwords {the, a, to} of the default list
+    val df = Seq((1L, "the a #$%&!?* to")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQuality(df, "doc_id", "text",
+      minWords = 1, maxWords = 10).collect()(0)
+    assert(r.getAs[Long]("n_words") == 4)
+    // words: the(3) a(1) #$%&!?*(7) to(2) => sum 13, (10*13) div 4 = 32
+    assert(r.getAs[Long]("mean_word_len_x10") == 32)
+    assert(r.getAs[Long]("symbol_bp") == (10000L * 7) / 4)
+    assert(r.getAs[Long]("alpha_bp") == (10000L * 3) / 4)
+    assert(r.getAs[Long]("n_stop") == 3) // the, a, to
+    assert(!r.getAs[Boolean]("passes")) // symbol ratio way over 10%
+  }
+
+  test("gopher quality: zero-word doc fails with null ratio metrics") {
+    val r = TextAnalysis.gopherQuality(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") == 0)
+    assert(r.isNullAt(r.fieldIndex("mean_word_len_x10")))
+    assert(!r.getAs[Boolean]("passes"))
+  }
+
+  test("gopher quality: word-count bounds gate an otherwise-clean doc") {
+    val clean = "the quick brown fox jumps over a lazy dog again"
+    val df = Seq((1L, clean)).toDF("doc_id", "text")
+    assert(TextAnalysis.gopherQuality(df, "doc_id", "text",
+      minWords = 5, maxWords = 20).collect()(0).getAs[Boolean]("passes"))
+    assert(!TextAnalysis.gopherQuality(df, "doc_id", "text",
+      minWords = 20, maxWords = 30).collect()(0).getAs[Boolean]("passes"))
+  }
+
+  test("dup-gram fraction matches a brute-force reference") {
+    val docs = Seq(
+      (1L, "a b c d e f"),           // grams: abcd bcde cdef
+      (2L, "a b c d x y z w"),       // shares abcd with doc 1
+      (3L, "p q r s t u"),           // all unique
+      (4L, "a b c d a b c d e"))     // abcd twice + bcda cdab dabc bcde
+    val k = 4
+    // brute force in plain Scala
+    val grams = docs.flatMap { case (id, t) =>
+      t.split(" ").sliding(k).filter(_.size == k)
+        .map(g => (id, g.mkString(" "))).toSeq
+    }
+    val ndocs = grams.distinct.groupBy(_._2).map { case (g, xs) => g -> xs.size }
+    val expect = grams.groupBy(_._1).map { case (id, xs) =>
+      val dup = xs.count(x => ndocs(x._2) >= 2).toLong
+      (id, xs.size.toLong, dup, 10000L * dup / xs.size)
+    }.toSet
+    val got = TextAnalysis.dupGramFraction(
+      docs.toDF("doc_id", "text").repartition(3), "doc_id", "text", k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("dsir: identical target and corpus gives every bucket weight ~10000") {
+    // cnt_t == cnt_c and total_t == total_c => w = 10000 exactly, so
+    // every doc scores 10000 per token
+    val docs = Seq((1L, "x y z"), (2L, "x q"), (3L, "y")).toDF("doc_id", "text")
+    val got = TextAnalysis.dsirScore(docs, "doc_id", "text", docs, "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 30000L, 10000L), (2L, 2L, 20000L, 10000L),
+      (3L, 1L, 10000L, 10000L)))
+  }
+
+  test("dsir: target-heavy tokens score above corpus-background tokens") {
+    val corpus = Seq(
+      (1L, "ml ml ml ml"), (2L, "sports sports sports sports"),
+      (3L, "ml sports")).toDF("doc_id", "text")
+    val target = Seq((10L, "ml ml ml")).toDF("doc_id", "text")
+    val scores = TextAnalysis.dsirScore(
+      corpus, "doc_id", "text", target, "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(scores(1L) > scores(3L) && scores(3L) > scores(2L))
+  }
 }

@@ -94,4 +94,41 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(Sketches.kmvQuantiles(empty, "x", k = 8,
       preAggregate = true).count() == 0)
   }
+
+  test("heavy hitters: exact set and counts vs a brute-force groupBy") {
+    // zipf-ish: value i appears ~3000/i times; total ~= 3000*H(40)
+    val vals = (1 to 40).flatMap(i => Seq.fill(3000 / i)(s"t$i"))
+    for (parts <- Seq(1, 5, 17); k <- Seq(5, 20, 100)) {
+      val df = vals.toDF("v").repartition(parts)
+      val got = Sketches.heavyHitters(df, "v", k)
+        .as[(String, Long, Long)].collect().toSet
+      val counts = vals.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val total = vals.size.toLong
+      val expect = counts.collect {
+        case (v, c) if c * k > total => (v, c, 10000L * c / total)
+      }.toSet
+      assert(got == expect, s"parts=$parts k=$k")
+    }
+  }
+
+  test("heavy hitters: threshold is strict (count == total/k excluded)") {
+    // 4 values x 25 each, k=4: threshold total/k = 25, no count EXCEEDS it
+    val vals = (1 to 4).flatMap(i => Seq.fill(25)(s"v$i"))
+    assert(Sketches.heavyHitters(vals.toDF("v"), "v", 4).count() == 0)
+    // one value nudged over the line is the only survivor
+    val skew = vals ++ Seq("v1", "v1")
+    val got = Sketches.heavyHitters(skew.toDF("v"), "v", 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("v1", 27L, 10000L * 27 / 102)))
+  }
+
+  test("heavy hitters: NULLs excluded; empty input yields no rows") {
+    val withNulls = Seq(Some("a"), Some("a"), Some("a"), None, Some("b"))
+    val got = Sketches.heavyHitters(withNulls.toDF("v"), "v", 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // totals count only the 4 non-null values: a=3 > 4/2
+    assert(got == Seq(("a", 3L, 7500L)))
+    assert(Sketches.heavyHitters(
+      Seq.empty[String].toDF("v"), "v", 8).count() == 0)
+  }
 }
