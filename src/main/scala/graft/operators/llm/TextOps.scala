@@ -571,11 +571,18 @@ object TextAnalysis {
     * so the feature space is FIXED-SIZE regardless of vocabulary — the
     * property that makes the method viable at 100 TB.
     *
-    * Scale shape: both bucket-count aggregations are B-row outputs with
-    * map-side partials (the target side is benchmark-sized anyway); the
-    * B-row weight table broadcasts; corpus tokens stream map-side
-    * through the broadcast join; the only full-width shuffle is the
-    * final per-doc sum. Overflow bound: the weight numerator is <
+    * Scale shape — ONE corpus pass: the corpus aggregates straight to
+    * per-(doc, bucket) counts (map-side partials; <= B rows per doc on
+    * the wire, not one per token), and everything downstream derives
+    * from that already-reduced table — the global bucket counts fold
+    * out of it with a second tiny aggregation, the B-row weight table
+    * broadcasts back onto it, and the per-doc sum is a sum of
+    * pre-counted (cnt · w) products. The reduced table has two
+    * consumers (global counts, scoring), so it is materialized once
+    * (same trade as tfIdf's tf table — see its docstring for the
+    * checkpoint-vs-persist rationale). The target side is
+    * benchmark-sized and aggregates to <= B rows the same way.
+    * Overflow bound: the weight numerator is <
     * (total_target+1)·(total_corpus+B)·10⁴ — move to DECIMAL(38,0)
     * arithmetic past ~10¹⁴ combined token counts. */
   def dsirScore(corpus: DataFrame, idCol: String, textCol: String,
@@ -589,18 +596,18 @@ object TextAnalysis {
         .where(col("__tok") =!= "")
         .withColumn("__b", substring(md5(col("__tok")), 1, prefixLen))
         .drop("__tok")
-    val corpusTok = tokens(corpus, textCol, Seq(col(idCol)))
-    val targetTok = tokens(target, targetTextCol, Seq.empty)
-    // each count table has two consumers (the weight join and its own
-    // total); left declarative each consumer would re-derive the
-    // aggregation — and re-scan its corpus. The tables are <= B rows, so
-    // materializing them once is free (same trade as tfIdf's tf table,
-    // see its docstring for checkpoint-vs-persist rationale).
-    val corpusCnt = corpusTok.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__cnt_c")).localCheckpoint(eager = false)
-    val targetCnt = targetTok.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__cnt_t")).localCheckpoint(eager = false)
-    // totals fold out of the B-row count tables — NOT extra corpus scans
+    val perDocBucket = tokens(corpus, textCol, Seq(col(idCol)))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(eager = false)
+    val corpusCnt = perDocBucket.groupBy(col("__b"))
+      .agg(sum(col("__cnt")).as("__cnt_c"))
+      .localCheckpoint(eager = false)
+    val targetCnt = tokens(target, targetTextCol, Seq.empty)
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt_t"))
+      .localCheckpoint(eager = false)
+    // totals fold out of the B-row count tables — never a corpus re-scan
     val weights = corpusCnt
       .join(targetCnt, Seq("__b"), "left")
       .na.fill(0L, Seq("__cnt_t"))
@@ -610,9 +617,10 @@ object TextAnalysis {
       .select(col("__b"),
         expr(s"CAST(((__cnt_t + 1) * (__total_c + $buckets) * 10000) DIV " +
           s"((__cnt_c + 1) * (__total_t + $buckets)) AS BIGINT)").as("__w"))
-    corpusTok.join(broadcast(weights), "__b")
+    perDocBucket.join(broadcast(weights), "__b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("score"))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(col("__cnt") * col("__w")).as("score"))
       .select(col(idCol), col("n_tokens"), col("score"),
         expr("CAST(score DIV n_tokens AS BIGINT)").as("avg_bp"))
   }
