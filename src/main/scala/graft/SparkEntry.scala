@@ -1421,6 +1421,39 @@ object SparkEntry {
         docs.where(col("lang") === "en"), "text")
     }),
 
+    // End-to-end curation pipeline as ONE composed query — the corpus
+    // assembly a training run actually performs: Gopher quality gate
+    // (map-side, filtered inline via keepCols — no join back), exact
+    // content dedup (keep-min-id per digest, a single struct-min agg —
+    // the winner rows ARE the agg output), budget-driven language
+    // mixture (count broadcast, corpus never shuffles), and sequence
+    // packing at a 2048-token budget (distributed prefix sum). Output:
+    // per-training-sequence stats.
+    "q86_curation_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val clean = graft.operators.llm.TextAnalysis.gopherQuality(
+        docs, "doc_id", "text", minWords = 30, maxWords = 80,
+        keepCols = Seq("text", "lang"))
+        .where(col("passes"))
+        .select(col("doc_id"), col("lang"),
+          graft.operators.llm.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_tok"),
+          md5(col("text")).as("__d"))
+      val winners = clean.groupBy(col("__d"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tok"))).as("__w"))
+        .select(col("__w.doc_id").as("doc_id"),
+          col("__w.lang").as("lang"), col("__w.n_tok").as("n_tok"))
+      val mixed = graft.operators.llm.Sampling.budgetSample(
+        winners, "doc_id", "lang", salt = "cur",
+        budgets = Seq("en" -> 120L), defaultBudget = 60L)
+      val packed = graft.operators.llm.Packing.byTokenBudget(
+        mixed, "doc_id", "n_tok", budget = 2048L)
+      packed.join(mixed.select(col("doc_id"), col("n_tok")), "doc_id")
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
     // Interval (range) join re-expressed as an equi-join on (key, day)
     // with residual bounds — the shuffle-joinable form of a non-equi
     // join that would otherwise plan as BroadcastNestedLoopJoin. 24
@@ -2913,6 +2946,49 @@ object SparkEntry {
         |  CAST(sum(w) AS BIGINT) AS score,
         |  CAST(sum(w) // count(*) AS BIGINT) AS avg_bp
         |FROM ct JOIN wt ON ct.b = wt.b GROUP BY 1""".stripMargin,
+
+    "q86_curation_pipeline" ->
+      """WITH base AS (SELECT doc_id, text, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, lang,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0)
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |      AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','a','of','to','and','in'],
+        |      s -> list_contains(w, s))) AS BIGINT) AS n_stop
+        |  FROM base),
+        |pass AS (SELECT doc_id, text, lang FROM m
+        |  WHERE n_words BETWEEN 30 AND 80
+        |    AND (10 * sum_len) // n_words BETWEEN 30 AND 100
+        |    AND (10000 * n_sym) // n_words <= 1000
+        |    AND (10000 * n_alpha) // n_words >= 8000
+        |    AND n_stop >= 2),
+        |c AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(text) AS dg FROM pass),
+        |win AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY dg),
+        |wr AS (SELECT c.doc_id, c.lang, c.n_tok FROM c JOIN win USING (doc_id)),
+        |n AS (SELECT lang, count(*) AS nn FROM wr GROUP BY 1),
+        |mixed AS (SELECT wr.doc_id, wr.n_tok FROM wr JOIN n USING (lang)
+        |  WHERE substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |    CASE WHEN (CASE lang WHEN 'en' THEN 120 ELSE 60 END) >= nn
+        |      THEN 'g'
+        |      ELSE printf('%04x',
+        |        CAST(((CASE lang WHEN 'en' THEN 120 ELSE 60 END) * 65536)
+        |          // nn AS INTEGER)) END),
+        |p AS (SELECT doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS gs
+        |  FROM mixed)
+        |SELECT gs // 2048 AS seq_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
+        |FROM p GROUP BY 1""".stripMargin,
 
     "q62_interval_join" ->
       """WITH w AS (SELECT i AS win_id, i % 8 AS bucket,

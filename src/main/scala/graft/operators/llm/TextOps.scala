@@ -473,17 +473,23 @@ object TextAnalysis {
     * word length in tenths (DIV), ratios in basis points (DIV). `passes`
     * is the conjunction the pipeline filters on; the per-rule metrics
     * are kept in the output because curation pipelines tune thresholds
-    * from their distributions. Documents with zero words fail. */
+    * from their distributions. Documents with zero words fail.
+    * `keepCols` pass through unchanged, so a pipeline can filter on
+    * `passes` inline — a map-side stage, never a join back against the
+    * corpus. */
   def gopherQuality(df: DataFrame, idCol: String, textCol: String,
                     minWords: Int = 50, maxWords: Int = 100000,
                     minMeanLenX10: Int = 30, maxMeanLenX10: Int = 100,
                     maxSymbolBp: Int = 1000, minAlphaBp: Int = 8000,
                     minStopwords: Int = 2,
                     stopwords: Seq[String] =
-                      Seq("the", "a", "of", "to", "and", "in")): DataFrame = {
-    val stages = df.select(col(idCol), col(textCol).as("__t"),
-        filter(Shingles.words(col(textCol)), w => w =!= "").as("__w"))
-      .select(col(idCol),
+                      Seq("the", "a", "of", "to", "and", "in"),
+                    keepCols: Seq[String] = Seq.empty): DataFrame = {
+    val keep = keepCols.map(col)
+    val stages = df.select(Seq(col(idCol), col(textCol).as("__t"),
+        filter(Shingles.words(col(textCol)), w => w =!= "").as("__w")) ++
+        keep: _*)
+      .select(Seq(col(idCol),
         size(col("__w")).cast("long").as("n_words"),
         aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
           .as("__sum_len"),
@@ -495,7 +501,8 @@ object TextAnalysis {
           .cast("long").as("__n_alpha"),
         size(filter(array(stopwords.map(lit(_)): _*),
           s => array_contains(col("__w"), s))).cast("long").as("n_stop"))
-      .select(col(idCol), col("n_words"),
+        ++ keep: _*)
+      .select(Seq(col(idCol), col("n_words"),
         when(col("n_words") > 0,
           expr("CAST((10 * __sum_len) DIV n_words AS BIGINT)"))
           .as("mean_word_len_x10"),
@@ -505,7 +512,7 @@ object TextAnalysis {
         when(col("n_words") > 0,
           expr("CAST((10000 * __n_alpha) DIV n_words AS BIGINT)"))
           .as("alpha_bp"),
-        col("n_stop"))
+        col("n_stop")) ++ keep: _*)
     stages.withColumn("passes",
       col("n_words").between(minWords, maxWords) &&
         col("mean_word_len_x10").between(minMeanLenX10, maxMeanLenX10) &&

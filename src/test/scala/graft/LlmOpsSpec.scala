@@ -545,6 +545,14 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!r.getAs[Boolean]("passes"))
   }
 
+  test("gopher quality: keepCols pass through unchanged") {
+    val df = Seq((1L, "a b c", "en", "s0")).toDF("doc_id", "text", "lang", "src")
+    val r = TextAnalysis.gopherQuality(df, "doc_id", "text",
+      keepCols = Seq("lang", "src")).collect()(0)
+    assert(r.getAs[String]("lang") == "en" && r.getAs[String]("src") == "s0")
+    assert(r.getAs[Long]("n_words") == 3) // metrics still computed
+  }
+
   test("gopher quality: word-count bounds gate an otherwise-clean doc") {
     val clean = "the quick brown fox jumps over a lazy dog again"
     val df = Seq((1L, clean)).toDF("doc_id", "text")
