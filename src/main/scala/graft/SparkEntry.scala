@@ -1454,6 +1454,36 @@ object SparkEntry {
           min(col("doc_id")).as("first_doc"))
     }),
 
+    // Incremental dedup via deterministic Bloom probe: the even-doc_id
+    // half plays the 100 TB historical corpus (reduced to a broadcast
+    // bitset, never joined), the odd half is today's batch (probed pure
+    // map-side). No false negatives by construction; fp rate is the
+    // filter-sizing knob.
+    "q87_bloom_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val hist = docs.where(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("dg"))
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("dg"))
+      graft.operators.Sketches.bloomProbe(batch, "dg", hist, "dg")
+        .select(col("doc_id"), col("bloom_hits"), col("maybe_member"))
+    }),
+
+    // CCNet-style fluency scoring: corpus-trained bigram LM, integer MLE
+    // weights, per-doc average in basis points — the perplexity-filter
+    // stage of a web-corpus pipeline, one corpus pass.
+    "q88_bigram_fluency" -> ((s, dir) =>
+      graft.operators.llm.TextAnalysis.bigramFluency(
+        tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // JL random projection 64→16: integer coordinates from the shared
+    // deterministic ±1 plane family — a pure map-side projection that
+    // shrinks all downstream pairwise work 4×.
+    "q89_random_projection" -> ((s, dir) =>
+      graft.operators.llm.AnnOps.randomProjection(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        outDim = 16, dim = 64)),
+
     // Interval (range) join re-expressed as an equi-join on (key, day)
     // with residual bounds — the shuffle-joinable form of a non-equi
     // join that would otherwise plan as BroadcastNestedLoopJoin. 24
@@ -2989,6 +3019,58 @@ object SparkEntry {
         |SELECT gs // 2048 AS seq_id, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
         |FROM p GROUP BY 1""".stripMargin,
+
+    // Replays the Bloom bit positions exactly (seed-striped md5-prefix
+    // indices are a bijection of these seed-tagged hex-prefix strings),
+    // so hits/membership match the bitset probe bit for bit.
+    "q87_bloom_dedup" ->
+      """WITH hist AS (SELECT DISTINCT
+        |    CAST(s.i AS VARCHAR) || ':' ||
+        |      substr(md5(CAST(s.i AS VARCHAR) || ':' || md5(text)), 1, 4)
+        |      AS pos
+        |  FROM documents, (VALUES (0), (1), (2)) s(i) WHERE doc_id % 2 = 0),
+        |newb AS (SELECT doc_id, md5(text) AS dg FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |probes AS (SELECT doc_id,
+        |    CAST(s.i AS VARCHAR) || ':' ||
+        |      substr(md5(CAST(s.i AS VARCHAR) || ':' || dg), 1, 4) AS pos
+        |  FROM newb, (VALUES (0), (1), (2)) s(i)),
+        |hits AS (SELECT doc_id, count(*) AS h
+        |  FROM probes JOIN hist USING (pos) GROUP BY 1)
+        |SELECT n.doc_id, CAST(COALESCE(h, 0) AS BIGINT) AS bloom_hits,
+        |  COALESCE(h, 0) = 3 AS maybe_member
+        |FROM newb n LEFT JOIN hits USING (doc_id)""".stripMargin,
+
+    "q88_bigram_fluency" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+        |  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |per AS (SELECT doc_id, bg, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |cb AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
+        |    sum(cnt) AS cbn FROM per GROUP BY 1, 2),
+        |cw AS (SELECT w1, sum(cbn) AS cwn FROM cb GROUP BY 1),
+        |wt AS (SELECT bg, (10000 * cbn) // cwn AS wgt
+        |  FROM cb JOIN cw USING (w1))
+        |SELECT per.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cnt * wgt) AS BIGINT) AS score,
+        |  CAST(sum(cnt * wgt) // sum(cnt) AS BIGINT) AS fluency_bp
+        |FROM per JOIN wt USING (bg) GROUP BY 1""".stripMargin,
+
+    "q89_random_projection" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |w AS (SELECT p, list(CASE WHEN substring(md5(
+        |      CAST(p AS VARCHAR) || '|' || CAST(c AS VARCHAR)), 1, 1) < '8'
+        |    THEN 1 ELSE -1 END ORDER BY c) AS wv
+        |  FROM range(16) t(p), range(64) s(c) GROUP BY p),
+        |pr AS (SELECT e.vec_id, w.p,
+        |    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |      i -> e.q[i] * w.wv[i])) AS BIGINT) AS d
+        |  FROM e CROSS JOIN w)
+        |SELECT vec_id, list(d ORDER BY p) AS proj FROM pr GROUP BY 1""".stripMargin,
 
     "q62_interval_join" ->
       """WITH w AS (SELECT i AS win_id, i % 8 AS bucket,

@@ -220,6 +220,66 @@ object Sketches {
         expr("CAST((10000 * cnt) DIV total AS BIGINT)").as("share_bp"))
   }
 
+  /** Deterministic Bloom-filter membership probe — the incremental-dedup
+    * primitive: "which documents of today's batch might already exist in
+    * the historical corpus?" At 100 TB the history side cannot be
+    * shuffle-anti-joined per batch; a Bloom filter reduces it to a
+    * fixed-size bitset built ONCE and broadcast, and the probe is a pure
+    * map-side projection over the new batch — zero shuffle on the batch,
+    * no join at all.
+    *
+    * Partitioned Bloom (one stripe of 16^prefixLen bits per seed):
+    * position_i(key) = i·B + int(md5("i:"+key)[0, prefixLen)), B =
+    * 16^prefixLen. The bit positions are a pure function of the key —
+    * any engine with md5 replays them, so the probe (unlike a library
+    * Bloom with private hash mixing) is oracle-checkable bit for bit.
+    *
+    * Guarantees: NO false negatives — a key present in the history always
+    * probes all `seeds` bits set (the exactness property incremental
+    * dedup needs: "definitely new" is always safe to keep). False
+    * positives ≈ (1 − e^(−n/B))^seeds for n distinct history keys; size
+    * prefixLen so n/B ≲ 1 (prefixLen 6 = 16.7M bits/stripe = 2 MiB/seed
+    * broadcast, good to ~10M keys/batch-partition-of-history at fp≈4%
+    * with 3 seeds; shard larger histories into per-range filters).
+    *
+    * Scale shape: the history pass is one codegen'd projection +
+    * map-side-partial DISTINCT whose output is bounded by seeds·B rows
+    * (the FILTER'S size, independent of history size) — collected,
+    * packed into a long[] bitset, broadcast. The probe side computes its
+    * seed positions in codegen and tests the broadcast bitset O(1) per
+    * seed; the only non-codegen step is the bitset lookup itself.
+    *
+    * Output: `newDf` + (bloom_hits, maybe_member); maybe_member ⇔ all
+    * `seeds` positions set. NULL keys probe 0 hits (never a member). */
+  def bloomProbe(newDf: DataFrame, keyCol: String,
+                 history: DataFrame, histKeyCol: String,
+                 seeds: Int = 3, prefixLen: Int = 4): DataFrame = {
+    require(seeds >= 1 && seeds <= 8, s"seeds must be in [1, 8], got $seeds")
+    require(prefixLen >= 1 && prefixLen <= 6,
+      s"prefixLen must be in [1, 6], got $prefixLen")
+    val stripe = 1L << (4 * prefixLen)
+    def posIdx(key: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))),
+        1, prefixLen), 16, 10).cast("long") + lit(i * stripe)
+    val positions = history.where(col(histKeyCol).isNotNull)
+      .select(explode(array(
+        (0 until seeds).map(i => posIdx(col(histKeyCol), i)): _*)).as("pos"))
+      .distinct()
+      .select(col("pos")).as(Encoders.scalaLong)
+      .collect()
+    val words = new Array[Long]((((seeds * stripe) + 63) >>> 6).toInt)
+    positions.foreach(p => words((p >>> 6).toInt) |= (1L << (p & 63)))
+    val bc = newDf.sparkSession.sparkContext.broadcast(words)
+    val hitsOf = udf((ps: Seq[Long]) => ps.count { p =>
+      (bc.value((p >>> 6).toInt) & (1L << (p & 63))) != 0L
+    }.toLong)
+    val probe = when(col(keyCol).isNotNull,
+      hitsOf(array((0 until seeds).map(i => posIdx(col(keyCol), i)): _*)))
+      .otherwise(lit(0L))
+    newDf.withColumn("bloom_hits", probe)
+      .withColumn("maybe_member", col("bloom_hits") === seeds)
+  }
+
   /** Misra-Gries frequent-items summary with k-1 counters: counted
     * values increment; a novel value either takes a free counter or
     * decrements ALL counters (dropping zeros). Each decrement round

@@ -225,6 +225,28 @@ object AnnOps {
         .otherwise("0")
     }: _*)
 
+  /** Random-projection dimensionality reduction — the Johnson–
+    * Lindenstrauss workhorse that precedes pairwise work on embeddings
+    * (Achlioptas 2003 showed ±1 projections suffice): coordinate p of
+    * the output is the INTEGER dot of the quantized vector with
+    * deterministic ±1 plane p (the same md5-derived [[hyperplane]]
+    * family the LSH bucket uses, so one plane definition serves both).
+    * dim→outDim shrinks every downstream transfer and pairwise score by
+    * dim/outDim while preserving dots in expectation; keeping the
+    * output integer keeps it engine-replayable bit for bit.
+    *
+    * Scale shape: the planes fold in as codegen literals — the whole
+    * operator is ONE map-side projection, zero shuffle, zero state at
+    * any input size. */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int, dim: Int): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, dim=$dim], got $outDim")
+    val q = quantize(col(vecCol))
+    emb.select(col(idCol), array((0 until outDim).map(p =>
+      dot(q, typedLit(hyperplane(p, dim)))): _*).as("proj"))
+  }
+
   /** LSH-bucketed ANN top-k — the alternative scale path to [[ivfTopK]]:
     * no codebook to train or broadcast; the bucket is a pure function of
     * the vector itself. `probes = 0` is single-probe (the query's own

@@ -631,4 +631,53 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("score"),
         expr("CAST(score DIV n_tokens AS BIGINT)").as("avg_bp"))
   }
+
+  /** Bigram language-model fluency score — the integer-exact stand-in
+    * for CCNet-style perplexity filtering (Wenzek et al. 2020: score
+    * every document under an n-gram LM trained on the corpus, filter by
+    * perplexity band). The corpus-trained bigram MLE assigns each
+    * observed bigram a conditional weight in basis points,
+    *
+    *   w(w1 w2) = (10000 · c(w1 w2)) DIV c(w1 ·)
+    *
+    * (c counts bigram OCCURRENCES; c(w1 ·) sums them over the prefix, so
+    * w is the integer MLE of P(w2|w1) and needs no smoothing — every
+    * scored bigram was observed in training). A document's score sums
+    * c_doc·w over its bigram occurrences; fluency_bp = score DIV
+    * n_bigrams is the per-bigram average — a monotone rank-equivalent of
+    * average log-likelihood that two engines reproduce bit for bit
+    * (sums of integer ratios in place of sums of float logs, the same
+    * trade as dsirScore).
+    *
+    * Scale shape — ONE corpus pass: the corpus reduces straight to the
+    * per-(doc, bigram) count table (map-side partials); the LM — bigram
+    * counts, then prefix counts — folds out of that reduced table with
+    * two tiny aggregations, never a corpus re-scan (the reduced table
+    * has two consumers, so it is materialized once — the tfIdf trade).
+    * Scoring joins the reduced table to the LM keyed ON THE BIGRAM —
+    * the vocabulary-sized LM table is generally NOT broadcastable, and
+    * a bigram key never concentrates the way a prefix key would ("the"
+    * is one prefix-count ROW here, not a join hot key; each of its
+    * continuations is its own join key). Documents shorter than 2
+    * words have no bigrams and are absent from the output. */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val per = Shingles.explodeShingles(df, idCol, textCol, 2)
+      .groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(eager = false)
+    val bigramCnt = per.groupBy(col("shingle"))
+      .agg(sum(col("__cnt")).as("__cb"))
+      .withColumn("__w1", split(col("shingle"), " ", 2).getItem(0))
+    val prefixCnt = bigramCnt.groupBy(col("__w1"))
+      .agg(sum(col("__cb")).as("__cw"))
+    val lm = bigramCnt.join(prefixCnt, "__w1")
+      .select(col("shingle"),
+        expr("CAST((10000 * __cb) DIV __cw AS BIGINT)").as("__w"))
+    per.join(lm, "shingle")
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_bigrams"),
+        sum(col("__cnt") * col("__w")).as("score"))
+      .select(col(idCol), col("n_bigrams"), col("score"),
+        expr("CAST(score DIV n_bigrams AS BIGINT)").as("fluency_bp"))
+  }
 }

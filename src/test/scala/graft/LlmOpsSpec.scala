@@ -605,4 +605,47 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
     assert(scores(1L) > scores(3L) && scores(3L) > scores(2L))
   }
+
+  test("bigram fluency: hand-computed MLE weights on a tiny corpus") {
+    // doc 1 "a b a b": bigrams (a b)x2, (b a)x1; doc 2 "a c": (a c)x1.
+    // c(a b)=2, c(b a)=1, c(a c)=1; prefixes c(a.)=3, c(b.)=1.
+    // w(a b)=20000 DIV 3=6666, w(b a)=10000, w(a c)=3333.
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 2 * 6666L + 10000L, (2 * 6666L + 10000L) / 3),
+      (2L, 1L, 3333L, 3333L)))
+  }
+
+  test("bigram fluency: sub-2-word docs absent; repartition-invariant") {
+    val docs = Seq((1L, "one"), (2L, ""), (3L, "u v w"), (4L, "u v"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.bigramFluency(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = TextAnalysis.bigramFluency(
+      docs.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b && a.map(_._1) == Set(3L, 4L))
+    // "u v" appears in both docs: c(u v)=2, c(v w)=1, c(u.)=2, c(v.)=1
+    // doc 3: w(u v)=10000, w(v w)=10000 -> bp 10000; doc 4: bp 10000
+    assert(a.forall(_._4 == 10000L))
+  }
+
+  test("random projection: coordinates match the plane family brute-force") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f, 0.001f)),
+      (2L, Array(-0.75f, 0.0f, 1.5f, -2.5f))).toDF("vec_id", "embedding")
+    val got = AnnOps.randomProjection(vecs, "vec_id", "embedding",
+      outDim = 3, dim = 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    val quant = Map(
+      1L -> Seq(500L, -1250L, 2000L, 1L),  // 0.001f*1000 rounds to 1
+      2L -> Seq(-750L, 0L, 1500L, -2500L))
+    for ((id, q) <- quant; p <- 0 until 3) {
+      val plane = AnnOps.hyperplane(p, 4)
+      val expect = q.zip(plane).map { case (x, s) => x * s }.sum
+      assert(got(id)(p) == expect, s"vec $id plane $p")
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Sketches
 
@@ -130,5 +131,41 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq(("a", 3L, 7500L)))
     assert(Sketches.heavyHitters(
       Seq.empty[String].toDF("v"), "v", 8).count() == 0)
+  }
+
+  test("bloom probe: NO false negatives — every present key probes full hits") {
+    val hist = (1 to 500).map(i => s"key-$i").toDF("k")
+    val batch = (1 to 1000).map(i => s"key-$i").toDF("k")  // half present
+    val got = Sketches.bloomProbe(batch, "k", hist, "k")
+      .select("k", "maybe_member")
+      .as[(String, Boolean)].collect().toMap
+    (1 to 500).foreach(i => assert(got(s"key-$i"), s"false negative key-$i"))
+  }
+
+  test("bloom probe: absent keys are (deterministically) rejected at this size") {
+    // 500 history keys in 3x65536-bit stripes: fp ~ (500/65536)^3 ~ 4e-7;
+    // the md5 derivation is deterministic, so this is a fixed outcome,
+    // not a flaky sample
+    val hist = (1 to 500).map(i => s"key-$i").toDF("k")
+    val batch = (1 to 1000).map(i => s"other-$i").toDF("k")
+    val fp = Sketches.bloomProbe(batch, "k", hist, "k")
+      .where(col("maybe_member")).count()
+    assert(fp == 0)
+  }
+
+  test("bloom probe: NULL keys probe 0 hits; partitioning-invariant") {
+    val hist = (1 to 50).map(i => s"h$i").toDF("k")
+    val batch = Seq(Some("h1"), None, Some("zz")).toDF("k")
+    val rows = Sketches.bloomProbe(batch, "k", hist, "k")
+      .as[(Option[String], Long, Boolean)].collect().toSet
+    assert(rows.contains((None, 0L, false)))
+    assert(rows.contains((Some("h1"), 3L, true)))
+    val a = Sketches.bloomProbe(
+      (1 to 200).map(i => s"k$i").toDF("k").repartition(1), "k",
+      hist.repartition(1), "k").as[(String, Long, Boolean)].collect().toSet
+    val b = Sketches.bloomProbe(
+      (1 to 200).map(i => s"k$i").toDF("k").repartition(11), "k",
+      hist.repartition(7), "k").as[(String, Long, Boolean)].collect().toSet
+    assert(a == b)
   }
 }
