@@ -1636,7 +1636,85 @@ object SparkEntry {
           .cast("int").as("statuscode"),
         env("$.Envelope['HTTP-Response-Metadata']['Content-Type']")
           .as("mimetype"))
-    })
+    }),
+
+    // Exact duplicated-SPAN removal (Lee et al. 2022 substring dedup):
+    // sliding 15-word grams, every non-first occurrence's span dropped
+    // corpus-wide, docs reassembled minus covered words. clean_md5 pins
+    // the exact surviving text of every document.
+    "q90_substring_dedup" -> ((s, dir) =>
+      graft.operators.llm.TextAnalysis.substringDedup(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 15)
+        .select(col("doc_id"), col("n_kept").cast("long").as("n_kept"),
+          col("n_dropped").cast("long").as("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))),
+
+    // Train-and-apply quality classifier (CCNet/fastText filter stage):
+    // add-one-smoothed per-token class odds in integer basis points,
+    // fitted on a deterministic source-derived label, scored over every
+    // document in the same plan.
+    "q91_nb_quality" -> ((s, dir) =>
+      graft.operators.llm.CorpusModels.nbQualityScore(
+        tbl(s, dir, "documents")
+          .withColumn("label",
+            expr("CAST(substring(source, 4, 8) AS INT) % 2 = 0")),
+        "doc_id", "text", "label")),
+
+    // Streaming exact dedup (incremental-ingest counterpart of q05/q20):
+    // dropDuplicatesWithinWatermark state keeps the FIRST (urlkey,
+    // digest) capture in admission order; the single-file fixture makes
+    // that order deterministic, so DuckDB replays it with row_number.
+    // Heavy duplication is synthesized (digest keyspace = source).
+    "q92_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = tmpDir("q92", dir)
+      fixtureOnce(base, "v1", dir, "documents") {
+        dupStreamLines(s, dir).coalesce(1)
+          .write.mode("overwrite").text(s"$base/in")
+      }
+      val ckpt = s"$base/ckpt"
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(ckptPath, true)
+      val sink = "q92_stream_dedup_sink"
+      scala.util.Try(s.catalog.dropTempView(sink))
+      withScopedConf(s,
+        "spark.sql.shuffle.partitions" -> "1",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+        val lines = s.readStream.option("lineSep", "\n")
+          .text(s"$base/in").as[String]
+        val deduped = graft.streaming.CdxStream.dedupStream(
+          graft.streaming.CdxStream.parse(lines),
+          watermarkDelay = "48 hours")
+        val query = deduped
+          .select(col("urlkey"), col("timestamp"), col("digest"),
+            col("offset"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        query.awaitTermination()
+      }
+      s.table(sink)
+    }),
+
+    // One BPE merge step over the corpus (Sennrich 2016): adjacent
+    // character pairs weighted by word frequency, top 20 merge
+    // candidates under a deterministic total order. (The full iterative
+    // trainer — same aggregate, local merge loop — is bpeTrain,
+    // unit-tested.)
+    "q93_bpe_pairs" -> ((s, dir) =>
+      graft.operators.llm.CorpusModels.bpePairCounts(
+        tbl(s, dir, "documents"), "text", topK = 20)),
+
+    // Collocation mining by integer LIFT (the log-free exact order of
+    // PMI): within-doc adjacent word pairs, n>=5, top 30.
+    "q94_collocation" -> ((s, dir) =>
+      graft.operators.llm.CorpusModels.collocationLift(
+        tbl(s, dir, "documents"), "text", minCount = 5, topK = 30))
   )
 
   /** Synthesized multi-member WARC fixture shared by q42/q50/q67 (one
@@ -1809,6 +1887,26 @@ object SparkEntry {
         lpad(expr("CAST((CAST(doc_id AS BIGINT) div 1440) % 60 AS STRING)"), 2, "0")),
       concat(lit("http://s"), id % 50, lit(".org/")),
       lit("text/html"), lit("200"), md5(col("text")), lit("-"), lit("-"),
+      col("n_chars").cast("string"), (id * 1000).cast("string"),
+      lit("w.warc.gz")).as("line"))
+  }
+
+  /** q92's stream corpus: same deterministic line synthesis as
+    * [[streamCdxLines]] but with a HEAVILY colliding digest keyspace —
+    * digest = md5(source), so each (urlkey, digest) cell collects ~n/1000
+    * re-crawls and the streaming dedup state actually drops rows. The
+    * timestamp still encodes doc_id, so "first in admission order" is a
+    * total order DuckDB reproduces by offset. */
+  private def dupStreamLines(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    tbl(s, dir, "documents").select(concat_ws(" ",
+      concat(lit("org,s"), id % 50, lit(")/")),
+      concat(lit("2012010"), (id % 2) + 1,
+        lpad((id % 24).cast("string"), 2, "0"),
+        lpad(expr("CAST((CAST(doc_id AS BIGINT) div 24) % 60 AS STRING)"), 2, "0"),
+        lpad(expr("CAST((CAST(doc_id AS BIGINT) div 1440) % 60 AS STRING)"), 2, "0")),
+      concat(lit("http://s"), id % 50, lit(".org/")),
+      lit("text/html"), lit("200"), md5(col("source")), lit("-"), lit("-"),
       col("n_chars").cast("string"), (id * 1000).cast("string"),
       lit("w.warc.gz")).as("line"))
   }
@@ -3127,7 +3225,84 @@ object SparkEntry {
         |FROM events JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3),
         |    ('signup', 4), ('error', 5)) AS dim(etype, weight)
         |  ON event_type = etype
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q90_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+14], ' ') AS gram
+        |  FROM w, UNNEST(range(1, len(ws) - 13)) t(i)
+        |  WHERE len(ws) >= 15),
+        |r AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM g),
+        |c AS (SELECT DISTINCT doc_id, pos + j AS cp
+        |  FROM r, UNNEST(range(15)) s(j) WHERE rn > 1),
+        |wo AS (SELECT doc_id, unnest(ws) AS word,
+        |    generate_subscripts(ws, 1) AS p FROM w),
+        |k AS (SELECT wo.doc_id, wo.word, wo.p, c.cp IS NULL AS keep
+        |  FROM wo LEFT JOIN c ON wo.doc_id = c.doc_id AND wo.p = c.cp)
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(word, ' ' ORDER BY p)
+        |    FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "q91_nb_quality" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(substring(source, 4, 8) AS INT) % 2 = 0 AS pos,
+        |    string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, pos, unnest(ws) AS tok FROM d),
+        |vw AS (SELECT tok,
+        |    (10000 * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1))
+        |      // (count(*) + 2) AS wbp
+        |  FROM t GROUP BY 1),
+        |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cnt * wbp) // sum(cnt) AS BIGINT) AS score_bp,
+        |  sum(cnt * wbp) // sum(cnt) >= 5000 AS pred
+        |FROM dt JOIN vw USING (tok) GROUP BY 1""".stripMargin,
+
+    "q92_stream_dedup" ->
+      """WITH c AS (SELECT
+        |    'org,s' || (CAST(doc_id AS BIGINT) % 50) || ')/' AS urlkey,
+        |    '2012010' || (CAST(doc_id AS BIGINT) % 2 + 1)
+        |      || lpad(CAST(CAST(doc_id AS BIGINT) % 24 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((CAST(doc_id AS BIGINT) // 24) % 60 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((CAST(doc_id AS BIGINT) // 1440) % 60 AS VARCHAR), 2, '0')
+        |      AS timestamp,
+        |    md5(source) AS digest,
+        |    CAST(doc_id AS BIGINT) * 1000 AS "offset"
+        |  FROM documents)
+        |SELECT urlkey, timestamp, digest, "offset" FROM c
+        |QUALIFY row_number() OVER (PARTITION BY urlkey, digest
+        |  ORDER BY "offset") = 1""".stripMargin,
+
+    "q93_bpe_pairs" ->
+      """WITH wf AS (SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (SELECT substring(w, i, 2) AS pair, f
+        |  FROM wf, UNNEST(range(1, len(w))) t(i))
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q94_collocation" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM w, UNNEST(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+        |bg AS (SELECT w1, w2, count(*) AS n_xy FROM b GROUP BY 1, 2),
+        |u AS (SELECT w, count(*) AS n_w
+        |  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM bg)
+        |SELECT bg.w1, bg.w2, CAST(bg.n_xy AS BIGINT) AS n_xy,
+        |  CAST((10000 * bg.n_xy * tot.n) // (ux.n_w * uy.n_w) AS BIGINT)
+        |    AS lift_bp
+        |FROM bg JOIN u ux ON bg.w1 = ux.w JOIN u uy ON bg.w2 = uy.w
+        |CROSS JOIN tot
+        |WHERE bg.n_xy >= 5
+        |ORDER BY lift_bp DESC, w1, w2 LIMIT 30""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

@@ -1,0 +1,160 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Operators that FIT a small model / statistic from a corpus and apply it
+ * back — the "train a filter from the data" steps of an LLM curation
+ * pipeline (fastText-style quality classifiers, BPE vocabulary learning,
+ * collocation mining). All arithmetic is integer basis points (the q88
+ * convention): per-token weights are exact BIGINT ratios, so any engine —
+ * the DuckDB oracle included — replays scores bit-for-bit, with no
+ * cross-engine float drift and no log() in results.
+ *
+ * Scale shape: each fit is one or two map-side-combinable aggregations
+ * over the corpus; the fitted artifact (vocab weights, merge table, pair
+ * table) is orders of magnitude smaller than the corpus — the same
+ * asymmetry fastText / SentencePiece exploit single-node, kept here as
+ * "aggregate distributed, fit on the aggregate".
+ */
+object CorpusModels {
+
+  /** Naive-Bayes-flavored quality classifier, trained and applied in one
+    * plan (the CCNet / fastText quality-filter step: fit per-token
+    * class odds on labeled documents, score every document by its
+    * tokens' aggregate odds).
+    *
+    * Per-token weight = add-one-smoothed positive rate in basis points:
+    * `w(t) = (10000 * (n_pos(t) + 1)) div (n(t) + 2)` — exact integer.
+    * Document score = token-count-weighted mean weight (integer div);
+    * `pred` = score ≥ 5000 bp.
+    *
+    * Scale shape: the vocab pass is ONE map-side-combinable groupBy over
+    * exploded tokens (conditional count rides the same buffer); the
+    * scoring side pre-aggregates (doc, token) counts BEFORE joining the
+    * vocab — the join therefore moves one row per distinct (doc, token),
+    * not one per token occurrence, and the vocab side of the join is the
+    * small fitted artifact. Three exchanges, all on derived small keys;
+    * the corpus text itself never shuffles. */
+  def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
+                     labelCol: String): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("__doc"),
+        col(labelCol).cast("boolean").as("__pos"),
+        explode(Shingles.words(col(textCol))).as("__tok"))
+    val vocab = toks.groupBy(col("__tok"))
+      .agg(((sum(when(col("__pos"), 1L).otherwise(0L)) + 1L) * 10000L)
+        .as("__num"), (count(lit(1)) + 2L).as("__den"))
+      .select(col("__tok"), expr("__num div __den").as("__wbp"))
+    val docToks = toks.groupBy(col("__doc"), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    docToks.join(vocab, "__tok")
+      .groupBy(col("__doc"))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(col("__cnt") * col("__wbp")).as("__wsum"))
+      .select(col("__doc").as(idCol), col("n_tokens"),
+        expr("__wsum div n_tokens").as("score_bp"),
+        expr("(__wsum div n_tokens) >= 5000").as("pred"))
+  }
+
+  /** Adjacent-symbol pair counts for ONE BPE merge step (Sennrich et al.
+    * 2016): every within-word character bigram, weighted by corpus word
+    * frequency, the `topK` most frequent returned (count desc, pair asc —
+    * a total order, so the merge choice is deterministic).
+    *
+    * Scale shape: the corpus collapses to its word-frequency table first
+    * (one map-side-combinable groupBy — THE shuffle of this operator);
+    * pair explosion then runs over distinct words only (vocab-sized, not
+    * corpus-sized), and the final top-k is a TakeOrdered, never a global
+    * sort. */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(Shingles.words(col(textCol))).as("__w"))
+      .where(length(col("__w")) >= 2)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .select(col("__f"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), " +
+          "i -> substring(__w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__f")).as("n"))
+      .orderBy(desc("n"), asc("pair")).limit(topK)
+
+  /** Full BPE merge-table learning: `nMerges` greedy merges, each taking
+    * the most frequent adjacent symbol pair (ties: lexicographically
+    * smallest pair) over the frequency-weighted vocabulary.
+    *
+    * The corpus is scanned ONCE, distributed, into its word-frequency
+    * table; the merge loop then runs on that aggregate locally — at 100 TB
+    * the corpus is ~10^12 words but its vocabulary is ~10^7 rows, so the
+    * iterate-on-the-aggregate shape (exactly how SentencePiece/HF train
+    * single-node from a counted vocab) is the scalable design, not a
+    * shortcut; an iterative distributed re-scan per merge would read the
+    * corpus `nMerges` times for no added information. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    val vocab: Array[(Array[String], Long)] =
+      df.select(explode(Shingles.words(col(textCol))).as("w"))
+        .where(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .collect()
+        .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+    var words = vocab
+    val merges = Seq.newBuilder[(String, String)]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.keys.minBy { case (a, b) => (-counts((a, b)), a, b) }
+        merges += best
+        val merged = best._1 + best._2
+        words = words.map { case (syms, f) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Collocation mining by LIFT in basis points — the log-free exact form
+    * of PMI ranking (lift = p(xy)/(p(x)p(y)); log of it is PMI, and log
+    * is monotone, so ranking by integer lift ranks by PMI with zero
+    * cross-engine float risk): `lift_bp = (10000 * n_xy * N) div
+    * (n_x * n_y)` over within-document adjacent word pairs, pairs seen
+    * < `minCount` times dropped, top `topK` by (lift desc, w1, w2).
+    *
+    * Scale shape: bigram and unigram counts are both map-side-combinable
+    * aggregations; the unigram table joined twice is vocab-sized (AQE
+    * broadcasts it at any realistic scale); the corpus-total N rides the
+    * plan as a 1-row cross join (no driver collect); final top-k is a
+    * TakeOrdered. */
+  def collocationLift(df: DataFrame, textCol: String,
+                      minCount: Int, topK: Int): DataFrame = {
+    val words = df.select(Shingles.words(col(textCol)).as("__w"))
+    val bigrams = words.select(explode(expr(
+        "CASE WHEN size(__w) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(__w) - 1), " +
+          "i -> struct(element_at(__w, i) AS w1, " +
+          "element_at(__w, i + 1) AS w2)) END")).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+    val uni = words.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = bigrams.agg(sum(col("n_xy")).as("__n"))
+    bigrams.where(col("n_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("__nx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("__ny")), "w2")
+      .crossJoin(total)
+      .select(col("w1"), col("w2"), col("n_xy"),
+        expr("(10000 * n_xy * __n) div (__nx * __ny)").as("lift_bp"))
+      .orderBy(desc("lift_bp"), asc("w1"), asc("w2")).limit(topK)
+  }
+}

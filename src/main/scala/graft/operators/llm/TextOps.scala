@@ -462,6 +462,71 @@ object TextAnalysis {
       .select(col("__doc").as(idCol), col("n_kept"), col("clean_text"))
   }
 
+  /** Exact duplicated-SPAN removal (the substring-dedup of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * reference semantics: every repeated span above a length threshold
+    * keeps exactly its first occurrence), re-expressed Spark-first: the
+    * suffix-array the paper builds single-node is replaced by sliding
+    * `k`-word grams — a span of ≥ k words is duplicated iff all its
+    * k-grams are, so marking every NON-FIRST occurrence of each k-gram
+    * and dropping the words it covers removes exactly the duplicated
+    * spans (first occurrences survive verbatim). Unlike [[chunkDedup]]
+    * (fixed aligned chunks), the sliding window catches duplicated spans
+    * at ANY word offset.
+    *
+    * Keep-first = global (doc, pos) lexicographic order, so results are
+    * deterministic on any cluster layout. Returns every input document:
+    * (idCol, n_kept, n_dropped, clean_text).
+    *
+    * Scale shape: gram construction is one map-side transform+slice over
+    * the word array (grams never exist as rows outside the single
+    * explode), and each occurrence row carries only (doc, pos,
+    * md5(gram)) — 16-hex-byte keys shuffle, never the 15-word text.
+    * Three keyed exchanges total, each on a different key: (1)
+    * row_number over gram-hash partitions finds non-first occurrences
+    * (the ONLY formulation that needs every loser, so a min-agg can't
+    * replace it; boilerplate grams skew these partitions — AQE's skew
+    * split handles the sort, and the q21-style cap alternative applies
+    * if a gram goes truly degenerate); (2) covered word positions fold
+    * to one sorted array per doc (collect_set dedups overlapping spans
+    * in-agg); (3) the corpus meets its per-doc covered-set with one
+    * equi-join on the doc key — the small side is only docs that HAVE
+    * duplicated spans. Reassembly filters the in-row word array by
+    * covered position (array_contains per word: bounded by doc length ×
+    * covered count, both per-row quantities — never a corpus-wide
+    * blowup). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"window must be >= 2 words, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(col(idCol).cast("long").as("__doc"),
+      Shingles.words(col(textCol)).as("__w"))
+    val occ = w.select(col("__doc"), explode(expr(
+        s"CASE WHEN size(__w) < $k THEN array() ELSE " +
+          s"transform(sequence(1, size(__w) - ${k - 1}), " +
+          s"p -> struct(p AS p, md5(array_join(slice(__w, p, $k), ' ')) " +
+          "AS g)) END")).as("__o"))
+      .select(col("__doc"), col("__o.p").as("__pos"), col("__o.g").as("__g"))
+    val dup = occ.withColumn("__rn", row_number().over(
+        Window.partitionBy("__g").orderBy("__doc", "__pos")))
+      .where(col("__rn") > 1)
+    val cov = dup
+      .select(col("__doc"),
+        explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__cp"))
+      .groupBy(col("__doc"))
+      .agg(sort_array(collect_set(col("__cp"))).as("__cov"))
+    w.join(cov, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        (size(col("__w")) - coalesce(size(col("__cov")), lit(0)))
+          .as("n_kept"),
+        coalesce(size(col("__cov")), lit(0)).as("n_dropped"),
+        array_join(expr(
+          "transform(filter(zip_with(__w, sequence(1, size(__w)), " +
+            "(x, i) -> struct(x AS w, i AS p)), " +
+            "s -> __cov IS NULL OR NOT array_contains(__cov, s.p)), " +
+            "s -> s.w)"), " ").as("clean_text"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", §A1.1 — the standard pre-training
     * quality gate): word-count bounds, mean-word-length bounds,

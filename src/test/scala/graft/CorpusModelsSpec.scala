@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.llm.{CorpusModels, TextAnalysis}
+
+class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q90
+  test("substringDedup: later occurrence of a k-word span is removed, first survives") {
+    // doc 1 owns the span; doc 2 repeats it verbatim inside fresh text.
+    val span = (1 to 5).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"pre1 pre2 $span post1 post2")).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedup(df, "doc_id", "text", k = 5)
+      .select("doc_id", "n_kept", "n_dropped", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map { case (d, k2, dr, t) => d -> ((k2, dr, t)) }.toMap
+    assert(got(1L) == ((7, 0, s"alpha $span omega")))
+    assert(got(2L) == ((4, 5, "pre1 pre2 post1 post2")))
+  }
+
+  test("substringDedup: overlapping duplicated grams drop a long span once") {
+    // doc 2 duplicates an 8-word span; with k=5 its four 5-grams overlap —
+    // covered positions union to exactly the 8 duplicated words.
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, span),
+      (2L, s"x1 x2 $span")).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedup(df, "doc_id", "text", k = 5)
+      .select("doc_id", "n_dropped", "clean_text")
+      .as[(Long, Int, String)].collect()
+      .map { case (d, dr, t) => d -> ((dr, t)) }.toMap
+    assert(got(1L) == ((0, span)))
+    assert(got(2L) == ((8, "x1 x2")))
+  }
+
+  test("substringDedup: within-document repetition keeps only the first copy") {
+    val df = Seq(
+      (1L, "r1 r2 r3 r4 mid r1 r2 r3 r4")).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedup(df, "doc_id", "text", k = 4)
+      .select("n_kept", "n_dropped", "clean_text")
+      .as[(Int, Int, String)].collect().head
+    assert(got == ((5, 4, "r1 r2 r3 r4 mid")))
+  }
+
+  test("substringDedup: docs shorter than k pass through untouched") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedup(df, "doc_id", "text", k = 5)
+      .select("doc_id", "n_dropped", "clean_text")
+      .as[(Long, Int, String)].collect()
+      .map { case (d, dr, t) => d -> ((dr, t)) }.toMap
+    assert(got == Map(1L -> ((0, "a b c")), 2L -> ((0, "a b c"))))
+  }
+
+  // ---------------------------------------------------------------- q91
+  test("nbQualityScore: tokens exclusive to a class pull scores to its pole") {
+    val df = Seq(
+      (1L, true, "good good good"),
+      (2L, true, "good nice"),
+      (3L, false, "bad bad awful"),
+      (4L, false, "bad awful")).toDF("doc_id", "label", "text")
+    val got = CorpusModels.nbQualityScore(df, "doc_id", "text", "label")
+      .select("doc_id", "n_tokens", "score_bp", "pred")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 'good': 4 pos of 4 → (10000*5)/6 = 8333; 'nice': (10000*2)/3 = 6666
+    assert(got(1L) == ((3L, 8333L, true)))
+    assert(got(2L) == ((2L, (8333L + 6666L) / 2, true)))
+    // 'bad': 0 pos of 3 → 10000/5 = 2000; 'awful': 0 pos of 2 → 10000/4 = 2500
+    assert(got(3L)._2 < 5000L && !got(3L)._3)
+    assert(got(4L) == ((2L, (2000L + 2500L) / 2, false)))
+  }
+
+  // ---------------------------------------------------------------- q93
+  test("bpePairCounts: frequency-weighted pair counts with deterministic order") {
+    val df = Seq("low low lower", "lowest").toDF("text")
+    val got = CorpusModels.bpePairCounts(df, "text", topK = 3)
+      .as[(String, Long)].collect().toSeq
+    // 'lo' and 'ow' appear in all 4 words; tie broken lexicographically.
+    assert(got.take(2) == Seq(("lo", 4L), ("ow", 4L)))
+  }
+
+  test("bpeTrain: greedy merges follow max-count with lexicographic ties") {
+    val df = Seq("aaab aaab ab").toDF("text")
+    // pairs over {aaab:2, ab:1}: (a,a)=4, (a,b)=3 → merge1 = (a,a).
+    // then words {(aa,a,b):2,(a,b):1}: (aa,a)=2, (a,b)=3... wait (aa,a)=2,
+    // (a,b)=1, (aa, b)? no — (aa,a)=2 and (a,b) appears in 'ab' once and
+    // in 'aa|a|b' once = 2 with tie → (a,b) < (aa,a) lexicographically.
+    val merges = CorpusModels.bpeTrain(df, "text", nMerges = 2)
+    assert(merges.head == (("a", "a")))
+    assert(merges.size == 2)
+    // step-2 candidates from {[aa,a,b]:2, [a,b]:1}: (aa,a)→2, (a,b)→1+2=3
+    assert(merges(1) == (("a", "b")))
+  }
+
+  test("bpeTrain: stops early when no pairs remain") {
+    val df = Seq("ab ab").toDF("text")
+    val merges = CorpusModels.bpeTrain(df, "text", nMerges = 10)
+    // merge1 = (a,b); after that every word is one symbol — no more pairs.
+    assert(merges == Seq(("a", "b")))
+  }
+
+  // ---------------------------------------------------------------- q94
+  test("collocationLift: exclusive pair ranks above promiscuous pair") {
+    // 'x y' always adjacent and exclusive; 'a b' adjacent but a and b
+    // also appear apart — lift must rank (x,y) first.
+    val rows = Seq.fill(5)("x y a b") ++ Seq.fill(5)("a c b d")
+    val got = CorpusModels.collocationLift(
+      rows.toDF("text"), "text", minCount = 5, topK = 10)
+      .select("w1", "w2", "lift_bp").as[(String, String, Long)].collect()
+    assert(got.head._1 == "x" && got.head._2 == "y")
+    val lifts = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(lifts(("x", "y")) > lifts(("a", "b")))
+  }
+}
