@@ -1446,10 +1446,12 @@ object SparkEntry {
       val mixed = graft.operators.llm.Sampling.budgetSample(
         winners, "doc_id", "lang", salt = "cur",
         budgets = Seq("en" -> 120L), defaultBudget = 60L)
+      // packing passes n_tok through, so the per-sequence stats read the
+      // packed rows alone — no join back against `mixed`, whose
+      // regex-heavy quality lineage would otherwise run a second time
       val packed = graft.operators.llm.Packing.byTokenBudget(
         mixed, "doc_id", "n_tok", budget = 2048L)
-      packed.join(mixed.select(col("doc_id"), col("n_tok")), "doc_id")
-        .groupBy(col("seq_id"))
+      packed.groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"))
     }),

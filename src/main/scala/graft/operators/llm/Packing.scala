@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
-  /** (idCol, tokCol) → (idCol, "global_start", "seq_id"). `tokCol` must
+  /** (idCol, tokCol) → (idCol, tokCol, "global_start", "seq_id") —
+    * the token count rides through so downstream per-sequence stats
+    * (the common consumer) never need a join back against the input,
+    * whose lineage would otherwise be recomputed whole. `tokCol` must
     * be non-negative; null counts as 0. `idCol` must be UNIQUE — ties
     * have no defined layout order, so duplicate ids would make their
     * rows' prefix sums partition-placement-dependent. */
@@ -65,16 +68,19 @@ object Packing {
         val o = pid -> running; running += sum; o
       }.toMap
       val bOffsets = spark.sparkContext.broadcast(offsets)
+      val enc3 = Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
       val packed = sorted.as(enc)
         .mapPartitions { it =>
           var acc = bOffsets.value
             .getOrElse(TaskContext.getPartitionId().toLong, 0L)
           it.map { case (id, tok) =>
-            val start = acc; acc += tok; (id, start)
+            val start = acc; acc += tok; (id, tok, start)
           }
-        }(enc)
-        .toDF("__id", "global_start")
-        .select(col("__id").as(idCol), col("global_start"),
+        }(enc3)
+        .toDF("__id", "__tok", "global_start")
+        .select(col("__id").as(idCol), col("__tok").as(tokCol),
+          col("global_start"),
           // integer div, not `/` (double division truncates exactly only
           // below 2^53 — div is exact at any token count)
           expr(s"global_start div $budget").as("seq_id"))

@@ -481,7 +481,7 @@ object TextAnalysis {
     * Scale shape: gram construction is one map-side transform+slice over
     * the word array (grams never exist as rows outside the single
     * explode), and each occurrence row carries only (doc, pos,
-    * md5(gram)) — 16-hex-byte keys shuffle, never the 15-word text.
+    * xxhash64(gram words)) — 8-byte keys shuffle, never the 15-word text.
     * Three keyed exchanges total, each on a different key: (1)
     * row_number over gram-hash partitions finds non-first occurrences
     * (the ONLY formulation that needs every loser, so a min-agg can't
@@ -502,9 +502,14 @@ object TextAnalysis {
     val w = df.select(col(idCol).cast("long").as("__doc"),
       Shingles.words(col(textCol)).as("__w"))
     val occ = w.select(col("__doc"), explode(expr(
+        // the gram key is ENGINE-INTERNAL (results carry only the
+        // reassembled text), so it is xxhash64 over the word-slice array
+        // — no 15-word string ever materializes, and the window shuffles
+        // 8-byte longs; a 64-bit collision (~10^-8 at 10^6 grams)
+        // over-drops one span, never corrupts surviving text
         s"CASE WHEN size(__w) < $k THEN array() ELSE " +
           s"transform(sequence(1, size(__w) - ${k - 1}), " +
-          s"p -> struct(p AS p, md5(array_join(slice(__w, p, $k), ' ')) " +
+          s"p -> struct(p AS p, xxhash64(slice(__w, p, $k)) " +
           "AS g)) END")).as("__o"))
       .select(col("__doc"), col("__o.p").as("__pos"), col("__o.g").as("__g"))
     val dup = occ.withColumn("__rn", row_number().over(
@@ -612,8 +617,16 @@ object TextAnalysis {
   def dupGramFraction(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val per = Shingles.explodeShingles(df, idCol, textCol, k)
-      .select(col(idCol), md5(col("shingle")).as("__h"))
+    // gram keys are ENGINE-INTERNAL (output carries only per-doc
+    // fractions), so xxhash64 over the word-slice array replaces
+    // md5-of-joined-string: no gram string ever materializes and the
+    // exchanges carry 8-byte longs; a 64-bit collision (~10^-8 at 10^6
+    // grams) shifts one doc's fraction by one gram, nothing else
+    val per = df.select(col(idCol), Shingles.words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(expr(
+        s"CASE WHEN size(__w) < $k THEN array() ELSE " +
+          s"transform(sequence(1, size(__w) - ${k - 1}), " +
+          s"p -> xxhash64(slice(__w, p, $k))) END")).as("__h"))
       .groupBy(col("__h"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
     val withDocs = per.withColumn("__ndocs",
