@@ -139,8 +139,9 @@ object Bench {
     // micro-batch MACHINERY (trigger + state store) against a batch SQL
     // oracle — its ~0.7s is a documented floor, kept in the headline
     // total with this caveat rather than footnoted out (STATUS.md §bench).
-    val notes = "q51_stream_daycap times real micro-batch machinery vs a " +
-      "batch oracle; its ratio is a floor, not a plan gap"
+    val notes = "q51_stream_daycap and q92_stream_dedup time real " +
+      "micro-batch machinery (trigger + state store) vs a batch oracle; " +
+      "their ratios are a floor of the streaming runtime, not a plan gap"
     // errors are reported in-band (a failed query benches as -1 + an
     // errors entry) AND fail the process: a bench with any broken query
     // must never be recorded as a clean run (round-10 lesson — rc:0 with

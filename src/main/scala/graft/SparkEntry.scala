@@ -528,16 +528,17 @@ object SparkEntry {
     // sample with exact counts, all-integer probe lookup — a pure
     // function of the value multiset, replayed bit-for-bit by the
     // oracle (percentile_approx could never be).
-    // preAggregate: a cents-valued price domain is bounded, so the
-    // one-scan distinct-count plan beats scanning lineitem twice
-    // (measured 1.26 -> 0.97 s at sf0.1 even though this synthetic
-    // domain is near-unique; a production price/length/score domain is
-    // far more duplicated and wins bigger)
+    // default plan = the one-pass counting heap (exact counts ride the
+    // per-partition bottom-k summaries; one scan, k·partitions wire) —
+    // A/B'd at sf0.1 against preAggregate=true (distinct-count groupBy
+    // first): the near-unique synthetic price domain makes the distinct
+    // set ~the corpus, so the heap wins (1.09 -> 1.01 isolated); a
+    // heavily-duplicated production domain can flip preAggregate on
     "q74_kmv_quantiles" -> ((s, dir) =>
       graft.operators.Sketches.kmvQuantiles(
         tbl(s, dir, "lineitem")
           .select(cents(col("l_extendedprice")).as("price_cents")),
-        "price_cents", k = 512, preAggregate = true)),
+        "price_cents", k = 512, preAggregate = false)),
 
     // BPE-style pre-tokenization count vs whitespace count per doc — the
     // token-budget signal an LLM pipeline bills by; pure map-side.

@@ -123,26 +123,31 @@ object Sketches {
         .toDF("hv", "v", "cnt")
         .select(col("v"), col("cnt"))
     } else {
+      // ONE-pass counting heap: each partition keeps its k smallest
+      // DISTINCT (hash, value) pairs WITH exact local occurrence counts
+      // (value in the order key breaks 48-bit collisions
+      // deterministically). Local counts are exact for every GLOBAL
+      // survivor: a pair rejected or evicted by partition p's heap has k
+      // distinct smaller pairs inside p alone, so it cannot be among the
+      // global k smallest — and rejection is permanent (the heap's max
+      // only decreases), so every occurrence of a locally-surviving pair
+      // was counted while it sat in the heap. The global merge is the
+      // same heap SUMMING counts of equal pairs across partitions, over
+      // one exchange of <= k-per-partition rows. One corpus scan, wire
+      // bounded by k·partitions — replaces the former two-scan plan
+      // (sample pass + broadcast-semi count pass), which read the corpus
+      // twice for the same output.
+      val enc3 = Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
       val hashed = vals.select(hash48(col("v")).as("hv"), col("v"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      // pass 1: per-partition bounded heap of the k smallest DISTINCT
-      // (hash, value) pairs — value in the order key breaks 48-bit
-      // collisions deterministically; the global merge is the SAME heap
-      // over one exchange of the <= k-per-partition survivors (NOT
-      // coalesce(1), which would narrowly fuse the per-partition heaps
-      // into a single serial task; and not distinct + TakeOrdered, which
-      // shuffles these rows twice for the same bottom-k-of-distinct)
-      val partMins = hashed.mapPartitions(bottomK(_, k))(
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      val sampled = partMins.repartition(1)
-        .mapPartitions(bottomK(_, k))(
-          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-        .toDF("hv", "v")
-        .select(col("v"))
-      // pass 2: exact counts of just the sampled values (map-side
-      // broadcast-semi filter, <= k groups on the wire)
-      vals.join(broadcast(sampled), Seq("v"), "left_semi")
-        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      hashed.mapPartitions(bottomKCounting(_, k))(enc3)
+        // NOT coalesce(1), which would narrowly fuse the per-partition
+        // heaps into a single serial task
+        .repartition(1)
+        .mapPartitions(bottomKSumming(_, k))(enc3)
+        .toDF("hv", "v", "cnt")
+        .select(col("v"), col("cnt"))
     }
     // <= k rows: collapse the cumulative distribution + probe lookup
     // into ONE single-partition aggregation and one codegen'd projection
@@ -321,5 +326,49 @@ object Sketches {
     }
     import scala.jdk.CollectionConverters._
     heap.iterator().asScala
+  }
+
+  /** Bounded heap of the k smallest (hash, value) pairs with exact
+    * occurrence counts for the pairs currently held. Re-occurrences of a
+    * held pair increment in O(1) (hash lookup, no tree op); admission /
+    * eviction touch the tree only. See the kmvQuantiles one-pass plan
+    * for why evicted counts are safely discarded. */
+  private def bottomKCounting(it: Iterator[(Long, Long)], k: Int)
+      : Iterator[(Long, Long, Long)] = {
+    val ord = Ordering.Tuple2[Long, Long]
+    val heap = new java.util.TreeMap[(Long, Long), Array[Long]](ord)
+    val counts = new java.util.HashMap[(Long, Long), Array[Long]]()
+    it.foreach { e =>
+      val held = counts.get(e)
+      if (held != null) held(0) += 1L
+      else if (heap.size < k || ord.lt(e, heap.lastKey())) {
+        val c = Array(1L)
+        heap.put(e, c); counts.put(e, c)
+        if (heap.size > k) counts.remove(heap.pollLastEntry().getKey)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heap.entrySet().iterator().asScala
+      .map(en => (en.getKey._1, en.getKey._2, en.getValue()(0)))
+  }
+
+  /** Merge stage of the counting heap: same bottom-k order, counts of
+    * equal (hash, value) pairs SUMMED across partition summaries. */
+  private def bottomKSumming(it: Iterator[(Long, Long, Long)], k: Int)
+      : Iterator[(Long, Long, Long)] = {
+    val ord = Ordering.Tuple2[Long, Long]
+    val heap = new java.util.TreeMap[(Long, Long), Array[Long]](ord)
+    it.foreach { case (hv, v, cnt) =>
+      val key = (hv, v)
+      val held = heap.get(key)
+      if (held != null) held(0) += cnt
+      else if (heap.size < k || ord.lt(key, heap.lastKey())) {
+        heap.put(key, Array(cnt))
+        if (heap.size > k) heap.pollLastEntry()
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heap.entrySet().iterator().asScala
+      .map(en => (en.getKey._1, en.getKey._2, en.getValue()(0)))
   }
 }

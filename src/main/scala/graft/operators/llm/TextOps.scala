@@ -501,17 +501,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val w = df.select(col(idCol).cast("long").as("__doc"),
       Shingles.words(col(textCol)).as("__w"))
-    val occ = w.select(col("__doc"), explode(expr(
-        // the gram key is ENGINE-INTERNAL (results carry only the
-        // reassembled text), so it is xxhash64 over the word-slice array
-        // — no 15-word string ever materializes, and the window shuffles
-        // 8-byte longs; a 64-bit collision (~10^-8 at 10^6 grams)
-        // over-drops one span, never corrupts surviving text
-        s"CASE WHEN size(__w) < $k THEN array() ELSE " +
-          s"transform(sequence(1, size(__w) - ${k - 1}), " +
-          s"p -> struct(p AS p, xxhash64(slice(__w, p, $k)) " +
-          "AS g)) END")).as("__o"))
-      .select(col("__doc"), col("__o.p").as("__pos"), col("__o.g").as("__g"))
+    // gram keys are ENGINE-INTERNAL (results carry only the reassembled
+    // text), so xxhash64 replaces md5 and the window shuffles 8-byte
+    // longs, never the 15-word text; a 64-bit collision (~10^-8 at 10^6
+    // grams) over-drops one span, never corrupts surviving text. Gram
+    // strings come from the native WordGramsExpression builder (A/B'd
+    // against a transform+slice array-hash formulation: the fused
+    // builder wins).
+    val occ = w.select(col("__doc"), posexplode(
+        graft.functions.VectorFunctions.wordGrams(col("__w"), k))
+        .as(Seq("__p0", "__gs")))
+      .select(col("__doc"), (col("__p0") + 1).as("__pos"),
+        xxhash64(col("__gs")).as("__g"))
     val dup = occ.withColumn("__rn", row_number().over(
         Window.partitionBy("__g").orderBy("__doc", "__pos")))
       .where(col("__rn") > 1)
@@ -622,11 +623,8 @@ object TextAnalysis {
     // md5-of-joined-string: no gram string ever materializes and the
     // exchanges carry 8-byte longs; a 64-bit collision (~10^-8 at 10^6
     // grams) shifts one doc's fraction by one gram, nothing else
-    val per = df.select(col(idCol), Shingles.words(col(textCol)).as("__w"))
-      .select(col(idCol), explode(expr(
-        s"CASE WHEN size(__w) < $k THEN array() ELSE " +
-          s"transform(sequence(1, size(__w) - ${k - 1}), " +
-          s"p -> xxhash64(slice(__w, p, $k))) END")).as("__h"))
+    val per = Shingles.explodeShingles(df, idCol, textCol, k)
+      .select(col(idCol), xxhash64(col("shingle")).as("__h"))
       .groupBy(col("__h"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
     val withDocs = per.withColumn("__ndocs",
@@ -739,19 +737,29 @@ object TextAnalysis {
     * continuations is its own join key). Documents shorter than 2
     * words have no bigrams and are absent from the output. */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // bigram and prefix keys are ENGINE-INTERNAL (output = per-doc
+    // integer scores), so every exchange carries xxhash64 longs, never
+    // the bigram text: (gh, wh) = hash of the word pair / its first
+    // word, computed in the same map-side transform that windows the
+    // word array (wh rides along because the prefix c(w1 ·) aggregation
+    // and the LM join both need it; it is functionally dependent on gh,
+    // so max() re-derives it per bigram group). A 64-bit collision
+    // (~10^-9 at 10^5 distinct bigrams) merges two LM cells — same
+    // accepted-risk class as substringDedup/dupGramFraction.
     val per = Shingles.explodeShingles(df, idCol, textCol, 2)
-      .groupBy(col(idCol), col("shingle"))
-      .agg(count(lit(1)).as("__cnt"))
+      .select(col(idCol), xxhash64(col("shingle")).as("__gh"),
+        xxhash64(substring_index(col("shingle"), " ", 1)).as("__wh"))
+      .groupBy(col(idCol), col("__gh"))
+      .agg(count(lit(1)).as("__cnt"), max(col("__wh")).as("__wh"))
       .localCheckpoint(eager = false)
-    val bigramCnt = per.groupBy(col("shingle"))
-      .agg(sum(col("__cnt")).as("__cb"))
-      .withColumn("__w1", split(col("shingle"), " ", 2).getItem(0))
-    val prefixCnt = bigramCnt.groupBy(col("__w1"))
+    val bigramCnt = per.groupBy(col("__gh"))
+      .agg(sum(col("__cnt")).as("__cb"), max(col("__wh")).as("__wh"))
+    val prefixCnt = bigramCnt.groupBy(col("__wh"))
       .agg(sum(col("__cb")).as("__cw"))
-    val lm = bigramCnt.join(prefixCnt, "__w1")
-      .select(col("shingle"),
+    val lm = bigramCnt.join(prefixCnt, "__wh")
+      .select(col("__gh"),
         expr("CAST((10000 * __cb) DIV __cw AS BIGINT)").as("__w"))
-    per.join(lm, "shingle")
+    per.join(lm, "__gh")
       .groupBy(col(idCol))
       .agg(sum(col("__cnt")).as("n_bigrams"),
         sum(col("__cnt") * col("__w")).as("score"))
