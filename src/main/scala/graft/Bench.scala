@@ -44,6 +44,17 @@ object Bench {
       // (the round-8 interleave experiment measured +35% total from exactly
       // this). With all passes' classes resident, rep order stops mattering.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Local-mode shuffle blocks are KB-to-low-MB and never cross a
+      // network, so lz4 costs more CPU than the page-cache I/O it saves:
+      // measured on the full 94-query suite, OFF 27.7/27.3 s vs ON
+      // 28.4/30.8 s (two runs each, interleaved). A multi-host cluster
+      // shipping shuffle over the wire keeps the Spark default (ON) —
+      // this is a single-host sizing knob, same class as
+      // shuffle.partitions=32. GRAFT_BENCH_SHUFFLE_COMPRESS=true
+      // restores the default for A/B.
+      .config("spark.shuffle.compress",
+        sys.env.get("GRAFT_BENCH_SHUFFLE_COMPRESS").map(_.trim.toLowerCase)
+          .exists(v => v == "true" || v == "1").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
