@@ -1717,8 +1717,56 @@ object SparkEntry {
     // PMI): within-doc adjacent word pairs, n>=5, top 30.
     "q94_collocation" -> ((s, dir) =>
       graft.operators.llm.CorpusModels.collocationLift(
-        tbl(s, dir, "documents"), "text", minCount = 5, topK = 30))
+        tbl(s, dir, "documents"), "text", minCount = 5, topK = 30)),
+
+    // Apply a trained BPE merge table (offline artifact, here a fixed
+    // literal) and count tokens per doc under the learned vocab — the
+    // billing signal of a training pipeline; pure map-side + one agg.
+    "q95_bpe_apply" -> ((s, dir) =>
+      graft.operators.llm.CorpusModels.bpeApply(
+        tbl(s, dir, "documents"), "doc_id", "text", BpeMerges)),
+
+    // Deterministic integer PageRank over the synthesized doc link
+    // graph (97 hosts, multi-edges weighted), 3 unrolled power rounds —
+    // the classic web-archive graph derivative, bit-exact cross-engine.
+    "q96_pagerank" -> ((s, dir) => {
+      val id = col("doc_id").cast("long")
+      val edges = tbl(s, dir, "documents")
+        .select((id % 97).as("src"), ((id * 31 + 7) % 97).as("dst"))
+      graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+    }),
+
+    // Snapshot diff between two corpus versions (re-crawl simulation:
+    // every 11th doc removed, every 7th changed, every 13th re-added
+    // under a new key): one full-outer join on the primary key
+    // classifies added/removed/changed/unchanged; per-status summary
+    // with a key checksum pins the exact classification.
+    "q97_snapshot_diff" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val v2 = docs.where(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            md5(concat(col("text"), lit(" v2"))))
+            .otherwise(md5(col("text"))).as("fp"))
+        .union(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(concat(col("text"), lit(" new"))).as("fp")))
+      graft.operators.GraphOps.snapshotDiff(v1, v2, "doc_id", "fp")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_keys"))
+    })
   )
+
+  /** Fixed BPE merge table for q95 (in production: [[graft.operators.llm
+    * .CorpusModels.bpeTrain]] output persisted offline; here a literal so
+    * the oracle SQL embeds the identical chain). Later merges build on
+    * earlier merged symbols (th→the, in→ing). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u", "s" -> "t",
+    "e" -> "d", "in" -> "g")
 
   /** Synthesized multi-member WARC fixture shared by q42/q50/q67 (one
     * gzip member per record, warcinfo lead, responses incl. 404s, raw
@@ -3305,7 +3353,67 @@ object SparkEntry {
         |FROM bg JOIN u ux ON bg.w1 = ux.w JOIN u uy ON bg.w2 = uy.w
         |CROSS JOIN tot
         |WHERE bg.n_xy >= 5
-        |ORDER BY lift_bp DESC, w1, w2 LIMIT 30""".stripMargin
+        |ORDER BY lift_bp DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    "q95_bpe_apply" -> {
+      // identical replace chain, generated from the same merge table
+      val chain = BpeMerges.foldLeft(
+        "' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' '") {
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' ${a + b} ')"
+      }
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |    len(string_split(trim($chain), '  ')) AS ntok
+         |  FROM w WHERE word <> '')
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST((100 * sum(ntok)) // count(*) AS BIGINT) AS tokens_per_100w
+         |FROM t GROUP BY 1""".stripMargin
+    },
+
+    "q96_pagerank" -> {
+      val scale = 1000000000000L
+      def round(prev: String, out: String): String =
+        s"""$out AS (SELECT nd.node,
+           |    CAST((15 * $scale) // (100 * (SELECT nn FROM n))
+           |      + coalesce(s.c, 0) AS BIGINT) AS pr
+           |  FROM nd LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      sum(($prev.pr * 85) // (100 * dg.deg)) AS c
+           |    FROM e JOIN dg ON e.src = dg.src
+           |    JOIN $prev ON $prev.node = e.src
+           |    GROUP BY 1) s USING (node))""".stripMargin
+      s"""WITH e AS (SELECT CAST(doc_id AS BIGINT) % 97 AS src,
+         |    (CAST(doc_id AS BIGINT) * 31 + 7) % 97 AS dst FROM documents),
+         |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |n AS (SELECT count(*) AS nn FROM nd),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |p0 AS (SELECT node, $scale // (SELECT nn FROM n) AS pr FROM nd),
+         |${round("p0", "p1")},
+         |${round("p1", "p2")},
+         |${round("p2", "p3")}
+         |SELECT node, pr FROM p3""".stripMargin
+    },
+
+    "q97_snapshot_diff" ->
+      """WITH v1 AS (SELECT CAST(doc_id AS BIGINT) AS key, md5(text) AS fp
+        |  FROM documents),
+        |v2 AS (SELECT CAST(doc_id AS BIGINT) AS key,
+        |    CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2')
+        |         ELSE md5(text) END AS fp
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000, md5(text || ' new')
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT CASE WHEN v1.fp IS NULL THEN 'added'
+        |            WHEN v2.fp IS NULL THEN 'removed'
+        |            WHEN v1.fp = v2.fp THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  count(*) AS n,
+        |  CAST(sum(coalesce(v1.key, v2.key)) AS BIGINT) AS sum_keys
+        |FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key
+        |GROUP BY 1""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

@@ -124,6 +124,55 @@ object CorpusModels {
     merges.result()
   }
 
+  /** Apply a trained BPE merge table (the [[bpeTrain]] output, in
+    * production an offline artifact) and count the resulting tokens per
+    * document — the "how many tokens under MY tokenizer" signal a
+    * training pipeline bills by, exact under the learned vocab rather
+    * than the whitespace/regex approximations of tokenCount.
+    *
+    * Representation: each word becomes a double-space-separated symbol
+    * string with a leading/trailing double space (`"ab" → "  a  b  "`);
+    * merge (a, b) is then the literal replace `" a  b " → " ab "`.
+    * The surrounding single spaces anchor complete symbols (no
+    * mid-symbol false matches), and because each match consumes only
+    * ONE space of each side's double-space gap, adjacent matches stay
+    * replaceable — left-to-right non-overlapping replace (the shared
+    * semantics of Spark's `replace` and any SQL engine's) then merges
+    * runs correctly. The whole chain is a fixed composition of literal
+    * string replaces, so an external oracle replays it byte-for-byte.
+    *
+    * Scale shape: pure map-side (explode words → replace chain → count
+    * symbols → per-doc sum is one map-side-combinable aggregation; one
+    * shuffle of (doc, partial count) rows). For very hot vocabularies a
+    * caller can memoize per DISTINCT word (vocab-sized aggregation +
+    * broadcast join back) — not done here because the replace chain is
+    * already codegen'd and cheap relative to a second exchange.
+    * Output: (idCol, n_words, n_tokens, tokens_per_100w). */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "empty merge table")
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !a.contains(' ') && !b.contains(' ') },
+      "merge symbols must be non-empty and space-free")
+    val spaced = concat(lit(" "),
+      regexp_replace(col("__word"), "(.)", " $1 "), lit(" "))
+    // NOT regexp_replace: merge symbols are literal text, and e.g. a
+    // learned merge of "." or "(" would otherwise be a regex
+    val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      org.apache.spark.sql.functions.replace(
+        acc, lit(s" $a  $b "), lit(s" ${a + b} "))
+    }
+    df.select(col(idCol),
+        explode(Shingles.words(col(textCol))).as("__word"))
+      .where(col("__word") =!= "")
+      .select(col(idCol),
+        size(split(trim(merged), "  ", -1)).cast("long").as("__ntok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_tokens"))
+      .select(col(idCol), col("n_words"), col("n_tokens"),
+        expr("(100 * n_tokens) div n_words").as("tokens_per_100w"))
+  }
+
   /** Collocation mining by LIFT in basis points — the log-free exact form
     * of PMI ranking (lift = p(xy)/(p(x)p(y)); log of it is PMI, and log
     * is monotone, so ranking by integer lift ranks by PMI with zero
