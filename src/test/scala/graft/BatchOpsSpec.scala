@@ -213,8 +213,11 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     for (parts <- Seq(1, 7)) {
       val df = rows.toDF("doc_id", "n_tok").repartition(parts)
       val got = Packing.byTokenBudget(df, "doc_id", "n_tok", budget = 100L)
-        .as[(Long, Long, Long)].collect()
-        .map { case (id, start, seq) => id -> ((start, seq)) }.toMap
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, tok, start, seq) =>
+          assert(tok == id) // the token column rides through unchanged
+          id -> ((start, seq))
+        }.toMap
       // exact exclusive prefix sums: start(i) = sum(1..i-1) = i(i-1)/2
       (1L to 200L).foreach { i =>
         val exp = i * (i - 1) / 2
@@ -226,8 +229,9 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     // ends at 105)
     val df2 = (1L to 20L).map(i => (i, i)).toDF("doc_id", "n_tok")
     val s14 = Packing.byTokenBudget(df2, "doc_id", "n_tok", 100L)
-      .where($"doc_id" === 14L).as[(Long, Long, Long)].collect()(0)
-    assert(s14 == ((14L, 91L, 0L)))
+      .where($"doc_id" === 14L)
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(s14 == ((14L, 14L, 91L, 0L)))
     // empty input and invalid budget
     assert(Packing.byTokenBudget(
       Seq.empty[(Long, Long)].toDF("doc_id", "n_tok"), "doc_id", "n_tok",
