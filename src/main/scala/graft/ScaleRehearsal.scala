@@ -27,7 +27,8 @@ import org.apache.spark.sql.graftshim
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val (mode, rest) = args.headOption match {
-      case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" =>
+      case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
+          m == "substr" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -36,6 +37,7 @@ object ScaleRehearsal {
       .getOrElse(mode match {
         case "ann" => 12 // numPlanes
         case "kmeans" => 8 // k (seed count)
+        case "substr" => 15 // gram window k
         case _ => 400
       })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
@@ -63,6 +65,8 @@ object ScaleRehearsal {
 
     if (mode == "ann") { annRehearsal(spark, copies, maxBucket, sfDir,
       read, write); spark.stop(); return }
+    if (mode == "substr") { substrRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
     if (mode == "kmeans") { kmeansRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
 
@@ -145,7 +149,48 @@ object ScaleRehearsal {
     spark.stop()
   }
 
-  /** ANN decades: brute-force cosine top-10 vs hyperplane-LSH-bucketed
+  /** Substring-dedup decades: replicate the documents table N times
+    * with disjoint ids — every copy duplicates EVERY span of the
+    * original, so each gram's occurrence group grows linearly in
+    * `copies` (the worst case for the keep-first window: every group is
+    * a skew group of exactly `copies` rows) and all but the first
+    * copy's text should vanish. Reports wall, shuffle volume, and the
+    * dropped-word mass (whose fraction must approach (copies-1)/copies
+    * — a built-in correctness check at every decade). */
+  private def substrRehearsal(spark: SparkSession, copies: Int, k: Int,
+                              sfDir: String, read: AtomicLong,
+                              write: AtomicLong): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"),
+        col("text"))
+      .repartition(cpus) // testdata is one row group (SCALE.md caveat)
+    val nDocs = corpus.count()
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (r0, w0) = (read.get, write.get)
+    val t0 = System.nanoTime()
+    val out = graft.operators.llm.TextAnalysis.substringDedup(
+      corpus, "doc_id", "text", k)
+    val stats = out.agg(count(lit(1)).as("docs"),
+      sum(col("n_kept")).as("kept"),
+      sum(col("n_dropped")).as("dropped")).collect()(0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (readB, writeB) = (read.get - r0, write.get - w0)
+    def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+    val kept = stats.getLong(1); val dropped = stats.getLong(2)
+    println(f"[rehearsal] substr copies=$copies docs=$nDocs k=$k " +
+      f"kept=$kept dropped=$dropped " +
+      f"dropFrac=${dropped.toDouble / (kept + dropped)}%.4f " +
+      f"wall=$wall%.1f s shuffleRead=${mib(readB)} MiB " +
+      s"shuffleWrite=${mib(writeB)} MiB")
+  }
+
+  /** ANN decades: brute-force cosine top-k vs hyperplane-LSH-bucketed
     * top-10 over the replicated (deterministically perturbed) embedding
     * corpus — same queries, same integer dot scoring; the rehearsal
     * measures the exact baseline's quadratic growth against the bucketed

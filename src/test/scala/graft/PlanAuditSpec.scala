@@ -41,14 +41,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q60_tfidf" -> 4,         // tf agg, df agg, N, per-doc sum
       // every q74 exchange carries <= k (or k·partitions) rows: the
       // sample distinct, the <= k-group count agg, the tiny window
-      "q74_kmv_quantiles" -> 3)
+      "q74_kmv_quantiles" -> 3,
+      // round 11: gram window + covered-set agg; corpus meets its
+      // covered sets via broadcast (pinned below), never an exchange
+      "q90_substring_dedup" -> 2,
+      "q91_nb_quality" -> 3,    // token agg, (doc,token) agg, doc agg
+      "q93_bpe_pairs" -> 2,     // word-freq agg + vocab-sized pair agg
+      "q94_collocation" -> 5,   // bigram/unigram aggs + join exchanges
+      "q95_bpe_apply" -> 1,     // replace chain is map-side; one doc agg
+      "q96_pagerank" -> 18,     // 3 unrolled rounds x (2 joins + sum) + spine
+      "q97_snapshot_diff" -> 3) // both snapshots keyed once + summary agg
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val n = shuffles(plan(name))
       if (n > max) Some(s"$name: $n shuffles > budget $max") else None
     }
     assert(over.isEmpty, over.mkString("; "))
     // the corpus side of the asymmetric joins must stay off the wire
-    for (name <- Seq("q72_decontaminate", "q60_tfidf")) {
+    for (name <- Seq("q72_decontaminate", "q60_tfidf",
+        "q90_substring_dedup")) {
       val s = plan(name)
       assert(s.contains("BroadcastHashJoin"), s"$name lost its broadcast")
       assert(!s.contains("SortMergeJoin"),
