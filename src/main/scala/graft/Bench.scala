@@ -46,8 +46,9 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       // Local-mode shuffle blocks are KB-to-low-MB and never cross a
       // network, so lz4 costs more CPU than the page-cache I/O it saves:
-      // measured on the full 94-query suite, OFF 27.7/27.3 s vs ON
-      // 28.4/30.8 s (two runs each, interleaved). A multi-host cluster
+      // measured on the then-current full suite (94 queries,
+      // pre-q95-q97), OFF 27.7/27.3 s vs ON 28.4/30.8 s (two runs
+      // each, interleaved). A multi-host cluster
       // shipping shuffle over the wire keeps the Spark default (ON) —
       // this is a single-host sizing knob, same class as
       // shuffle.partitions=32. GRAFT_BENCH_SHUFFLE_COMPRESS=true

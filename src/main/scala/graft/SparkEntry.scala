@@ -1224,6 +1224,13 @@ object SparkEntry {
       // cannot change Append output here
       withScopedConf(s,
         "spark.sql.shuffle.partitions" -> "1",
+        // keep the fixture ONE input split: the file source re-splits a
+        // single file at max(openCost, bytes/parallelism), and keep-first
+        // admission order is only the file's line order while one mapper
+        // reads it start-to-finish — at larger SFs the default split
+        // size would shear the file and leave encounter order to
+        // shuffle-fetch scheduling
+        "spark.sql.files.maxPartitionBytes" -> "1073741824",
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         val lines = s.readStream.option("lineSep", "\n")
           .text(s"$base/in").as[String]
@@ -1685,6 +1692,13 @@ object SparkEntry {
       scala.util.Try(s.catalog.dropTempView(sink))
       withScopedConf(s,
         "spark.sql.shuffle.partitions" -> "1",
+        // keep the fixture ONE input split: the file source re-splits a
+        // single file at max(openCost, bytes/parallelism), and keep-first
+        // admission order is only the file's line order while one mapper
+        // reads it start-to-finish — at larger SFs the default split
+        // size would shear the file and leave encounter order to
+        // shuffle-fetch scheduling
+        "spark.sql.files.maxPartitionBytes" -> "1073741824",
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         val lines = s.readStream.option("lineSep", "\n")
           .text(s"$base/in").as[String]

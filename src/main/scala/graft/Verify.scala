@@ -22,6 +22,14 @@ object Verify {
     // consistent (queries, oracle) pair.
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd filter must fail loudly, not verify zero queries and
+    // exit green (the silent-vacuous-green failure mode the round-10
+    // hardening exists to prevent)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -203,7 +203,13 @@ object CorpusModels {
       .join(uni.select(col("w").as("w2"), col("n_w").as("__ny")), "w2")
       .crossJoin(total)
       .select(col("w1"), col("w2"), col("n_xy"),
-        expr("(10000 * n_xy * __n) div (__nx * __ny)").as("lift_bp"))
+        // DECIMAL(38,0) on both sides of the DIV: at the 10^12-word
+        // design point 10000·n_xy·N and n_x·n_y both blow through
+        // int64 (silent wraparound under non-ANSI Spark, an overflow
+        // error in the HUGEINT oracle) — same widening as the AnnOps
+        // cosine products; DIV truncation order matches the oracle
+        expr("CAST((CAST(10000 AS DECIMAL(38,0)) * n_xy * __n) DIV " +
+          "(CAST(__nx AS DECIMAL(38,0)) * __ny) AS BIGINT)").as("lift_bp"))
       .orderBy(desc("lift_bp"), asc("w1"), asc("w2")).limit(topK)
   }
 }

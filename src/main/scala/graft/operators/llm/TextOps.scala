@@ -470,9 +470,21 @@ object TextAnalysis {
     * `k`-word grams — a span of ≥ k words is duplicated iff all its
     * k-grams are, so marking every NON-FIRST occurrence of each k-gram
     * and dropping the words it covers removes exactly the duplicated
-    * spans (first occurrences survive verbatim). Unlike [[chunkDedup]]
-    * (fixed aligned chunks), the sliding window catches duplicated spans
-    * at ANY word offset.
+    * spans. Unlike [[chunkDedup]] (fixed aligned chunks), the sliding
+    * window catches duplicated spans at ANY word offset.
+    *
+    * First-occurrence semantics, precisely: the first occurrence of a
+    * CROSS-document duplicate survives verbatim (a later doc's gram
+    * occurrences never cover positions in an earlier doc). WITHIN one
+    * document, a self-overlapping periodic run ("x x x x x x", k=5) is
+    * collapsed harder than the reference's merged-range semantics: the
+    * run's second gram occurrence starts inside the first's span, so
+    * coverage eats back into it and the survivor can be shorter than k
+    * words (here: one "x"). That is a deliberate property of the
+    * coverage rule — deterministic, identical in the oracle, and
+    * aligned with what repetition removal WANTS for degenerate periodic
+    * boilerplate — but it is not byte-faithful "keep exactly one copy"
+    * for intra-document repeats (pinned in CorpusModelsSpec).
     *
     * Keep-first = global (doc, pos) lexicographic order, so results are
     * deterministic on any cluster layout. Returns every input document:

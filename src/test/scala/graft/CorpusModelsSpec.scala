@@ -48,6 +48,17 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == ((5, 4, "r1 r2 r3 r4 mid")))
   }
 
+  test("substringDedup: periodic self-overlap collapses below k (documented)") {
+    // "x x x x x x" k=5: the pos-2 gram duplicates pos-1 and its span
+    // eats back into the first occurrence — survivor is ONE word, not a
+    // verbatim first copy. Pinned as the coverage rule's documented
+    // intra-document semantics (cross-document first copies are safe).
+    val df = Seq((1L, "x x x x x x")).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedup(df, "doc_id", "text", k = 5)
+      .select("n_kept", "clean_text").as[(Int, String)].collect().head
+    assert(got == ((1, "x")))
+  }
+
   test("substringDedup: docs shorter than k pass through untouched") {
     val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     val got = TextAnalysis.substringDedup(df, "doc_id", "text", k = 5)
