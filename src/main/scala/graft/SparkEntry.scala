@@ -1747,7 +1747,8 @@ object SparkEntry {
       val id = col("doc_id").cast("long")
       val edges = tbl(s, dir, "documents")
         .select((id % 97).as("src"), ((id * 31 + 7) % 97).as("dst"))
-      graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3,
+        localBelow = LocalKmeansRows)
     }),
 
     // Snapshot diff between two corpus versions (re-crawl simulation:
@@ -1770,6 +1771,27 @@ object SparkEntry {
       graft.operators.GraphOps.snapshotDiff(v1, v2, "doc_id", "fp")
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_keys"))
+    }),
+
+    // RAG/embedding chunking: 64-word windows at stride 48 (16-word
+    // overlap), partial tail kept; pure map-side projection. chunk_md5
+    // pins the exact text of every window.
+    "q98_chunk_overlap" -> ((s, dir) =>
+      graft.operators.llm.CorpusModels.overlapChunks(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        chunkWords = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_words"),
+          md5(col("chunk_text")).as("chunk_md5"))),
+
+    // Token-distribution drift between corpus versions (v2 = every 5th
+    // doc removed): smoothed per-token frequency-ratio in basis points,
+    // top 25 most-drifted under a deterministic order — the per-snapshot
+    // monitoring op of an evolving corpus.
+    "q99_token_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.llm.CorpusModels.tokenDrift(
+        docs, docs.where(col("doc_id") % 5 =!= 0), "text",
+        minCount = 20L, topK = 25)
     })
   )
 
@@ -3427,7 +3449,40 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(coalesce(v1.key, v2.key)) AS BIGINT) AS sum_keys
         |FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q98_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(ws[i*48+1 : i*48+64], ' ') AS chunk
+        |  FROM w, UNNEST(range((len(ws) - 1) // 48 + 1)) t(i))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_words,
+        |  md5(chunk) AS chunk_md5
+        |FROM c""".stripMargin,
+
+    "q99_token_drift" ->
+      """WITH t1 AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |c1 AS (SELECT token, count(*) AS c_old FROM t1
+        |  WHERE token <> '' GROUP BY 1),
+        |c2 AS (SELECT token, count(*) AS c_new FROM t2
+        |  WHERE token <> '' GROUP BY 1),
+        |m AS (SELECT coalesce(c1.token, c2.token) AS token,
+        |    coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |  FROM c1 FULL OUTER JOIN c2 ON c1.token = c2.token),
+        |tot AS (SELECT sum(c_old) AS n1, sum(c_new) AS n2 FROM m),
+        |r AS (SELECT token, c_old, c_new,
+        |    CAST((10000 * (c_new + 1) * tot.n1)
+        |      // ((c_old + 1) * tot.n2) AS BIGINT) AS ratio_bp
+        |  FROM m, tot WHERE c_old + c_new >= 20)
+        |SELECT token, CAST(c_old AS BIGINT) AS c_old,
+        |  CAST(c_new AS BIGINT) AS c_new, ratio_bp,
+        |  abs(ratio_bp - 10000) AS dev_bp
+        |FROM r ORDER BY dev_bp DESC, token LIMIT 25""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

@@ -35,12 +35,50 @@ object GraphOps {
     * every few rounds, the ConnectedComponents trade). Dangling-node
     * mass is dropped, not redistributed (the common simplification;
     * stated so the oracle matches by construction). */
+  /** `localBelow = n` (opt-in) finishes SMALL graphs in the driver —
+    * the [[graft.operators.llm.KMeans]] / ConnectedComponents endgame
+    * applied to power iteration: one take(n+1) both guards the edge
+    * count and IS the data, so iters × (join + agg) rounds collapse to
+    * one job plus in-driver rounds over the same integer sums in the
+    * same deterministic order (per-node contribution lists sorted by
+    * src) — ranks bit-identical (pinned). Production graphs keep 0 and
+    * never pay the probe. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, scale: Long = 1000000000000L): DataFrame = {
+               iters: Int, scale: Long = 1000000000000L,
+               localBelow: Long = 0L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 100L, s"scale must be >= 100, got $scale")
+    require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+
+    if (localBelow > 0L) {
+      val probe = e.take(localBelow.toInt + 1)
+      if (probe.length <= localBelow) {
+        val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+        val n = nodes.length.toLong
+        val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+        // incoming edge multiplicities per dst — summation order is
+        // irrelevant for exactness (integer adds commute), kept sorted
+        // for reproducible iteration anyway
+        val in = es.groupBy(_._2).view
+          .mapValues(_.groupBy(_._1).view.mapValues(_.length.toLong)
+            .toSeq.sortBy(_._1)).toMap
+        val base = (15L * scale) / (100L * n)
+        var pr = nodes.map(_ -> scale / n).toMap
+        for (_ <- 1 to iters) {
+          pr = nodes.map { v =>
+            val inSum = in.getOrElse(v, Seq.empty).iterator.map {
+              case (u, m) => m * ((pr(u) * 85L) / (100L * deg(u)))
+            }.sum
+            v -> (base + inSum)
+          }.toMap
+        }
+        import edges.sparkSession.implicits._
+        return nodes.map(v => (v, pr(v))).toSeq.toDF("node", "pr")
+      }
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nCount = nodes.agg(count(lit(1)).as("__n"))

@@ -173,6 +173,65 @@ object CorpusModels {
         expr("(100 * n_tokens) div n_words").as("tokens_per_100w"))
   }
 
+  /** Overlapping window chunking — the RAG/embedding-pipeline splitter:
+    * chunk i covers words [i·stride+1, i·stride+chunkWords], windows
+    * overlap by chunkWords−stride words, the final partial window is
+    * kept (its text is the retrieval context for the document tail).
+    * Pure map-side (one transform+slice per doc, one posexplode); at
+    * 100 TB this is a projection stage, zero shuffle. Returns
+    * (idCol, chunk_idx, n_words, chunk_text). */
+  def overlapChunks(df: DataFrame, idCol: String, textCol: String,
+                    chunkWords: Int, stride: Int): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    require(stride >= 1 && stride <= chunkWords,
+      s"stride must be in [1, chunkWords], got $stride")
+    df.select(col(idCol), Shingles.words(col(textCol)).as("__w"))
+      .select(col(idCol), posexplode(expr(
+        // last chunk starts at the largest i*stride+1 <= len
+        s"transform(sequence(0, cast((size(__w) - 1) div $stride AS INT)), " +
+          s"i -> array_join(slice(__w, i * $stride + 1, $chunkWords), ' '))"))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk_text"), " ", -1)).cast("long").as("n_words"),
+        col("chunk_text"))
+  }
+
+  /** Unigram-distribution drift between two corpus versions — the
+    * monitoring op a pipeline runs per snapshot: per-token ratio of
+    * relative frequencies in integer basis points,
+    * `ratio_bp = (10000 · c_new · N_old) div (c_old · N_new)`
+    * (DECIMAL(38,0)-widened: both products overflow int64 at the
+    * 10^12-token design point), add-one smoothing so tokens present in
+    * only one version stay finite, deviation `|ratio − 10000|` ranks
+    * the most-drifted tokens under a deterministic total order.
+    *
+    * Scale shape: two map-side-combinable token counts, one vocab-keyed
+    * full-outer merge (vocab-sized, not corpus-sized), totals ride the
+    * plan as 1-row broadcasts, final top-k is a TakeOrdered. */
+  def tokenDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                 minCount: Long, topK: Int): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(Shingles.words(col(textCol))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val c1 = counts(oldDf, "c_old")
+    val c2 = counts(newDf, "c_new")
+    val merged = c1.join(c2, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val totals = merged.agg(sum(col("c_old")).as("__n1"),
+      sum(col("c_new")).as("__n2"))
+    merged.where(col("c_old") + col("c_new") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("c_old"), col("c_new"),
+        expr("CAST((CAST(10000 AS DECIMAL(38,0)) * (c_new + 1) * __n1) " +
+          "DIV (CAST(c_old + 1 AS DECIMAL(38,0)) * __n2) AS BIGINT)")
+          .as("ratio_bp"))
+      .select(col("token"), col("c_old"), col("c_new"), col("ratio_bp"),
+        abs(col("ratio_bp") - 10000L).as("dev_bp"))
+      .orderBy(desc("dev_bp"), asc("token")).limit(topK)
+  }
+
   /** Collocation mining by LIFT in basis points — the log-free exact form
     * of PMI ranking (lift = p(xy)/(p(x)p(y)); log of it is PMI, and log
     * is monotone, so ranking by integer lift ranks by PMI with zero

@@ -116,6 +116,42 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     assert(merges == Seq(("a", "b")))
   }
 
+  // ---------------------------------------------------------------- q98
+  test("overlapChunks: stride windows, overlap, partial tail") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val got = CorpusModels.overlapChunks(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      chunkWords = 6, stride = 4)
+      .select("chunk_idx", "n_words", "chunk_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // starts at 1, 5, 9: [w1..w6], [w5..w10], [w9, w10]
+    assert(got.toSeq == Seq(
+      (0L, 6L, "w1 w2 w3 w4 w5 w6"),
+      (1L, 6L, "w5 w6 w7 w8 w9 w10"),
+      (2L, 2L, "w9 w10")))
+  }
+
+  test("overlapChunks: doc shorter than one window is a single chunk") {
+    val got = CorpusModels.overlapChunks(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+      chunkWords = 64, stride = 48)
+      .select("chunk_idx", "chunk_text").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((0L, "a b")))
+  }
+
+  // ---------------------------------------------------------------- q99
+  test("tokenDrift: removed tokens drift down, enriched tokens drift up") {
+    val oldDf = (Seq.fill(10)("keep keep gone") ++ Seq.fill(10)("keep"))
+      .toDF("text")
+    val newDf = Seq.fill(20)("keep keep").toDF("text")
+    val got = CorpusModels.tokenDrift(oldDf, newDf, "text",
+      minCount = 5L, topK = 10)
+      .select("token", "ratio_bp").as[(String, Long)].collect().toMap
+    // 'gone': c_old=10, c_new=0 -> ratio near 0; 'keep': 30 -> 40 up
+    assert(got("gone") < 2000L)
+    assert(got("keep") > 10000L)
+  }
+
   // ---------------------------------------------------------------- q94
   test("collocationLift: exclusive pair ranks above promiscuous pair") {
     // 'x y' always adjacent and exclusive; 'a b' adjacent but a and b

@@ -39,6 +39,23 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pr(2L) > pr(3L))
   }
 
+  test("pageRank: localBelow endgame is bit-identical to the distributed rounds") {
+    // multi-edges, a sink-only node, a self-loop — every code path
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 4L), (2L, 1L)).toDF("src", "dst")
+    val dist = GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val local = GraphOps.pageRank(edges, "src", "dst", iters = 3,
+      localBelow = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+    // threshold bypass: a graph larger than localBelow still runs
+    // distributed and agrees
+    val bypass = GraphOps.pageRank(edges, "src", "dst", iters = 3,
+      localBelow = 3L).as[(Long, Long)].collect().toMap
+    assert(bypass == dist)
+  }
+
   test("snapshotDiff classifies all four statuses") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "fp")
     val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "fp")

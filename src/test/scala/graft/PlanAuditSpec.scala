@@ -50,7 +50,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q94_collocation" -> 5,   // bigram/unigram aggs + join exchanges
       "q95_bpe_apply" -> 1,     // replace chain is map-side; one doc agg
       "q96_pagerank" -> 18,     // 3 unrolled rounds x (2 joins + sum) + spine
-      "q97_snapshot_diff" -> 3) // both snapshots keyed once + summary agg
+      "q97_snapshot_diff" -> 3, // both snapshots keyed once + summary agg
+      "q98_chunk_overlap" -> 0, // pure map-side window projection
+      "q99_token_drift" -> 5)   // two token aggs + vocab merge + top-k
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val n = shuffles(plan(name))
       if (n > max) Some(s"$name: $n shuffles > budget $max") else None
