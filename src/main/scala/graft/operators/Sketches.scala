@@ -81,11 +81,12 @@ object Sketches {
     *
     * Scale shape, two selectable plans with identical output:
     *
-    *  - `preAggregate = false` (default, unbounded domains): pass 1 is
-    *    the bounded-heap KMV scan (<= k rows per partition reach the
-    *    wire); pass 2 filters map-side through a broadcast of the <= k
-    *    sampled values and aggregates <= k groups. Nothing shuffles
-    *    more than k·partitions rows — but the input is SCANNED TWICE.
+    *  - `preAggregate = false` (default, unbounded domains): ONE scan
+    *    through per-partition COUNTING heaps — each partition's k
+    *    smallest distinct (hash, value) pairs with exact local
+    *    occurrence counts (see the in-body proof that evicted pairs
+    *    can't be global survivors), merged by a count-summing heap over
+    *    one exchange of <= k·partitions rows.
     *  - `preAggregate = true` (bounded domains — prices, lengths,
     *    scores: the common quantile targets): one `groupBy(value)`
     *    count first (map-side partial, wire = per-partition distinct
