@@ -1792,6 +1792,84 @@ object SparkEntry {
       graft.operators.llm.CorpusModels.tokenDrift(
         docs, docs.where(col("doc_id") % 5 =!= 0), "text",
         minCount = 20L, topK = 25)
+    }),
+
+    // End-to-end multimodal pipeline: binary payloads + typed metadata
+    // through aspect-preserving resize (integer dimension math — what a
+    // pipeline budgets on) and strided frame sampling (byte-range chunk
+    // hashes stand in for decoded frames), per-doc frame stats joined
+    // back — the executor-side batch shapes are real, the codecs are the
+    // documented stubs.
+    "q100_mm_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.MultimodalOps
+      // payload = ASCII hex dump of the content: byte offsets in the
+      // frame walk then equal character offsets, so the oracle replays
+      // the exact chunk hashes with VARCHAR substring (DuckDB 1.0 has
+      // no BLOB slicing)
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .as[(Long, String, Long)]
+        .map { case (id, text, n) =>
+          val hexDump = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map("%02X".format(_)).mkString
+          MultimodalOps.MediaRecord(id,
+            hexDump.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+            if (id % 2 == 0) "png" else "jpg", (n % 640).toInt,
+            (id % 480).toInt)
+        }
+      val resized = MultimodalOps.resize(media, maxDim = 256)
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("rw"),
+          col("height").cast("long").as("rh"))
+      val frames = MultimodalOps.frameSample(media, frameSize = 64,
+          stride = 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("frame_hash")).as("n_frame_hashes"))
+      resized.join(frames, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("format"), col("rw"), col("rh"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          coalesce(col("n_frame_hashes"), lit(0L)).as("n_frame_hashes"))
+    }),
+
+    // Mixture epoch planning: observed per-source token counts + target
+    // weights + a 2M-token budget → proportional allocations and
+    // repeat-epochs (×100, capped at 4 epochs), all exact integer
+    // arithmetic.
+    "q101_epoch_plan" -> ((s, dir) =>
+      graft.operators.llm.Sampling.epochPlan(
+        tbl(s, dir, "documents")
+          .select(col("source"),
+            graft.operators.llm.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("n_tok")),
+        "source", "n_tok",
+        weightBp = expr("200 + 100 * (CAST(substring(source, 4, 8) " +
+          "AS INT) % 7)"),
+        budget = 2000000L)),
+
+    // Edit-distance verification of near-dup candidate pairs — the
+    // exact-verify stage after LSH candidates, on a bounded 120-char
+    // prefix (the built-in codegen'd levenshtein, never a UDF). The
+    // candidate set pairs each 7th doc with its appended-text variant
+    // (true near-dups) and each 11th doc with its successor (mostly
+    // unrelated).
+    "q102_editdist_verify" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          substring(col("text"), 1, 120).as("t"))
+      val cands = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("doc_a"),
+          concat(col("t"), lit(" tail")).as("t_b"), col("t").as("t_a"))
+        .select(col("doc_a"), (col("doc_a") + 1000000L).as("doc_b"),
+          col("t_a"), col("t_b"))
+        .union(docs.where(col("doc_id") % 11 === 0).as("l")
+          .join(docs.as("r"), expr("r.doc_id = l.doc_id + 1"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+            col("l.t").as("t_a"), col("r.t").as("t_b")))
+      cands.select(col("doc_a"), col("doc_b"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
+        .withColumn("is_dup", col("dist") <= 30)
     })
   )
 
@@ -3482,7 +3560,60 @@ object SparkEntry {
         |SELECT token, CAST(c_old AS BIGINT) AS c_old,
         |  CAST(c_new AS BIGINT) AS c_new, ratio_bp,
         |  abs(ratio_bp - 10000) AS dev_bp
-        |FROM r ORDER BY dev_bp DESC, token LIMIT 25""".stripMargin
+        |FROM r ORDER BY dev_bp DESC, token LIMIT 25""".stripMargin,
+
+    "q100_mm_pipeline" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
+        |    CAST(n_chars % 640 AS BIGINT) AS w,
+        |    CAST(doc_id % 480 AS BIGINT) AS h,
+        |    hex(encode(text)) AS p
+        |  FROM documents),
+        |r AS (SELECT doc_id, format, p,
+        |    greatest(w, h) AS lg, w, h FROM m),
+        |rs AS (SELECT doc_id, format, p,
+        |    CASE WHEN lg <= 256 THEN w
+        |         ELSE greatest(1, w * 256 // lg) END AS rw,
+        |    CASE WHEN lg <= 256 THEN h
+        |         ELSE greatest(1, h * 256 // lg) END AS rh
+        |  FROM r),
+        |f AS (SELECT doc_id, md5(substring(p, i * 64 + 1, 64)) AS fh
+        |  FROM rs, UNNEST(range(0, len(p) // 64, 2)) t(i)),
+        |fs AS (SELECT doc_id, count(*) AS nf, count(DISTINCT fh) AS nh
+        |  FROM f GROUP BY 1)
+        |SELECT rs.doc_id, format, rw, rh,
+        |  coalesce(nf, 0) AS n_frames, coalesce(nh, 0) AS n_frame_hashes
+        |FROM rs LEFT JOIN fs ON rs.doc_id = fs.doc_id""".stripMargin,
+
+    "q101_epoch_plan" ->
+      """WITH s AS (SELECT source,
+        |    count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    200 + 100 * (CAST(substring(source, 4, 8) AS INT) % 7)
+        |      AS weight_bp
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT CAST(sum(weight_bp) AS BIGINT) AS wsum FROM s)
+        |SELECT source, n_docs, n_tokens, CAST(weight_bp AS BIGINT)
+        |    AS weight_bp,
+        |  CAST((2000000 * weight_bp) // wsum AS BIGINT) AS target_tokens,
+        |  CAST(least(400, (100 * ((2000000 * weight_bp) // wsum))
+        |    // greatest(n_tokens, 1)) AS BIGINT) AS epochs_x100
+        |FROM s, w""".stripMargin,
+
+    "q102_editdist_verify" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    substring(text, 1, 120) AS t FROM documents),
+        |c AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        |    t AS t_a, t || ' tail' AS t_b
+        |  FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT l.doc_id, r.doc_id, l.t, r.t
+        |  FROM d l JOIN d r ON r.doc_id = l.doc_id + 1
+        |  WHERE l.doc_id % 11 = 0)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(t_a, t_b) AS BIGINT) AS dist,
+        |  levenshtein(t_a, t_b) <= 30 AS is_dup
+        |FROM c""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

@@ -132,6 +132,44 @@ object Sampling {
       .drop("__stratum", "__n", "__budget", "__bound")
   }
 
+  /** Mixture EPOCH planning — the arithmetic step between "what the
+    * corpus has" and "what the training run samples": given observed
+    * per-stratum token counts and target mixture weights (basis
+    * points), allocate a total token budget proportionally and express
+    * each stratum's allocation as repeat-epochs-×100 over its actual
+    * tokens, capped at `maxEpochsX100` (data-constrained strata repeat;
+    * the cap is the standard ≤4-epoch repetition guidance). All
+    * arithmetic is exact integer division in a fixed order, so any
+    * engine replays the plan bit-for-bit.
+    *
+    * Scale shape: ONE map-side-combinable aggregation to the stratum
+    * table (|strata| rows — the corpus shuffles nothing but its
+    * per-partition partial counts), then the weight-sum as a window
+    * over that tiny table (single-partition by construction, |strata|
+    * rows — a crossJoin against a separate sum-aggregate would
+    * recompute the corpus pass for the second consumer). Returns
+    * (strataCol, n_docs, n_tokens, weight_bp, target_tokens,
+    * epochs_x100). */
+  def epochPlan(df: DataFrame, strataCol: String, tokCol: String,
+                weightBp: Column, budget: Long,
+                maxEpochsX100: Long = 400L): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val perStratum = df
+      .select(col(strataCol), col(tokCol).cast("long").as("__t"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+      .withColumn("weight_bp", weightBp.cast("long"))
+    perStratum
+      .withColumn("__wsum",
+        sum(col("weight_bp")).over(Window.partitionBy()))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("weight_bp"),
+        expr(s"($budget * weight_bp) div __wsum").as("target_tokens"),
+        least(lit(maxEpochsX100),
+          expr(s"(100 * (($budget * weight_bp) div __wsum)) " +
+            "div greatest(n_tokens, 1)")).as("epochs_x100"))
+  }
+
   /** EXACT deterministic per-stratum cap — "at most `cap` documents per
     * domain/source", the per-domain cap of web-corpus curation, keeping
     * for each stratum exactly min(cap, |stratum|) rows: the ones whose

@@ -152,6 +152,25 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     assert(got("keep") > 10000L)
   }
 
+  // --------------------------------------------------------------- q101
+  test("epochPlan: proportional allocation, repeat cap, short-stratum repeats") {
+    import graft.operators.llm.Sampling
+    val df = Seq(
+      ("big", 1000L), ("big", 1000L),   // 2000 tokens, weight 100
+      ("small", 50L)                     // 50 tokens, weight 300
+    ).toDF("source", "n_tok")
+    val got = Sampling.epochPlan(df, "source", "n_tok",
+      weightBp = when(col("source") === "small", 300L).otherwise(100L),
+      budget = 4000L, maxEpochsX100 = 400L)
+      .select("source", "n_docs", "n_tokens", "target_tokens", "epochs_x100")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // wsum=400: big target = 4000*100/400 = 1000 -> 100*1000/2000 = 50
+    assert(got("big") == ((2L, 2000L, 1000L, 50L)))
+    // small target = 3000 -> 100*3000/50 = 6000, capped at 400 (4 epochs)
+    assert(got("small") == ((1L, 50L, 3000L, 400L)))
+  }
+
   // ---------------------------------------------------------------- q94
   test("collocationLift: exclusive pair ranks above promiscuous pair") {
     // 'x y' always adjacent and exclusive; 'a b' adjacent but a and b

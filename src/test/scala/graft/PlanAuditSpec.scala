@@ -52,7 +52,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q96_pagerank" -> 18,     // 3 unrolled rounds x (2 joins + sum) + spine
       "q97_snapshot_diff" -> 3, // both snapshots keyed once + summary agg
       "q98_chunk_overlap" -> 0, // pure map-side window projection
-      "q99_token_drift" -> 5)   // two token aggs + vocab merge + top-k
+      "q99_token_drift" -> 5,   // two token aggs + vocab merge + top-k
+      "q101_epoch_plan" -> 2,   // stratum agg + |strata|-row wsum window
+      "q102_editdist_verify" -> 4) // pair-building joins + union sides
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val n = shuffles(plan(name))
       if (n > max) Some(s"$name: $n shuffles > budget $max") else None
