@@ -1811,8 +1811,8 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("n_chars"))
         .as[(Long, String, Long)]
         .map { case (id, text, n) =>
-          val hexDump = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            .map("%02X".format(_)).mkString
+          val hexDump = MultimodalOps.hexUpper(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           MultimodalOps.MediaRecord(id,
             hexDump.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
             if (id % 2 == 0) "png" else "jpg", (n % 640).toInt,

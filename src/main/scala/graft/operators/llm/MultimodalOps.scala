@@ -17,6 +17,35 @@ import org.apache.spark.sql.Dataset
  */
 object MultimodalOps {
 
+  private val HexLower = "0123456789abcdef".toCharArray
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+
+  /** Table-based hex encode — `"%02x".format` per byte costs a
+    * java.util.Formatter instantiation per CALL, which at millions of
+    * frame digests dominated the whole stub pipeline (measured: q100
+    * 1.9 s -> see commit). */
+  def hexLower(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexLower((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexLower(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def hexUpper(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexUpper((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexUpper(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Opaque media payload + typed metadata. */
   final case class MediaRecord(doc_id: Long, payload: Array[Byte],
                                format: String, width: Int, height: Int)
@@ -33,7 +62,7 @@ object MultimodalOps {
       // and emit features; the deterministic fake keeps schema, batching
       // and hashing verifiable end-to-end.
       md.reset()
-      val hash = md.digest(m.payload).map("%02x".format(_)).mkString
+      val hash = hexLower(md.digest(m.payload))
       DecodedMedia(m.doc_id, m.format, m.payload.length.toLong, hash)
     }
   }
@@ -94,7 +123,7 @@ object MultimodalOps {
           md.reset()
           md.update(m.payload, i * frameSize, frameSize)
           SampledFrame(m.doc_id, i, frameSize.toLong,
-            md.digest().map("%02x".format(_)).mkString)
+            hexLower(md.digest()))
         }
       }
     }
