@@ -1295,7 +1295,7 @@ object SparkEntry {
         tbl(s, dir, "documents")
           .select(col("doc_id"),
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
-        "doc_id", "n_tok", budget = 4096L)
+        "doc_id", "n_tok", budget = 4096L, localBelow = LocalKmeansRows)
         .groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("first_doc"),
@@ -1458,7 +1458,8 @@ object SparkEntry {
       // packed rows alone — no join back against `mixed`, whose
       // regex-heavy quality lineage would otherwise run a second time
       val packed = graft.operators.llm.Packing.byTokenBudget(
-        mixed, "doc_id", "n_tok", budget = 2048L)
+        mixed, "doc_id", "n_tok", budget = 2048L,
+        localBelow = LocalKmeansRows)
       packed.groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"))

@@ -210,9 +210,10 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     // must follow ID order, not input order
     val rows = scala.util.Random.shuffle(
       (1L to 200L).map(i => (i, i)).toList)
-    for (parts <- Seq(1, 7)) {
+    for (parts <- Seq(1, 7); localBelow <- Seq(0L, 1000L)) {
       val df = rows.toDF("doc_id", "n_tok").repartition(parts)
-      val got = Packing.byTokenBudget(df, "doc_id", "n_tok", budget = 100L)
+      val got = Packing.byTokenBudget(df, "doc_id", "n_tok", budget = 100L,
+          localBelow = localBelow)
         .as[(Long, Long, Long, Long)].collect()
         .map { case (id, tok, start, seq) =>
           assert(tok == id) // the token column rides through unchanged
