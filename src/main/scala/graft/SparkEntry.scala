@@ -1325,7 +1325,8 @@ object SparkEntry {
     "q78_shuffle_shard" -> ((s, dir) => {
       graft.operators.llm.Sampling.deterministicShard(
         tbl(s, dir, "documents").select(col("doc_id")),
-        "doc_id", salt = "ord", shardSize = 64L)
+        "doc_id", salt = "ord", shardSize = 64L,
+        localBelow = LocalKmeansRows)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("rank")).as("first_rank"),

@@ -256,14 +256,34 @@ object Sampling {
     * metadata per partition), then each partition emits offset + local
     * position map-side. The same technique as [[Packing.byTokenBudget]]'s
     * prefix sum, with row count as the measure. */
+  /** `localBelow = n` (opt-in): the [[graft.operators.llm.Packing]]
+    * endgame for the shard rank — below the threshold one take(n+1)
+    * carries the (id, salted hash) rows and the rank is an in-driver
+    * sort over the same (hash, id) order (lowercase-hex ASCII compares
+    * identically as a Java String and as UTF8String bytes), output
+    * bit-identical (pinned). Production corpora keep 0. */
   def deterministicShard(df: DataFrame, idCol: String, salt: String,
-                         shardSize: Long): DataFrame = {
+                         shardSize: Long, localBelow: Long = 0L): DataFrame = {
     require(shardSize >= 1L, s"shardSize must be >= 1, got $shardSize")
+    require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
     val spark = df.sparkSession
-    val keyed = df
+    val hashed = df
       .select(col(idCol).cast("long").as("__id"))
       .select(col("__id"),
         md5(concat(lit(salt + "|"), col("__id").cast("string"))).as("__h"))
+
+    if (localBelow > 0L) {
+      val probe = hashed.take(localBelow.toInt + 1)
+      if (probe.length <= localBelow) {
+        import spark.implicits._
+        return probe.map(r => (r.getLong(0), r.getString(1)))
+          .sortBy { case (id, h) => (h, id) }.toSeq.zipWithIndex
+          .map { case ((id, _), r) => (id, r.toLong, r.toLong / shardSize) }
+          .toDF(idCol, "rank", "shard")
+      }
+    }
+
+    val keyed = hashed
       .repartitionByRange(col("__h"), col("__id"))
       .sortWithinPartitions(col("__h"), col("__id"))
       .persist()

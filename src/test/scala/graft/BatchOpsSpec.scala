@@ -310,5 +310,15 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
       df.repartition(7), "doc_id", "s", 32L)
       .as[(Long, Long, Long)].collect().toSet
     assert(out2 == out.toSet)
+    // the localBelow endgame is bit-identical to the distributed rank
+    val outLocal = Sampling.deterministicShard(
+      df.repartition(7), "doc_id", "s", 32L, localBelow = 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(outLocal == out.toSet)
+    // threshold bypass: larger inputs still run distributed
+    val outBypass = Sampling.deterministicShard(
+      df, "doc_id", "s", 32L, localBelow = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(outBypass == out.toSet)
   }
 }
