@@ -1820,6 +1820,10 @@ object SparkEntry {
             if (id % 2 == 0) "png" else "jpg", (n % 640).toInt,
             (id % 480).toInt)
         }
+        // two consumers (resize + frame sampling) — materialize the
+        // hex-dump map once instead of re-deriving it per branch (the
+        // q88/heavyHitters localCheckpoint trade)
+        .localCheckpoint(false)
       val resized = MultimodalOps.resize(media, maxDim = 256)
         .select(col("doc_id"), col("format"),
           col("width").cast("long").as("rw"),

@@ -34,8 +34,9 @@ object GraphOps {
     * plan depth is `iters` join+agg rounds (production would checkpoint
     * every few rounds, the ConnectedComponents trade). Dangling-node
     * mass is dropped, not redistributed (the common simplification;
-    * stated so the oracle matches by construction). */
-  /** `localBelow = n` (opt-in) finishes SMALL graphs in the driver —
+    * stated so the oracle matches by construction).
+    *
+    * `localBelow = n` (opt-in) finishes SMALL graphs in the driver —
     * the [[graft.operators.llm.KMeans]] / ConnectedComponents endgame
     * applied to power iteration: one take(n+1) both guards the edge
     * count and IS the data, so iters × (join + agg) rounds collapse to
@@ -49,13 +50,22 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 100L, s"scale must be >= 100, got $scale")
     require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
+    // a NULL endpoint is a malformed edge, dropped in BOTH paths — so
+    // the local/distributed outputs stay identical, and the local
+    // branch's primitive getLong never sees a null
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
 
     if (localBelow > 0L) {
       val probe = e.take(localBelow.toInt + 1)
       if (probe.length <= localBelow) {
         val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+        if (es.isEmpty) {
+          // empty graph: the distributed path's node spine is empty too
+          import edges.sparkSession.implicits._
+          return Seq.empty[(Long, Long)].toDF("node", "pr")
+        }
         val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
         val n = nodes.length.toLong
         val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap

@@ -162,12 +162,17 @@ object Sampling {
     perStratum
       .withColumn("__wsum",
         sum(col("weight_bp")).over(Window.partitionBy()))
+      .withColumn("target_tokens",
+        expr(s"($budget * weight_bp) div __wsum"))
       .select(col(strataCol), col("n_docs"), col("n_tokens"),
-        col("weight_bp"),
-        expr(s"($budget * weight_bp) div __wsum").as("target_tokens"),
-        least(lit(maxEpochsX100),
-          expr(s"(100 * (($budget * weight_bp) div __wsum)) " +
-            "div greatest(n_tokens, 1)")).as("epochs_x100"))
+        col("weight_bp"), col("target_tokens"),
+        // guarded: least() SKIPS nulls, so an undefined allocation
+        // (zero/NULL weight sum) must stay NULL rather than silently
+        // reporting the cap as a real 4-epoch plan
+        when(col("target_tokens").isNotNull,
+          least(lit(maxEpochsX100),
+            expr("(100 * target_tokens) div greatest(n_tokens, 1)")))
+          .as("epochs_x100"))
   }
 
   /** EXACT deterministic per-stratum cap — "at most `cap` documents per

@@ -81,7 +81,7 @@ object HttpTextService {
   private def contentKey(lines: IndexedSeq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     lines.foreach { l => md.update(l.getBytes(UTF_8)); md.update(0: Byte) }
-    md.digest().map("%02x".format(_)).mkString
+    graft.operators.llm.MultimodalOps.hexLower(md.digest())
   }
 
   /** One instance per distinct (content digest, pageSize), stopped AND

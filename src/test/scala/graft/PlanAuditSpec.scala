@@ -49,7 +49,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q93_bpe_pairs" -> 2,     // word-freq agg + vocab-sized pair agg
       "q94_collocation" -> 5,   // bigram/unigram aggs + join exchanges
       "q95_bpe_apply" -> 1,     // replace chain is map-side; one doc agg
-      "q96_pagerank" -> 18,     // 3 unrolled rounds x (2 joins + sum) + spine
+      // q96 itself takes the localBelow endgame at audit scale (a
+      // LocalTableScan); the DISTRIBUTED PageRank plan is pinned by its
+      // own check below
+      "q96_pagerank" -> 18,
       "q97_snapshot_diff" -> 3, // both snapshots keyed once + summary agg
       "q98_chunk_overlap" -> 0, // pure map-side window projection
       "q99_token_drift" -> 5,   // two token aggs + vocab merge + top-k
@@ -60,6 +63,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       if (n > max) Some(s"$name: $n shuffles > budget $max") else None
     }
     assert(over.isEmpty, over.mkString("; "))
+    // the DISTRIBUTED PageRank plan (localBelow = 0 — the shape q96's
+    // endgame bypasses at audit scale): 3 unrolled rounds x (2 joins +
+    // sum) + spine joins stay within budget and never go cartesian
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val edges = docs.selectExpr("CAST(doc_id AS LONG) % 97 AS src",
+        "(CAST(doc_id AS LONG) * 31 + 7) % 97 AS dst")
+      val prPlan = graft.operators.GraphOps
+        .pageRank(edges, "src", "dst", iters = 3)
+        .queryExecution.executedPlan.toString
+      val n = shuffles(prPlan)
+      assert(n <= 18, s"distributed pageRank: $n shuffles > budget 18")
+      assert(!prPlan.contains("CartesianProduct"),
+        "distributed pageRank plans a CartesianProduct")
+    }
+
     // the corpus side of the asymmetric joins must stay off the wire
     for (name <- Seq("q72_decontaminate", "q60_tfidf",
         "q90_substring_dedup")) {
