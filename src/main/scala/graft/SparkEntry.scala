@@ -1854,6 +1854,24 @@ object SparkEntry {
           "AS INT) % 7)"),
         budget = 2000000L)),
 
+    // Per-GROUP KMV distinct sketch via a custom typed Aggregator (the
+    // TypedColumn extension tier): distinct-token estimates per source,
+    // the sketch living inside the hash-aggregate buffer so map-side
+    // partials merge exactly (KMV union-then-truncate IS its merge).
+    "q103_kmv_per_group" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.operators.llm.Shingles.words(col("text")))
+            .as("tok"))
+        .where(col("tok") =!= "")
+        .select(col("source"),
+          graft.operators.Sketches.hash48Col(col("tok")).as("hv"))
+      val sk = udaf(graft.operators.Sketches.kmvGroupAgg(64))
+      toks.groupBy(col("source")).agg(sk(col("hv")).as("s"))
+        .select(col("source"), col("s._1").as("n_mins"),
+          col("s._2").as("h_k"), col("s._3").as("est_distinct"))
+    }),
+
     // Edit-distance verification of near-dup candidate pairs — the
     // exact-verify stage after LSH candidates, on a bounded 120-char
     // prefix (the built-in codegen'd levenshtein, never a UDF). The
@@ -3605,6 +3623,22 @@ object SparkEntry {
         |  CAST(least(400, (100 * ((2000000 * weight_bp) // wsum))
         |    // greatest(n_tokens, 1)) AS BIGINT) AS epochs_x100
         |FROM s, w""".stripMargin,
+
+    "q103_kmv_per_group" ->
+      """WITH t AS (SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |h AS (SELECT DISTINCT source, CAST(concat('0x',
+        |    substring(md5(tok), 1, 12)) AS BIGINT) AS hv FROM t),
+        |r AS (SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_mins,
+        |  max(hv) AS h_k,
+        |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |       ELSE CAST(63 * 281474976710656 // max(hv) AS BIGINT)
+        |  END AS est_distinct
+        |FROM r WHERE rn <= 64 GROUP BY 1""".stripMargin,
 
     "q102_editdist_verify" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -316,6 +316,70 @@ object Sketches {
     * admission so equal elements never evict, poll after add); O(log k)
     * per element, O(k) memory. Shared by both KMV sketches so the
     * admission invariants live in exactly one place. */
+  /** PER-GROUP KMV distinct sketch as a typed [[org.apache.spark.sql
+    * .expressions.Aggregator]] — the custom-aggregate extension tier:
+    * the GLOBAL sketch ([[kmvDistinct]]) runs as a mapPartitions heap,
+    * but "distinct urlkeys per HOST over 100 TB" needs the sketch to
+    * live INSIDE a groupBy aggregation buffer so Spark's hash aggregate
+    * owns the grouping (map-side partial sketches merge exactly — KMV's
+    * union-then-truncate IS its merge). Register with
+    * `functions.udaf(kmvGroupAgg(k))`; input is the 48-bit value hash
+    * (project [[hash48Col]] first so the crypto work stays in codegen),
+    * output the same (n_mins, h_k, est_distinct) struct as the global
+    * sketch.
+    *
+    * Buffer = sorted distinct Array[Long] capped at k: admission is a
+    * binary search; the O(k) arraycopy only runs on admission, which
+    * after warm-up is rare (the k-th smallest of n hashes admits with
+    * probability ~k/n). */
+  final case class KmvBuffer(mins: Array[Long])
+
+  def kmvGroupAgg(k: Int): org.apache.spark.sql.expressions
+      .Aggregator[java.lang.Long, KmvBuffer, (Long, Long, Long)] = {
+    require(k >= 2 && k <= 32768, s"k must be in [2, 32768], got $k")
+    new org.apache.spark.sql.expressions
+        .Aggregator[java.lang.Long, KmvBuffer, (Long, Long, Long)] {
+      override def zero: KmvBuffer = KmvBuffer(Array.empty[Long])
+      private def insert(b: KmvBuffer, hv: Long): KmvBuffer = {
+        val a = b.mins
+        val pos = java.util.Arrays.binarySearch(a, hv)
+        if (pos >= 0) return b                       // already present
+        if (a.length >= k && hv > a(a.length - 1)) return b
+        val ins = -pos - 1
+        val n = math.min(a.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(a, 0, out, 0, ins)
+        out(ins) = hv
+        System.arraycopy(a, ins, out, ins + 1, n - ins - 1)
+        KmvBuffer(out)
+      }
+      override def reduce(b: KmvBuffer, hv: java.lang.Long): KmvBuffer =
+        if (hv == null) b else insert(b, hv.longValue())
+      override def merge(x: KmvBuffer, y: KmvBuffer): KmvBuffer =
+        y.mins.foldLeft(x)(insert)
+      override def finish(b: KmvBuffer): (Long, Long, Long) = {
+        val n = b.mins.length.toLong
+        if (n == 0L) (0L, 0L, 0L)
+        else {
+          val hk = b.mins(b.mins.length - 1)
+          val est = if (n < k) n else (k - 1).toLong * (1L << HashBits) / hk
+          (n, hk, est)
+        }
+      }
+      override def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuffer] =
+        org.apache.spark.sql.Encoders.product[KmvBuffer]
+      override def outputEncoder
+          : org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong)
+    }
+  }
+
+  /** The sketch's input hash as a public projection (the same 48-bit
+    * md5 prefix as the global sketch — oracle-replayable). */
+  def hash48Col(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hash48(value)
+
   private def bottomK[T](it: Iterator[T], k: Int)
                         (implicit ord: Ordering[T]): Iterator[T] = {
     val heap = new java.util.TreeSet[T](ord)

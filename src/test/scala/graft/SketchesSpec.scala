@@ -7,6 +7,36 @@ import graft.operators.Sketches
 
 class SketchesSpec extends AnyFunSuite with SparkTestSession {
 
+  test("kmvGroupAgg: exact below k, partition-invariant, matches global sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    // group A: 10 distinct values (< k → exact); group B: 300 distinct
+    val rows = (1L to 10L).map(v => ("a", s"v$v")) ++
+      (1L to 300L).flatMap(v => Seq(("b", s"w$v"), ("b", s"w$v")))
+    for (parts <- Seq(1, 5)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+        .select(col("g"),
+          graft.operators.Sketches.hash48Col(col("v")).as("hv"))
+      val sk = udaf(graft.operators.Sketches.kmvGroupAgg(64))
+      val got = df.groupBy(col("g")).agg(sk(col("hv")).as("s"))
+        .select(col("g"), col("s._1"), col("s._2"), col("s._3"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got("a")._1 == 10L && got("a")._3 == 10L,
+        s"parts=$parts: below-k group must be exact")
+      assert(got("b")._1 == 64L, s"parts=$parts: full sketch")
+      // estimate within 35% of truth (KMV k=64 → ~12% rel. std. error)
+      assert(math.abs(got("b")._3 - 300L) <= 105L,
+        s"parts=$parts: est ${got("b")._3} too far from 300")
+      // per-group result equals the GLOBAL sketch on the same group
+      val globalB = graft.operators.Sketches.kmvDistinct(
+        rows.filter(_._1 == "b").toDF("g", "v"), "v", k = 64)
+        .select("n_mins", "h_k", "est_distinct")
+        .as[(Long, Long, Long)].collect().head
+      assert(got("b") == globalB, s"parts=$parts: group/global mismatch")
+    }
+  }
+
   import spark.implicits._
 
   test("kmv: exact below k distinct values") {
