@@ -1854,6 +1854,43 @@ object SparkEntry {
           "AS INT) % 7)"),
         budget = 2000000L)),
 
+    // Streaming windowed aggregation under the oracle gate (the third
+    // streaming surface after q51's stateful cap and q92's dedup):
+    // event-time 1-hour windows per host over the CDX stream, complete
+    // output mode so the single AvailableNow batch emits every window —
+    // the watermark machinery runs, the batch oracle replays the final
+    // counts with date_trunc.
+    "q104_stream_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = tmpDir("q104", dir)
+      fixtureOnce(base, "v1", dir, "documents") {
+        streamCdxLines(s, dir).coalesce(1)
+          .write.mode("overwrite").text(s"$base/in")
+      }
+      val ckpt = s"$base/ckpt"
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(ckptPath, true)
+      val sink = "q104_stream_windows_sink"
+      scala.util.Try(s.catalog.dropTempView(sink))
+      withScopedConf(s,
+        "spark.sql.shuffle.partitions" -> "1",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+        val lines = s.readStream.option("lineSep", "\n")
+          .text(s"$base/in").as[String]
+        val counts = graft.streaming.CdxStream.windowedHostCounts(
+          graft.streaming.CdxStream.parse(lines).toDF())
+        val query = counts.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        query.awaitTermination()
+      }
+      s.table(sink)
+    }),
+
     // Per-GROUP KMV distinct sketch via a custom typed Aggregator (the
     // TypedColumn extension tier): distinct-token estimates per source,
     // the sketch living inside the hash-aggregate buffer so map-side
@@ -3623,6 +3660,20 @@ object SparkEntry {
         |  CAST(least(400, (100 * ((2000000 * weight_bp) // wsum))
         |    // greatest(n_tokens, 1)) AS BIGINT) AS epochs_x100
         |FROM s, w""".stripMargin,
+
+    "q104_stream_windows" ->
+      """WITH c AS (SELECT
+        |    'org,s' || (CAST(doc_id AS BIGINT) % 50) || ')/' AS urlkey,
+        |    strptime('2012010' || (CAST(doc_id AS BIGINT) % 2 + 1)
+        |      || lpad(CAST(CAST(doc_id AS BIGINT) % 24 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((CAST(doc_id AS BIGINT) // 24) % 60 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((CAST(doc_id AS BIGINT) // 1440) % 60 AS VARCHAR), 2, '0'),
+        |      '%Y%m%d%H%M%S') AS ts
+        |  FROM documents)
+        |SELECT date_trunc('hour', ts) AS window_start,
+        |  split_part(urlkey, ')', 1) AS host,
+        |  count(*) AS n_captures
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q103_kmv_per_group" ->
       """WITH t AS (SELECT DISTINCT source, tok FROM (
