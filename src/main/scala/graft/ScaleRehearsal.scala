@@ -28,7 +28,7 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val (mode, rest) = args.headOption match {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
-          m == "substr" =>
+          m == "substr" || m == "pagerank" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -38,6 +38,7 @@ object ScaleRehearsal {
         case "ann" => 12 // numPlanes
         case "kmeans" => 8 // k (seed count)
         case "substr" => 15 // gram window k
+        case "pagerank" => 3 // iters
         case _ => 400
       })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
@@ -66,6 +67,8 @@ object ScaleRehearsal {
     if (mode == "ann") { annRehearsal(spark, copies, maxBucket, sfDir,
       read, write); spark.stop(); return }
     if (mode == "substr") { substrRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
+    if (mode == "pagerank") { pageRankRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
     if (mode == "kmeans") { kmeansRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
@@ -186,6 +189,48 @@ object ScaleRehearsal {
     println(f"[rehearsal] substr copies=$copies docs=$nDocs k=$k " +
       f"kept=$kept dropped=$dropped " +
       f"dropFrac=${dropped.toDouble / (kept + dropped)}%.4f " +
+      f"wall=$wall%.1f s shuffleRead=${mib(readB)} MiB " +
+      s"shuffleWrite=${mib(writeB)} MiB")
+  }
+
+  /** PageRank decades — the DISTRIBUTED power-iteration path
+    * (localBelow = 0, the plan q96's endgame bypasses at oracle scale):
+    * each copy contributes a disjoint 97-node subgraph plus a chain
+    * edge into the next copy's subgraph, so node and edge counts BOTH
+    * scale linearly and the rank mass still flows across the whole
+    * graph (one connected component, not an embarrassingly-parallel
+    * forest). Reports wall, shuffle volume, and a rank checksum. */
+  private def pageRankRehearsal(spark: SparkSession, copies: Int, iters: Int,
+                                sfDir: String, read: AtomicLong,
+                                write: AtomicLong): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val edges = docs
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("doc_id"))
+      .select(
+        (col("doc_id") % 97 + col("__c") * 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97 + col("__c") * 97).as("dst"))
+      .union(spark.range(copies.toLong).select(
+        (col("id") * 97).as("src"),
+        (((col("id") + 1) % copies) * 97).as("dst")))
+      .repartition(cpus) // testdata is one row group (SCALE.md caveat)
+    val nEdges = edges.count()
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (r0, w0) = (read.get, write.get)
+    val t0 = System.nanoTime()
+    val pr = graft.operators.GraphOps.pageRank(edges, "src", "dst", iters)
+    val stats = pr.agg(count(lit(1)).as("n"),
+      sum(col("pr")).as("mass"), min(col("pr")).as("mn"),
+      max(col("pr")).as("mx")).collect()(0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (readB, writeB) = (read.get - r0, write.get - w0)
+    def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+    println(f"[rehearsal] pagerank copies=$copies edges=$nEdges " +
+      f"iters=$iters nodes=${stats.getLong(0)} mass=${stats.getLong(1)} " +
+      f"minPr=${stats.getLong(2)} maxPr=${stats.getLong(3)} " +
       f"wall=$wall%.1f s shuffleRead=${mib(readB)} MiB " +
       s"shuffleWrite=${mib(writeB)} MiB")
   }
