@@ -1199,54 +1199,15 @@ object SparkEntry {
     // (timestamp, offset) first. The single-file fixture keeps all rows
     // of a group in one micro-batch, so admission order is deterministic
     // and DuckDB reproduces it with row_number().
-    "q51_stream_daycap" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      import s.implicits._
-      val base = tmpDir("q51", dir)
-      fixtureOnce(base, "v1", dir, "documents") {
-        streamCdxLines(s, dir).coalesce(1)
-          .write.mode("overwrite").text(s"$base/in")
-      }
-      // fresh checkpoint per run: a reused one marks the input already
-      // processed and the run would emit nothing
-      val ckpt = s"$base/ckpt"
-      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
-      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(ckptPath, true)
-      val sink = "q51_stream_daycap_sink"
-      scala.util.Try(s.catalog.dropTempView(sink))
-      // scope streaming-engine knobs to this query: state-store files are
-      // written PER shuffle partition per batch (32 would checkpoint 32
-      // near-empty stores; at the oracle's single-file scale even 8 spend
-      // most of the wall on empty-store checkpoint commits, so 1 is the
-      // honest size — a production stream sizes this to key cardinality),
-      // and the trailing no-data batch only fires state timeouts — it
-      // cannot change Append output here
-      withScopedConf(s,
-        "spark.sql.shuffle.partitions" -> "1",
-        // keep the fixture ONE input split: the file source re-splits a
-        // single file at max(openCost, bytes/parallelism), and keep-first
-        // admission order is only the file's line order while one mapper
-        // reads it start-to-finish — at larger SFs the default split
-        // size would shear the file and leave encounter order to
-        // shuffle-fetch scheduling
-        "spark.sql.files.maxPartitionBytes" -> "1073741824",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-        val lines = s.readStream.option("lineSep", "\n")
-          .text(s"$base/in").as[String]
-        val capped = graft.streaming.CdxStream.dayCapStream(
-          graft.streaming.CdxStream.parse(lines), dayLimit = 3)
-        val query = capped.toDF()
-          .select(col("urlkey"), col("timestamp"), col("digest"), col("offset"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .start()
-        query.awaitTermination()
-      }
-      s.table(sink)
-    }),
+    "q51_stream_daycap" -> ((s, dir) =>
+      runStreamQuery(s, dir, fixtureKey = "q51",
+        sink = "q51_stream_daycap_sink", outputMode = "append",
+        fixture = streamCdxLines(s, dir)) { lines =>
+        graft.streaming.CdxStream.dayCapStream(
+          graft.streaming.CdxStream.parse(lines), dayLimit = 3).toDF()
+          .select(col("urlkey"), col("timestamp"), col("digest"),
+            col("offset"))
+      }),
 
     // Repetition scoring: word-bigram distinct/total ratio, entirely
     // map-side (staged array projections, no explode); looped text scores
@@ -1678,47 +1639,16 @@ object SparkEntry {
     // digest) capture in admission order; the single-file fixture makes
     // that order deterministic, so DuckDB replays it with row_number.
     // Heavy duplication is synthesized (digest keyspace = source).
-    "q92_stream_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      import s.implicits._
-      val base = tmpDir("q92", dir)
-      fixtureOnce(base, "v1", dir, "documents") {
-        dupStreamLines(s, dir).coalesce(1)
-          .write.mode("overwrite").text(s"$base/in")
-      }
-      val ckpt = s"$base/ckpt"
-      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
-      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(ckptPath, true)
-      val sink = "q92_stream_dedup_sink"
-      scala.util.Try(s.catalog.dropTempView(sink))
-      withScopedConf(s,
-        "spark.sql.shuffle.partitions" -> "1",
-        // keep the fixture ONE input split: the file source re-splits a
-        // single file at max(openCost, bytes/parallelism), and keep-first
-        // admission order is only the file's line order while one mapper
-        // reads it start-to-finish — at larger SFs the default split
-        // size would shear the file and leave encounter order to
-        // shuffle-fetch scheduling
-        "spark.sql.files.maxPartitionBytes" -> "1073741824",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-        val lines = s.readStream.option("lineSep", "\n")
-          .text(s"$base/in").as[String]
-        val deduped = graft.streaming.CdxStream.dedupStream(
+    "q92_stream_dedup" -> ((s, dir) =>
+      runStreamQuery(s, dir, fixtureKey = "q92",
+        sink = "q92_stream_dedup_sink", outputMode = "append",
+        fixture = dupStreamLines(s, dir)) { lines =>
+        graft.streaming.CdxStream.dedupStream(
           graft.streaming.CdxStream.parse(lines),
           watermarkDelay = "48 hours")
-        val query = deduped
           .select(col("urlkey"), col("timestamp"), col("digest"),
             col("offset"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .start()
-        query.awaitTermination()
-      }
-      s.table(sink)
-    }),
+      }),
 
     // One BPE merge step over the corpus (Sennrich 2016): adjacent
     // character pairs weighted by word frequency, top 20 merge
@@ -1860,36 +1790,15 @@ object SparkEntry {
     // output mode so the single AvailableNow batch emits every window —
     // the watermark machinery runs, the batch oracle replays the final
     // counts with date_trunc.
-    "q104_stream_windows" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      import s.implicits._
-      val base = tmpDir("q104", dir)
-      fixtureOnce(base, "v1", dir, "documents") {
-        streamCdxLines(s, dir).coalesce(1)
-          .write.mode("overwrite").text(s"$base/in")
-      }
-      val ckpt = s"$base/ckpt"
-      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
-      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(ckptPath, true)
-      val sink = "q104_stream_windows_sink"
-      scala.util.Try(s.catalog.dropTempView(sink))
-      withScopedConf(s,
-        "spark.sql.shuffle.partitions" -> "1",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-        val lines = s.readStream.option("lineSep", "\n")
-          .text(s"$base/in").as[String]
-        val counts = graft.streaming.CdxStream.windowedHostCounts(
+    "q104_stream_windows" -> ((s, dir) =>
+      // shares q51's on-disk fixture (same line synthesis) — only the
+      // checkpoint and sink are per-query
+      runStreamQuery(s, dir, fixtureKey = "q51",
+        sink = "q104_stream_windows_sink", outputMode = "complete",
+        fixture = streamCdxLines(s, dir)) { lines =>
+        graft.streaming.CdxStream.windowedHostCounts(
           graft.streaming.CdxStream.parse(lines).toDF())
-        val query = counts.writeStream.format("memory").queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .start()
-        query.awaitTermination()
-      }
-      s.table(sink)
-    }),
+      }),
 
     // Per-GROUP KMV distinct sketch via a custom typed Aggregator (the
     // TypedColumn extension tier): distinct-token estimates per source,
@@ -2115,6 +2024,53 @@ object SparkEntry {
       lit("text/html"), lit("200"), md5(col("text")), lit("-"), lit("-"),
       col("n_chars").cast("string"), (id * 1000).cast("string"),
       lit("w.warc.gz")).as("line"))
+  }
+
+  /** Shared scaffold for the streaming oracle queries (q51/q92/q104):
+    * build the line fixture once per (fixtureKey, sfDir), delete the
+    * per-query checkpoint (a reused one marks the input processed and
+    * the run would emit nothing), run the transform through a memory
+    * sink with Trigger.AvailableNow under the scoped streaming knobs —
+    * shuffle.partitions=1 (state-store files are written PER shuffle
+    * partition per batch; at the single-file oracle scale even 8 spend
+    * most of the wall on empty-store checkpoint commits — a production
+    * stream sizes this to key cardinality), maxPartitionBytes=1g (the
+    * file source re-splits a single file at max(openCost,
+    * bytes/parallelism); keep-first admission order is only the file's
+    * line order while ONE mapper reads it start-to-finish), and no-data
+    * micro-batches off (the trailing batch only fires state timeouts).
+    * Invariants live HERE once — the three queries differ only in
+    * fixture lines, transform, and output mode. */
+  private def runStreamQuery(s: SparkSession, dir: String,
+      fixtureKey: String, sink: String, outputMode: String,
+      fixture: => DataFrame)(
+      xform: org.apache.spark.sql.Dataset[String] => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val base = tmpDir(fixtureKey, dir)
+    fixtureOnce(base, "v1", dir, "documents") {
+      fixture.coalesce(1).write.mode("overwrite").text(s"$base/in")
+    }
+    val ckpt = s"$base/ckpt_$sink"
+    val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+    ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(ckptPath, true)
+    scala.util.Try(s.catalog.dropTempView(sink))
+    withScopedConf(s,
+      "spark.sql.shuffle.partitions" -> "1",
+      "spark.sql.files.maxPartitionBytes" -> "1073741824",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      val lines = s.readStream.option("lineSep", "\n")
+        .text(s"$base/in").as[String]
+      val query = xform(lines)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.awaitTermination()
+    }
+    s.table(sink)
   }
 
   /** q92's stream corpus: same deterministic line synthesis as

@@ -311,11 +311,6 @@ object Sketches {
     counters.keySet().iterator().asScala.toList.iterator
   }
 
-  /** Per-partition bounded bottom-k over DISTINCT elements: a TreeSet
-    * holds the partition's <= k smallest (dedup by membership, strict-lt
-    * admission so equal elements never evict, poll after add); O(log k)
-    * per element, O(k) memory. Shared by both KMV sketches so the
-    * admission invariants live in exactly one place. */
   /** PER-GROUP KMV distinct sketch as a typed [[org.apache.spark.sql
     * .expressions.Aggregator]] — the custom-aggregate extension tier:
     * the GLOBAL sketch ([[kmvDistinct]]) runs as a mapPartitions heap,
@@ -355,8 +350,24 @@ object Sketches {
       }
       override def reduce(b: KmvBuffer, hv: java.lang.Long): KmvBuffer =
         if (hv == null) b else insert(b, hv.longValue())
-      override def merge(x: KmvBuffer, y: KmvBuffer): KmvBuffer =
-        y.mins.foldLeft(x)(insert)
+      override def merge(x: KmvBuffer, y: KmvBuffer): KmvBuffer = {
+        // both sides are sorted+distinct: one linear merge-and-truncate
+        // (an element-wise insert fold would be O(k^2) copies per merge
+        // — the hot path of map-side partial combination)
+        val a = x.mins; val b = y.mins
+        if (a.isEmpty) return y
+        if (b.isEmpty) return x
+        val out = new Array[Long](math.min(a.length + b.length, k))
+        var i = 0; var j = 0; var o = 0
+        while (o < out.length && (i < a.length || j < b.length)) {
+          val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+          val v = if (takeA) a(i) else b(j)
+          if (takeA) i += 1 else j += 1
+          if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+        }
+        KmvBuffer(if (o == out.length) out
+          else java.util.Arrays.copyOf(out, o))
+      }
       override def finish(b: KmvBuffer): (Long, Long, Long) = {
         val n = b.mins.length.toLong
         if (n == 0L) (0L, 0L, 0L)
@@ -380,6 +391,11 @@ object Sketches {
   def hash48Col(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hash48(value)
 
+  /** Per-partition bounded bottom-k over DISTINCT elements: a TreeSet
+    * holds the partition's <= k smallest (dedup by membership, strict-lt
+    * admission so equal elements never evict, poll after add); O(log k)
+    * per element, O(k) memory. Shared by both KMV sketches so the
+    * admission invariants live in exactly one place. */
   private def bottomK[T](it: Iterator[T], k: Int)
                         (implicit ord: Ordering[T]): Iterator[T] = {
     val heap = new java.util.TreeSet[T](ord)
