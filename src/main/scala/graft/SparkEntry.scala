@@ -1818,6 +1818,21 @@ object SparkEntry {
           col("s._2").as("h_k"), col("s._3").as("est_distinct"))
     }),
 
+    // Per-group bounded top-k via the typed-Aggregator tier (vs q14's
+    // window form): the buffer holds <= k pairs per group, map-side
+    // partials merge in O(k) — "top 3 longest docs per source" without
+    // sorting whole groups.
+    "q105_topk_group_agg" -> ((s, dir) => {
+      val sk = udaf(graft.operators.Sketches.topKGroupAgg(3))
+      tbl(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sk(col("n_chars").cast("long"),
+          col("doc_id").cast("long")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("r0", "p")))
+        .select(col("source"), (col("r0") + 1).cast("long").as("rank"),
+          col("p._1").as("n_chars"), col("p._2").as("doc_id"))
+    }),
+
     // Edit-distance verification of near-dup candidate pairs — the
     // exact-verify stage after LSH candidates, on a bounded 120-char
     // prefix (the built-in codegen'd levenshtein, never a UDF). The
@@ -3630,6 +3645,16 @@ object SparkEntry {
         |  split_part(urlkey, ')', 1) AS host,
         |  count(*) AS n_captures
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q105_topk_group_agg" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, CAST(rank AS BIGINT) AS rank,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(doc_id AS BIGINT) AS doc_id
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q103_kmv_per_group" ->
       """WITH t AS (SELECT DISTINCT source, tok FROM (

@@ -391,6 +391,67 @@ object Sketches {
   def hash48Col(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hash48(value)
 
+  /** PER-GROUP bounded top-k as a typed Aggregator — the groupBy-native
+    * form of "top k pages per host": a `row_number() over (partition by
+    * host order by score)` window SORTS every group's full contents,
+    * while this buffer holds at most k (score, id) pairs per group and
+    * map-side partials merge in O(k) — the window's shuffle carries
+    * whole groups, this one carries k rows per group per partition.
+    * Order: score DESC, id ASC on ties (a total order, deterministic
+    * cross-engine). Output: the rank-ordered (score, id) pairs. */
+  final case class TopKBuffer(scores: Array[Long], ids: Array[Long])
+
+  def topKGroupAgg(k: Int): org.apache.spark.sql.expressions
+      .Aggregator[(Long, Long), TopKBuffer, Seq[(Long, Long)]] = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    new org.apache.spark.sql.expressions
+        .Aggregator[(Long, Long), TopKBuffer, Seq[(Long, Long)]] {
+      // ranksBefore: (s1, i1) outranks (s2, i2)
+      private def before(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+        s1 > s2 || (s1 == s2 && i1 < i2)
+      override def zero: TopKBuffer =
+        TopKBuffer(Array.empty[Long], Array.empty[Long])
+      override def reduce(b: TopKBuffer, in: (Long, Long)): TopKBuffer = {
+        val (s, id) = in
+        val n = b.scores.length
+        if (n >= k && !before(s, id, b.scores(n - 1), b.ids(n - 1))) return b
+        var pos = 0
+        while (pos < n && before(b.scores(pos), b.ids(pos), s, id)) pos += 1
+        val m = math.min(n + 1, k)
+        val os = new Array[Long](m); val oi = new Array[Long](m)
+        System.arraycopy(b.scores, 0, os, 0, pos)
+        System.arraycopy(b.ids, 0, oi, 0, pos)
+        os(pos) = s; oi(pos) = id
+        val tail = m - pos - 1
+        System.arraycopy(b.scores, pos, os, pos + 1, tail)
+        System.arraycopy(b.ids, pos, oi, pos + 1, tail)
+        TopKBuffer(os, oi)
+      }
+      override def merge(x: TopKBuffer, y: TopKBuffer): TopKBuffer = {
+        if (x.scores.isEmpty) return y
+        if (y.scores.isEmpty) return x
+        val m = math.min(x.scores.length + y.scores.length, k)
+        val os = new Array[Long](m); val oi = new Array[Long](m)
+        var i = 0; var j = 0; var o = 0
+        while (o < m) {
+          val takeX = j >= y.scores.length || (i < x.scores.length &&
+            before(x.scores(i), x.ids(i), y.scores(j), y.ids(j)))
+          if (takeX) { os(o) = x.scores(i); oi(o) = x.ids(i); i += 1 }
+          else { os(o) = y.scores(j); oi(o) = y.ids(j); j += 1 }
+          o += 1
+        }
+        TopKBuffer(os, oi)
+      }
+      override def finish(b: TopKBuffer): Seq[(Long, Long)] =
+        b.scores.toIndexedSeq.zip(b.ids.toIndexedSeq)
+      override def bufferEncoder: org.apache.spark.sql.Encoder[TopKBuffer] =
+        org.apache.spark.sql.Encoders.product[TopKBuffer]
+      override def outputEncoder
+          : org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+  }
+
   /** Per-partition bounded bottom-k over DISTINCT elements: a TreeSet
     * holds the partition's <= k smallest (dedup by membership, strict-lt
     * admission so equal elements never evict, poll after add); O(log k)

@@ -42,6 +42,43 @@ class BatchOpsPropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("substringDedup matches brute force on random repetitive corpora") {
+    import graft.operators.llm.TextAnalysis
+    val rnd = new scala.util.Random(13)
+    val k = 3
+    // tiny vocabulary forces heavy cross- and within-doc gram collisions
+    def doc(): String =
+      (1 to (rnd.nextInt(12) + 1)).map(_ => s"w${rnd.nextInt(4)}")
+        .mkString(" ")
+    val docs = (1L to 40L).map(i => (i, doc()))
+    val got = TextAnalysis.substringDedup(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        col("clean_text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // brute-force model of the coverage rule: global first occurrence of
+    // each k-gram in (doc, pos) order survives; every other occurrence
+    // covers positions [pos, pos+k-1] of its own doc
+    val firsts = scala.collection.mutable.HashMap.empty[Seq[String], (Long, Int)]
+    val words = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    for ((id, _) <- docs; ws = words(id); p <- 1 to ws.length - k + 1) {
+      val g = ws.slice(p - 1, p - 1 + k)
+      if (!firsts.contains(g)) firsts(g) = (id, p)
+    }
+    for ((id, _) <- docs) {
+      val ws = words(id)
+      val covered = scala.collection.mutable.BitSet.empty
+      for (p <- 1 to ws.length - k + 1) {
+        val g = ws.slice(p - 1, p - 1 + k)
+        if (firsts(g) != ((id, p))) covered ++= (p until p + k)
+      }
+      val kept = (1 to ws.length).filterNot(covered)
+      val want = (kept.size, covered.size, kept.map(i => ws(i - 1)).mkString(" "))
+      assert(got(id) == want, s"doc $id: '${words(id).mkString(" ")}'")
+    }
+  }
+
   test("sessionize matches brute force on colliding timestamps") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 200).map(i =>

@@ -7,6 +7,24 @@ import graft.operators.Sketches
 
 class SketchesSpec extends AnyFunSuite with SparkTestSession {
 
+  test("topKGroupAgg: exact rank order, ties by id, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 300L).map(i => (s"g${i % 4}", rnd.nextInt(40).toLong, i))
+    for (parts <- Seq(1, 6)) {
+      val sk = udaf(graft.operators.Sketches.topKGroupAgg(5))
+      val got = rows.toDF("g", "score", "id").repartition(parts)
+        .groupBy(col("g")).agg(sk(col("score"), col("id")).as("top"))
+        .as[(String, Seq[(Long, Long)])].collect().toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val want = grp.map(r => (r._2, r._3))
+          .sortBy { case (s, id) => (-s, id) }.take(5)
+        assert(got(g) == want, s"parts=$parts group=$g")
+      }
+    }
+  }
+
   test("kmvGroupAgg: exact below k, partition-invariant, matches global sketch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, udaf}
