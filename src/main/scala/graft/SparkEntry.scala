@@ -1451,11 +1451,17 @@ object SparkEntry {
 
     // JL random projection 64→16: integer coordinates from the shared
     // deterministic ±1 plane family — a pure map-side projection that
-    // shrinks all downstream pairwise work 4×.
-    "q89_random_projection" -> ((s, dir) =>
-      graft.operators.llm.AnnOps.randomProjection(
+    // shrinks all downstream pairwise work 4×. The operator's API keeps
+    // the projection as one array column (for composition into bucketed
+    // ANN); the GATE emits it as 16 scalar columns p00..p15 because the
+    // driver's comparator hashes scalar cells, not arrays.
+    "q89_random_projection" -> ((s, dir) => {
+      val pr = graft.operators.llm.AnnOps.randomProjection(
         tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        outDim = 16, dim = 64)),
+        outDim = 16, dim = 64)
+      pr.select(col("vec_id") +:
+        (0 until 16).map(i => col("proj")(i).as(f"p$i%02d")): _*)
+    }),
 
     // Interval (range) join re-expressed as an equi-join on (key, day)
     // with residual bounds — the shuffle-joinable form of a non-equi
@@ -3364,8 +3370,14 @@ object SparkEntry {
         |pr AS (SELECT e.vec_id, w.p,
         |    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
         |      i -> e.q[i] * w.wv[i])) AS BIGINT) AS d
-        |  FROM e CROSS JOIN w)
-        |SELECT vec_id, list(d ORDER BY p) AS proj FROM pr GROUP BY 1""".stripMargin,
+        |  FROM e CROSS JOIN w),
+        |pj AS (SELECT vec_id, list(d ORDER BY p) AS proj FROM pr GROUP BY 1)
+        |SELECT vec_id,
+        |  proj[1] AS p00, proj[2] AS p01, proj[3] AS p02, proj[4] AS p03,
+        |  proj[5] AS p04, proj[6] AS p05, proj[7] AS p06, proj[8] AS p07,
+        |  proj[9] AS p08, proj[10] AS p09, proj[11] AS p10, proj[12] AS p11,
+        |  proj[13] AS p12, proj[14] AS p13, proj[15] AS p14, proj[16] AS p15
+        |FROM pj""".stripMargin,
 
     "q62_interval_join" ->
       """WITH w AS (SELECT i AS win_id, i % 8 AS bucket,

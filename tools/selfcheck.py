@@ -51,6 +51,25 @@ def main():
         try:
             oc, orows = norm(con, f"({sql})", "oracle")
             sc, srows = norm(con, f"read_parquet('{spark_glob}')", "spark")
+            # Gate-compat lint: the driver's comparator (pandas
+            # sort_values + row hashing) cannot hash array/map/struct
+            # cells — a query emitting one reads ERR in the gate even
+            # when the values are right (the r11 q89 lesson). Reject
+            # nested top-level columns on EITHER side here, so the
+            # mismatch dies in validate.sh, not in the round gate.
+            nested = []
+            for side, rel in (("oracle", f"({sql})"),
+                              ("spark", f"read_parquet('{spark_glob}')")):
+                for row in con.execute(
+                        f"DESCRIBE SELECT * FROM {rel}").fetchall():
+                    cname, dtype = row[0], row[1]
+                    if "[]" in dtype or dtype.startswith(("MAP", "STRUCT")):
+                        nested.append(f"{side}.{cname}: {dtype}")
+            if nested:
+                print(f"FAIL {name}: gate-incompatible nested columns: "
+                      f"{nested}")
+                failures += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
             failures += 1
