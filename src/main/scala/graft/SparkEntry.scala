@@ -1792,16 +1792,23 @@ object SparkEntry {
 
     // Streaming windowed aggregation under the oracle gate (the third
     // streaming surface after q51's stateful cap and q92's dedup):
-    // event-time 1-hour windows per host over the CDX stream, complete
-    // output mode so the single AvailableNow batch emits every window —
-    // the watermark machinery runs, the batch oracle replays the final
-    // counts with date_trunc.
+    // event-time 1-hour windows per host over the CDX stream, APPEND
+    // output mode — the only windowed-agg mode whose state survives an
+    // unbounded stream (complete mode retains every window ever seen;
+    // it is pinned as a unit test only, CdxStreamSpec). Append emits a
+    // window exactly once, when the watermark passes its end, so the
+    // fixture carries two far-future sentinel files and
+    // maxFilesPerTrigger=1 forces three deterministic micro-batches:
+    // batch 1 ingests the real lines, batch 2's sentinel pushes the
+    // watermark past every real window end, batch 3's sentinel flushes
+    // the remainder. The sentinels' own windows never close → never
+    // emitted → the batch oracle replays the real lines only.
     "q104_stream_windows" -> ((s, dir) =>
-      // shares q51's on-disk fixture (same line synthesis) — only the
-      // checkpoint and sink are per-query
-      runStreamQuery(s, dir, fixtureKey = "q51",
-        sink = "q104_stream_windows_sink", outputMode = "complete",
-        fixture = streamCdxLines(s, dir)) { lines =>
+      runStreamQuery(s, dir, fixtureKey = "q104",
+        sink = "q104_stream_windows_sink", outputMode = "append",
+        fixture = streamCdxLines(s, dir),
+        readOptions = Map("maxFilesPerTrigger" -> "1"),
+        extraFixture = writeStreamSentinels) { lines =>
         graft.streaming.CdxStream.windowedHostCounts(
           graft.streaming.CdxStream.parse(lines).toDF())
       }),
@@ -2064,13 +2071,16 @@ object SparkEntry {
     * fixture lines, transform, and output mode. */
   private def runStreamQuery(s: SparkSession, dir: String,
       fixtureKey: String, sink: String, outputMode: String,
-      fixture: => DataFrame)(
+      fixture: => DataFrame,
+      readOptions: Map[String, String] = Map.empty,
+      extraFixture: String => Unit = _ => ())(
       xform: org.apache.spark.sql.Dataset[String] => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     val base = tmpDir(fixtureKey, dir)
     fixtureOnce(base, "v1", dir, "documents") {
       fixture.coalesce(1).write.mode("overwrite").text(s"$base/in")
+      extraFixture(s"$base/in")
     }
     val ckpt = s"$base/ckpt_$sink"
     val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
@@ -2081,7 +2091,10 @@ object SparkEntry {
       "spark.sql.shuffle.partitions" -> "1",
       "spark.sql.files.maxPartitionBytes" -> "1073741824",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-      val lines = s.readStream.option("lineSep", "\n")
+      val lines = readOptions.foldLeft(
+          s.readStream.option("lineSep", "\n")) {
+          case (r, (k, v)) => r.option(k, v)
+        }
         .text(s"$base/in").as[String]
       val query = xform(lines)
         .writeStream.format("memory").queryName(sink)
@@ -2092,6 +2105,32 @@ object SparkEntry {
       query.awaitTermination()
     }
     s.table(sink)
+  }
+
+  /** Watermark-advancing sentinels for append-mode streaming windows
+    * (q104): two single-line CDX files DAYS past the real data (max
+    * real event time is 2012-01-02; sentinels are 01-05 and 01-10, vs
+    * a 2-hour watermark delay), with strictly increasing mtimes so the
+    * file source's mtime order + maxFilesPerTrigger=1 makes them
+    * batches 2 and 3. Batch 2's sentinel raises the watermark past
+    * every real window end; batch 3 triggers the flush (append mode
+    * emits in the batch AFTER the watermark advances). The sentinel
+    * host is distinct ("org,zz-sentinel") and its windows never close,
+    * so they are never emitted and the oracle ignores them. */
+  private def writeStreamSentinels(inDir: String): Unit = {
+    val d = new java.io.File(inDir)
+    val baseMtime = d.listFiles().filter(_.getName.startsWith("part-"))
+      .map(_.lastModified()).max
+    Seq(("sentinel-1.cdx", "20120105000000", 10000L),
+        ("sentinel-2.cdx", "20120110000000", 20000L)).foreach {
+      case (name, ts, bump) =>
+        val f = new java.io.File(d, name)
+        java.nio.file.Files.write(f.toPath,
+          (s"org,zz-sentinel)/ $ts http://sentinel.org/ text/html 200 " +
+            s"SENTINEL - - 10 0 w.warc.gz\n").getBytes("UTF-8"))
+        require(f.setLastModified(baseMtime + bump),
+          s"could not stagger mtime of $f — batch order would be undefined")
+    }
   }
 
   /** q92's stream corpus: same deterministic line synthesis as

@@ -10,6 +10,9 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
   private def line(key: String, ts: String, off: Long): String =
     s"$key $ts http://x.org/ text/html 200 DIGESTXX - - 10 $off f.warc.gz"
 
+  // complete mode is TEST-ONLY: it retains every window ever seen in the
+  // state store (unbounded on a firehose), so the oracle gate (q104)
+  // certifies append mode; this pin just covers the mode's wiring.
   test("streaming windowed host counts over a file-backed stream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(
@@ -34,6 +37,71 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Set(
       ("2012-01-01T00:00:00Z", "org,a", 2L),
       ("2012-01-01T01:00:00Z", "org,b", 1L)))
+  }
+
+  test("windowed host counts in APPEND mode: watermark flushes every " +
+      "closed window and EVICTS its state (bounded state)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream-append")
+    // batch 1: the real data (two 1-hour windows on 2012-01-01)
+    val f1 = dir.resolve("batch1.cdx")
+    java.nio.file.Files.writeString(f1, Seq(
+      line("org,a)/x", "20120101000500", 0),
+      line("org,a)/y", "20120101003000", 1),
+      line("org,b)/z", "20120101010500", 2)).mkString("", "\n", "\n"))
+    // batches 2+3: far-future sentinels; 2 advances the watermark past
+    // every real window end, 3 triggers the append-mode flush
+    val f2 = dir.resolve("sentinel1.cdx")
+    java.nio.file.Files.writeString(f2,
+      line("org,zz)/s", "20120105000000", 3) + "\n")
+    val f3 = dir.resolve("sentinel2.cdx")
+    java.nio.file.Files.writeString(f3,
+      line("org,zz)/s", "20120110000000", 4) + "\n")
+    val t0 = f1.toFile.lastModified()
+    assert(f2.toFile.setLastModified(t0 + 10000))
+    assert(f3.toFile.setLastModified(t0 + 20000))
+
+    // match the gate scaffold: no trailing no-data batch (it would also
+    // flush sentinel-1's window once sentinel-2 advances the watermark)
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = try {
+      val lines = spark.readStream.option("lineSep", "\n")
+        .option("maxFilesPerTrigger", "1").text(dir.toString)
+      val counts = CdxStream.windowedHostCounts(
+        CdxStream.parse(lines.as[String]).toDF())
+      val q0 = counts.writeStream
+        .format("memory").queryName("host_counts_append")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination(120000)
+      q0
+    } finally prevNoData match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    val got = spark.table("host_counts_append")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, h, n) => (w.toInstant.toString, h, n) }.toSet
+    // every REAL window emitted exactly once; sentinel windows never
+    // close, never emitted
+    assert(got == Set(
+      ("2012-01-01T00:00:00Z", "org,a", 2L),
+      ("2012-01-01T01:00:00Z", "org,b", 1L)))
+    // BOUNDED STATE: emitted windows are evicted from the state store —
+    // only the two open sentinel windows remain. This is the property
+    // complete mode lacks (it retains every window ever seen), which is
+    // why append is the gated mode and complete is test-only.
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.head
+    assert(lastState.numRowsTotal == 2,
+      s"state should hold ONLY the open sentinel windows, " +
+        s"got ${lastState.numRowsTotal}")
   }
 
   test("dayCapStream caps per (urlkey, day) ACROSS micro-batches") {
