@@ -1846,6 +1846,41 @@ object SparkEntry {
           col("p._1").as("n_chars"), col("p._2").as("doc_id"))
     }),
 
+    // REAL media decode under the oracle gate: each doc synthesizes a
+    // VALID file — even ids a 24-bpp BMP (padded bottom-up BGR rows),
+    // odd ids a PCM16 mono WAV — with pixel/sample values chosen so the
+    // decoded statistics have closed forms; the decoder walks the actual
+    // bytes (MediaCodecs, no codec libs) and DuckDB replays decoded_bytes
+    // and the feature-digest from the closed forms. A single byte off in
+    // header layout, row padding, or LE parsing fails the hash compare.
+    "q106_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{MediaCodecs, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          if (id % 2 == 0) {
+            val w = 4 + (id % 13).toInt
+            val h = 3 + (id % 7).toInt
+            val b0 = (id % 180).toInt
+            MultimodalOps.MediaRecord(id,
+              MediaCodecs.encodeBmp(w, h,
+                (x, y) => { val v = x + y + b0; (v, v, v) }),
+              "bmp", w, h)
+          } else {
+            val n = 64 + (id % 37).toInt
+            val a0 = ((id % 100) * 10).toInt
+            MultimodalOps.MediaRecord(id,
+              MediaCodecs.encodeWav(8000,
+                Array.tabulate(n)(i => (a0 + i).toShort)),
+              "wav", 0, 0)
+          }
+        }
+      MultimodalOps.decode(media)
+        .select(col("doc_id"), col("format"), col("decoded_bytes"),
+          col("thumb_hash"))
+    }),
+
     // Edit-distance verification of near-dup candidate pairs — the
     // exact-verify stage after LSH candidates, on a bounded 120-char
     // prefix (the built-in codegen'd levenshtein, never a UDF). The
@@ -3696,6 +3731,23 @@ object SparkEntry {
         |  split_part(urlkey, ')', 1) AS host,
         |  count(*) AS n_captures
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q106_media_decode" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |b AS (SELECT id, 4 + id % 13 AS w, 3 + id % 7 AS h,
+        |    id % 180 AS b0 FROM p WHERE id % 2 = 0),
+        |bf AS (SELECT id, 'bmp' AS format, w * h * 3 AS decoded_bytes,
+        |  md5('bmp ' || w || 'x' || h || ' ' ||
+        |      (3 * (w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2))) || ' ' ||
+        |      (w - 1 + h - 1 + b0)) AS thumb_hash FROM b),
+        |v AS (SELECT id, 64 + id % 37 AS n, (id % 100) * 10 AS a0
+        |  FROM p WHERE id % 2 = 1),
+        |vf AS (SELECT id, 'wav' AS format, n * 2 AS decoded_bytes,
+        |  md5('wav 8000 ' || n || ' ' || (n*a0 + n*(n-1)//2) || ' ' ||
+        |      (a0 + n - 1)) AS thumb_hash FROM v)
+        |SELECT id AS doc_id, format,
+        |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes, thumb_hash
+        |FROM (SELECT * FROM bf UNION ALL SELECT * FROM vf)""".stripMargin,
 
     "q105_topk_group_agg" ->
       """WITH r AS (SELECT source, doc_id, n_chars,

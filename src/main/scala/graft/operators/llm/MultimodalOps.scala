@@ -7,13 +7,16 @@ import org.apache.spark.sql.Dataset
  * `binary` columns with typed metadata; decode/feature-extract runs
  * executor-side in batches).
  *
- * The DECODE step is a STUB — image/audio codec libraries are not in this
- * container — replaced by a deterministic fake (byte length + md5). The
- * Spark-side plumbing is real and is what this operator verifies: binary
- * payload columns with typed metadata via case-class Encoders, and
- * per-partition batch iteration (`mapPartitions`) so a real codec would
- * amortize its init across a whole batch, exactly where an image library
- * or a JNI decoder would slot in.
+ * The DECODE step is REAL for the two containers that are pure header
+ * math — uncompressed 24-bpp BMP and PCM16 mono WAV ([[MediaCodecs]],
+ * no external libs; q106 gates the byte-level walk against a closed-form
+ * oracle) — and a documented deterministic fallback (byte length +
+ * payload md5) for every other format, since codec libraries are not in
+ * this container's frozen build. The Spark-side plumbing is identical
+ * either way: binary payload columns with typed metadata via case-class
+ * Encoders, and per-partition batch iteration (`mapPartitions`) so a
+ * codec amortizes its init across a whole batch — exactly where an image
+ * library or a JNI decoder slots in for the remaining formats.
  */
 object MultimodalOps {
 
@@ -46,16 +49,34 @@ object MultimodalOps {
   final case class DecodedMedia(doc_id: Long, format: String,
                                 decoded_bytes: Long, thumb_hash: String)
 
-  /** Batch decode — one codec instance per partition, reused per record. */
+  /** Batch decode — one codec instance per partition, reused per record.
+    * Payloads whose magic bytes match a [[MediaCodecs]] container (BMP,
+    * WAV) get a REAL byte-level decode: `decoded_bytes` is the actual
+    * decoded data volume (pixel channels / PCM bytes), `thumb_hash`
+    * digests the decoded statistics. Other formats take the documented
+    * fallback (length + payload md5) — the slot a codec-library decoder
+    * occupies in a full deployment. */
   def decodeBatch(batch: Iterator[MediaRecord]): Iterator[DecodedMedia] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { m =>
-      // STUB: a real decoder would inflate m.payload (image/audio bytes)
-      // and emit features; the deterministic fake keeps schema, batching
-      // and hashing verifiable end-to-end.
       md.reset()
-      val hash = hexLower(md.digest(m.payload))
-      DecodedMedia(m.doc_id, m.format, m.payload.length.toLong, hash)
+      if (MediaCodecs.sniffBmp(m.payload)) {
+        val img = MediaCodecs.decodeBmp(m.payload)
+        val feat = s"bmp ${img.width}x${img.height} " +
+          s"${img.sumChannels} ${img.maxChannel}"
+        DecodedMedia(m.doc_id, m.format, img.nPixels * 3,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else if (MediaCodecs.sniffWav(m.payload)) {
+        val au = MediaCodecs.decodeWav(m.payload)
+        val feat = s"wav ${au.sampleRate} ${au.nSamples} " +
+          s"${au.sumAbs} ${au.peak}"
+        DecodedMedia(m.doc_id, m.format, au.nSamples * 2,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else {
+        // fallback for containers with no dependency-free decode
+        DecodedMedia(m.doc_id, m.format, m.payload.length.toLong,
+          hexLower(md.digest(m.payload)))
+      }
     }
   }
 
