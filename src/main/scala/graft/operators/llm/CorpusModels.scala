@@ -39,9 +39,13 @@ object CorpusModels {
     * the corpus text itself never shuffles. */
   def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
                      labelCol: String): DataFrame = {
+    // TWO consumers (vocab fit + per-doc counts) read this lineage —
+    // materialize the exploded tokens once instead of scanning and
+    // tokenizing the corpus twice (the q100/heavyHitters trade)
     val toks = df.select(col(idCol).cast("long").as("__doc"),
         col(labelCol).cast("boolean").as("__pos"),
         explode(Shingles.words(col(textCol))).as("__tok"))
+      .localCheckpoint(false)
     val vocab = toks.groupBy(col("__tok"))
       .agg(((sum(when(col("__pos"), 1L).otherwise(0L)) + 1L) * 10000L)
         .as("__num"), (count(lit(1)) + 2L).as("__den"))
@@ -94,7 +98,7 @@ object CorpusModels {
         .where(length(col("w")) >= 1)
         .groupBy("w").agg(count(lit(1)).as("f"))
         .collect()
-        .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+        .map(r => (codePointSymbols(r.getString(0)), r.getLong(1)))
     var words = vocab
     val merges = Seq.newBuilder[(String, String)]
     var step = 0
@@ -122,6 +126,22 @@ object CorpusModels {
       }
     }
     merges.result()
+  }
+
+  /** Split a word into CODE-POINT symbols — `split("")` would split
+    * UTF-16 code units, training surrogate-half merge symbols that
+    * [[bpeApply]]'s code-point spacing (regex `(.)`) can never match;
+    * supplementary characters (emoji, rare CJK) must stay whole so
+    * train and apply share one symbol alphabet. */
+  private[llm] def codePointSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
   }
 
   /** Apply a trained BPE merge table (the [[bpeTrain]] output, in
@@ -260,7 +280,10 @@ object CorpusModels {
     bigrams.where(col("n_xy") >= minCount)
       .join(uni.select(col("w").as("w1"), col("n_w").as("__nx")), "w1")
       .join(uni.select(col("w").as("w2"), col("n_w").as("__ny")), "w2")
-      .crossJoin(total)
+      // broadcast the 1-row aggregate EXPLICITLY (as tokenDrift does):
+      // pre-AQE its size stats are unknown and the cross join can plan
+      // as a non-broadcast nested loop against the full bigram table
+      .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("n_xy"),
         // DECIMAL(38,0) on both sides of the DIV: at the 10^12-word
         // design point 10000·n_xy·N and n_x·n_y both blow through

@@ -109,6 +109,24 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     assert(merges(1) == (("a", "b")))
   }
 
+  test("bpeTrain symbols are CODE POINTS, so apply's '(.)' spacing can " +
+      "consume every trained merge (supplementary chars stay whole)") {
+    // 🙂 is a supplementary char (2 UTF-16 code units); split("") would
+    // have trained surrogate-half symbols that bpeApply can never match
+    val word = "a🙂"   // "a🙂"
+    val df = Seq(s"$word $word").toDF("text")
+    val merges = CorpusModels.bpeTrain(df, "text", nMerges = 1)
+    assert(merges == Seq(("a", "🙂")),
+      s"expected a whole-code-point merge, got $merges")
+    // and the apply side actually consumes it: 1 token per word, not 2
+    val applied = CorpusModels.bpeApply(
+      Seq((1L, s"$word $word")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .select("n_words", "n_tokens").as[(Long, Long)].collect().head
+    assert(applied == ((2L, 2L)),
+      s"merge must collapse each word to ONE token, got $applied")
+  }
+
   test("bpeTrain: stops early when no pairs remain") {
     val df = Seq("ab ab").toDF("text")
     val merges = CorpusModels.bpeTrain(df, "text", nMerges = 10)

@@ -79,7 +79,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
         "distributed pageRank plans a CartesianProduct")
     }
 
-    // the corpus side of the asymmetric joins must stay off the wire
+    // the corpus side of the asymmetric joins must stay off the wire.
+    // NOTE on q90: this is an AUDIT-SCALE pin, not a scale-invariant
+    // guarantee — the broadcast side is the covered-set table (one row
+    // per doc that HAS a duplicated span), which on a heavily-duplicated
+    // corpus outgrows autoBroadcastJoinThreshold; AQE then correctly
+    // picks a shuffle join on __doc (one corpus shuffle, or zero if the
+    // corpus is bucketed by doc id). Forcing broadcast() there would
+    // trade that shuffle for a driver OOM, so the hint is deliberately
+    // absent; what this pin protects is the SMALL-side plan never
+    // regressing to SMJ at the scale where broadcast is free.
     for (name <- Seq("q72_decontaminate", "q60_tfidf",
         "q90_substring_dedup")) {
       val s = plan(name)
