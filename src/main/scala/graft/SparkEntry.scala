@@ -1058,7 +1058,7 @@ object SparkEntry {
       // repackage too);
       // the timed path is the K11 VALIDITY proof: extracting the
       // repackaged archives as ordinary WARCs
-      fixtureOnce(outBase, "v1-warc3", dir, "documents") {
+      fixtureOnce(outBase, "v1-warc4", dir, "documents") {
         val members = graft.operators.WarcExtract
           .extract(s, Seq(file.getAbsolutePath), soft = true)
           .rows.where(col("statuscode") === 200)
@@ -1923,7 +1923,7 @@ object SparkEntry {
   private def warcFixture(s: SparkSession, dir: String): java.io.File = {
     val base = tmpDir("q42", dir)
     val file = new java.io.File(s"$base/docs.warc.gz")
-    fixtureOnce(base, "v3", dir, "documents") {
+    fixtureOnce(base, "v4", dir, "documents") {
       val ids = tbl(s, dir, "documents")
         .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
         .collect().map(_.getLong(0))
@@ -1959,8 +1959,25 @@ object SparkEntry {
                 "Content-Length: 0\r\n\r\n"
             } else {
               val status = if (id % 5 == 0) "404 Not Found" else "200 OK"
-              val http = s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
-                s"\r\ndoc $id body"
+              val http =
+                if (id % 11 == 3) {
+                  // real-archive damage class: chunked transfer-encoding
+                  // (entity split across two chunks, one carrying a chunk
+                  // extension) + a mis-declared charset parameter. The
+                  // ENTITY equals the plain branch's body, so mimetype
+                  // (param stripped), status, and the de-chunked digest
+                  // all match the plain form — the oracle is unchanged
+                  // and WarcSpec pins the digest equality.
+                  val entity = s"doc $id body"
+                  val (a, b) = entity.splitAt(5)
+                  val framed = f"${a.length}%x;chunkext=1\r\n$a\r\n" +
+                    f"${b.length}%x\r\n$b\r\n0\r\n\r\n"
+                  s"HTTP/1.1 $status\r\n" +
+                    "Content-Type: text/html; charset=not-a-charset\r\n" +
+                    s"Transfer-Encoding: chunked\r\n\r\n$framed"
+                } else
+                  s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+                    s"\r\ndoc $id body"
               s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
                 s"WARC-Date: $date\r\nContent-Length: ${http.length}\r\n\r\n$http"
             }

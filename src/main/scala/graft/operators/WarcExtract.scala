@@ -282,15 +282,24 @@ object WarcExtract {
   }
 
   /** Payload after the HTTP header block (digest covers the entity body,
-    * not the headers). */
+    * not the headers). A `Transfer-Encoding: chunked` response stores
+    * the raw chunked stream in the record block; the digest convention
+    * (reference: webarchive-commons' payload digest) covers the
+    * DE-CHUNKED entity, so the framing is stripped here — and kept
+    * as-is when the framing is damaged (dechunk = None): a raw-bytes
+    * digest is stable and honest, a half-decoded one is neither. */
   private def httpBody(payload: Array[Byte]): Array[Byte] = {
     val sep = "\r\n\r\n".getBytes
     var i = 0
     while (i <= payload.length - sep.length) {
       var j = 0
       while (j < sep.length && payload(i + j) == sep(j)) j += 1
-      if (j == sep.length)
-        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+      if (j == sep.length) {
+        val raw = java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+        val chunked = WarcRecords.httpHeaderValue(payload, "Transfer-Encoding")
+          .exists(_.toLowerCase.contains("chunked"))
+        return if (chunked) WarcRecords.dechunk(raw).getOrElse(raw) else raw
+      }
       i += 1
     }
     payload

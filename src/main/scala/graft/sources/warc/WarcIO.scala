@@ -259,6 +259,121 @@ object WarcRecords {
         sep + sepLen + blockLen)))
   }
 
+  /** Value of one HTTP response header (case-insensitive), with the same
+    * head tolerances as [[httpStatusAndMime]]. */
+  def httpHeaderValue(payload: Array[Byte], name: String): Option[String] = {
+    val text = new String(payload, 0, math.min(payload.length, 4096),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!text.startsWith("HTTP/")) None
+    else {
+      val prefix = name.toLowerCase + ":"
+      text.split("\n").map(_.stripSuffix("\r")).drop(1)
+        .takeWhile(_.nonEmpty)
+        .find(_.toLowerCase.startsWith(prefix))
+        .map(_.split(":", 2)(1).trim)
+        .filter(_.nonEmpty)
+    }
+  }
+
+  /** Decode a `Transfer-Encoding: chunked` HTTP body into the entity it
+    * frames (RFC 9112 §7.1) — 20 years of crawled HTTP store the raw
+    * chunked stream in the record block, and payload digests / text
+    * extraction want the ENTITY, not the framing. Tolerances matching
+    * archived reality: bare-LF line endings, chunk extensions after
+    * `;`, trailer section optional/truncated. Returns None on framing
+    * damage (bad hex, chunk overrunning the body) — the caller keeps
+    * the raw bytes, never a half-decoded hybrid. */
+  def dechunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    var result: Option[Array[Byte]] = null
+    def readLine(): Option[String] = {
+      val start = i
+      while (i < body.length && body(i) != '\n') i += 1
+      if (i >= body.length) None
+      else {
+        val s = new String(body, start, i - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1).stripSuffix("\r")
+        i += 1
+        Some(s)
+      }
+    }
+    while (result == null) {
+      readLine() match {
+        case None => result = None
+        case Some(line) =>
+          val sizeStr = line.split(";")(0).trim   // drop chunk extensions
+          val size =
+            if (sizeStr.nonEmpty && sizeStr.forall(c =>
+                Character.digit(c, 16) >= 0) && sizeStr.length <= 7)
+              Integer.parseInt(sizeStr, 16)
+            else -1
+          if (size < 0) result = None
+          else if (size == 0)
+            // terminal chunk; trailers (if any) are ignored — a
+            // truncated trailer section is still a complete entity
+            result = Some(out.toByteArray)
+          else if (i + size > body.length) result = None
+          else {
+            out.write(body, i, size)
+            i += size
+            // chunk-data terminator: CRLF, bare LF, or EOF
+            if (i < body.length) {
+              if (body(i) == '\r' && i + 1 < body.length && body(i + 1) == '\n')
+                i += 2
+              else if (body(i) == '\n') i += 1
+              else result = None
+            }
+          }
+      }
+    }
+    result
+  }
+
+  /** The `charset=` parameter of a Content-Type value, unquoted. */
+  def charsetParam(contentType: String): Option[String] =
+    contentType.split(";").drop(1).map(_.trim)
+      .find(_.toLowerCase.startsWith("charset="))
+      .map(_.substring("charset=".length).trim
+        .stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+
+  /** Charset-tolerant text decode — the header's declared charset is
+    * wrong often enough in 20-year archives that trusting it blindly
+    * yields mojibake or decoder crashes. Order: BOM (authoritative over
+    * any declaration), declared charset decoded STRICTLY (malformed
+    * input rejects the charset rather than inserting U+FFFD), strict
+    * UTF-8, then ISO-8859-1 (total: every byte sequence decodes).
+    * Returns (text, charsetActuallyUsed). */
+  def decodeText(body: Array[Byte], declared: Option[String]): (String, String) = {
+    import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+    if (body.length >= 3 && body(0) == 0xEF.toByte && body(1) == 0xBB.toByte &&
+        body(2) == 0xBF.toByte)
+      return (new String(body, 3, body.length - 3, StandardCharsets.UTF_8),
+        "utf-8")
+    if (body.length >= 2 && body(0) == 0xFE.toByte && body(1) == 0xFF.toByte)
+      return (new String(body, 2, body.length - 2, StandardCharsets.UTF_16BE),
+        "utf-16be")
+    if (body.length >= 2 && body(0) == 0xFF.toByte && body(1) == 0xFE.toByte)
+      return (new String(body, 2, body.length - 2, StandardCharsets.UTF_16LE),
+        "utf-16le")
+    def strict(cs: Charset): Option[String] =
+      try {
+        val dec = cs.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(body)).toString)
+      } catch { case _: java.nio.charset.CharacterCodingException => None }
+    val declaredCs = declared.flatMap { n =>
+      // unsupported / misspelled charset names are DATA, not errors
+      try Some(Charset.forName(n)) catch { case _: Exception => None }
+    }
+    declaredCs.flatMap(cs => strict(cs).map((_, cs.name.toLowerCase)))
+      .orElse(strict(StandardCharsets.UTF_8).map((_, "utf-8")))
+      .getOrElse(
+        (new String(body, StandardCharsets.ISO_8859_1), "iso-8859-1"))
+  }
+
   /** SHA1 digest in Base32 (RFC 4648, A-Z2-7) — the CDX digest convention. */
   def sha1Base32(bytes: Array[Byte]): String = {
     val sha = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)

@@ -241,6 +241,78 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.urlkey).toSeq == Seq("org,arc)/1", "org,warc)/2"))
   }
 
+  test("dechunk: extensions, bare-LF endings, trailers; damage → None") {
+    def ch(s: String) = s.getBytes("ISO-8859-1")
+    // canonical CRLF framing with a chunk extension
+    assert(WarcRecords.dechunk(ch("5;ext=a\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"))
+      .map(new String(_, "UTF-8")) == Some("hello world"))
+    // bare-LF framing (archived pre-1.1 proxies)
+    assert(WarcRecords.dechunk(ch("5\nhello\n0\n\n"))
+      .map(new String(_, "UTF-8")) == Some("hello"))
+    // trailer section present / truncated right after the 0 chunk
+    assert(WarcRecords.dechunk(ch("3\r\nabc\r\n0\r\nX-T: 1\r\n\r\n"))
+      .map(new String(_, "UTF-8")) == Some("abc"))
+    assert(WarcRecords.dechunk(ch("3\r\nabc\r\n0\r\n"))
+      .map(new String(_, "UTF-8")) == Some("abc"))
+    // damage: non-hex size, chunk overruns body, missing terminator line
+    assert(WarcRecords.dechunk(ch("zz\r\nabc\r\n0\r\n\r\n")).isEmpty)
+    assert(WarcRecords.dechunk(ch("ff\r\nabc\r\n0\r\n\r\n")).isEmpty)
+    assert(WarcRecords.dechunk(ch("3\r\nabcXY0\r\n\r\n")).isEmpty)
+  }
+
+  test("chunked response: digest covers the DE-CHUNKED entity (equals " +
+      "the plain form's digest); damaged framing keeps raw bytes") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "warcchunk")
+    val plain = warcResponse("http://c.org/p", "2012-01-03T08:45:08Z", "doc body")
+    def chunked(framed: String): Array[Byte] = {
+      val http = "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=not-a-charset\r\n" +
+        s"Transfer-Encoding: chunked\r\n\r\n$framed"
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://c.org/c\r\n" +
+        s"WARC-Date: 2012-01-03T08:45:09Z\r\nContent-Length: ${http.length}\r\n\r\n" +
+        http).getBytes("UTF-8")
+    }
+    val good = chunked("4;x=1\r\ndoc \r\n4\r\nbody\r\n0\r\n\r\n")
+    val bad = chunked("zz\r\ndoc body\r\n0\r\n\r\n")
+    val f = dir.resolve("chunk-00000.warc.gz")
+    Files.write(f, gz(plain) ++ gz(good) ++ gz(bad))
+    val rows = WarcExtract.extract(spark, Seq(f.toString))
+      .rows.collect().sortBy(_.timestamp)
+    assert(rows.length == 3)
+    // de-chunked digest == the plain body's digest; charset param stripped
+    assert(rows(1).digest == rows(0).digest)
+    assert(rows(1).mimetype == "text/html")
+    // damaged framing: digest of the RAW stored bytes, never half-decoded
+    assert(rows(2).digest == WarcRecords.sha1Base32(
+      "zz\r\ndoc body\r\n0\r\n\r\n".getBytes("UTF-8")))
+  }
+
+  test("decodeText: BOM beats declaration; bad declarations fall back") {
+    // declared us-ascii but bytes are UTF-8 (the classic server lie):
+    // strict decode rejects the declaration, strict UTF-8 wins
+    val utf8 = "café 世界".getBytes("UTF-8")
+    assert(WarcRecords.decodeText(utf8, Some("us-ascii")) ==
+      (("café 世界", "utf-8")))
+    // unsupported charset name is data, not an error
+    assert(WarcRecords.decodeText("plain".getBytes("UTF-8"),
+      Some("not-a-charset"))._1 == "plain")
+    // UTF-8 BOM overrides a wrong declaration
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "xé".getBytes("UTF-8")
+    assert(WarcRecords.decodeText(bom, Some("iso-8859-1")) == (("xé", "utf-8")))
+    // bytes invalid in BOTH declared and UTF-8 → latin-1 total fallback
+    val latin = Array(0xE9.toByte, 0x20.toByte, 0xFF.toByte)
+    val (txt, cs) = WarcRecords.decodeText(latin, Some("utf-8"))
+    assert(cs == "iso-8859-1" && txt == "é ÿ")
+    // declared charset that DOES decode strictly is honored
+    assert(WarcRecords.decodeText("café".getBytes("ISO-8859-1"),
+      Some("ISO-8859-1")) == (("café", "iso-8859-1")))
+    // charsetParam: quoted + parameter soup
+    assert(WarcRecords.charsetParam("text/html; boundary=x; charset=\"UTF-8\"")
+      .contains("UTF-8"))
+    assert(WarcRecords.charsetParam("text/html").isEmpty)
+  }
+
   test("sha1Base32 matches the known digest of an empty payload") {
     // sha1("") = da39a3ee5e6b4b0d3255bfef95601890afd80709
     assert(WarcRecords.sha1Base32(Array.emptyByteArray) ==
