@@ -1303,7 +1303,8 @@ object SparkEntry {
     "q79_stratum_cap" -> ((s, dir) => {
       graft.operators.llm.Sampling.capPerStratum(
         tbl(s, dir, "documents").select(col("doc_id"), col("source")),
-        "doc_id", "source", salt = "cap", cap = 17L, prefixLen = 2)
+        "doc_id", "source", salt = "cap", cap = 17L, prefixLen = 2,
+        localBelow = LocalKmeansRows)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("sum_ids"))

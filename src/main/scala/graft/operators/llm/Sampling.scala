@@ -207,11 +207,38 @@ object Sampling {
     * drop the hint and let the corpus shuffle-join on stratum. */
   def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
                     salt: String, cap: Long,
-                    prefixLen: Int = 4): DataFrame = {
+                    prefixLen: Int = 4, localBelow: Long = 0L): DataFrame = {
     require(cap >= 0L, s"cap must be >= 0, got $cap")
     require(prefixLen >= 1 && prefixLen <= 8,
       s"prefixLen must be in [1, 8], got $prefixLen")
+    require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
     val outCols = df.columns.map(col).toSeq
+
+    // small-input endgame (opt-in, the deterministicShard pattern): below
+    // the threshold the bucket-count/cutoff machinery is pure job
+    // overhead — ONE take(n+1) carries the rows, the per-stratum
+    // selection runs in-driver over the same (md5(salt|id), id) order,
+    // kept set bit-identical (pinned; idCol is unique — the operator's
+    // premise — so hash ties cannot arise). Production corpora pass 0.
+    if (localBelow > 0L) {
+      val hashed = df.withColumn("__h",
+        md5(concat(lit(salt + "|"), col(idCol).cast("string"))))
+      val probe = hashed.take(localBelow.toInt + 1)
+      if (probe.length <= localBelow) {
+        val spark = df.sparkSession
+        if (probe.isEmpty) return df.limit(0)
+        val sIdx = probe.head.fieldIndex(strataCol)
+        val hIdx = probe.head.fieldIndex("__h")
+        val keepN = math.min(cap, Int.MaxValue.toLong).toInt
+        val kept = probe.toSeq.groupBy(r => r.get(sIdx)).valuesIterator
+          .flatMap(_.sortBy(_.getString(hIdx)).take(keepN))
+          .map(r => org.apache.spark.sql.Row.fromSeq(
+            df.schema.fieldNames.toSeq.map(f => r.get(r.fieldIndex(f)))))
+          .toSeq
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(kept, 1), df.schema)
+      }
+    }
     val withH = df
       .withColumn("__h",
         md5(concat(lit(salt + "|"), col(idCol).cast("string"))))

@@ -288,6 +288,18 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     // cap 0 drops everything; cap >= all keeps everything
     assert(Sampling.capPerStratum(df, "doc_id", "src", "t", 0L).count() == 0)
     assert(Sampling.capPerStratum(df, "doc_id", "src", "t", 99L).count() == 53)
+    // the localBelow endgame is BIT-IDENTICAL to the distributed path —
+    // capped / whole / NULL strata, at threshold and above it
+    val dist = Sampling.capPerStratum(df, "doc_id", "src", "t", 5L)
+      .as[(Long, String)].collect().toSet
+    for (lb <- Seq(53L, 1000L)) {
+      val local = Sampling.capPerStratum(df, "doc_id", "src", "t", 5L,
+        localBelow = lb).as[(Long, String)].collect().toSet
+      assert(local == dist, s"localBelow=$lb diverged")
+    }
+    // threshold BELOW the input: probe overflows, distributed path runs
+    assert(Sampling.capPerStratum(df, "doc_id", "src", "t", 5L,
+      localBelow = 10L).as[(Long, String)].collect().toSet == dist)
   }
 
   test("deterministic shard: exact hash-order permutation, partition-invariant") {
