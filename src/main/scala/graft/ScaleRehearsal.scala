@@ -28,7 +28,7 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val (mode, rest) = args.headOption match {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
-          m == "substr" || m == "pagerank" =>
+          m == "substr" || m == "pagerank" || m == "stream" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -39,6 +39,7 @@ object ScaleRehearsal {
         case "kmeans" => 8 // k (seed count)
         case "substr" => 15 // gram window k
         case "pagerank" => 3 // iters
+        case "stream" => 2 // watermark horizon, hours
         case _ => 400
       })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
@@ -72,6 +73,8 @@ object ScaleRehearsal {
       sfDir, read, write); spark.stop(); return }
     if (mode == "kmeans") { kmeansRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
+    if (mode == "stream") { streamRehearsal(spark, copies, maxBucket,
+      sfDir); spark.stop(); return }
 
     // the q69 corpus rule (base + appended-text variants), replicated
     // with disjoint id spaces; every copy of a doc is a near-dup of every
@@ -298,6 +301,100 @@ object ScaleRehearsal {
     println(f"[rehearsal-ann] recall@10 single=${recall(single)}%.3f " +
       f"multi(probes=$numPlanes)=${recall(multi)}%.3f")
     big.unpersist(blocking = false)
+  }
+
+  /** Streaming decades: state-store size and micro-batch latency for the
+    * two stateful streaming operators across input scale — the property
+    * under test is that state tracks the WATERMARK HORIZON, not the
+    * stream's lifetime length.
+    *
+    * Input: one CDX file per copy (mtime-staggered, maxFilesPerTrigger=1
+    * → one micro-batch per copy), each copy spanning <2 h of event time
+    * and starting 3 h after the previous — so with a `horizonHours`=2
+    * watermark each batch fully ages out the previous batch's state.
+    * Within a copy, digests collide heavily (md5(source), ~|sources|
+    * distinct per copy) so the dedup actually drops rows.
+    *
+    * Bounds asserted by the design and verified by the printout:
+    *  - dedupStream: state rows <= distinct (urlkey, digest) per horizon
+    *    (~ one copy's distinct keys), REGARDLESS of copies processed;
+    *  - windowedHostCounts (append): state rows <= open windows x hosts
+    *    = (horizon/windowDur + 1-2) x 50, with closed windows emitted
+    *    and EVICTED every batch.
+    * A growing maxState across decades would falsify both. */
+  private def streamRehearsal(spark: SparkSession, copies: Int,
+                              horizonHours: Int, sfDir: String): Unit = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream-rehearsal")
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val epoch = java.time.Instant.parse("2012-01-01T00:00:00Z")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMddHHmmss").withZone(java.time.ZoneOffset.UTC)
+    var totalLines = 0L
+    (0 until copies).foreach { c =>
+      val f = inDir.resolve(f"copy-$c%05d.cdx")
+      val w = java.nio.file.Files.newBufferedWriter(f)
+      try docs.foreach { case (id, source) =>
+        // copies start 3h apart, each spans <2h: one horizon apart
+        val ts = fmt.format(epoch.plusSeconds(c * 10800L + id % 7100L))
+        w.write(s"org,s${id % 50})/ $ts http://s${id % 50}.org/ " +
+          s"text/html 200 ${md5hex(source)} - - 10 ${id * 1000L} w.warc.gz\n")
+        totalLines += 1
+      } finally w.close()
+      require(f.toFile.setLastModified(1700000000000L + c * 10000L),
+        s"cannot stagger mtime of $f")
+    }
+
+    def run(label: String)(
+        xform: org.apache.spark.sql.Dataset[String] =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
+      val lines = spark.readStream.option("maxFilesPerTrigger", "1")
+        .text(inDir.toString).as[String]
+      val q = xform(lines).writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve(s"ckpt-$label").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val t0 = System.nanoTime()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      val states = ps.map(_.stateOperators.head.numRowsTotal)
+      val outRows = ps.map(p => Option(p.sink).map(_.numOutputRows)
+        .getOrElse(0L)).filter(_ > 0).sum
+      val durations = ps.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      println(f"[rehearsal-stream] $label copies=$copies " +
+        f"lines=$totalLines batches=${ps.length} outRows=$outRows " +
+        f"maxState=${if (states.isEmpty) 0L else states.max} " +
+        f"finalState=${if (states.isEmpty) 0L else states.last} " +
+        f"wall=$wall%.1f s " +
+        f"avgBatchMs=${if (durations.isEmpty) 0L
+          else durations.sum / durations.length} " +
+        f"maxBatchMs=${if (durations.isEmpty) 0L else durations.max}")
+    }
+
+    run("dedup") { lines =>
+      graft.streaming.CdxStream.dedupStream(
+        graft.streaming.CdxStream.parse(lines),
+        watermarkDelay = s"$horizonHours hours")
+    }
+    run("windows") { lines =>
+      graft.streaming.CdxStream.windowedHostCounts(
+        graft.streaming.CdxStream.parse(lines).toDF(),
+        windowDur = "1 hour", watermarkDelay = s"$horizonHours hours")
+    }
   }
 
   /** k-means decades: distributed Lloyd (localBelow = 0 — the endgame
