@@ -1008,6 +1008,20 @@ object SparkEntry {
           col("mimetype"), col("statuscode").cast("int").as("statuscode"))
     }),
 
+    // UNCOMPRESSED .warc extraction end-to-end under the oracle: the
+    // SAME record stream as q42, stored plain (records separated by
+    // \r\n\r\n, no gzip members) — the magic-dispatched PlainWarc walk
+    // must produce byte-identical CDX rows to the gzip path, so the
+    // oracle SQL is q42's verbatim.
+    "q107_warc_plain" -> ((s, dir) => {
+      val file = plainWarcFixture(s, dir)
+      graft.operators.WarcExtract
+        .extract(s, Seq(file.getAbsolutePath), soft = true)
+        .rows.toDF()
+        .select(col("urlkey"), col("timestamp"), col("original_url"),
+          col("mimetype"), col("statuscode").cast("int").as("statuscode"))
+    }),
+
     // Legacy ARC → CDX extraction end-to-end under the oracle: a
     // synthesized multi-member .arc.gz (filedesc lead record + HTTP
     // responses incl. 404s + non-HTTP text records + v1/v2 URL-record
@@ -1058,7 +1072,7 @@ object SparkEntry {
       // repackage too);
       // the timed path is the K11 VALIDITY proof: extracting the
       // repackaged archives as ordinary WARCs
-      fixtureOnce(outBase, "v1-warc4", dir, "documents") {
+      fixtureOnce(outBase, "v1-warc5", dir, "documents") {
         val members = graft.operators.WarcExtract
           .extract(s, Seq(file.getAbsolutePath), soft = true)
           .rows.where(col("statuscode") === 200)
@@ -1916,28 +1930,67 @@ object SparkEntry {
     "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u", "s" -> "t",
     "e" -> "d", "in" -> "g")
 
+  /** CDX rows the WARC fixture rule produces — shared verbatim by q42
+    * (gzip members) and q107 (uncompressed): container format must not
+    * change one extracted byte. */
+  private val warcExtractOracleSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(doc_id AS BIGINT) % 5 AS m FROM documents)
+      |SELECT 'org,docs' || m || ')/d/' || id AS urlkey,
+      |  strftime(TIMESTAMP '2020-01-01 00:00:00' + id * INTERVAL 1 SECOND,
+      |           '%Y%m%d%H%M%S') AS timestamp,
+      |  CASE WHEN id % 4 = 0 THEN 'http://WWW.Docs' || m || '.ORG/d/' || id || '/'
+      |       ELSE 'http://docs' || m || '.org/d/' || id END AS original_url,
+      |  CASE WHEN id % 7 = 0 THEN 'application/json'
+      |       WHEN id % 9 = 4 THEN 'warc/revisit'
+      |       ELSE 'text/html' END AS mimetype,
+      |  CAST(CASE WHEN id % 7 = 0 OR id % 9 = 4 THEN NULL
+      |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode
+      |FROM d""".stripMargin
+
   /** Synthesized multi-member WARC fixture shared by q42/q50/q67 (one
     * gzip member per record, warcinfo lead, responses incl. 404s, raw
     * resources, REVISIT records carrying WARC-Payload-Digest, corrupt
     * tail for soft tolerance); content is a pure function of the
     * documents table. */
-  private def warcFixture(s: SparkSession, dir: String): java.io.File = {
-    val base = tmpDir("q42", dir)
-    val file = new java.io.File(s"$base/docs.warc.gz")
-    fixtureOnce(base, "v4", dir, "documents") {
+  private def warcFixture(s: SparkSession, dir: String): java.io.File =
+    warcFixtureImpl(s, dir, gzipped = true, key = "q42",
+      name = "docs.warc.gz", version = "v5")
+
+  /** The SAME record stream UNCOMPRESSED (q107): plain records separated
+    * by \r\n\r\n, exercising the magic-dispatched [[graft.sources.warc
+    * .PlainWarc]] walk end-to-end — same oracle SQL as q42. */
+  private def plainWarcFixture(s: SparkSession, dir: String): java.io.File =
+    warcFixtureImpl(s, dir, gzipped = false, key = "q107",
+      name = "docs.warc", version = "v1")
+
+  private def warcFixtureImpl(s: SparkSession, dir: String,
+                              gzipped: Boolean, key: String, name: String,
+                              version: String): java.io.File = {
+    val base = tmpDir(key, dir)
+    val file = new java.io.File(s"$base/$name")
+    fixtureOnce(base, version, dir, "documents") {
       val ids = tbl(s, dir, "documents")
         .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
         .collect().map(_.getLong(0))
-      // one gzip member per record — same member framing the ZipNum
-      // writer emits (and GzipMembers parses); no second implementation
-      def gz(p: Array[Byte]): Array[Byte] =
-        graft.sources.zipnum.ZipNumFormat.gzipMember(p)
+      // gz: one gzip member per record — same member framing the ZipNum
+      // writer emits (and GzipMembers parses); no second implementation.
+      // plain: raw record bytes + the spec's \r\n\r\n record separator.
+      def emit(out: java.io.FileOutputStream, p: Array[Byte]): Unit =
+        if (gzipped)
+          out.write(graft.sources.zipnum.ZipNumFormat.gzipMember(p))
+        else {
+          out.write(p)
+          out.write("\r\n\r\n".getBytes("US-ASCII"))
+        }
       val epoch = java.time.Instant.parse("2020-01-01T00:00:00Z")
       val out = new java.io.FileOutputStream(file)
       try {
-        out.write(gz(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
-          "Content-Type: application/warc-fields\r\n\r\nsoftware: graft\r\n")
-          .getBytes("UTF-8")))
+        val info = "software: graft\r\n"
+        emit(out, ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "Content-Type: application/warc-fields\r\n" +
+          s"Content-Length: ${info.length}\r\n\r\n$info")
+          .getBytes("UTF-8"))
         ids.foreach { id =>
           val m = id % 5
           val uri = if (id % 4 == 0) s"http://WWW.Docs$m.ORG/d/$id/"
@@ -1982,7 +2035,7 @@ object SparkEntry {
               s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
                 s"WARC-Date: $date\r\nContent-Length: ${http.length}\r\n\r\n$http"
             }
-          out.write(gz(rec.getBytes("UTF-8")))
+          emit(out, rec.getBytes("UTF-8"))
         }
         out.write(Array.fill[Byte](32)(0x13)) // corrupt tail (soft-skipped)
       } finally out.close()
@@ -2933,20 +2986,10 @@ object SparkEntry {
         |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
         |WHERE rn <= 3""".stripMargin,
 
-    "q42_warc_extract" ->
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
-        |    CAST(doc_id AS BIGINT) % 5 AS m FROM documents)
-        |SELECT 'org,docs' || m || ')/d/' || id AS urlkey,
-        |  strftime(TIMESTAMP '2020-01-01 00:00:00' + id * INTERVAL 1 SECOND,
-        |           '%Y%m%d%H%M%S') AS timestamp,
-        |  CASE WHEN id % 4 = 0 THEN 'http://WWW.Docs' || m || '.ORG/d/' || id || '/'
-        |       ELSE 'http://docs' || m || '.org/d/' || id END AS original_url,
-        |  CASE WHEN id % 7 = 0 THEN 'application/json'
-        |       WHEN id % 9 = 4 THEN 'warc/revisit'
-        |       ELSE 'text/html' END AS mimetype,
-        |  CAST(CASE WHEN id % 7 = 0 OR id % 9 = 4 THEN NULL
-        |       WHEN id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER) AS statuscode
-        |FROM d""".stripMargin,
+    "q42_warc_extract" -> warcExtractOracleSql,
+
+    // identical record stream, uncompressed container — same oracle
+    "q107_warc_plain" -> warcExtractOracleSql,
 
     // same shape as q42's oracle over the ARC fixture rule: mimetype is
     // the URL-line mime (the ARC CDX convention), status NULL for the

@@ -42,9 +42,18 @@ object WarcExtract {
     }
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
+    // dispatch by MAGIC, not extension (the webarchive-commons rule):
+    // gzip members for .gz archives, plain record walk for uncompressed
+    // .warc files — one buffered peek, both walks share the stream
+    val buf = new java.io.BufferedInputStream(in, 1 << 16)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    val raw =
+      if (b0 == 0x1f && b1 == 0x8b) GzipMembers.iterate(buf)
+      else graft.sources.warc.PlainWarc.iterate(buf)
     val members =
-      if (soft) GzipMembers.iterateSoft(in, _ => bad.add(1))
-      else GzipMembers.iterate(in)
+      if (soft) GzipMembers.soften(raw, _ => bad.add(1)) else raw
     new graft.util.IoUtil.AutoCloseIterator(members, () => closeIn())
   }
 

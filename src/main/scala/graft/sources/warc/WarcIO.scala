@@ -52,8 +52,12 @@ object GzipMembers {
   /** Per-member fault tolerance: a corrupt member stops the file scan (the
     * stream cannot be resynchronized without an index) but reports how
     * many members were recovered; `onBad` observes the failure. */
-  def iterateSoft(in: InputStream, onBad: Throwable => Unit): Iterator[Member] = {
-    val it = iterate(in)
+  def iterateSoft(in: InputStream, onBad: Throwable => Unit): Iterator[Member] =
+    soften(iterate(in), onBad)
+
+  /** The `-soft` wrapper itself, format-agnostic (gzip member walks and
+    * [[PlainWarc]] record walks share it). */
+  def soften(it: Iterator[Member], onBad: Throwable => Unit): Iterator[Member] =
     new Iterator[Member] {
       private var failed = false
       override def hasNext: Boolean =
@@ -62,7 +66,6 @@ object GzipMembers {
         })
       override def next(): Member = it.next()
     }
-  }
 
   /** RFC 1952 header: magic, CM, FLG, MTIME, XFL, OS + optional FEXTRA /
     * FNAME / FCOMMENT / FHCRC. Returns the header's byte length. */
@@ -158,6 +161,100 @@ object GzipMembers {
       while (i < buf.length) { buf(i) = readByte().toByte; i += 1 }
     }
   }
+}
+
+/**
+ * Record walk over an UNCOMPRESSED .warc — the other storage form the
+ * reference's reader stack accepts (webarchive-commons dispatches by
+ * magic; most archives gzip per record, but plain WARCs exist in test
+ * rigs, proxies, and hand-repaired files). Emits the same
+ * [[GzipMembers.Member]] shape: `offset`/`length` are the record's RAW
+ * byte extent including its trailing separator newlines, so extents tile
+ * the file and range repackaging raw-copies records exactly as it copies
+ * gzip members.
+ */
+object PlainWarc {
+
+  /** Iterate records: head block through the first blank line (CRLF per
+    * spec, bare LF tolerated — same tolerance as [[WarcRecords.parse]]),
+    * the mandatory Content-Length body, then the record-separator
+    * newlines. Throws on structural damage (no blank line, missing or
+    * overrunning Content-Length) — wrap with [[GzipMembers.soften]] for
+    * `-soft` semantics. */
+  def iterate(in: InputStream): Iterator[GzipMembers.Member] =
+    new Iterator[GzipMembers.Member] {
+      private val buf = new java.io.BufferedInputStream(in, 1 << 16)
+      private var offset = 0L
+      private var nextMember: GzipMembers.Member = _
+      private var done = false
+
+      private def advance(): Unit = {
+        if (done || nextMember != null) return
+        // peek: EOF cleanly ends the walk (trailing newlines already
+        // consumed by the previous record's separator scan)
+        buf.mark(1)
+        if (buf.read() < 0) { done = true; return }
+        buf.reset()
+        val start = offset
+        val rec = new java.io.ByteArrayOutputStream(8192)
+        // head: bytes until \r\n\r\n or \n\n (rolling 4-byte window —
+        // no per-byte buffer copies)
+        var sepLen = 0
+        var win = 0          // last 4 bytes, newest in the low byte
+        var b = buf.read()
+        while (sepLen == 0 && b >= 0) {
+          rec.write(b)
+          win = ((win << 8) | (b & 0xff)) & 0xffffffff
+          if (rec.size() >= 4 && win == 0x0d0a0d0a) sepLen = 4
+          else if (rec.size() >= 2 && (win & 0xffff) == 0x0a0a) sepLen = 2
+          if (sepLen == 0) b = buf.read()
+        }
+        require(sepLen > 0, s"no header/block separator in record at $start")
+        val head = new String(rec.toByteArray, 0, rec.size() - sepLen,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        require(head.startsWith("WARC/"),
+          s"record at $start does not start with WARC/ " +
+            s"(got '${head.take(12)}')")
+        val len = head.split("\n").map(_.stripSuffix("\r"))
+          .find(_.toLowerCase.startsWith("content-length:"))
+          .flatMap(_.split(":", 2)(1).trim.toLongOption)
+          .getOrElse(throw new IllegalArgumentException(
+            s"record at $start has no Content-Length"))
+        require(len >= 0 && len <= Int.MaxValue.toLong - rec.size(),
+          s"bad Content-Length $len at $start")
+        val body = new Array[Byte](len.toInt)
+        var got = 0
+        while (got < body.length) {
+          val r = buf.read(body, got, body.length - got)
+          require(r > 0, s"record at $start truncated: " +
+            s"Content-Length $len, got $got")
+          got += r
+        }
+        rec.write(body)
+        // record separator: consume trailing CR/LF bytes greedily (spec
+        // says exactly \r\n\r\n; bare-LF and missing-at-EOF tolerated).
+        // Greed is safe: the next record starts with 'W'.
+        var more = true
+        while (more) {
+          buf.mark(1)
+          val c = buf.read()
+          if (c == '\r' || c == '\n') rec.write(c)
+          else { if (c >= 0) buf.reset(); more = false }
+        }
+        val bytes = rec.toByteArray
+        offset += bytes.length
+        nextMember = GzipMembers.Member(start, bytes.length.toLong, bytes)
+      }
+
+      override def hasNext: Boolean = { advance(); nextMember != null }
+      override def next(): GzipMembers.Member = {
+        if (!hasNext) throw new NoSuchElementException
+        val m = nextMember; nextMember = null; m
+      }
+    }
+
+  /** Magic sniff: gzip (1f 8b) → member walk; "WARC/" → plain walk. */
+  def isPlainWarc(b0: Int, b1: Int): Boolean = b0 == 'W' && b1 == 'A'
 }
 
 /** Minimal WARC record model + parser (header block + payload). The full

@@ -241,6 +241,52 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.urlkey).toSeq == Seq("org,arc)/1", "org,warc)/2"))
   }
 
+  test("plain .warc walk: extents tile the file, records parse, damage " +
+      "is soft-skippable, magic dispatch picks the right walk") {
+    import graft.sources.warc.PlainWarc
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
+    val r1 = warcResponse("http://p.org/a", "2012-01-03T08:45:08Z", "aaa")
+    // bare-LF record (hand-repaired archives): LF head separator AND a
+    // single trailing LF as the record separator
+    val body = "bbb"
+    val r2 = (s"WARC/1.0\nWARC-Type: response\n" +
+      s"WARC-Target-URI: http://p.org/b\nWARC-Date: 2012-01-04T00:00:00Z\n" +
+      s"Content-Length: ${12 + 4 + body.length}\n\n" +
+      s"HTTP/1.1 200\r\n\r\n$body").getBytes("UTF-8")
+    val file = r1 ++ sep ++ r2 ++ "\n".getBytes
+    val members = PlainWarc.iterate(
+      new ByteArrayInputStream(file)).toVector
+    assert(members.length == 2)
+    // extents tile the whole file
+    assert(members(0).offset == 0L &&
+      members(0).length == (r1.length + 4).toLong)
+    assert(members(1).offset == (r1.length + 4).toLong)
+    assert(members.map(_.length).sum == file.length.toLong)
+    // records parse from the member payloads like any gzip member's
+    val rec1 = WarcRecords.parse(members(0).payload).get
+    assert(rec1.targetUri.contains("http://p.org/a"))
+    val rec2 = WarcRecords.parse(members(1).payload).get
+    assert(rec2.targetUri.contains("http://p.org/b"))
+    assert(new String(rec2.payload, "UTF-8").endsWith("bbb"))
+    // damaged tail (not a WARC record): hard walk throws, soft recovers
+    val damaged = file ++ "garbage with no separator at all".getBytes
+    assertThrows[IllegalArgumentException](
+      PlainWarc.iterate(new ByteArrayInputStream(damaged)).toVector)
+    var bad = 0
+    val soft = graft.sources.warc.GzipMembers.soften(
+      PlainWarc.iterate(new ByteArrayInputStream(damaged)), _ => bad += 1)
+    assert(soft.toVector.length == 2 && bad == 1)
+    // extract() dispatches by magic: same rows from plain and gzip files
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "plainwarc")
+    val fp = dir.resolve("p-00000.warc"); Files.write(fp, file)
+    val fg = dir.resolve("g-00000.warc.gz")
+    Files.write(fg, gz(r1) ++ gz(r2))
+    def rows(p: java.nio.file.Path) =
+      WarcExtract.extract(spark, Seq(p.toString)).rows.collect()
+        .map(r => (r.urlkey, r.timestamp, r.mimetype, r.digest)).toSet
+    assert(rows(fp) == rows(fg))
+  }
+
   test("dechunk: extensions, bare-LF endings, trailers; damage → None") {
     def ch(s: String) = s.getBytes("ISO-8859-1")
     // canonical CRLF framing with a chunk extension
