@@ -1896,6 +1896,18 @@ object SparkEntry {
           col("thumb_hash"))
     }),
 
+    // DSIR-shaped data selection under the oracle: English docs play the
+    // target distribution, every other doc is the raw pool; hashed
+    // unigram+bigram bucket profiles (1024 cells) give each raw doc an
+    // integer target-likeness score and the top 50 are selected — the
+    // data-selection stage of a curation pipeline, integer-exact.
+    "q108_dsir_select" -> ((s, dir) =>
+      graft.operators.llm.Sampling.dsirSelect(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("lang")),
+        "doc_id", "text", targetPred = col("lang") === "en",
+        buckets = 1024, topK = 50)),
+
     // Edit-distance verification of near-dup candidate pairs — the
     // exact-verify stage after LSH candidates, on a bounded 120-char
     // prefix (the built-in codegen'd levenshtein, never a UDF). The
@@ -3809,6 +3821,31 @@ object SparkEntry {
         |SELECT id AS doc_id, format,
         |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes, thumb_hash
         |FROM (SELECT * FROM bf UNION ALL SELECT * FROM vf)""".stripMargin,
+
+    "q108_dsir_select" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    lang = 'en' AS tgt, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, tgt, unnest(ws) AS gram FROM d
+        |  UNION ALL
+        |  SELECT doc_id, tgt, ws[i] || ' ' || ws[i+1] AS gram
+        |  FROM d, UNNEST(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+        |gb AS (SELECT doc_id, tgt,
+        |    CAST(concat('0x', substring(md5(gram), 1, 12)) AS BIGINT)
+        |      % 1024 AS b
+        |  FROM g WHERE gram <> ''),  -- bigrams always contain ' ', never ''
+        |dc AS (SELECT doc_id, tgt, b, count(*) AS c FROM gb GROUP BY 1, 2, 3),
+        |bt AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
+        |    sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cr
+        |  FROM dc GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bt),
+        |wt AS (SELECT b, ((ct + 1) * 10000 * (nr + 1024))
+        |    // ((cr + 1) * (nt + 1024)) AS wbp FROM bt, tot),
+        |sc AS (SELECT doc_id, sum(c) AS n_grams, sum(c * wbp) AS s
+        |  FROM dc JOIN wt USING (b) WHERE NOT tgt GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(s // n_grams AS BIGINT) AS score_bp
+        |FROM sc ORDER BY score_bp DESC, doc_id LIMIT 50""".stripMargin,
 
     "q105_topk_group_agg" ->
       """WITH r AS (SELECT source, doc_id, n_chars,

@@ -132,6 +132,74 @@ object Sampling {
       .drop("__stratum", "__n", "__budget", "__bound")
   }
 
+  /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW
+    * document by how target-like its hashed n-gram profile is, and keep
+    * the top `topK`. Features are unigrams + word bigrams hashed into
+    * `buckets` cells (the bounded feature space is THE scale property:
+    * the weight table is `buckets` rows whatever the corpus size); each
+    * bucket's weight is the add-1-smoothed target/raw frequency ratio in
+    * basis points, and a doc's score is its gram-count-weighted mean
+    * bucket weight. Integer-exact throughout — the log-free ratio form
+    * of the paper's log-likelihood ratio, the same deterministic trade
+    * as collocationLift's log-free PMI and nbQualityScore's integer-bp
+    * odds (ranking differs from the log form only through the weighted
+    * MEAN, and every engine replays it bit-for-bit, which the float-log
+    * form cannot promise).
+    *
+    * Scale shape: grams explode map-side; ONE (doc, bucket) count agg
+    * (map-side combinable — the only corpus-keyed shuffle); the bucket
+    * weight table is a <= `buckets`-row aggregate of THAT (never a
+    * second corpus pass) joined back by BROADCAST; the per-doc score agg
+    * runs over <= `buckets` rows per doc; top-k is a TakeOrdered. The
+    * corpus text itself never shuffles. Returns (idCol, n_grams,
+    * score_bp) for the topK raw docs, (score_bp desc, id) order. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, buckets: Int, topK: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = df.select(col(idCol).cast("long").as("__doc"),
+      targetPred.as("__tgt"), Shingles.words(col(textCol)).as("__w"))
+    val uni = w.select(col("__doc"), col("__tgt"),
+        explode(col("__w")).as("__g"))
+      .where(col("__g") =!= "")
+    val bi = w.select(col("__doc"), col("__tgt"), explode(expr(
+        "CASE WHEN size(__w) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(__w) - 1), " +
+          "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))) " +
+          "END")).as("__g"))
+    val grams = uni.unionByName(bi)
+      .select(col("__doc"), col("__tgt"),
+        pmod(graft.operators.Sketches.hash48Col(col("__g")),
+          lit(buckets.toLong)).as("__b"))
+    // the single corpus-keyed aggregation; target and raw profiles both
+    // derive from it
+    val docBuckets = grams.groupBy(col("__doc"), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)   // two consumers: weight fit + scoring
+    val bucketTable = docBuckets.groupBy(col("__b"))
+      .agg(sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__ct"),
+        sum(when(!col("__tgt"), col("__c")).otherwise(0L)).as("__cr"))
+    val totals = bucketTable.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"))
+    val weights = bucketTable.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        // DECIMAL(38,0): (ct+1)*10000*(nr+B) overflows int64 at the
+        // 10^12-gram design point (the q94 widening)
+        expr(s"CAST((CAST(__ct + 1 AS DECIMAL(38,0)) * 10000 * " +
+          s"(__nr + $buckets)) DIV " +
+          s"(CAST(__cr + 1 AS DECIMAL(38,0)) * (__nt + $buckets)) " +
+          "AS BIGINT)").as("__wbp"))
+    docBuckets.where(!col("__tgt"))
+      .join(broadcast(weights), "__b")
+      .groupBy(col("__doc"))
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(col("__c") * col("__wbp")).as("__s"))
+      .select(col("__doc").as(idCol), col("n_grams"),
+        expr("__s div n_grams").as("score_bp"))
+      .orderBy(desc("score_bp"), col(idCol)).limit(topK)
+  }
+
   /** Mixture EPOCH planning — the arithmetic step between "what the
     * corpus has" and "what the training run samples": given observed
     * per-stratum token counts and target mixture weights (basis

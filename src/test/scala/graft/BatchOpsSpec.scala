@@ -302,6 +302,66 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
       localBelow = 10L).as[(Long, String)].collect().toSet == dist)
   }
 
+  test("dsirSelect: target-like raw docs outrank off-distribution ones; " +
+      "weight table is bucket-bounded") {
+    import graft.operators.llm.Sampling
+    // target corpus speaks "alpha beta"; raw pool: doc 10 mimics the
+    // target, doc 11 shares nothing, doc 12 is half-and-half
+    val df = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "beta alpha beta", true),
+      (10L, "alpha beta alpha", false),
+      (11L, "gamma delta gamma delta", false),
+      (12L, "alpha gamma", false)).toDF("doc_id", "text", "tgt")
+    val B = 64
+    val out = Sampling.dsirSelect(df, "doc_id", "text", col("tgt"),
+      buckets = B, topK = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set(10L, 11L, 12L))
+    // brute-force replication of the exact integer formula (hash
+    // collisions at B=64 are part of the contract, not noise)
+    val docs = Seq((1L, "alpha beta alpha beta", true),
+      (2L, "beta alpha beta", true), (10L, "alpha beta alpha", false),
+      (11L, "gamma delta gamma delta", false), (12L, "alpha gamma", false))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Long = {
+      md.reset()
+      val hex = md.digest(g.getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    def grams(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      ws.filter(_.nonEmpty).toSeq ++
+        (if (ws.length < 2) Seq.empty
+         else ws.sliding(2).map(_.mkString(" ")).toSeq)
+    }
+    val perDoc = docs.map { case (id, t, tgt) =>
+      (id, tgt, grams(t).groupBy(bucket).view.mapValues(_.size.toLong).toMap)
+    }
+    val allB = perDoc.flatMap(_._3.keys).distinct
+    val ct = allB.map(b => b -> perDoc.filter(_._2)
+      .map(_._3.getOrElse(b, 0L)).sum).toMap
+    val cr = allB.map(b => b -> perDoc.filterNot(_._2)
+      .map(_._3.getOrElse(b, 0L)).sum).toMap
+    val nt = ct.values.sum; val nr = cr.values.sum
+    def wbp(b: Long): Long =
+      ((ct(b) + 1) * 10000L * (nr + B)) / ((cr(b) + 1) * (nt + B))
+    val expected = perDoc.filterNot(_._2).map { case (id, _, m) =>
+      val n = m.values.sum
+      id -> ((n, m.map { case (b, c) => c * wbp(b) }.sum / n))
+    }.toMap
+    out.foreach { case (id, n, s) =>
+      assert(expected(id) == ((n, s)),
+        s"doc $id: expected ${expected(id)}, got ($n, $s)")
+    }
+    // topK truncation is deterministic: the brute-force argmax wins
+    val best = expected.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.head._1
+    val top1 = Sampling.dsirSelect(df, "doc_id", "text", col("tgt"),
+      buckets = B, topK = 1).as[(Long, Long, Long)].collect()
+    assert(top1.map(_._1).toSeq == Seq(best))
+  }
+
   test("deterministic shard: exact hash-order permutation, partition-invariant") {
     import graft.operators.llm.Sampling
     val df = (0L until 200L).toDF("doc_id")
