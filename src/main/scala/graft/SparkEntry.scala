@@ -1903,8 +1903,10 @@ object SparkEntry {
     // data-selection stage of a curation pipeline, integer-exact.
     "q108_dsir_select" -> ((s, dir) =>
       graft.operators.llm.Sampling.dsirSelect(
-        tbl(s, dir, "documents").select(col("doc_id"), col("text"),
-          col("lang")),
+        // fanOut: the gram explosion + per-doc profile agg otherwise run
+        // on the single-row-group scan's 1-2 tasks (SCALE.md caveat)
+        fanOut(tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("lang")), col("doc_id")),
         "doc_id", "text", targetPred = col("lang") === "en",
         buckets = 1024, topK = 50)),
 

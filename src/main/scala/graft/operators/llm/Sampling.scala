@@ -160,15 +160,14 @@ object Sampling {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val w = df.select(col(idCol).cast("long").as("__doc"),
       targetPred.as("__tgt"), Shingles.words(col(textCol)).as("__w"))
-    val uni = w.select(col("__doc"), col("__tgt"),
-        explode(col("__w")).as("__g"))
-      .where(col("__g") =!= "")
-    val bi = w.select(col("__doc"), col("__tgt"), explode(expr(
-        "CASE WHEN size(__w) < 2 THEN array() ELSE " +
+    // unigrams (empties dropped) and bigrams in ONE exploded array — a
+    // two-branch union would scan and re-split the corpus twice
+    val grams = w.select(col("__doc"), col("__tgt"), explode(expr(
+        "concat(filter(__w, x -> x <> ''), " +
+          "CASE WHEN size(__w) < 2 THEN array() ELSE " +
           "transform(sequence(1, size(__w) - 1), " +
           "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))) " +
-          "END")).as("__g"))
-    val grams = uni.unionByName(bi)
+          "END)")).as("__g"))
       .select(col("__doc"), col("__tgt"),
         pmod(graft.operators.Sketches.hash48Col(col("__g")),
           lit(buckets.toLong)).as("__b"))
