@@ -1896,6 +1896,25 @@ object SparkEntry {
           col("thumb_hash"))
     }),
 
+    // KMV sketch SET OPERATIONS under the oracle: per-source distinct-
+    // token estimates for corpus v1 (all docs) vs v2 (every 5th doc
+    // removed, the q99 rule), plus union / intersection / Jaccard from
+    // the two bounded sketches alone — the version-overlap monitor that
+    // at 100 TB replaces an exact distinct-join.
+    "q109_kmv_setops" -> ((s, dir) => {
+      def toks(filter: Column): DataFrame =
+        tbl(s, dir, "documents").where(filter)
+          .select(col("source"),
+            explode(graft.operators.llm.Shingles.words(col("text")))
+              .as("tok"))
+          .where(col("tok") =!= "")
+          .select(col("source"),
+            graft.operators.Sketches.hash48Col(col("tok")).as("hv"))
+      graft.operators.Sketches.kmvSetOps(
+        toks(lit(true)), toks(col("doc_id") % 5 =!= 0),
+        "source", "hv", k = 64)
+    }),
+
     // DSIR-shaped data selection under the oracle: English docs play the
     // target distribution, every other doc is the raw pool; hashed
     // unigram+bigram bucket profiles (1024 cells) give each raw doc an
@@ -3823,6 +3842,46 @@ object SparkEntry {
         |SELECT id AS doc_id, format,
         |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes, thumb_hash
         |FROM (SELECT * FROM bf UNION ALL SELECT * FROM vf)""".stripMargin,
+
+    "q109_kmv_setops" ->
+      """WITH t1 AS (SELECT DISTINCT source,
+        |    CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT) AS hv
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) WHERE tok <> ''),
+        |t2 AS (SELECT DISTINCT source,
+        |    CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT) AS hv
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE CAST(doc_id AS BIGINT) % 5 <> 0)
+        |  WHERE tok <> ''),
+        |r1 AS (SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM t1),
+        |r2 AS (SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM t2),
+        |s1 AS (SELECT source, list(hv ORDER BY hv) AS ma FROM r1
+        |  WHERE rn <= 64 GROUP BY 1),
+        |s2 AS (SELECT source, list(hv ORDER BY hv) AS mb FROM r2
+        |  WHERE rn <= 64 GROUP BY 1),
+        |j AS (SELECT source, ma, mb,
+        |    list_sort(list_distinct(ma || mb))[1:64] AS u
+        |  FROM s1 JOIN s2 USING (source)),
+        |e AS (SELECT source, ma, mb, u, len(u) AS nu,
+        |    len(list_filter(u, x -> list_contains(ma, x)
+        |      AND list_contains(mb, x))) AS com
+        |  FROM j)
+        |SELECT source,
+        |  CAST(CASE WHEN len(ma) < 64 THEN len(ma)
+        |    ELSE 63 * 281474976710656 // ma[len(ma)] END AS BIGINT) AS est_a,
+        |  CAST(CASE WHEN len(mb) < 64 THEN len(mb)
+        |    ELSE 63 * 281474976710656 // mb[len(mb)] END AS BIGINT) AS est_b,
+        |  CAST(CASE WHEN nu < 64 THEN nu
+        |    ELSE 63 * 281474976710656 // u[nu] END AS BIGINT) AS est_union,
+        |  CAST(10000 * com // nu AS BIGINT) AS jaccard_bp,
+        |  CAST(com * (CASE WHEN nu < 64 THEN nu
+        |    ELSE 63 * 281474976710656 // u[nu] END) // nu AS BIGINT)
+        |    AS est_intersect
+        |FROM e""".stripMargin,
 
     "q108_dsir_select" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -391,6 +391,78 @@ object Sketches {
   def hash48Col(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hash48(value)
 
+  /** Per-group KMV MIN-SET aggregator — identical admission/merge
+    * machinery to [[kmvGroupAgg]], but the finish keeps the sorted min
+    * ARRAY (wrapped in the buffer struct) instead of reducing it: the
+    * carrier for sketch SET OPERATIONS ([[kmvSetOps]]), where the mins
+    * themselves are the mergeable summary. Internal-facing — gate
+    * queries only ever emit scalar reductions of it. */
+  def kmvMinsAgg(k: Int): org.apache.spark.sql.expressions
+      .Aggregator[java.lang.Long, KmvBuffer, KmvBuffer] = {
+    val inner = kmvGroupAgg(k)
+    new org.apache.spark.sql.expressions
+        .Aggregator[java.lang.Long, KmvBuffer, KmvBuffer] {
+      override def zero: KmvBuffer = inner.zero
+      override def reduce(b: KmvBuffer, hv: java.lang.Long): KmvBuffer =
+        inner.reduce(b, hv)
+      override def merge(x: KmvBuffer, y: KmvBuffer): KmvBuffer =
+        inner.merge(x, y)
+      override def finish(b: KmvBuffer): KmvBuffer = b
+      override def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuffer] =
+        org.apache.spark.sql.Encoders.product[KmvBuffer]
+      override def outputEncoder: org.apache.spark.sql.Encoder[KmvBuffer] =
+        org.apache.spark.sql.Encoders.product[KmvBuffer]
+    }
+  }
+
+  /** KMV sketch SET OPERATIONS per group — distinct-count estimates for
+    * two corpus versions, their union, their intersection, and a Jaccard
+    * similarity, from one bounded sketch per (group, side): the
+    * version-drift / overlap monitor that at 100 TB replaces an exact
+    * distinct-join (whose shuffle is the full key set).
+    *
+    * Estimator (Beyer et al. 2007 / the theta-sketch rule): the union
+    * sketch is the k smallest of the combined mins; intersection counts
+    * union-sketch members present in BOTH sides' sketches (each side's
+    * sketch is exactly its k smallest distinct hashes, so membership is
+    * decidable from the sketches alone); jaccard = overlap / |union
+    * sketch|, intersection-est = jaccard x union-est. All integer
+    * arithmetic on 48-bit hashes — any engine replays it exactly.
+    *
+    * Scale shape: each side is ONE map-side-combinable groupBy whose
+    * wire volume is <= k longs per group per partition; the join is
+    * |groups|-sized; the set arithmetic is a per-row projection over
+    * k-length arrays. Returns (groupCol, est_a, est_b, est_union,
+    * jaccard_bp, est_intersect). */
+  def kmvSetOps(a: DataFrame, b: DataFrame, groupCol: String,
+                hvCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 32768, s"k must be in [2, 32768], got $k")
+    val sk = org.apache.spark.sql.functions.udaf(kmvMinsAgg(k))
+    def side(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(groupCol)).agg(sk(col(hvCol)).as(out))
+    // SQL-string form so the intersect estimate composes under integer
+    // `div` (Column `/` is DOUBLE division — exactness gone)
+    def estSql(c: String): String =
+      s"CAST(CASE WHEN size($c) < $k THEN size($c) " +
+        s"ELSE CAST(${k - 1} AS BIGINT) * ${1L << HashBits} " +
+        s"DIV element_at($c, $k) END AS BIGINT)"
+    side(a, "__sa").join(side(b, "__sb"), groupCol)
+      .select(col(groupCol), col("__sa.mins").as("__ma"),
+        col("__sb.mins").as("__mb"))
+      .withColumn("__u", expr(
+        s"slice(array_sort(array_distinct(concat(__ma, __mb))), 1, $k)"))
+      .withColumn("__common", expr(
+        "CAST(size(filter(__u, x -> array_contains(__ma, x) " +
+          "AND array_contains(__mb, x))) AS BIGINT)"))
+      .select(col(groupCol),
+        expr(estSql("__ma")).as("est_a"), expr(estSql("__mb")).as("est_b"),
+        expr(estSql("__u")).as("est_union"),
+        expr("CAST(10000 * __common div size(__u) AS BIGINT)")
+          .as("jaccard_bp"),
+        expr(s"CAST(__common * ${estSql("__u")} div size(__u) AS BIGINT)")
+          .as("est_intersect"))
+  }
+
   /** PER-GROUP bounded top-k as a typed Aggregator — the groupBy-native
     * form of "top k pages per host": a `row_number() over (partition by
     * host order by score)` window SORTS every group's full contents,

@@ -144,6 +144,39 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       preAggregate = true).count() == 0)
   }
 
+  test("kmvSetOps: EXACT union/intersection/jaccard below k; " +
+      "partition-invariant above it") {
+    // group g1: A={1..30}, B={21..50} → |A|=30 |B|=30 |A∪B|=50 |A∩B|=10
+    // group g2: disjoint sides → intersection 0
+    val a = ((1 to 30).map(v => ("g1", v)) ++ (1 to 5).map(v => ("g2", v)))
+      .toDF("g", "v")
+      .select($"g", Sketches.hash48Col($"v").as("hv"))
+    val b = ((21 to 50).map(v => ("g1", v)) ++ (10 to 12).map(v => ("g2", v)))
+      .toDF("g", "v")
+      .select($"g", Sketches.hash48Col($"v").as("hv"))
+    val out = Sketches.kmvSetOps(a, b, "g", "hv", k = 256)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    // below k everything is exact: est = true counts, jaccard exact bp
+    assert(out("g1") == ((30L, 30L, 50L, 10L * 10000L / 50L, 10L)))
+    assert(out("g2") == ((5L, 3L, 8L, 0L, 0L)))
+    // above k: a pure function of the value multiset (partition-invariant)
+    val big1 = (1 to 5000).map(v => ("g", v)).toDF("g", "v")
+      .select($"g", Sketches.hash48Col($"v").as("hv"))
+    val big2 = (2501 to 7500).map(v => ("g", v)).toDF("g", "v")
+      .select($"g", Sketches.hash48Col($"v").as("hv"))
+    val x = Sketches.kmvSetOps(big1.repartition(1), big2.repartition(1),
+      "g", "hv", k = 128).collect().head
+    val y = Sketches.kmvSetOps(big1.repartition(17), big2.repartition(13),
+      "g", "hv", k = 128).collect().head
+    assert(x == y)
+    // and the estimates are in the right ballpark (k=128 → ~9% rse)
+    val ja = x.getLong(4)   // true jaccard = 2500/7500 = 3333 bp
+    assert(ja > 2300 && ja < 4400, s"jaccard_bp=$ja")
+    val eu = x.getLong(3)   // true union = 7500
+    assert(eu > 6000 && eu < 9000, s"est_union=$eu")
+  }
+
   test("heavy hitters: exact set and counts vs a brute-force groupBy") {
     // zipf-ish: value i appears ~3000/i times; total ~= 3000*H(40)
     val vals = (1 to 40).flatMap(i => Seq.fill(3000 / i)(s"t$i"))
