@@ -1828,6 +1828,21 @@ object SparkEntry {
           graft.streaming.CdxStream.parse(lines).toDF())
       }),
 
+    // Streaming SESSION WINDOWS under the oracle (the fourth streaming
+    // surface, and the one with MERGING state): per-host 30-minute-gap
+    // sessions over the CDX stream, append mode via the q104 sentinel
+    // scheme — a session emits exactly once when the watermark passes
+    // its end, and the batch oracle replays the gap/cumsum form.
+    "q110_stream_sessions" -> ((s, dir) =>
+      runStreamQuery(s, dir, fixtureKey = "q104",
+        sink = "q110_stream_sessions_sink", outputMode = "append",
+        fixture = streamCdxLines(s, dir),
+        readOptions = Map("maxFilesPerTrigger" -> "1"),
+        extraFixture = writeStreamSentinels) { lines =>
+        graft.streaming.CdxStream.sessionizedHostVisits(
+          graft.streaming.CdxStream.parse(lines).toDF())
+      }),
+
     // Per-GROUP KMV distinct sketch via a custom typed Aggregator (the
     // TypedColumn extension tier): distinct-token estimates per source,
     // the sketch living inside the hash-aggregate buffer so map-side
@@ -3907,6 +3922,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |  CAST(s // n_grams AS BIGINT) AS score_bp
         |FROM sc ORDER BY score_bp DESC, doc_id LIMIT 50""".stripMargin,
+
+    // session merge rule mirrors session_window's INCLUSIVE end: an
+    // event at exactly the previous end MERGES (pinned in
+    // CdxStreamSpec), so only ts > prev + gap breaks
+    "q110_stream_sessions" ->
+      """WITH c AS (SELECT
+        |    'org,s' || (CAST(doc_id AS BIGINT) % 50) AS host,
+        |    strptime('2012010' || (CAST(doc_id AS BIGINT) % 2 + 1)
+        |      || lpad(CAST(CAST(doc_id AS BIGINT) % 24 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((CAST(doc_id AS BIGINT) // 24) % 60 AS VARCHAR), 2, '0')
+        |      || lpad(CAST((CAST(doc_id AS BIGINT) // 1440) % 60 AS VARCHAR), 2, '0'),
+        |      '%Y%m%d%H%M%S') AS ts
+        |  FROM documents),
+        |o AS (SELECT host, ts,
+        |    lag(ts) OVER (PARTITION BY host ORDER BY ts) AS prev FROM c),
+        |m AS (SELECT host, ts, CASE WHEN prev IS NULL
+        |    OR ts > prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |s AS (SELECT host, ts, sum(brk) OVER (PARTITION BY host ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT host, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY host, sid""".stripMargin,
 
     "q105_topk_group_agg" ->
       """WITH r AS (SELECT source, doc_id, n_chars,

@@ -35,6 +35,27 @@ object CdxStream {
       .select(col("window.start").as("window_start"), col("host"),
         col("n_captures"))
 
+  /** Streaming SESSIONIZATION per host — the streaming counterpart of
+    * the batch gap sessionize (q64 shape) via `session_window`: events
+    * of one host belong to one session while each arrives within `gap`
+    * of the session's end — INCLUSIVE: an event at exactly the end
+    * merges (Spark's session state MERGES windows that touch, across
+    * micro-batches; boundary semantics pinned in CdxStreamSpec). Append mode emits a session exactly
+    * once, when the watermark passes its end (last event + gap) — so
+    * state is bounded by sessions-open-per-horizon, never by stream
+    * lifetime. Returns (host, session_start, session_end, n_events). */
+  def sessionizedHostVisits(cdx: DataFrame, gap: String = "30 minutes",
+                            watermarkDelay: String = "2 hours"): DataFrame =
+    cdx.withColumn("__ts", to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(session_window(col("__ts"), gap),
+        substring_index(col("urlkey"), ")", 1).as("host"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("host"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming exact dedup on (urlkey, digest) — the streaming
     * counterpart of the batch digest dedup (q05/q20 shape): a re-crawl
     * whose content digest already streamed within the watermark horizon

@@ -104,6 +104,71 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
         s"got ${lastState.numRowsTotal}")
   }
 
+  test("sessionizedHostVisits MERGES a session across micro-batches and " +
+      "emits it once, closed, in append mode") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream-sess")
+    // batch 1: two events 10 min apart; batch 2: a third event 10 min
+    // later — inside the first session's [start, last+30min) window, so
+    // the session state must MERGE across the batch boundary; plus an
+    // isolated event >= gap after it (a second session)
+    val f1 = dir.resolve("b1.cdx")
+    java.nio.file.Files.writeString(f1, Seq(
+      line("org,a)/x", "20120101000000", 0),
+      line("org,a)/y", "20120101001000", 1)).mkString("", "\n", "\n"))
+    val f2 = dir.resolve("b2.cdx")
+    java.nio.file.Files.writeString(f2, Seq(
+      line("org,a)/z", "20120101002000", 2),
+      // exactly AT the session's end (00:20 + 30min) — merges: the
+      // boundary is INCLUSIVE (this is the pin that caught the oracle's
+      // original >= rule being wrong)
+      line("org,a)/w", "20120101005000", 3),
+      // past the merged end (00:50 + 30min = 01:20) — a new session
+      line("org,a)/v", "20120101012100", 6)).mkString("", "\n", "\n"))
+    val f3 = dir.resolve("s1.cdx")
+    java.nio.file.Files.writeString(f3,
+      line("org,zz)/s", "20120105000000", 4) + "\n")
+    val f4 = dir.resolve("s2.cdx")
+    java.nio.file.Files.writeString(f4,
+      line("org,zz)/s", "20120110000000", 5) + "\n")
+    val t0 = f1.toFile.lastModified()
+    Seq(f2, f3, f4).zipWithIndex.foreach { case (f, i) =>
+      assert(f.toFile.setLastModified(t0 + (i + 1) * 10000L))
+    }
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val lines = spark.readStream.option("lineSep", "\n")
+        .option("maxFilesPerTrigger", "1").text(dir.toString)
+      val q = CdxStream.sessionizedHostVisits(
+        CdxStream.parse(lines.as[String]).toDF())
+        .writeStream.format("memory").queryName("sessions_append")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    } finally prevNoData match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    val got = spark.table("sessions_append")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .map(t => (t._1, t._2.toInstant.toString, t._3.toInstant.toString, t._4))
+      .toSet
+    // one MERGED 4-event session: 00:00/00:10 (batch 1) + 00:20 (batch 2)
+    // + 00:50, which sits exactly AT the session end 00:20+30min — the
+    // INCLUSIVE boundary merges it, extending the end to 01:20; the
+    // 01:21 event is past that end → its own session. Sentinels never
+    // emitted.
+    assert(got == Set(
+      ("org,a", "2012-01-01T00:00:00Z", "2012-01-01T01:20:00Z", 4L),
+      ("org,a", "2012-01-01T01:21:00Z", "2012-01-01T01:51:00Z", 1L)))
+  }
+
   test("dayCapStream caps per (urlkey, day) ACROSS micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
