@@ -1812,17 +1812,18 @@ object SparkEntry {
     // unbounded stream (complete mode retains every window ever seen;
     // it is pinned as a unit test only, CdxStreamSpec). Append emits a
     // window exactly once, when the watermark passes its end, so the
-    // fixture carries two far-future sentinel files and
-    // maxFilesPerTrigger=1 forces three deterministic micro-batches:
-    // batch 1 ingests the real lines, batch 2's sentinel pushes the
-    // watermark past every real window end, batch 3's sentinel flushes
-    // the remainder. The sentinels' own windows never close → never
-    // emitted → the batch oracle replays the real lines only.
+    // fixture carries two far-future sentinel files; with
+    // maxFilesPerTrigger=2 the FIRST sentinel rides batch 1 alongside
+    // the real lines (its event time sets the post-batch-1 watermark
+    // past every real window end) and batch 2's second sentinel
+    // triggers the flush — two micro-batches, the minimum for append
+    // emission. The sentinels' own windows never close → never emitted
+    // → the batch oracle replays the real lines only.
     "q104_stream_windows" -> ((s, dir) =>
       runStreamQuery(s, dir, fixtureKey = "q104",
         sink = "q104_stream_windows_sink", outputMode = "append",
         fixture = streamCdxLines(s, dir),
-        readOptions = Map("maxFilesPerTrigger" -> "1"),
+        readOptions = Map("maxFilesPerTrigger" -> "2"),
         extraFixture = writeStreamSentinels) { lines =>
         graft.streaming.CdxStream.windowedHostCounts(
           graft.streaming.CdxStream.parse(lines).toDF())
@@ -1837,7 +1838,7 @@ object SparkEntry {
       runStreamQuery(s, dir, fixtureKey = "q104",
         sink = "q110_stream_sessions_sink", outputMode = "append",
         fixture = streamCdxLines(s, dir),
-        readOptions = Map("maxFilesPerTrigger" -> "1"),
+        readOptions = Map("maxFilesPerTrigger" -> "2"),
         extraFixture = writeStreamSentinels) { lines =>
         graft.streaming.CdxStream.sessionizedHostVisits(
           graft.streaming.CdxStream.parse(lines).toDF())
@@ -1930,11 +1931,12 @@ object SparkEntry {
         "source", "hv", k = 64)
     }),
 
-    // DSIR-shaped data selection under the oracle: English docs play the
-    // target distribution, every other doc is the raw pool; hashed
+    // DSIR data SELECTION under the oracle (the resampling stage q85's
+    // dsirScore stops short of): English docs play the target
+    // distribution, every other doc is the raw pool; hashed
     // unigram+bigram bucket profiles (1024 cells) give each raw doc an
     // integer target-likeness score and the top 50 are selected — the
-    // data-selection stage of a curation pipeline, integer-exact.
+    // curated-subset output, where q85 emits per-doc scores only.
     "q108_dsir_select" -> ((s, dir) =>
       graft.operators.llm.Sampling.dsirSelect(
         // fanOut: the gram explosion + per-doc profile agg otherwise run

@@ -132,10 +132,14 @@ object Sampling {
       .drop("__stratum", "__n", "__budget", "__bound")
   }
 
-  /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling"): score every RAW
-    * document by how target-like its hashed n-gram profile is, and keep
-    * the top `topK`. Features are unigrams + word bigrams hashed into
+  /** DSIR-shaped data SELECTION (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the resampling stage
+    * that [[graft.operators.llm.TextOps.dsirScore]] (q85) stops short
+    * of: where dsirScore attaches a target-likeness score to every doc
+    * (unigram features, caller applies their own threshold), this
+    * SELECTS — richer unigram+bigram features, weights fit from the
+    * same corpus split, and the top-`topK` raw docs returned as the
+    * curated subset. Features are unigrams + word bigrams hashed into
     * `buckets` cells (the bounded feature space is THE scale property:
     * the weight table is `buckets` rows whatever the corpus size); each
     * bucket's weight is the add-1-smoothed target/raw frequency ratio in
