@@ -1400,6 +1400,10 @@ object SparkEntry {
     // DSIR-style importance scoring: hashed-unigram probability-ratio
     // weights (target = the English subset) summed per corpus doc.
     "q85_dsir" -> ((s, dir) => {
+      // NO fanOut here (A/B'd: 0.68 -> 0.85 s — docs is consumed twice,
+      // corpus + target side, so the fan-out exchange outweighs the
+      // parallelism; q108's single-consumer lineage is the shape where
+      // it wins)
       val docs = tbl(s, dir, "documents")
       graft.operators.llm.TextAnalysis.dsirScore(
         docs, "doc_id", "text",
@@ -1811,20 +1815,18 @@ object SparkEntry {
     // output mode — the only windowed-agg mode whose state survives an
     // unbounded stream (complete mode retains every window ever seen;
     // it is pinned as a unit test only, CdxStreamSpec). Append emits a
-    // window exactly once, when the watermark passes its end, so the
-    // fixture carries two far-future sentinel files; with
-    // maxFilesPerTrigger=2 the FIRST sentinel rides batch 1 alongside
-    // the real lines (its event time sets the post-batch-1 watermark
-    // past every real window end) and batch 2's second sentinel
-    // triggers the flush — two micro-batches, the minimum for append
-    // emission. The sentinels' own windows never close → never emitted
-    // → the batch oracle replays the real lines only.
+    // window exactly once, when the watermark passes its end: the
+    // fixture carries ONE far-future sentinel LINE (2012-01-10 vs real
+    // data ending 2012-01-03, watermark delay 2 h), so the single data
+    // batch ends with the watermark past every real window end and the
+    // trailing no-data batch (noDataBatch = true) flushes them all.
+    // The sentinel's own window never closes → never emitted → the
+    // batch oracle replays the real lines only.
     "q104_stream_windows" -> ((s, dir) =>
       runStreamQuery(s, dir, fixtureKey = "q104",
         sink = "q104_stream_windows_sink", outputMode = "append",
-        fixture = streamCdxLines(s, dir),
-        readOptions = Map("maxFilesPerTrigger" -> "2"),
-        extraFixture = writeStreamSentinels) { lines =>
+        fixture = streamCdxLinesWithSentinel(s, dir),
+        fixtureVersion = "v2", noDataBatch = true) { lines =>
         graft.streaming.CdxStream.windowedHostCounts(
           graft.streaming.CdxStream.parse(lines).toDF())
       }),
@@ -1837,9 +1839,8 @@ object SparkEntry {
     "q110_stream_sessions" -> ((s, dir) =>
       runStreamQuery(s, dir, fixtureKey = "q104",
         sink = "q110_stream_sessions_sink", outputMode = "append",
-        fixture = streamCdxLines(s, dir),
-        readOptions = Map("maxFilesPerTrigger" -> "2"),
-        extraFixture = writeStreamSentinels) { lines =>
+        fixture = streamCdxLinesWithSentinel(s, dir),
+        fixtureVersion = "v2", noDataBatch = true) { lines =>
         graft.streaming.CdxStream.sessionizedHostVisits(
           graft.streaming.CdxStream.parse(lines).toDF())
       }),
@@ -2229,16 +2230,26 @@ object SparkEntry {
       fixtureKey: String, sink: String, outputMode: String,
       fixture: => DataFrame,
       readOptions: Map[String, String] = Map.empty,
-      extraFixture: String => Unit = _ => ())(
+      fixtureVersion: String = "v1",
+      noDataBatch: Boolean = false)(
       xform: org.apache.spark.sql.Dataset[String] => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     val base = tmpDir(fixtureKey, dir)
-    fixtureOnce(base, "v1", dir, "documents") {
+    fixtureOnce(base, fixtureVersion, dir, "documents") {
       fixture.coalesce(1).write.mode("overwrite").text(s"$base/in")
-      extraFixture(s"$base/in")
     }
-    val ckpt = s"$base/ckpt_$sink"
+    // checkpoints are EPHEMERAL here (deleted at every run start — the
+    // gate re-processes the fixture from scratch), so they go to tmpfs
+    // when available: their fsync traffic measures the local disk, not
+    // the operator (a production stream checkpoints to HDFS/S3 and
+    // sizes that independently). Fixtures stay on disk — they persist
+    // across runs.
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory)
+        s"/dev/shm/graft_tmp/${new java.io.File(base).getName}"
+      else base
+    val ckpt = s"$ckptBase/ckpt_$sink"
     val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
     ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       .delete(ckptPath, true)
@@ -2246,7 +2257,14 @@ object SparkEntry {
     withScopedConf(s,
       "spark.sql.shuffle.partitions" -> "1",
       "spark.sql.files.maxPartitionBytes" -> "1073741824",
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      // noDataBatch = true is the append-mode flush path: ONE data
+      // batch (the fixture, sentinel line included, raises the
+      // watermark at its end) + one trailing NO-DATA batch that emits
+      // everything below it — the cheapest append emission possible.
+      // The order-sensitive append surfaces (q51/q92) keep it off: a
+      // no-data batch only fires timeouts/evictions they don't need.
+      "spark.sql.streaming.noDataMicroBatches.enabled" ->
+        noDataBatch.toString) {
       val lines = readOptions.foldLeft(
           s.readStream.option("lineSep", "\n")) {
           case (r, (k, v)) => r.option(k, v)
@@ -2263,31 +2281,18 @@ object SparkEntry {
     s.table(sink)
   }
 
-  /** Watermark-advancing sentinels for append-mode streaming windows
-    * (q104): two single-line CDX files DAYS past the real data (max
-    * real event time is 2012-01-02; sentinels are 01-05 and 01-10, vs
-    * a 2-hour watermark delay), with strictly increasing mtimes so the
-    * file source's mtime order + maxFilesPerTrigger=1 makes them
-    * batches 2 and 3. Batch 2's sentinel raises the watermark past
-    * every real window end; batch 3 triggers the flush (append mode
-    * emits in the batch AFTER the watermark advances). The sentinel
-    * host is distinct ("org,zz-sentinel") and its windows never close,
-    * so they are never emitted and the oracle ignores them. */
-  private def writeStreamSentinels(inDir: String): Unit = {
-    val d = new java.io.File(inDir)
-    val baseMtime = d.listFiles().filter(_.getName.startsWith("part-"))
-      .map(_.lastModified()).max
-    Seq(("sentinel-1.cdx", "20120105000000", 10000L),
-        ("sentinel-2.cdx", "20120110000000", 20000L)).foreach {
-      case (name, ts, bump) =>
-        val f = new java.io.File(d, name)
-        java.nio.file.Files.write(f.toPath,
-          (s"org,zz-sentinel)/ $ts http://sentinel.org/ text/html 200 " +
-            s"SENTINEL - - 10 0 w.warc.gz\n").getBytes("UTF-8"))
-        require(f.setLastModified(baseMtime + bump),
-          s"could not stagger mtime of $f — batch order would be undefined")
-    }
-  }
+  /** [[streamCdxLines]] plus ONE watermark-advancing sentinel line
+    * (2012-01-10, DAYS past the real data's 2012-01-03 maximum vs a
+    * 2-hour watermark delay; distinct host "org,zz-sentinel"): the
+    * single data batch ends with the watermark past every real
+    * window/session end, so the trailing no-data batch flushes them in
+    * append mode. The sentinel's own window/session never closes and is
+    * never emitted, so the batch oracles ignore it. */
+  private def streamCdxLinesWithSentinel(s: SparkSession,
+                                         dir: String): DataFrame =
+    streamCdxLines(s, dir).unionByName(s.range(1).select(
+      lit("org,zz-sentinel)/ 20120110000000 http://sentinel.org/ " +
+        "text/html 200 SENTINEL - - 10 0 w.warc.gz").as("line")))
 
   /** q92's stream corpus: same deterministic line synthesis as
     * [[streamCdxLines]] but with a HEAVILY colliding digest keyspace —
