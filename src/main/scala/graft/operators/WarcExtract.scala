@@ -57,20 +57,23 @@ object WarcExtract {
     new graft.util.IoUtil.AutoCloseIterator(members, () => closeIn())
   }
 
-  /** One member → at most one CDX row, dispatched by content: a payload
-    * opening with "WARC/" parses as a WARC record (response / resource /
+  /** One member → its CDX rows, dispatched by content: a payload
+    * opening with "WARC/" parses as WARC records (response / resource /
     * revisit — the three record families CDX carries, see the reference
-    * CDX mime vocabulary at `pig/CDXLoader.java:33`), anything else
+    * CDX mime vocabulary at `pig/CDXLoader.java:33`; a member holding
+    * SEVERAL concatenated records yields one row each via
+    * `WarcRecords.parseAll`, all sharing the member's byte extent — the
+    * smallest unit a range repackage can copy), anything else
     * tries the legacy ARC URL-record shape (every captured record except
     * the filedesc file header). A revisit row keeps the CDX conventions:
     * mime `warc/revisit`, digest from the record's WARC-Payload-Digest
     * (the ORIGINAL capture's payload hash — the revisit block itself has
     * no payload to hash), status from the re-serialized HTTP headers
     * when the block carries them. */
-  private def cdxOf(m: GzipMembers.Member, name: String): Option[CdxRow] =
+  private def cdxOf(m: GzipMembers.Member, name: String): Seq[CdxRow] =
     if (m.payload.length >= 5 && m.payload(0) == 'W' && m.payload(1) == 'A' &&
         m.payload(2) == 'R' && m.payload(3) == 'C' && m.payload(4) == '/') {
-      WarcRecords.parse(m.payload).flatMap { rec =>
+      WarcRecords.parseAll(m.payload).flatMap { rec =>
         if (rec.warcType != "response" && rec.warcType != "resource" &&
             rec.warcType != "revisit") None
         else for {
@@ -105,7 +108,7 @@ object WarcExtract {
         }
       }
     } else {
-      ArcRecords.parse(m.payload).flatMap { rec =>
+      ArcRecords.parse(m.payload).toSeq.flatMap { rec =>
         if (rec.isFiledesc) None
         else Some {
           val (status, _) = rec.httpStatusAndMime

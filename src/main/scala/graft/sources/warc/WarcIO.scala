@@ -356,6 +356,24 @@ object WarcRecords {
         sep + sepLen + blockLen)))
   }
 
+  /** ALL records in one member payload — most members hold exactly one
+    * record, but some writers concatenate several per gzip member (a
+    * real-archive damage/variation class the reference tolerates via
+    * webarchive-commons). The walk reuses [[PlainWarc]]'s record
+    * splitter; records past the first require Content-Length (nothing
+    * else bounds them). On ANY structural damage the whole payload
+    * falls back to single-record [[parse]] semantics — never a
+    * half-walked prefix silently standing in for the member. */
+  def parseAll(bytes: Array[Byte]): Seq[WarcRecord] = {
+    def single = parse(bytes).toSeq
+    try {
+      val records = PlainWarc.iterate(
+        new java.io.ByteArrayInputStream(bytes)).toVector
+      if (records.length <= 1) single
+      else records.flatMap(m => parse(m.payload))
+    } catch { case _: Exception => single }
+  }
+
   /** Value of one HTTP response header (case-insensitive), with the same
     * head tolerances as [[httpStatusAndMime]]. */
   def httpHeaderValue(payload: Array[Byte], name: String): Option[String] = {

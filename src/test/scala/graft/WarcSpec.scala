@@ -241,6 +241,41 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.urlkey).toSeq == Seq("org,arc)/1", "org,warc)/2"))
   }
 
+  test("multi-record gzip member: every concatenated record yields a " +
+      "CDX row; all share the member's extent") {
+    val r1 = warcResponse("http://m.org/a", "2012-01-03T08:45:08Z", "aaa")
+    val r2 = warcResponse("http://m.org/b", "2012-01-03T08:45:09Z", "bbb")
+    // parseAll: both records come back from one payload
+    val both = WarcRecords.parseAll(r1 ++ "\r\n\r\n".getBytes ++ r2)
+    assert(both.flatMap(_.targetUri) ==
+      Seq("http://m.org/a", "http://m.org/b"))
+    // single-record payload keeps parse() semantics (incl. tolerance for
+    // a missing Content-Length, which the multi-record walk requires)
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://m.org/c\r\n" +
+      "WARC-Date: 2012-01-03T08:45:10Z\r\n\r\nHTTP/1.1 200 OK\r\n\r\nccc")
+      .getBytes("UTF-8")
+    assert(WarcRecords.parseAll(noLen).flatMap(_.targetUri) ==
+      Seq("http://m.org/c"))
+    // end-to-end: a file whose middle member holds TWO records
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "warcmulti")
+    val f = dir.resolve("multi-00000.warc.gz")
+    Files.write(f,
+      gz(warcResponse("http://m.org/x", "2012-01-03T08:00:00Z", "xxx")) ++
+      gz(r1 ++ "\r\n\r\n".getBytes ++ r2))
+    val rows = WarcExtract.extract(spark, Seq(f.toString))
+      .rows.collect().sortBy(_.timestamp)
+    assert(rows.length == 3)
+    assert(rows.map(_.urlkey).toSeq ==
+      Seq("org,m)/x", "org,m)/a", "org,m)/b"))
+    // the two concatenated records share the member's byte extent
+    assert(rows(1).offset == rows(2).offset &&
+      rows(1).compressed_size == rows(2).compressed_size)
+    // but carry their OWN digests
+    assert(rows(1).digest == WarcRecords.sha1Base32("aaa".getBytes("UTF-8")))
+    assert(rows(2).digest == WarcRecords.sha1Base32("bbb".getBytes("UTF-8")))
+  }
+
   test("plain .warc walk: extents tile the file, records parse, damage " +
       "is soft-skippable, magic dispatch picks the right walk") {
     import graft.sources.warc.PlainWarc
