@@ -308,8 +308,17 @@ object WarcExtract {
       while (j < sep.length && payload(i + j) == sep(j)) j += 1
       if (j == sep.length) {
         val raw = java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
-        val chunked = WarcRecords.httpHeaderValue(payload, "Transfer-Encoding")
-          .exists(_.toLowerCase.contains("chunked"))
+        // one head-sized decode (bytes 0..separator), not a fixed-4KB
+        // one per record — this runs for EVERY response record and the
+        // chunked case is the rare one
+        val head = new String(payload, 0, i,
+          java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+        val te = head.indexOf("transfer-encoding:")
+        val chunked = te >= 0 && {
+          val eol = head.indexOf('\n', te)
+          head.substring(te, if (eol < 0) head.length else eol)
+            .contains("chunked")
+        }
         return if (chunked) WarcRecords.dechunk(raw).getOrElse(raw) else raw
       }
       i += 1

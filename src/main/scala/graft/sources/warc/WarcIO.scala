@@ -366,12 +366,36 @@ object WarcRecords {
     * half-walked prefix silently standing in for the member. */
   def parseAll(bytes: Array[Byte]): Seq[WarcRecord] = {
     def single = parse(bytes).toSeq
-    try {
-      val records = PlainWarc.iterate(
-        new java.io.ByteArrayInputStream(bytes)).toVector
-      if (records.length <= 1) single
-      else records.flatMap(m => parse(m.payload))
-    } catch { case _: Exception => single }
+    // fast path — almost every member holds ONE record: if the first
+    // record's declared extent (head + separator + Content-Length)
+    // covers the payload up to separator-newline slack, there is no
+    // second record to find and the PlainWarc walk (a second full pass
+    // over the member) is skipped. Members without a Content-Length
+    // can't bound a second record either → single by construction.
+    val sep4 = indexOf(bytes, "\r\n\r\n".getBytes)
+    val sep2 = indexOf(bytes, "\n\n".getBytes,
+      end = if (sep4 >= 0) sep4 + 2 else bytes.length)
+    val (sep, sepLen) =
+      if (sep4 >= 0 && (sep2 < 0 || sep4 < sep2)) (sep4, 4)
+      else if (sep2 >= 0) (sep2, 2)
+      else return single
+    val head = new String(bytes, 0, sep,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val len = head.split("\n").map(_.stripSuffix("\r"))
+      .find(_.toLowerCase.startsWith("content-length:"))
+      .flatMap(_.split(":", 2)(1).trim.toLongOption)
+    len match {
+      case None => single
+      case Some(l) if l < 0 || sep + sepLen + l >= bytes.length - 4 =>
+        single
+      case Some(_) =>
+        try {
+          val records = PlainWarc.iterate(
+            new java.io.ByteArrayInputStream(bytes)).toVector
+          if (records.length <= 1) single
+          else records.flatMap(m => parse(m.payload))
+        } catch { case _: Exception => single }
+    }
   }
 
   /** Value of one HTTP response header (case-insensitive), with the same
