@@ -1913,6 +1913,23 @@ object SparkEntry {
           col("thumb_hash"))
     }),
 
+    // Per-GROUP approximate quantiles via the typed-Aggregator tier —
+    // the missing cell next to q74 (global approx) and q58 (per-group
+    // exact): p25/p50/p99 doc length per source from a counting-KMV
+    // buffer (k smallest distinct values by hash + exact counts), no
+    // whole-group sort, map-side partials merge exactly.
+    "q111_group_quantiles" -> ((s, dir) => {
+      val sk = udaf(graft.operators.Sketches.kmvQuantilesGroupAgg(64))
+      tbl(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+        .select(col("source"),
+          graft.operators.Sketches.hash48Col(col("v")).as("hv"), col("v"))
+        .groupBy(col("source"))
+        .agg(sk(col("hv"), col("v")).as("q"))
+        .select(col("source"), col("q._1").as("p25"),
+          col("q._2").as("p50"), col("q._3").as("p99"))
+    }),
+
     // KMV sketch SET OPERATIONS under the oracle: per-source distinct-
     // token estimates for corpus v1 (all docs) vs v2 (every 5th doc
     // removed, the q99 rule), plus union / intersection / Jaccard from
@@ -3864,6 +3881,28 @@ object SparkEntry {
         |SELECT id AS doc_id, format,
         |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes, thumb_hash
         |FROM (SELECT * FROM bf UNION ALL SELECT * FROM vf)""".stripMargin,
+
+    "q111_group_quantiles" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |dv AS (SELECT DISTINCT source, v,
+        |    CAST(concat('0x', substring(md5(CAST(v AS VARCHAR)), 1, 12))
+        |      AS BIGINT) AS hv FROM v),
+        |rk AS (SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, v) AS rn
+        |  FROM dv),
+        |sampled AS (SELECT source, v FROM rk WHERE rn <= 64),
+        |cnts AS (SELECT v.source, v.v, count(*) AS cnt
+        |  FROM v JOIN sampled USING (source, v) GROUP BY 1, 2),
+        |cum AS (SELECT source, v, sum(cnt) OVER (PARTITION BY source
+        |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY source) AS total
+        |  FROM cnts)
+        |SELECT source,
+        |  min(CASE WHEN cum * 10000 >= 2500 * total THEN v END) AS p25,
+        |  min(CASE WHEN cum * 10000 >= 5000 * total THEN v END) AS p50,
+        |  min(CASE WHEN cum * 10000 >= 9900 * total THEN v END) AS p99
+        |FROM cum GROUP BY 1""".stripMargin,
 
     "q109_kmv_setops" ->
       """WITH t1 AS (SELECT DISTINCT source,

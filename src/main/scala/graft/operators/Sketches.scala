@@ -391,6 +391,107 @@ object Sketches {
   def hash48Col(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     hash48(value)
 
+  /** Per-group KMV approximate QUANTILES as a typed Aggregator — the
+    * missing cell next to q74 (global approx) and q58 (per-group
+    * exact): "p50/p99 doc length per source" without sorting whole
+    * groups. The buffer is a counting KMV: the group's k smallest
+    * distinct values by 48-bit hash, each with its EXACT occurrence
+    * count — the same eviction-soundness argument as the global
+    * one-pass heap, group-scoped (a value evicted from or refused by a
+    * partial had k group-local smaller hashes in that partition, which
+    * survive every merge, so it can never be a global survivor and its
+    * lost counts never matter). Finish sorts the sample by VALUE and
+    * probes the cumulative counts at 2500/5000/9900 bp with the q74
+    * convention (smallest v with cum·10⁴ ≥ p·total). Input is the
+    * (hash48, value) pair — hash in codegen via [[hash48Col]], never a
+    * digest per row inside the buffer. */
+  final case class KmvQBuf(hs: Array[Long], vs: Array[Long],
+                           cs: Array[Long])
+
+  def kmvQuantilesGroupAgg(k: Int): org.apache.spark.sql.expressions
+      .Aggregator[(Long, Long), KmvQBuf, (Long, Long, Long)] = {
+    require(k >= 2 && k <= 32768, s"k must be in [2, 32768], got $k")
+    new org.apache.spark.sql.expressions
+        .Aggregator[(Long, Long), KmvQBuf, (Long, Long, Long)] {
+      override def zero: KmvQBuf =
+        KmvQBuf(Array.empty, Array.empty, Array.empty)
+
+      override def reduce(b: KmvQBuf, in: (Long, Long)): KmvQBuf = {
+        val (hv, v) = in
+        val pos = java.util.Arrays.binarySearch(b.hs, hv)
+        if (pos >= 0) { b.cs(pos) += 1L; b }        // exact count bump
+        else if (b.hs.length >= k && hv > b.hs(b.hs.length - 1)) b
+        else {
+          val ins = -pos - 1
+          val n = math.min(b.hs.length + 1, k)
+          val hs = new Array[Long](n); val vs = new Array[Long](n)
+          val cs = new Array[Long](n)
+          System.arraycopy(b.hs, 0, hs, 0, ins)
+          System.arraycopy(b.vs, 0, vs, 0, ins)
+          System.arraycopy(b.cs, 0, cs, 0, ins)
+          hs(ins) = hv; vs(ins) = v; cs(ins) = 1L
+          System.arraycopy(b.hs, ins, hs, ins + 1, n - ins - 1)
+          System.arraycopy(b.vs, ins, vs, ins + 1, n - ins - 1)
+          System.arraycopy(b.cs, ins, cs, ins + 1, n - ins - 1)
+          KmvQBuf(hs, vs, cs)
+        }
+      }
+
+      override def merge(x: KmvQBuf, y: KmvQBuf): KmvQBuf = {
+        if (x.hs.isEmpty) return y
+        if (y.hs.isEmpty) return x
+        val n = math.min(x.hs.length + y.hs.length, k)
+        val hs = new Array[Long](n); val vs = new Array[Long](n)
+        val cs = new Array[Long](n)
+        var i = 0; var j = 0; var o = 0
+        while (o < n && (i < x.hs.length || j < y.hs.length)) {
+          val takeX = j >= y.hs.length ||
+            (i < x.hs.length && x.hs(i) <= y.hs(j))
+          if (takeX && j < y.hs.length && i < x.hs.length &&
+              x.hs(i) == y.hs(j)) {
+            hs(o) = x.hs(i); vs(o) = x.vs(i); cs(o) = x.cs(i) + y.cs(j)
+            i += 1; j += 1; o += 1
+          } else if (takeX) {
+            hs(o) = x.hs(i); vs(o) = x.vs(i); cs(o) = x.cs(i)
+            i += 1; o += 1
+          } else {
+            hs(o) = y.hs(j); vs(o) = y.vs(j); cs(o) = y.cs(j)
+            j += 1; o += 1
+          }
+        }
+        if (o == n) KmvQBuf(hs, vs, cs)
+        else KmvQBuf(java.util.Arrays.copyOf(hs, o),
+          java.util.Arrays.copyOf(vs, o), java.util.Arrays.copyOf(cs, o))
+      }
+
+      override def finish(b: KmvQBuf): (Long, Long, Long) = {
+        if (b.hs.isEmpty) return (0L, 0L, 0L)
+        val order = b.vs.indices.sortBy(b.vs(_))
+        val total = b.cs.sum
+        def probe(pBp: Long): Long = {
+          var cum = 0L
+          var out = b.vs(order.last)
+          var found = false
+          order.foreach { idx =>
+            if (!found) {
+              cum += b.cs(idx)
+              if (cum * 10000L >= pBp * total) { out = b.vs(idx); found = true }
+            }
+          }
+          out
+        }
+        (probe(2500L), probe(5000L), probe(9900L))
+      }
+
+      override def bufferEncoder: org.apache.spark.sql.Encoder[KmvQBuf] =
+        org.apache.spark.sql.Encoders.product[KmvQBuf]
+      override def outputEncoder
+          : org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong)
+    }
+  }
+
   /** Per-group KMV MIN-SET aggregator — identical admission/merge
     * machinery to [[kmvGroupAgg]], but the finish keeps the sorted min
     * ARRAY (wrapped in the buffer struct) instead of reducing it: the

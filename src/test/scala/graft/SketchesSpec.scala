@@ -144,6 +144,51 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       preAggregate = true).count() == 0)
   }
 
+  test("kmvQuantilesGroupAgg: exact weighted quantiles below k; " +
+      "partition-invariant and estimator-faithful above it") {
+    import org.apache.spark.sql.functions.udaf
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) = {
+      val sk = udaf(Sketches.kmvQuantilesGroupAgg(k))
+      df.select($"g", Sketches.hash48Col($"v").as("hv"), $"v")
+        .groupBy($"g").agg(sk($"hv", $"v").as("q"))
+        .select($"g", $"q._1", $"q._2", $"q._3")
+        .as[(String, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    }
+    // below k: the sample IS the distinct set, counts exact → the
+    // probe equals the exact weighted percentile convention
+    val small = (1 to 50).flatMap(i => Seq.fill(i)((i.toLong, "a")))
+      .map { case (v, g) => (g, v) }.toDF("g", "v")
+    val got = run(small, k = 256)("a")
+    val cumTotal = 1275L
+    def exact(p: Long): Long = (1 to 50).find(v =>
+      (v.toLong * (v + 1) / 2) * 10000 >= p * cumTotal).get.toLong
+    assert(got == ((exact(2500), exact(5000), exact(9900))))
+    // above k: pure function of the value multiset (partition-invariant)
+    // and equal to a driver-side replication of the SAME estimator
+    val vals = (1 to 5000).map(i => ("g", ((i * 7919) % 700 + 1).toLong))
+    val big = vals.toDF("g", "v")
+    val a = run(big.repartition(1), k = 64)("g")
+    val b = run(big.repartition(17), k = 64)("g")
+    assert(a == b)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(v: Long): Long = {
+      md.reset()
+      java.lang.Long.parseLong(md.digest(v.toString.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val counts = vals.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sample = counts.keys.toSeq.sortBy(v => (h(v), v)).take(64)
+    val total = sample.map(counts).sum
+    def probe(p: Long): Long = {
+      var cum = 0L
+      sample.sorted.find { v => cum += counts(v); cum * 10000 >= p * total }
+        .getOrElse(sample.max)
+    }
+    assert(a == ((probe(2500), probe(5000), probe(9900))),
+      s"got $a expected (${probe(2500)}, ${probe(5000)}, ${probe(9900)})")
+  }
+
   test("kmvSetOps: EXACT union/intersection/jaccard below k; " +
       "partition-invariant above it") {
     // group g1: A={1..30}, B={21..50} → |A|=30 |B|=30 |A∪B|=50 |A∩B|=10
