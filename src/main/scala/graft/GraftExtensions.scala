@@ -79,6 +79,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"hex_high_bits expects exactly 1 argument, got ${children.length}")
         graft.functions.HexHighBitsExpression(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_fast"),
+      new ExpressionInfo(
+        classOf[graft.functions.Md5HexExpression].getName,
+        null, "md5_fast",
+        "md5_fast(s) - md5 hex digest, byte-identical to md5(s) on " +
+          "STRING input, without the per-row digest/hex allocations", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5_fast expects exactly 1 argument, got ${children.length}")
+        graft.functions.Md5HexExpression(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix48"),
+      new ExpressionInfo(
+        classOf[graft.functions.Md5Prefix48Expression].getName,
+        null, "md5_prefix48",
+        "md5_prefix48(s) - conv(substring(md5(s), 1, 12), 16, 10) fused " +
+          "to one LONG-typed native call (the sketch-hash hot path)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5_prefix48 expects exactly 1 argument, got ${children.length}")
+        graft.functions.Md5Prefix48Expression(children.head)
+      }))
   }
 
   /** The slice geometry is part of the expression (codegen'd constants),

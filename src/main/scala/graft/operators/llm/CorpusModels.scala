@@ -30,32 +30,33 @@ object CorpusModels {
     * Document score = token-count-weighted mean weight (integer div);
     * `pred` = score ≥ 5000 bp.
     *
-    * Scale shape: the vocab pass is ONE map-side-combinable groupBy over
-    * exploded tokens (conditional count rides the same buffer); the
-    * scoring side pre-aggregates (doc, token) counts BEFORE joining the
-    * vocab — the join therefore moves one row per distinct (doc, token),
-    * not one per token occurrence, and the vocab side of the join is the
-    * small fitted artifact. Three exchanges, all on derived small keys;
-    * the corpus text itself never shuffles. */
+    * Scale shape: ONE corpus-scale exchange — the exploded token stream
+    * hash-partitions on the token once, the vocab fit aggregates in
+    * place on that partitioning, and the scoring join runs with both
+    * sides already colocated on the token (the engine reuses the single
+    * exchange for both branches); the per-doc score is then one
+    * map-side-combinable aggregation whose wire is one row per doc. */
   def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
                      labelCol: String): DataFrame = {
-    // TWO consumers (vocab fit + per-doc counts) read this lineage —
-    // materialize the exploded tokens once instead of scanning and
-    // tokenizing the corpus twice (the q100/heavyHitters trade)
+    // The occurrence stream is hash-partitioned on the TOKEN once; the
+    // vocab fit then aggregates with no further exchange, and the
+    // scoring join consumes the SAME partitioning on BOTH sides (vocab
+    // is derived from it), so after the one corpus-scale shuffle the
+    // only remaining exchange is the per-doc partial aggregation. The
+    // former shape (vocab partials + a per-(doc, token) pre-agg + a
+    // re-key of that table onto the vocab) shuffled corpus-scale rows
+    // three times for the same answer.
     val toks = df.select(col(idCol).cast("long").as("__doc"),
         col(labelCol).cast("boolean").as("__pos"),
         explode(Shingles.words(col(textCol))).as("__tok"))
-      .localCheckpoint(false)
+      .repartition(col("__tok"))
     val vocab = toks.groupBy(col("__tok"))
       .agg(((sum(when(col("__pos"), 1L).otherwise(0L)) + 1L) * 10000L)
         .as("__num"), (count(lit(1)) + 2L).as("__den"))
       .select(col("__tok"), expr("__num div __den").as("__wbp"))
-    val docToks = toks.groupBy(col("__doc"), col("__tok"))
-      .agg(count(lit(1)).as("__cnt"))
-    docToks.join(vocab, "__tok")
+    toks.join(vocab, "__tok")
       .groupBy(col("__doc"))
-      .agg(sum(col("__cnt")).as("n_tokens"),
-        sum(col("__cnt") * col("__wbp")).as("__wsum"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__wbp")).as("__wsum"))
       .select(col("__doc").as(idCol), col("n_tokens"),
         expr("__wsum div n_tokens").as("score_bp"),
         expr("(__wsum div n_tokens) >= 5000").as("pred"))

@@ -677,42 +677,60 @@ object TextAnalysis {
     * (same trade as tfIdf's tf table — see its docstring for the
     * checkpoint-vs-persist rationale). The target side is
     * benchmark-sized and aggregates to <= B rows the same way.
-    * Overflow bound: the weight numerator is <
-    * (total_target+1)·(total_corpus+B)·10⁴ — move to DECIMAL(38,0)
-    * arithmetic past ~10¹⁴ combined token counts. */
+    * Weight arithmetic runs on the driver in BigInt, so the numerator
+    * (total_target+1)·(total_corpus+B)·10⁴ is exact at any corpus
+    * size (the former SQL BIGINT product overflowed past ~10¹⁴
+    * combined token counts). */
   def dsirScore(corpus: DataFrame, idCol: String, textCol: String,
                 target: DataFrame, targetTextCol: String,
                 prefixLen: Int = 2): DataFrame = {
     require(prefixLen >= 1 && prefixLen <= 4,
       s"prefixLen must be in [1, 4], got $prefixLen")
     val buckets = 1L << (4 * prefixLen)
+    // bucket = first prefixLen hex chars of md5(token), carried as its
+    // NUMERIC value (top 4·prefixLen bits of the fused 48-bit md5
+    // prefix — same partition of tokens as the oracle's hex-string
+    // bucket, bijectively; the key is engine-internal, so the integer
+    // form costs nothing cross-engine and skips the per-token hex
+    // allocation entirely)
     def tokens(d: DataFrame, c: String, keep: Seq[Column]): DataFrame =
       d.select(keep :+ explode(Shingles.words(col(c))).as("__tok"): _*)
         .where(col("__tok") =!= "")
-        .withColumn("__b", substring(md5(col("__tok")), 1, prefixLen))
+        .withColumn("__b", shiftrightunsigned(
+          graft.functions.Md5Functions.md5Prefix48(col("__tok")),
+          48 - 4 * prefixLen))
         .drop("__tok")
     val perDocBucket = tokens(corpus, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(eager = false)
-    val corpusCnt = perDocBucket.groupBy(col("__b"))
-      .agg(sum(col("__cnt")).as("__cnt_c"))
-      .localCheckpoint(eager = false)
-    val targetCnt = tokens(target, targetTextCol, Seq.empty)
-      .groupBy(col("__b"))
-      .agg(count(lit(1)).as("__cnt_t"))
-      .localCheckpoint(eager = false)
-    // totals fold out of the B-row count tables — never a corpus re-scan
-    val weights = corpusCnt
-      .join(targetCnt, Seq("__b"), "left")
-      .na.fill(0L, Seq("__cnt_t"))
-      .crossJoin(broadcast(corpusCnt.agg(sum(col("__cnt_c")).as("__total_c"))))
-      .crossJoin(broadcast(
-        targetCnt.agg(coalesce(sum(col("__cnt_t")), lit(0L)).as("__total_t"))))
-      .select(col("__b"),
-        expr(s"CAST(((__cnt_t + 1) * (__total_c + $buckets) * 10000) DIV " +
-          s"((__cnt_c + 1) * (__total_t + $buckets)) AS BIGINT)").as("__w"))
-    perDocBucket.join(broadcast(weights), "__b")
+    // The two B-row count tables are BUCKET-SIZED metadata (B = 16^p <=
+    // 65536 — the fixed feature-space size that makes hashed DSIR viable
+    // at 100 TB), so the weight table is computed on the DRIVER and
+    // shipped back as a literal map: same data movement as the previous
+    // broadcast-join chain (B rows to the driver, B entries to every
+    // task) minus its three broadcast-exchange jobs and the join — the
+    // whole weight lookup stays inside one codegen'd projection.
+    // BigInt arithmetic makes the numerator exact at any corpus size
+    // (the SQL-side BIGINT product overflowed past ~10^14 combined
+    // token counts; DIV on nonnegative BigInt matches SQL DIV).
+    val corpusCnt: Map[Long, Long] = perDocBucket.groupBy(col("__b"))
+      .agg(sum(col("__cnt")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val targetCnt: Map[Long, Long] = tokens(target, targetTextCol, Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totalC = corpusCnt.valuesIterator.sum
+    val totalT = targetCnt.valuesIterator.sum
+    val weights: Map[Long, Long] = corpusCnt.map { case (b, cc) =>
+      val ct = targetCnt.getOrElse(b, 0L)
+      b -> ((BigInt(ct + 1) * BigInt(totalC + buckets) * 10000) /
+        (BigInt(cc + 1) * BigInt(totalT + buckets))).toLong
+    }
+    // every __b in perDocBucket is a corpusCnt key by construction, so
+    // the literal-map lookup never misses
+    perDocBucket
+      .withColumn("__w", element_at(typedLit(weights), col("__b")))
       .groupBy(col(idCol))
       .agg(sum(col("__cnt")).as("n_tokens"),
         sum(col("__cnt") * col("__w")).as("score"))
@@ -737,17 +755,27 @@ object TextAnalysis {
     * (sums of integer ratios in place of sums of float logs, the same
     * trade as dsirScore).
     *
-    * Scale shape — ONE corpus pass: the corpus reduces straight to the
-    * per-(doc, bigram) count table (map-side partials); the LM — bigram
-    * counts, then prefix counts — folds out of that reduced table with
-    * two tiny aggregations, never a corpus re-scan (the reduced table
-    * has two consumers, so it is materialized once — the tfIdf trade).
-    * Scoring joins the reduced table to the LM keyed ON THE BIGRAM —
-    * the vocabulary-sized LM table is generally NOT broadcastable, and
-    * a bigram key never concentrates the way a prefix key would ("the"
-    * is one prefix-count ROW here, not a join hot key; each of its
-    * continuations is its own join key). Documents shorter than 2
-    * words have no bigrams and are absent from the output. */
+    * Scale shape — ONE corpus-scale shuffle: the occurrence stream is
+    * hash-partitioned on the BIGRAM key once, and everything downstream
+    * is colocated on it — the bigram-count aggregation needs no further
+    * exchange (partitioning by gh clusters the gh groups), and the
+    * scoring join consumes the SAME exchange (the engine reuses it for
+    * both branches), so the corpus side of the join moves zero extra
+    * bytes. Only the vocabulary-sized LM derivation (prefix counts, LM
+    * join, re-key to gh) shuffles after that, each exchange <= one row
+    * per distinct bigram. The former shape pre-aggregated per-(doc,
+    * bigram) counts first — map-side combine, but then THREE
+    * corpus-scale exchanges (the pre-agg by (doc, gh), the LM fold, and
+    * the re-key of the reduced table for the scoring join); in web text
+    * bigrams rarely repeat within a document, so the pre-agg removed
+    * few rows and one occurrence-stream exchange is strictly less wire
+    * (A/B at sf0.1: 0.85 -> see in-code note). Scoring joins ON THE
+    * BIGRAM — the vocabulary-sized LM table is generally NOT
+    * broadcastable, and a bigram key never concentrates the way a
+    * prefix key would ("the" is one prefix-count ROW here, not a join
+    * hot key; each of its continuations is its own join key). Documents
+    * shorter than 2 words have no bigrams and are absent from the
+    * output. */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // bigram and prefix keys are ENGINE-INTERNAL (output = per-doc
     // integer scores), so every exchange carries xxhash64 longs, never
@@ -758,23 +786,20 @@ object TextAnalysis {
     // so max() re-derives it per bigram group). A 64-bit collision
     // (~10^-9 at 10^5 distinct bigrams) merges two LM cells — same
     // accepted-risk class as substringDedup/dupGramFraction.
-    val per = Shingles.explodeShingles(df, idCol, textCol, 2)
+    val occ = Shingles.explodeShingles(df, idCol, textCol, 2)
       .select(col(idCol), xxhash64(col("shingle")).as("__gh"),
         xxhash64(substring_index(col("shingle"), " ", 1)).as("__wh"))
-      .groupBy(col(idCol), col("__gh"))
-      .agg(count(lit(1)).as("__cnt"), max(col("__wh")).as("__wh"))
-      .localCheckpoint(eager = false)
-    val bigramCnt = per.groupBy(col("__gh"))
-      .agg(sum(col("__cnt")).as("__cb"), max(col("__wh")).as("__wh"))
+      .repartition(col("__gh"))
+    val bigramCnt = occ.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__cb"), max(col("__wh")).as("__wh"))
     val prefixCnt = bigramCnt.groupBy(col("__wh"))
       .agg(sum(col("__cb")).as("__cw"))
     val lm = bigramCnt.join(prefixCnt, "__wh")
       .select(col("__gh"),
         expr("CAST((10000 * __cb) DIV __cw AS BIGINT)").as("__w"))
-    per.join(lm, "__gh")
+    occ.join(lm, "__gh")
       .groupBy(col(idCol))
-      .agg(sum(col("__cnt")).as("n_bigrams"),
-        sum(col("__cnt") * col("__w")).as("score"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__w")).as("score"))
       .select(col(idCol), col("n_bigrams"), col("score"),
         expr("CAST(score DIV n_bigrams AS BIGINT)").as("fluency_bp"))
   }

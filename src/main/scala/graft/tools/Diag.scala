@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostic main — NOT part of the library surface; used to
+  * decompose per-query bench time into plan components. Deleted or
+  * inert between perf investigations. */
+object Diag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def tbl(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+    def cents(c: org.apache.spark.sql.Column) = (c * 100).cast("long")
+
+    def time(name: String)(f: => Unit): Unit = {
+      // min of 3 after one warmup
+      f
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[diag] $name%-28s ${ts.min}%.3f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup session
+    noop(tbl("lineitem").agg(count(lit(1))))
+
+    val vals = tbl("lineitem")
+      .select(cents(col("l_extendedprice")).as("price_cents"))
+      .where(col("price_cents").isNotNull)
+      .select(col("price_cents").cast("long").as("v"))
+
+    time("scan+count") { noop(tbl("lineitem").agg(count(lit(1)))) }
+    time("scan+cents+noop") { noop(vals) }
+    time("scan+cents+hash48") {
+      noop(vals.select(graft.operators.Sketches.hash48Col(col("v")).as("hv"), col("v")))
+    }
+    time("cents+md5 only") {
+      noop(vals.select(md5(col("v").cast("string")).as("hv"), col("v")))
+    }
+    time("cents+md5+substr") {
+      noop(vals.select(substring(md5(col("v").cast("string")), 1, 12).as("hv"), col("v")))
+    }
+    time("cents+conv only") {
+      noop(vals.select(conv(lpad(hex(col("v")), 12, "0"), 16, 10).cast("long").as("hv"), col("v")))
+    }
+    time("cents+xxhash64") {
+      noop(vals.select(xxhash64(col("v")).as("hv"), col("v")))
+    }
+    time("cents+cast-string") {
+      noop(vals.select(col("v").cast("string").as("hv"), col("v")))
+    }
+    time("q74 full") {
+      noop(graft.operators.Sketches.kmvQuantiles(
+        tbl("lineitem").select(cents(col("l_extendedprice")).as("price_cents")),
+        "price_cents", k = 512, preAggregate = false))
+    }
+    time("q85 full") {
+      val docs = tbl("documents")
+      noop(graft.operators.llm.TextAnalysis.dsirScore(
+        docs, "doc_id", "text",
+        docs.where(col("lang") === "en"), "text"))
+    }
+    time("q88 full") {
+      noop(graft.operators.llm.TextAnalysis.bigramFluency(
+        tbl("documents"), "doc_id", "text"))
+    }
+    time("q91 full") {
+      noop(graft.operators.llm.CorpusModels.nbQualityScore(
+        tbl("documents").withColumn("label",
+          expr("CAST(substring(source, 4, 8) AS INT) % 2 = 0")),
+        "doc_id", "text", "label"))
+    }
+    time("q88 explode only") {
+      noop(graft.operators.llm.Shingles.explodeShingles(
+        tbl("documents"), "doc_id", "text", 2)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("__gh"),
+          xxhash64(substring_index(col("shingle"), " ", 1)).as("__wh")))
+    }
+    spark.stop()
+  }
+}
