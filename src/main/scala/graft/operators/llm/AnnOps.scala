@@ -46,8 +46,10 @@ object AnnOps {
   def bruteTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int): DataFrame = {
     val e = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
-    val qs = e.where(queryPred)
-      .select(col(idCol).as("query_id"), col("__q").as("__qv"))
+    // query side filters BEFORE quantize — building the broadcast from
+    // `e` would re-run the whole corpus projection for 1/queryRate rows
+    val qs = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
     val scored = e.crossJoin(broadcast(qs))
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
@@ -190,15 +192,20 @@ object AnnOps {
     require(codebook.length <= 256,
       s"${codebook.length} centroids: the literal-fold assignment is for " +
         "coarse codebooks (<= 256); use a broadcast centroid table beyond that")
-    val e = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
     val scoreStructs = codebook.map { case (sid, sq) =>
       struct(dot(col("__q"), typedLit(sq)).as("sdot"),
         lit(-sid).as("nsid"))
     }
     val best = array_max(array(scoreStructs.toIndexedSeq: _*))
-    val assigned = e.select(col(idCol), col("__q"),
-      (-best.getField("nsid")).as("__sid"))
-    val qs = assigned.where(queryPred)
+    def assign(d: DataFrame): DataFrame =
+      d.select(col(idCol), quantize(col(vecCol)).as("__q"))
+        .select(col(idCol), col("__q"), (-best.getField("nsid")).as("__sid"))
+    val assigned = assign(emb)
+    // the QUERY side filters BEFORE the quantize+assign projection: the
+    // broadcast build otherwise re-runs the codebook dots over the whole
+    // corpus just to keep 1/queryRate of the rows — the corpus-side pass
+    // is the only full-width one
+    val qs = assign(emb.where(queryPred))
       .select(col(idCol).as("query_id"), col("__q").as("__qv"),
         col("__sid").as("__qb"))
     val scored = assigned.join(broadcast(qs),
@@ -272,9 +279,14 @@ object AnnOps {
                      k: Int, probes: Int = 0): DataFrame = {
     require(probes >= 0 && probes <= numPlanes,
       s"probes must be in [0, numPlanes=$numPlanes], got $probes")
-    val e = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
-      .withColumn("__b", hyperplaneBucket(col("__q"), numPlanes, dim))
-    val qs0 = e.where(queryPred)
+    def proj(d: DataFrame): DataFrame =
+      d.select(col(idCol), quantize(col(vecCol)).as("__q"))
+        .withColumn("__b", hyperplaneBucket(col("__q"), numPlanes, dim))
+    val e = proj(emb)
+    // query side filters BEFORE the quantize+bucket projection (the
+    // broadcast build otherwise re-runs numPlanes corpus-wide dots to
+    // keep 1/queryRate rows)
+    val qs0 = proj(emb.where(queryPred))
       .select(col(idCol).as("query_id"), col("__b").as("__qb0"),
         col("__q").as("__qv"))
     val qs =

@@ -260,27 +260,43 @@ object CorpusModels {
     * (n_x * n_y)` over within-document adjacent word pairs, pairs seen
     * < `minCount` times dropped, top `topK` by (lift desc, w1, w2).
     *
-    * Scale shape: bigram and unigram counts are both map-side-combinable
-    * aggregations; the unigram table joined twice is vocab-sized (AQE
-    * broadcasts it at any realistic scale); the corpus-total N rides the
-    * plan as a 1-row cross join (no driver collect); final top-k is a
-    * TakeOrdered. */
+    * Scale shape — ONE corpus pass, ONE corpus-scale exchange: every
+    * word occurrence is emitted ONCE as (w1, next-word-or-NULL) and
+    * reduced straight to (w1, w2) counts with map-side partials; that
+    * distinct-bigram-sized table (materialized once — it has three
+    * consumers) then yields the bigram counts (w2 NOT NULL rows), the
+    * unigram counts (sum over w1: every occurrence of a word appears
+    * exactly once as w1, doc-final occurrences in its (w1, NULL) row),
+    * and the corpus total — all without touching the corpus again. The
+    * unigram table joined twice is vocab-sized (AQE broadcasts it at
+    * any realistic scale); the corpus-total N rides the plan as a 1-row
+    * cross join (no driver collect); final top-k is a TakeOrdered. The
+    * former shape tokenized the corpus on two separate branches and
+    * re-derived the whole bigram aggregation for the total — three
+    * corpus passes for the same answer. */
   def collocationLift(df: DataFrame, textCol: String,
                       minCount: Int, topK: Int): DataFrame = {
-    val words = df.select(Shingles.words(col(textCol)).as("__w"))
-    val bigrams = words.select(explode(expr(
-        "CASE WHEN size(__w) < 2 THEN array() ELSE " +
-          "transform(sequence(1, size(__w) - 1), " +
+    // (word, following-word-or-NULL): one row per word OCCURRENCE, so
+    // unigram counts fold out of the same pre-aggregated table as
+    // bigram counts
+    val pairCnt = df.select(Shingles.words(col(textCol)).as("__w"))
+      .select(explode(expr(
+        // size(__w) >= 1 always for split() output, but guard anyway:
+        // sequence(1, 0) would DESCEND ([1, 0]) and emit bogus rows
+        "CASE WHEN size(__w) < 1 THEN array() ELSE " +
+          "transform(sequence(1, size(__w)), " +
           "i -> struct(element_at(__w, i) AS w1, " +
-          "element_at(__w, i + 1) AS w2)) END")).as("__b"))
+          "CASE WHEN i < size(__w) THEN element_at(__w, i + 1) END AS w2)) " +
+          "END")).as("__b"))
       .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
-    val uni = words.select(explode(col("__w")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .localCheckpoint(eager = false)
+    val bigrams = pairCnt.where(col("w2").isNotNull)
+    val uni = pairCnt.groupBy(col("w1")).agg(sum(col("n_xy")).as("n_w"))
     val total = bigrams.agg(sum(col("n_xy")).as("__n"))
     bigrams.where(col("n_xy") >= minCount)
-      .join(uni.select(col("w").as("w1"), col("n_w").as("__nx")), "w1")
-      .join(uni.select(col("w").as("w2"), col("n_w").as("__ny")), "w2")
+      .join(uni.select(col("w1"), col("n_w").as("__nx")), "w1")
+      .join(uni.select(col("w1").as("w2"), col("n_w").as("__ny")), "w2")
       // broadcast the 1-row aggregate EXPLICITLY (as tokenDrift does):
       // pre-AQE its size stats are unknown and the cross join can plan
       // as a non-broadcast nested loop against the full bigram table

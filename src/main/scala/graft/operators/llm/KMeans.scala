@@ -56,21 +56,23 @@ object KMeans {
             localBelow: Long = 0L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
-    val e = emb.select(col(idCol).cast("long").as("__id"),
-      AnnOps.quantize(col(vecCol)).as("__q"))
-    var centroids: Seq[(Long, Array[Long])] =
-      emb.where(seedPred)
-        .select(col(idCol).cast("long"), AnnOps.quantize(col(vecCol)))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1).toSeq
-    require(centroids.nonEmpty, "seedPred matched no rows")
-    val dim = centroids.head._2.length
+    // the seed flag rides the projection so the small-input probe below
+    // yields seeds AND members from ONE take() — no separate seed
+    // collect job on the local path
+    val e0 = emb.select(col(idCol).cast("long").as("__id"),
+      AnnOps.quantize(col(vecCol)).as("__q"), seedPred.as("__seed"))
+    val e = e0.select(col("__id"), col("__q"))
 
     if (localBelow > 0L) {
-      val probe = e.take(localBelow.toInt + 1)
+      val probe = e0.take(localBelow.toInt + 1)
       if (probe.length <= localBelow) {
         val data = probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        var centroids: Seq[(Long, Array[Long])] =
+          probe.filter(_.getBoolean(2))
+            .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+            .sortBy(_._1).toSeq
+        require(centroids.nonEmpty, "seedPred matched no rows")
+        val dim = centroids.head._2.length
         for (_ <- 1 until iters) {
           centroids = data.groupBy(d => assignLocal(centroids, d._2))
             .toSeq.sortBy(_._1)
@@ -88,6 +90,13 @@ object KMeans {
       }
     }
 
+    var centroids: Seq[(Long, Array[Long])] =
+      e0.where(col("__seed")).select(col("__id"), col("__q"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq
+    require(centroids.nonEmpty, "seedPred matched no rows")
+    val dim = centroids.head._2.length
     for (_ <- 1 until iters) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("__q"), i + 1)).as(s"s$i"))

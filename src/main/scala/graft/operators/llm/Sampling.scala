@@ -34,7 +34,7 @@ object Sampling {
     require(bounds.map(_._2) == bounds.map(_._2).sorted,
       "bounds must be ascending — a later smaller bound is unreachable")
     val prefix = substring(
-      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2)
+      graft.functions.Md5Functions.md5Hex(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2)
     val label = bounds.foldRight(lit(defaultLabel): Column) {
       case ((lbl, hi), acc) => when(prefix < lit(hi), lit(lbl)).otherwise(acc)
     }
@@ -49,7 +49,7 @@ object Sampling {
                  bound: String): DataFrame = {
     requireHexBound(bound, "sample")
     df.where(substring(
-      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2)
+      graft.functions.Md5Functions.md5Hex(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2)
       < lit(bound))
   }
 
@@ -68,7 +68,7 @@ object Sampling {
         when(col(strataCol) === stratum, lit(b)).otherwise(acc)
     }
     df.where(substring(
-      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2) < bound)
+      graft.functions.Md5Functions.md5Hex(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2) < bound)
   }
 
   /** Budget-driven mixture sampling — the data-mixing step of corpus
@@ -127,7 +127,7 @@ object Sampling {
           .otherwise(lpad(lower(hex(
             expr("(__budget * 65536) div __n"))), 4, "0")))
       .where(substring(
-        md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 4)
+        graft.functions.Md5Functions.md5Hex(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 4)
         < col("__bound"))
       .drop("__stratum", "__n", "__budget", "__bound")
   }
@@ -154,9 +154,10 @@ object Sampling {
     * Scale shape: grams explode map-side; ONE (doc, bucket) count agg
     * (map-side combinable — the only corpus-keyed shuffle); the bucket
     * weight table is a <= `buckets`-row aggregate of THAT (never a
-    * second corpus pass) joined back by BROADCAST; the per-doc score agg
-    * runs over <= `buckets` rows per doc; top-k is a TakeOrdered. The
-    * corpus text itself never shuffles. Returns (idCol, n_grams,
+    * second corpus pass), computed on the driver and folded back in as
+    * a literal map inside one codegen'd projection; the per-doc score
+    * agg runs over <= `buckets` rows per doc; top-k is a TakeOrdered.
+    * The corpus text itself never shuffles. Returns (idCol, n_grams,
     * score_bp) for the topK raw docs, (score_bp desc, id) order. */
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
                  targetPred: Column, buckets: Int, topK: Int): DataFrame = {
@@ -180,24 +181,39 @@ object Sampling {
     val docBuckets = grams.groupBy(col("__doc"), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(false)   // two consumers: weight fit + scoring
-    val bucketTable = docBuckets.groupBy(col("__b"))
+    // The bucket table is <= `buckets` rows — FIXED-SIZE metadata (the
+    // bounded feature space is the operator's scale property), so the
+    // weight table is computed on the DRIVER in BigInt (exact at any
+    // corpus size — the same widening the former DECIMAL(38,0) SQL did,
+    // minus its overflow ceiling; DIV on nonnegative BigInt matches
+    // DECIMAL DIV) and shipped back as a literal map: same data
+    // movement as the broadcast-join chain (B rows to the driver, B
+    // entries to every task) without the totals crossJoin, the second
+    // broadcast exchange, or the join — the weight lookup stays inside
+    // one codegen'd projection (the q85 dsirScore trade).
+    val bucketTable: Array[(Long, Long, Long)] = docBuckets
+      .groupBy(col("__b"))
       .agg(sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__ct"),
         sum(when(!col("__tgt"), col("__c")).otherwise(0L)).as("__cr"))
-    val totals = bucketTable.agg(sum(col("__ct")).as("__nt"),
-      sum(col("__cr")).as("__nr"))
-    val weights = bucketTable.crossJoin(broadcast(totals))
-      .select(col("__b"),
-        // DECIMAL(38,0): (ct+1)*10000*(nr+B) overflows int64 at the
-        // 10^12-gram design point (the q94 widening)
-        expr(s"CAST((CAST(__ct + 1 AS DECIMAL(38,0)) * 10000 * " +
-          s"(__nr + $buckets)) DIV " +
-          s"(CAST(__cr + 1 AS DECIMAL(38,0)) * (__nt + $buckets)) " +
-          "AS BIGINT)").as("__wbp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nt = bucketTable.iterator.map(_._2).sum
+    val nr = bucketTable.iterator.map(_._3).sum
+    val weights: Map[Long, Long] = bucketTable.iterator.map {
+      case (b, ct, cr) =>
+        b -> ((BigInt(ct + 1) * 10000 * (BigInt(nr) + buckets)) /
+          (BigInt(cr + 1) * (BigInt(nt) + buckets))).toLong
+    }.toMap
     docBuckets.where(!col("__tgt"))
-      .join(broadcast(weights), "__b")
+      .withColumn("__wbp", element_at(typedLit(weights), col("__b")))
       .groupBy(col("__doc"))
       .agg(sum(col("__c")).as("n_grams"),
-        sum(col("__c") * col("__wbp")).as("__s"))
+        // DECIMAL(38,0) BEFORE the product: wbp reaches ~10^16 in
+        // near-empty raw buckets at design-scale nt/nr, so c·wbp — and
+        // a fortiori the per-doc sum — can exceed int64 exactly at the
+        // scale this operator serves; `div` (IntegralDivide) brings the
+        // final score back to BIGINT
+        sum(col("__c").cast("decimal(38,0)") * col("__wbp")).as("__s"))
       .select(col("__doc").as(idCol), col("n_grams"),
         expr("__s div n_grams").as("score_bp"))
       .orderBy(desc("score_bp"), col(idCol)).limit(topK)
@@ -293,7 +309,7 @@ object Sampling {
     // premise — so hash ties cannot arise). Production corpora pass 0.
     if (localBelow > 0L) {
       val hashed = df.withColumn("__h",
-        md5(concat(lit(salt + "|"), col(idCol).cast("string"))))
+        graft.functions.Md5Functions.md5Hex(concat(lit(salt + "|"), col(idCol).cast("string"))))
       val probe = hashed.take(localBelow.toInt + 1)
       if (probe.length <= localBelow) {
         val spark = df.sparkSession
@@ -312,7 +328,7 @@ object Sampling {
     }
     val withH = df
       .withColumn("__h",
-        md5(concat(lit(salt + "|"), col(idCol).cast("string"))))
+        graft.functions.Md5Functions.md5Hex(concat(lit(salt + "|"), col(idCol).cast("string"))))
       .withColumn("__b", substring(col("__h"), 1, prefixLen))
     val counts = withH.groupBy(col(strataCol).as("__stratum"), col("__b"))
       .agg(count(lit(1)).as("__n"))
@@ -373,7 +389,7 @@ object Sampling {
     val hashed = df
       .select(col(idCol).cast("long").as("__id"))
       .select(col("__id"),
-        md5(concat(lit(salt + "|"), col("__id").cast("string"))).as("__h"))
+        graft.functions.Md5Functions.md5Hex(concat(lit(salt + "|"), col("__id").cast("string"))).as("__h"))
 
     if (localBelow > 0L) {
       val probe = hashed.take(localBelow.toInt + 1)

@@ -57,7 +57,11 @@ object MinHashLsh {
   def hashPool(shingle: Column, numHashes: Int): Column = {
     val needed = numHashes * HashHexLen
     val nMd5 = (needed + 31) / 32
-    concat((0 until nMd5).map(j => md5(concat(lit(s"$j|"), shingle))): _*)
+    // the fused native md5 (byte-identical hex, thread-local digest):
+    // this runs nMd5 times PER SHINGLE OCCURRENCE — the hottest md5
+    // call site in the library
+    concat((0 until nMd5).map(j =>
+      graft.functions.Md5Functions.md5Hex(concat(lit(s"$j|"), shingle))): _*)
   }
 
   def minhash(j: Int, pool: Column): Column =
@@ -93,13 +97,14 @@ object MinHashLsh {
       s"numHashes ($numHashes) must divide evenly into bands of " +
         s"$rowsPerBand — trailing hashes would be silently unused")
     val nBands = numHashes / rowsPerBand
-    val rows = (0 until nBands).map { b =>
-      val members = (0 until rowsPerBand)
-        .map(r => s"lower(lpad(hex(h${b * rowsPerBand + r}), $HashHexLen, '0'))")
-        .mkString("concat(", ", ", ")")
-      s"$b, md5($members)"
-    }.mkString(s"stack($nBands, ", ", ", ") AS (band, bh)")
-    sig.selectExpr(idCol, rows)
+    val bandStructs = (0 until nBands).map { b =>
+      val members = concat((0 until rowsPerBand).map(r =>
+        lower(lpad(hex(col(s"h${b * rowsPerBand + r}")), HashHexLen, "0"))): _*)
+      struct(lit(b).as("band"),
+        graft.functions.Md5Functions.md5Hex(members).as("bh"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("band"), col("__bb.bh").as("bh"))
   }
 
   /** Distinct candidate pairs (doc_a < doc_b) from shared buckets: ONE
@@ -196,8 +201,8 @@ object SimHash {
     val w = df.select(col(idCol),
       explode(Shingles.words(col(textCol))).as("__word"))
       .select(col(idCol),
-        graft.functions.TextFunctions.hexHighBits(md5(col("__word")))
-          .as("__m"))
+        graft.functions.TextFunctions.hexHighBits(
+          graft.functions.Md5Functions.md5Hex(col("__word"))).as("__m"))
     // vote_j = +1 iff mask bit j set else -1, i.e. ((m >> j) & 1)*2 - 1
     val sums = (0 until Bits).map { j =>
       sum(shiftright(col("__m"), j).bitwiseAND(lit(1)) * 2 - 1).as(s"__s$j")
@@ -407,12 +412,14 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 4): DataFrame = {
     val sh = Shingles.explodeShingles(df, idCol, textCol, k)
-    sh.select(col(idCol), md5(col("shingle")).as("__h"))
+    sh.select(col(idCol),
+        graft.functions.Md5Functions.md5Hex(col("shingle")).as("__h"))
       .where(substring(col("__h"), 1, 1) === "0")
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__h"))).as("__hs"))
       .select(col(idCol),
-        md5(concat_ws(",", col("__hs"))).as("fingerprint"),
+        graft.functions.Md5Functions.md5Hex(concat_ws(",", col("__hs")))
+          .as("fingerprint"),
         size(col("__hs")).cast("long").as("n_sampled"))
   }
 

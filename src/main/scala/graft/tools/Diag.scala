@@ -25,13 +25,27 @@ object Diag {
     def tbl(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
     def cents(c: org.apache.spark.sql.Column) = (c * 100).cast("long")
 
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); stageCount.addAndGet(j.stageInfos.size)
+        }
+      })
+
     def time(name: String)(f: => Unit): Unit = {
       // min of 3 after one warmup
       f
+      val j0 = jobCount.get; val s0 = stageCount.get
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      println(f"[diag] $name%-28s ${ts.min}%.3f s")
+      Thread.sleep(50) // listener events are async
+      val jobs = (jobCount.get - j0) / 3.0
+      val stages = (stageCount.get - s0) / 3.0
+      println(f"[diag] $name%-28s ${ts.min}%.3f s  jobs=$jobs%.1f stages=$stages%.1f")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -90,6 +104,30 @@ object Diag {
         tbl("documents"), "doc_id", "text", 2)
         .select(col("doc_id"), xxhash64(col("shingle")).as("__gh"),
           xxhash64(substring_index(col("shingle"), " ", 1)).as("__wh")))
+    }
+    def q(name: String): Unit =
+      time(name) { noop(graft.SparkEntry.queries(name)(spark, sfDir)) }
+    Seq("q43_ann_ivf_assign", "q94_collocation", "q81_semdedup",
+      "q86_curation_pipeline", "q90_substring_dedup", "q72_decontaminate",
+      "q84_dup_fraction", "q82_heavy_hitters", "q83_gopher_quality",
+      "q69_dedup_keep", "q21_minhash_lsh", "q52_neardup_components",
+      "q70_cosine_neardup", "q95_bpe_apply", "q60_tfidf",
+      "q77_chunk_dedup", "q36_embed_neardup", "q109_kmv_setops",
+      "q108_dsir_select").foreach(q)
+    println("[diag] ---- q81 decomposition ----")
+    time("q81 lloyd only") {
+      noop(graft.operators.llm.KMeans.lloyd(
+        tbl("embeddings"), "vec_id", "embedding",
+        seedPred = col("vec_id") < 8, iters = 3, localBelow = 100000L))
+    }
+    time("q81 lloyd+join+pairs") {
+      val emb = tbl("embeddings")
+      val clusters = graft.operators.llm.KMeans.lloyd(
+        emb, "vec_id", "embedding", seedPred = col("vec_id") < 8, iters = 3,
+        localBelow = 100000L)
+      noop(graft.operators.llm.AnnOps.withinBucketCosinePairs(
+        emb.join(clusters, "vec_id"), "vec_id", "embedding", "cluster",
+        minCos2Bp = 500L))
     }
     spark.stop()
   }
