@@ -78,17 +78,15 @@ object AnnOps {
     e.groupBy(col("label"))
       .agg(sort_array(collect_list(col("r"))).as("rs"))
       .where(size(col("rs")) > 1)
-      // `dotl` (the native dot product, registered by GraftExtensions)
-      // runs per PAIR — the transform lambdas only route array slots, so
-      // the interpreted-HOF overhead is per pair, not per vector element
-      .select(col("label"), explode(expr(
-        """flatten(transform(rs, (a, i) ->
-          |  transform(slice(rs, i + 2, size(rs)), b -> struct(
-          |    a.id AS vec_a, b.id AS vec_b,
-          |    dotl(a.q, b.q) AS dot))))""".stripMargin)).as("p"))
+      // native n²-loop expansion (BucketPairsExpression): ids/vectors
+      // extracted once per bucket, primitive-long dots, threshold
+      // applied BEFORE any output allocation — replaces the interpreted
+      // transform/slice HOF lambdas that dominated the in-bucket cost
+      .select(col("label"), explode(
+        graft.functions.BucketPairsFunctions.dotPairs(col("rs"), minDot))
+        .as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         col("label"), col("p.dot").as("dot"))
-      .where(col("dot") >= minDot)
   }
 
   /**
@@ -117,36 +115,24 @@ object AnnOps {
   def withinBucketCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                               bucketCol: String,
                               minCos2Bp: Long): DataFrame = {
-    // each vector's squared norm is computed ONCE, map-side, before the
-    // bucket shuffle — the pair expansion reads it from the struct; the
-    // n²-pair loop would otherwise re-derive both self-dots per pair
-    // (2/3 of its dot work, measured as the q81 hot spot)
     val e = emb.where(col(bucketCol).isNotNull)
       .select(col(bucketCol).as("label"),
         struct(col(idCol).as("id"), quantize(col(vecCol)).as("q")).as("r"))
-      .select(col("label"), col("r").withField("n2",
-        graft.functions.VectorFunctions.dotl(col("r.q"), col("r.q")))
-        .as("r"))
     e.groupBy(col("label"))
       .agg(sort_array(collect_list(col("r"))).as("rs"))
       .where(size(col("rs")) > 1)
-      .select(col("label"), explode(expr(
-        """flatten(transform(rs, (a, i) ->
-          |  transform(slice(rs, i + 2, size(rs)), b -> struct(
-          |    a.id AS vec_a, b.id AS vec_b,
-          |    dotl(a.q, b.q) AS dot,
-          |    a.n2 AS na2,
-          |    b.n2 AS nb2))))""".stripMargin)).as("p"))
+      // native n²-loop expansion (BucketPairsExpression): each member's
+      // squared norm is computed ONCE inside the loop's setup (not per
+      // pair — 2/3 of the dot work, measured as the q81 hot spot before
+      // the hoist), dot² runs in 128-bit with the same truncation
+      // points as the HUGEINT oracle, and the threshold is applied
+      // before any output allocation — replaces the interpreted
+      // transform/slice HOF lambdas plus post-explode CASE/filter
+      .select(col("label"), explode(
+        graft.functions.BucketPairsFunctions.cosinePairs(col("rs"), minCos2Bp))
+        .as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-        col("label"),
-        // DECIMAL(38,0) holds dot² (< 2^126 by Cauchy–Schwarz when the
-        // int64 norms are valid); DIV is integral, returning BIGINT, so
-        // each truncation point matches the HUGEINT oracle exactly
-        expr("""CASE WHEN p.dot <= 0 OR p.na2 = 0 OR p.nb2 = 0 THEN 0L
-               |     ELSE CAST(CAST(p.dot AS DECIMAL(38,0)) * p.dot DIV p.na2
-               |          AS DECIMAL(38,0)) * 10000 DIV p.nb2
-               |END""".stripMargin).as("cos2_bp"))
-      .where(col("cos2_bp") >= minCos2Bp)
+        col("label"), col("p.cos2_bp").as("cos2_bp"))
   }
 
   /**
