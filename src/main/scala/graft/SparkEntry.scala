@@ -1986,6 +1986,36 @@ object SparkEntry {
       cands.select(col("doc_a"), col("doc_b"),
           levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
         .withColumn("is_dup", col("dist") <= 30)
+    }),
+
+    // REAL PNG decode under the oracle gate (the q106 pattern for the
+    // format a crawl archive actually carries most): each doc
+    // synthesizes a VALID non-interlaced 8-bit PNG — even ids RGB,
+    // odd ids RGBA — whose per-channel pixel formulas have closed-form
+    // sums; the encoder cycles the scanline filter type per row
+    // (None/Sub/Up/Average/Paeth) and splits IDAT into two chunks, so
+    // the decoder's CRC-verified chunk walk, zlib inflate, IDAT
+    // concatenation, and all five unfilters all sit on the hash-compare
+    // path — one wrong Paeth tie-break fails the gate.
+    "q112_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{MediaCodecs, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 3 + (id % 7).toInt
+          val b0 = (id % 180).toInt
+          val ct = if (id % 2 == 0) 2 else 6
+          val px = (x: Int, y: Int) =>
+            if (ct == 2) Array(x + b0, y + b0, x + 2 * y + b0)
+            else Array(x + b0, y + b0, x + 2 * y + b0, x + y + b0)
+          MultimodalOps.MediaRecord(id,
+            MediaCodecs.encodePng(w, h, ct, px), "png", w, h)
+        }
+      MultimodalOps.decode(media)
+        .select(col("doc_id"), col("format"), col("decoded_bytes"),
+          col("thumb_hash"))
     })
   )
 
@@ -4032,7 +4062,31 @@ object SparkEntry {
         |SELECT doc_a, doc_b,
         |  CAST(levenshtein(t_a, t_b) AS BIGINT) AS dist,
         |  levenshtein(t_a, t_b) <= 30 AS is_dup
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // Closed-form replay of the PNG pixel statistics: channel formulas
+    // r=x+b0, g=y+b0, b=x+2y+b0 (+ a=x+y+b0 for RGBA) sum to
+    // 2hSx+3wSy+3Nb0 (RGB) / 3hSx+4wSy+4Nb0 (RGBA) with Sx=w(w-1)/2,
+    // Sy=h(h-1)/2, N=wh; the max channel is b at (w-1, h-1). The
+    // filter/deflate round-trip is exact, so the decoded stats ARE the
+    // formulas — any header, CRC, inflate, or unfilter slip diverges.
+    "q112_png_decode" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, 4 + id % 13 AS w, 3 + id % 7 AS h,
+        |    id % 180 AS b0,
+        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 4 END AS ch FROM p),
+        |f AS (SELECT id, w, h, ch, w * h * ch AS decoded_bytes,
+        |  CASE WHEN ch = 3 THEN 'rgb' ELSE 'rgba' END AS kind,
+        |  CASE WHEN ch = 3
+        |    THEN 2*h*(w*(w-1)//2) + 3*w*(h*(h-1)//2) + 3*w*h*b0
+        |    ELSE 3*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2) + 4*w*h*b0
+        |  END AS s,
+        |  (w - 1) + 2*(h - 1) + b0 AS m FROM g)
+        |SELECT id AS doc_id, 'png' AS format,
+        |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes,
+        |  md5('png ' || kind || ' ' || w || 'x' || h || ' ' || s || ' '
+        |    || m) AS thumb_hash
+        |FROM f""".stripMargin
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

@@ -1,14 +1,16 @@
 package graft.operators.llm
 
 /**
- * Dependency-free media codecs — REAL byte-level decode for the two
- * formats whose containers are pure header math (no codec libraries
- * needed, which the frozen offline build cannot take): uncompressed
+ * Dependency-free media codecs — REAL byte-level decode for the three
+ * formats whose containers need nothing beyond the JDK (no codec
+ * libraries, which the frozen offline build cannot take): uncompressed
  * 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + padded bottom-up
- * BGR rows) and PCM16 mono RIFF/WAVE. These replace the former
- * deterministic-fake decode stub in [[MultimodalOps.decodeBatch]] for
- * payloads whose magic bytes match; formats outside this set still take
- * the documented fallback (a real deployment drops a JNI/codec-library
+ * BGR rows), PCM16 mono RIFF/WAVE, and non-interlaced 8-bit RGB/RGBA
+ * PNG (CRC-verified chunk walk + java.util.zip Inflater + the five
+ * scanline unfilters). These replace the former deterministic-fake
+ * decode stub in [[MultimodalOps.decodeBatch]] for payloads whose magic
+ * bytes match; formats outside this set (JPEG, video) still take the
+ * documented fallback (a real deployment drops a JNI/codec-library
  * decoder into the same mapPartitions slot).
  *
  * Encoders exist so fixtures can synthesize VALID files deterministically
@@ -261,5 +263,269 @@ object MediaCodecs {
       i += 1
     }
     WavAudio(channels, sampleRate, bits, n.toLong, sumAbs, peak)
+  }
+
+  // ---- PNG (non-interlaced 8-bit RGB / RGBA) -------------------------
+  //
+  // The zlib half of PNG ships in the JDK (java.util.zip Deflater /
+  // Inflater / CRC32), so a real decode needs no codec library: chunk
+  // walk with CRC verification, IDAT inflate, and the five scanline
+  // unfilters (None/Sub/Up/Average/Paeth) are pure header-and-byte
+  // math — the same class of decode as BMP/WAV above, closing the
+  // format a real crawl archive actually carries most.
+
+  private def be32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >> 24) & 0xff).toByte
+    b(off + 1) = ((v >> 16) & 0xff).toByte
+    b(off + 2) = ((v >> 8) & 0xff).toByte
+    b(off + 3) = (v & 0xff).toByte
+  }
+
+  private def readBe32(b: Array[Byte], off: Int): Int = {
+    require(off + 4 <= b.length, s"truncated at offset $off (need 4 bytes)")
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Decoded PNG: dimensions + channel count + whole-image channel
+    * statistics from the UNFILTERED pixel bytes (alpha included for
+    * RGBA — every decoded byte is visited). */
+  final case class PngImage(width: Int, height: Int, channels: Int,
+                            nPixels: Long, sumChannels: Long,
+                            maxChannel: Int)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, 0, 8), PngSig)
+
+  /** Structural sniff for DISPATCH (see [[sniffBmp]]): the 8-byte
+    * signature is already collision-proof against text, but the sniff
+    * additionally requires a well-formed IHDR advertising the subset
+    * this decoder handles (8-bit depth, RGB/RGBA, deflate, standard
+    * filtering, no interlace) so unsupported-but-valid PNGs take the
+    * caller's fallback lane instead of failing the decode job. */
+  def sniffPng(bytes: Array[Byte]): Boolean =
+    isPng(bytes) && bytes.length >= 33 &&
+      readBe32(bytes, 8) == 13 &&
+      bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' &&
+      bytes(15) == 'R' && {
+        val width = readBe32(bytes, 16)
+        val height = readBe32(bytes, 20)
+        val bitDepth = bytes(24) & 0xff
+        val colorType = bytes(25) & 0xff
+        val compression = bytes(26) & 0xff
+        val filterMethod = bytes(27) & 0xff
+        val interlace = bytes(28) & 0xff
+        width > 0 && height > 0 && bitDepth == 8 &&
+          (colorType == 2 || colorType == 6) && compression == 0 &&
+          filterMethod == 0 && interlace == 0
+      }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, chunkType: String,
+                       data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    be32(len, 0, data.length)
+    out.write(len)
+    val t = chunkType.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(t)
+    out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t)
+    crc.update(data)
+    val c = new Array[Byte](4)
+    be32(c, 0, crc.getValue.toInt)
+    out.write(c)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Build a valid non-interlaced 8-bit PNG; `colorType` 2 (RGB) or 6
+    * (RGBA); `pixel(x, y)` returns the channel values at (x right, y
+    * down). Each row's filter type cycles y % 5, so a decoder must
+    * implement ALL FIVE unfilters (incl. Paeth) to reproduce the
+    * pixels; the IDAT stream is split into two chunks, so it must also
+    * concatenate IDATs per the spec. */
+  def encodePng(width: Int, height: Int, colorType: Int,
+                pixel: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(colorType == 2 || colorType == 6,
+      s"unsupported color type $colorType (2=RGB, 6=RGBA)")
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = width * bpp
+    val raw = new Array[Byte]((1 + stride) * height)
+    val prior = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val ch = pixel(x, y)
+        require(ch.length == bpp,
+          s"pixel() returned ${ch.length} channels, need $bpp")
+        var c = 0
+        while (c < bpp) { cur(x * bpp + c) = ch(c).toByte; c += 1 }
+        x += 1
+      }
+      val ft = y % 5
+      val rowOff = y * (1 + stride)
+      raw(rowOff) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val up = prior(i) & 0xff
+        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(rowOff + 1 + i) = (((cur(i) & 0xff) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = zout.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    val ihdr = new Array[Byte](13)
+    be32(ihdr, 0, width)
+    be32(ihdr, 4, height)
+    ihdr(8) = 8                      // bit depth
+    ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    pngChunk(out, "IHDR", ihdr)
+    // two IDAT chunks: decoders must concatenate
+    val mid = z.length / 2
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, mid))
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, mid, z.length))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a non-interlaced 8-bit RGB/RGBA PNG: CRC-verified chunk
+    * walk, IDAT concatenation + zlib inflate, and per-row unfiltering
+    * (all five filter types). Throws IllegalArgumentException on
+    * structural damage, a bad CRC, an unsupported IHDR, or an IDAT
+    * stream whose inflated size disagrees with the header geometry. */
+  def decodePng(bytes: Array[Byte]): PngImage = {
+    require(isPng(bytes), "not a PNG (missing signature)")
+    var off = 8
+    var width = -1
+    var height = -1
+    var colorType = -1
+    var sawEnd = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawEnd) {
+      require(off + 8 <= bytes.length, s"truncated chunk header at $off")
+      val len = readBe32(bytes, off)
+      require(len >= 0 && off + 12 + len.toLong <= bytes.length,
+        s"chunk overruns file (len=$len at $off)")
+      val chunkType = new String(bytes, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBe32(bytes, off + 8 + len),
+        s"bad CRC on chunk '$chunkType' at $off")
+      chunkType match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len != 13")
+          width = readBe32(bytes, off + 8)
+          height = readBe32(bytes, off + 12)
+          val bitDepth = bytes(off + 16) & 0xff
+          colorType = bytes(off + 17) & 0xff
+          val compression = bytes(off + 18) & 0xff
+          val filterMethod = bytes(off + 19) & 0xff
+          val interlace = bytes(off + 20) & 0xff
+          require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
+          require(colorType == 2 || colorType == 6,
+            s"unsupported color type $colorType (only RGB/RGBA)")
+          require(compression == 0 && filterMethod == 0,
+            "unsupported compression/filter method")
+          require(interlace == 0, "interlaced PNG unsupported")
+        case "IDAT" =>
+          require(width > 0, "IDAT before IHDR")
+          idat.write(bytes, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => ()   // ancillary chunks (tEXt, pHYs, ...) — skip
+      }
+      off += 12 + len
+    }
+    require(width > 0 && colorType >= 0, "no IHDR chunk")
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = width * bpp
+    val expect = (1L + stride) * height
+    require(expect <= Int.MaxValue, s"image too large: $expect bytes")
+    val raw = new Array[Byte](expect.toInt)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(),
+          "truncated or corrupt IDAT stream")
+        got += n
+      }
+      require(got == raw.length,
+        s"IDAT inflates to $got bytes, header geometry needs ${raw.length}")
+      require(inflater.finished() || inflater.inflate(new Array[Byte](1)) == 0,
+        "IDAT inflates past the header geometry")
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt IDAT zlib stream: $e")
+    } finally inflater.end()
+    // unfilter in place, row by row
+    var sum = 0L
+    var max = 0
+    val prior = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride)
+      val ft = raw(rowOff) & 0xff
+      require(ft <= 4, s"bad filter type $ft on row $y")
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val up = prior(i) & 0xff
+        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        val v = ((raw(rowOff + 1 + i) & 0xff) + pred) & 0xff
+        cur(i) = v.toByte
+        sum += v
+        if (v > max) max = v
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    PngImage(width, height, bpp, width.toLong * height, sum, max)
   }
 }

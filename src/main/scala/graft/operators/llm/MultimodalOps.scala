@@ -7,12 +7,13 @@ import org.apache.spark.sql.Dataset
  * `binary` columns with typed metadata; decode/feature-extract runs
  * executor-side in batches).
  *
- * The DECODE step is REAL for the two containers that are pure header
- * math — uncompressed 24-bpp BMP and PCM16 mono WAV ([[MediaCodecs]],
- * no external libs; q106 gates the byte-level walk against a closed-form
- * oracle) — and a documented deterministic fallback (byte length +
- * payload md5) for every other format, since codec libraries are not in
- * this container's frozen build. The Spark-side plumbing is identical
+ * The DECODE step is REAL for the three containers the JDK can carry —
+ * uncompressed 24-bpp BMP, PCM16 mono WAV, and non-interlaced 8-bit
+ * RGB/RGBA PNG ([[MediaCodecs]], no external libs; q106 and q112 gate
+ * the byte-level walks against closed-form oracles) — and a documented
+ * deterministic fallback (byte length + payload md5) for every other
+ * format (JPEG, video), since codec libraries are not in this
+ * container's frozen build. The Spark-side plumbing is identical
  * either way: binary payload columns with typed metadata via case-class
  * Encoders, and per-partition batch iteration (`mapPartitions`) so a
  * codec amortizes its init across a whole batch — exactly where an image
@@ -65,6 +66,13 @@ object MultimodalOps {
         val feat = s"bmp ${img.width}x${img.height} " +
           s"${img.sumChannels} ${img.maxChannel}"
         DecodedMedia(m.doc_id, m.format, img.nPixels * 3,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else if (MediaCodecs.sniffPng(m.payload)) {
+        val img = MediaCodecs.decodePng(m.payload)
+        val kind = if (img.channels == 3) "rgb" else "rgba"
+        val feat = s"png $kind ${img.width}x${img.height} " +
+          s"${img.sumChannels} ${img.maxChannel}"
+        DecodedMedia(m.doc_id, m.format, img.nPixels * img.channels,
           hexLower(md.digest(feat.getBytes("UTF-8"))))
       } else if (MediaCodecs.sniffWav(m.payload)) {
         val au = MediaCodecs.decodeWav(m.payload)

@@ -146,4 +146,90 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(out(1).thumb_hash == MultimodalOps.hexLower(
       md.digest("wav 8000 2 9 5".getBytes("UTF-8"))))
   }
+
+  // ---- PNG -----------------------------------------------------------
+
+  private def brutePng(w: Int, h: Int, bpp: Int,
+                       px: (Int, Int) => Array[Int]): (Long, Int) = {
+    var sum = 0L; var max = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp) {
+      val v = px(x, y)(c) & 0xff
+      sum += v; if (v > max) max = v
+    }
+    (sum, max)
+  }
+
+  test("PNG round-trip: RGB and RGBA stats equal brute force; every " +
+      "filter type exercised (heights >= 5 cycle all five)") {
+    for ((w, h, ct) <- Seq((1, 1, 2), (3, 5, 2), (7, 6, 6), (16, 9, 6),
+        (4, 11, 2))) {
+      val bpp = if (ct == 2) 3 else 4
+      val px = (x: Int, y: Int) =>
+        Array.tabulate(bpp)(c => (x * 7 + y * 13 + c * 31) % 256)
+      val bytes = MediaCodecs.encodePng(w, h, ct, px)
+      val img = MediaCodecs.decodePng(bytes)
+      val (sum, max) = brutePng(w, h, bpp, px)
+      assert(img == MediaCodecs.PngImage(w, h, bpp, w.toLong * h, sum, max),
+        s"${w}x$h ct=$ct")
+    }
+  }
+
+  test("PNG: IDAT split across chunks is concatenated (encoder emits two)") {
+    val bytes = MediaCodecs.encodePng(5, 4, 2, (x, y) => Array(x, y, x + y))
+    // count IDAT headers
+    val s = new String(bytes.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    assert("IDAT".r.findAllIn(s).length == 2)
+    assert(MediaCodecs.decodePng(bytes).nPixels == 20L)
+  }
+
+  test("PNG: damage fails loudly — bad CRC, truncated IDAT, bad filter, " +
+      "geometry mismatch") {
+    val ok = MediaCodecs.encodePng(6, 5, 2, (x, y) => Array(x, y, 7))
+    // flip a byte inside the first IDAT's data -> CRC check trips
+    val idatOff = {
+      var off = 8
+      while (!(ok(off + 4) == 'I' && ok(off + 5) == 'D')) off += 12 + {
+        ((ok(off) & 0xff) << 24) | ((ok(off + 1) & 0xff) << 16) |
+          ((ok(off + 2) & 0xff) << 8) | (ok(off + 3) & 0xff)
+      }
+      off
+    }
+    val bad = ok.clone(); bad(idatOff + 8) = (bad(idatOff + 8) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(bad))
+    // truncation mid-chunk
+    intercept[IllegalArgumentException](
+      MediaCodecs.decodePng(ok.take(ok.length - 10)))
+    // declared geometry larger than the IDAT inflates to: grow height
+    val tall = ok.clone()
+    tall(20 + 3) = (tall(20 + 3) + 1).toByte   // IHDR height low byte
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(tall))
+  }
+
+  test("PNG structural sniff: supported subset only; valid-but-other " +
+      "PNGs fall back") {
+    val rgb = MediaCodecs.encodePng(3, 3, 2, (_, _) => Array(1, 2, 3))
+    assert(MediaCodecs.sniffPng(rgb))
+    // 16-bit depth advertised -> sniff says no (fallback lane), decode throws
+    val deep = rgb.clone(); deep(24) = 16.toByte
+    assert(!MediaCodecs.sniffPng(deep))
+    // grayscale color type -> same
+    val gray = rgb.clone(); gray(25) = 0.toByte
+    assert(!MediaCodecs.sniffPng(gray))
+    // text starting with the signature bytes cannot happen (binary sig),
+    // but a truncated signature-only payload must not sniff
+    assert(!MediaCodecs.sniffPng(rgb.take(20)))
+  }
+
+  test("decodeBatch dispatches PNG: decoded_bytes = pixels x channels, " +
+      "hash digests decoded features") {
+    import graft.operators.llm.MultimodalOps
+    val png = MediaCodecs.encodePng(2, 2, 6, (x, y) => Array(x, y, 5, 250))
+    val out = MultimodalOps.decodeBatch(Iterator(
+      MultimodalOps.MediaRecord(9L, png, "png", 2, 2))).toVector
+    assert(out(0).decoded_bytes == 16L)   // 4 px × 4 channels
+    val (sum, max) = brutePng(2, 2, 4, (x, y) => Array(x, y, 5, 250))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(out(0).thumb_hash == MultimodalOps.hexLower(
+      md.digest(s"png rgba 2x2 $sum $max".getBytes("UTF-8"))))
+  }
 }
