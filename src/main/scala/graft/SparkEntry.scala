@@ -2016,6 +2016,82 @@ object SparkEntry {
       MultimodalOps.decode(media)
         .select(col("doc_id"), col("format"), col("decoded_bytes"),
           col("thumb_hash"))
+    }),
+
+    // Incremental ZipNum index maintenance under the oracle gate — the
+    // FIFTH streaming surface, and the one whose state is the INDEX
+    // itself: each micro-batch of CDX lines becomes its own sorted
+    // cluster generation (CdxStream.zipnumGenerations, foreachBatch),
+    // boundary-aligned with the main cluster via the persisted fixture
+    // boundaries, and ClusterOps.merge compacts the generations
+    // shuffle-free. The gate replays the full cycle per run — two
+    // file-batches -> two generations -> one compacted cluster -> full
+    // read-back — against the SAME parsed-CDX oracle a batch build
+    // answers: the incremental path must not change one field of one
+    // row. (ZipNumRoundtripSpec pins the stronger claim byte-for-byte:
+    // generations + merge produce the identical shard and summary bytes
+    // as one batch build of the same lines.)
+    "q113_stream_zipnum" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tmpDir("q113", dir)
+      fixtureOnce(base, "v1", dir, "documents") {
+        // two generation slices as separate files (maxFilesPerTrigger=1
+        // turns them into two micro-batches); boundaries sampled ONCE
+        // from the full line set and persisted so every generation —
+        // and the compacted cluster — partition-aligns
+        val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
+        Seq(0, 1).foreach { g =>
+          val slice = cdxLines(s, dir, col("doc_id") % 2 === g)
+            .as[String].collect()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base/in/gen$g.cdx"),
+            (slice.mkString("\n") + "\n").getBytes("UTF-8"))
+        }
+        val bounds = graft.operators.Boundaries.sample(
+          cdxLines(s, dir).as[String].rdd, 5)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/bounds.txt"),
+          bounds.mkString("\n").getBytes("UTF-8"))
+      }
+      val bounds = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$base/bounds.txt"))
+        .toArray(Array.empty[String]).toIndexedSeq.filter(_.nonEmpty)
+      val gens = s"$base/gens"
+      val merged = s"$base/merged"
+      // generations + compaction are rebuilt from scratch each run (the
+      // timed path IS the maintenance cycle); the stream checkpoint is
+      // ephemeral -> tmpfs, same rationale as runStreamQuery
+      val hconf = s.sparkContext.hadoopConfiguration
+      Seq(gens, merged).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(hconf).delete(p, true)
+      }
+      val ckptBase =
+        if (new java.io.File("/dev/shm").isDirectory)
+          s"/dev/shm/graft_tmp/${new java.io.File(base).getName}"
+        else base
+      val ckptPath = new org.apache.hadoop.fs.Path(s"$ckptBase/ckpt_q113")
+      ckptPath.getFileSystem(hconf).delete(ckptPath, true)
+      withScopedConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        val lines = s.readStream.option("maxFilesPerTrigger", "1")
+          .text(s"$base/in").as[String]
+        graft.streaming.CdxStream.zipnumGenerations(lines, gens,
+          s"$ckptBase/ckpt_q113", linesPerBlock = 400,
+          fixedBoundaries = Some(bounds),
+          trigger = Some(Trigger.AvailableNow()))
+          .awaitTermination()
+      }
+      val genDirs = new java.io.File(gens).listFiles()
+        .filter(_.isDirectory).map(_.getPath).sorted.toSeq
+      graft.operators.ClusterOps.merge(s, genDirs, merged,
+        nShards = bounds.size + 1, boundaries = Some(bounds),
+        linesPerBlock = 400, overwrite = true)
+      s.read.format("zipnum").load(merged)
+        .select(col("urlkey"), col("timestamp"), col("original_url"),
+          col("mimetype"), col("statuscode"), col("digest"),
+          col("redirect_url"), col("meta_flags"), col("compressed_size"),
+          col("offset"), col("filename"))
     })
   )
 
@@ -4086,7 +4162,15 @@ object SparkEntry {
         |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes,
         |  md5('png ' || kind || ' ' || w || 'x' || h || ' ' || s || ' '
         |    || m) AS thumb_hash
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // The incremental (stream-generations + merge) path must serve the
+    // exact rows a batch build serves — q19's oracle without the range
+    // filter.
+    "q113_stream_zipnum" ->
+      ("""SELECT urlkey, timestamp, original_url, mimetype, statuscode, digest,
+        |  redirect_url, meta_flags, compressed_size, "offset", filename
+        |""".stripMargin + s"FROM ($cdxParsedSql)")
   )
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */

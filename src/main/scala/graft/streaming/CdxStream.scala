@@ -88,9 +88,11 @@ object CdxStream {
   def zipnumGenerations(lines: Dataset[String], outDir: String,
                         checkpointDir: String, nShards: Int = 4,
                         linesPerBlock: Int = 3000,
-                        fixedBoundaries: Option[IndexedSeq[String]] = None)
+                        fixedBoundaries: Option[IndexedSeq[String]] = None,
+                        trigger: Option[org.apache.spark.sql.streaming.Trigger]
+                          = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    lines.writeStream
+    trigger.foldLeft(lines.writeStream)(_.trigger(_))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[String], batchId: Long) =>
         // cache: isEmpty, the optional boundary sample, and the build each

@@ -277,4 +277,50 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(ranged.select("urlkey").as[String].collect().sorted.toSeq ==
       Seq("org,a)/1", "org,b)/2"))
   }
+
+  test("zipnumGenerations + merge is BYTE-IDENTICAL to one batch build " +
+      "of the same lines") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream-gen-bytes")
+    val lines = (0 until 500).map { i =>
+      val key = f"org,s${i % 11}%d)/p/$i%05d"
+      s"$key 201201010${i % 10}0000 http://s${i % 11}.org/p/$i " +
+        s"text/html 200 D$i - - ${100 + i} ${i * 100L} f.warc.gz"
+    }
+    val bounds = IndexedSeq("org,s2", "org,s5", "org,s8")
+    // incremental: two generations (alternating lines), then compaction
+    val gensDir = root.resolve("gens").toString
+    val ms = MemoryStream[String]
+    val q = CdxStream.zipnumGenerations(ms.toDS(), gensDir,
+      root.resolve("ckpt").toString, linesPerBlock = 40,
+      fixedBoundaries = Some(bounds))
+    ms.addData(lines.zipWithIndex.collect { case (l, i) if i % 2 == 0 => l }: _*)
+    q.processAllAvailable()
+    ms.addData(lines.zipWithIndex.collect { case (l, i) if i % 2 == 1 => l }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val gens = new java.io.File(gensDir).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getPath).sorted.toSeq
+    assert(gens.length == 2)
+    val mergedDir = root.resolve("merged").toString
+    graft.operators.ClusterOps.merge(spark, gens, mergedDir,
+      nShards = bounds.size + 1, boundaries = Some(bounds),
+      linesPerBlock = 40, overwrite = true)
+    // batch reference: ONE build of all lines, same boundaries/blocking
+    val batchDir = root.resolve("batch").toString
+    graft.operators.ClusterOps.build(spark, spark.sparkContext
+      .parallelize(lines, 3), batchDir, bounds,
+      linesPerBlock = 40, overwrite = true)
+    def fileMap(d: String): Map[String, Seq[Byte]] =
+      new java.io.File(d).listFiles().filter(_.isFile)
+        .filterNot(_.getName.startsWith("_"))   // commit markers
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val m = fileMap(mergedDir)
+    val b = fileMap(batchDir)
+    assert(m.keySet == b.keySet)
+    for (k <- b.keySet) assert(m(k) == b(k), s"file $k differs")
+  }
 }
