@@ -1072,7 +1072,7 @@ object SparkEntry {
       // repackage too);
       // the timed path is the K11 VALIDITY proof: extracting the
       // repackaged archives as ordinary WARCs
-      fixtureOnce(outBase, "v1-warc5", dir, "documents") {
+      fixtureOnce(outBase, "v1-warc6", dir, "documents") {
         val members = graft.operators.WarcExtract
           .extract(s, Seq(file.getAbsolutePath), soft = true)
           .rows.where(col("statuscode") === 200)
@@ -2129,14 +2129,14 @@ object SparkEntry {
     * documents table. */
   private def warcFixture(s: SparkSession, dir: String): java.io.File =
     warcFixtureImpl(s, dir, gzipped = true, key = "q42",
-      name = "docs.warc.gz", version = "v5")
+      name = "docs.warc.gz", version = "v6")
 
   /** The SAME record stream UNCOMPRESSED (q107): plain records separated
     * by \r\n\r\n, exercising the magic-dispatched [[graft.sources.warc
     * .PlainWarc]] walk end-to-end — same oracle SQL as q42. */
   private def plainWarcFixture(s: SparkSession, dir: String): java.io.File =
     warcFixtureImpl(s, dir, gzipped = false, key = "q107",
-      name = "docs.warc", version = "v1")
+      name = "docs.warc", version = "v2")
 
   private def warcFixtureImpl(s: SparkSession, dir: String,
                               gzipped: Boolean, key: String, name: String,
@@ -2173,7 +2173,18 @@ object SparkEntry {
             .format(epoch.plusSeconds(id))
           val rec =
             if (id % 7 == 0) {
-              val body = s"""{"doc":$id}"""
+              // item-metadata-shaped JSON payloads carrying the
+              // reference's STRING-OR-LIST value convention
+              // (petabox/ItemMetadata.java:110-193): the same key
+              // arrives as a scalar in one record and as a list in the
+              // next — mediatype AND collection both ways. WarcSpec
+              // walks these payloads out of the container and pins that
+              // ItemMetadata.parseOne normalizes both forms.
+              val body =
+                if (id % 14 == 0)
+                  s"""{"metadata":{"identifier":"item-$id","mediatype":"texts","collection":["web","wide"]},"item_size":"$id","doc":$id}"""
+                else
+                  s"""{"metadata":{"identifier":"item-$id","mediatype":["texts","data"],"collection":"web"},"item_size":"$id","doc":$id}"""
               s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: $uri\r\n" +
                 s"WARC-Date: $date\r\nContent-Type: application/json\r\n" +
                 s"Content-Length: ${body.length}\r\n\r\n$body"

@@ -467,4 +467,37 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(WarcExtract.metadataRows(spark, Seq(f.toString), "response")
       .count() == 1)
   }
+
+  test("item-metadata JSON payloads inside WARC resource records: the " +
+      "string-or-list value convention normalizes both ways") {
+    // the q67/q42 fixture carries these two shapes — same keys, one
+    // record scalar-valued, the next list-valued (the ItemMetadata.java
+    // convention); the walk must hand the exact payload to the parser,
+    // and the parser must normalize both
+    def resource(uri: String, body: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2020-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/json\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n" + body).getBytes("UTF-8")
+    val scalarBody =
+      """{"metadata":{"identifier":"item-0","mediatype":"texts","collection":["web","wide"]},"item_size":"42","doc":0}"""
+    val listBody =
+      """{"metadata":{"identifier":"item-7","mediatype":["texts","data"],"collection":"web"},"item_size":"43","doc":7}"""
+    for ((body, wantMedia, wantColl, wantSize) <- Seq(
+        (scalarBody, "texts", Seq("web", "wide"), 42L),
+        (listBody, "texts", Seq("web"), 43L))) {
+      val rec = WarcRecords.parse(resource("http://d.org/x", body)).get
+      assert(rec.warcType == "resource")
+      assert(new String(rec.payload, "UTF-8") == body)
+      val item = graft.model.ItemMetadata
+        .parseOne(new String(rec.payload, "UTF-8")).get
+      assert(item.mediatype.contains(wantMedia))
+      assert(item.collection == wantColl)
+      assert(item.item_size.contains(wantSize))
+    }
+    // the LIST mediatype keeps its full value list in properties even
+    // though the typed head takes the first element
+    val li = graft.model.ItemMetadata.parseOne(listBody).get
+    assert(li.properties("mediatype") == Seq("texts", "data"))
+  }
 }
