@@ -2068,12 +2068,14 @@ object SparkEntry {
         p.getFileSystem(hconf).delete(p, true)
       }
       val ckptBase =
-        if (new java.io.File("/dev/shm").isDirectory)
+        if (new java.io.File("/dev/shm").isDirectory) {
+          tmpfsCleanupHook
           s"/dev/shm/graft_tmp/${new java.io.File(base).getName}"
-        else base
+        } else base
       val ckptPath = new org.apache.hadoop.fs.Path(s"$ckptBase/ckpt_q113")
-      ckptPath.getFileSystem(hconf).delete(ckptPath, true)
-      withScopedConf(s, "spark.sql.shuffle.partitions" -> "8") {
+      val ckptFs = ckptPath.getFileSystem(hconf)
+      ckptFs.delete(ckptPath, true)
+      try withScopedConf(s, "spark.sql.shuffle.partitions" -> "8") {
         val lines = s.readStream.option("maxFilesPerTrigger", "1")
           .text(s"$base/in").as[String]
         graft.streaming.CdxStream.zipnumGenerations(lines, gens,
@@ -2081,7 +2083,7 @@ object SparkEntry {
           fixedBoundaries = Some(bounds),
           trigger = Some(Trigger.AvailableNow()))
           .awaitTermination()
-      }
+      } finally scala.util.Try(ckptFs.delete(ckptPath, true))
       val genDirs = new java.io.File(gens).listFiles()
         .filter(_.isDirectory).map(_.getPath).sorted.toSeq
       graft.operators.ClusterOps.merge(s, genDirs, merged,
@@ -2380,15 +2382,16 @@ object SparkEntry {
     // sizes that independently). Fixtures stay on disk — they persist
     // across runs.
     val ckptBase =
-      if (new java.io.File("/dev/shm").isDirectory)
+      if (new java.io.File("/dev/shm").isDirectory) {
+        tmpfsCleanupHook
         s"/dev/shm/graft_tmp/${new java.io.File(base).getName}"
-      else base
+      } else base
     val ckpt = s"$ckptBase/ckpt_$sink"
     val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
-    ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .delete(ckptPath, true)
+    val ckptFs = ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ckptFs.delete(ckptPath, true)
     scala.util.Try(s.catalog.dropTempView(sink))
-    withScopedConf(s,
+    try withScopedConf(s,
       "spark.sql.shuffle.partitions" -> "1",
       "spark.sql.files.maxPartitionBytes" -> "1073741824",
       // noDataBatch = true is the append-mode flush path: ONE data
@@ -2411,8 +2414,25 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .start()
       query.awaitTermination()
-    }
+    // the checkpoint is pure scratch once the run finished (the next
+    // run deletes-and-rebuilds it anyway) — removing it NOW keeps it
+    // from sitting resident in tmpfs RAM between runs; the JVM-exit
+    // hook covers crashes mid-run
+    } finally scala.util.Try(ckptFs.delete(ckptPath, true))
     s.table(sink)
+  }
+
+  /** One JVM-exit sweep of the tmpfs scratch root: stream checkpoints
+    * there are ephemeral by design, and a killed or crashed run must not
+    * leave them resident in RAM until reboot. */
+  private lazy val tmpfsCleanupHook: Unit = {
+    def rm(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(rm)
+      f.delete()
+    }
+    sys.addShutdownHook(rm(new java.io.File("/dev/shm/graft_tmp")))
+    ()
   }
 
   /** [[streamCdxLines]] plus ONE watermark-advancing sentinel line

@@ -175,12 +175,19 @@ object GzipMembers {
  */
 object PlainWarc {
 
+  /** Bound on the header-block scan: a real WARC header block is
+    * hundreds of bytes; a stream that hasn't produced the blank-line
+    * separator within this many is a misrouted binary or damage, and
+    * must fail EARLY and bounded instead of buffering the whole input. */
+  val MaxHeadBytes: Int = 1 << 20
+
   /** Iterate records: head block through the first blank line (CRLF per
     * spec, bare LF tolerated — same tolerance as [[WarcRecords.parse]]),
     * the mandatory Content-Length body, then the record-separator
     * newlines. Throws on structural damage (no blank line, missing or
-    * overrunning Content-Length) — wrap with [[GzipMembers.soften]] for
-    * `-soft` semantics. */
+    * overrunning Content-Length, a 'WARC/'-less head, a separator-less
+    * first MiB) — wrap with [[GzipMembers.soften]] for `-soft`
+    * semantics. */
   def iterate(in: InputStream): Iterator[GzipMembers.Member] =
     new Iterator[GzipMembers.Member] {
       private val buf = new java.io.BufferedInputStream(in, 1 << 16)
@@ -198,12 +205,26 @@ object PlainWarc {
         val start = offset
         val rec = new java.io.ByteArrayOutputStream(8192)
         // head: bytes until \r\n\r\n or \n\n (rolling 4-byte window —
-        // no per-byte buffer copies)
+        // no per-byte buffer copies). Two bounds keep a misrouted
+        // multi-GB binary (anything without the gzip magic lands here)
+        // from buffering unboundedly before failing: the 'WARC/' prefix
+        // is checked as soon as 5 bytes exist, and a head that hasn't
+        // found its separator within 1 MiB fails early — real WARC
+        // header blocks are hundreds of bytes.
         var sepLen = 0
         var win = 0          // last 4 bytes, newest in the low byte
         var b = buf.read()
         while (sepLen == 0 && b >= 0) {
           rec.write(b)
+          if (rec.size() == 5) {
+            val h = rec.toByteArray
+            require(h(0) == 'W' && h(1) == 'A' && h(2) == 'R' &&
+              h(3) == 'C' && h(4) == '/',
+              s"record at $start does not start with WARC/")
+          }
+          require(rec.size() <= MaxHeadBytes,
+            s"record at $start: no header/block separator within " +
+              s"$MaxHeadBytes bytes — damaged or not a WARC")
           win = ((win << 8) | (b & 0xff)) & 0xffffffff
           if (rec.size() >= 4 && win == 0x0d0a0d0a) sepLen = 4
           else if (rec.size() >= 2 && (win & 0xffff) == 0x0a0a) sepLen = 2
@@ -442,11 +463,17 @@ object WarcRecords {
         case None => result = None
         case Some(line) =>
           val sizeStr = line.split(";")(0).trim   // drop chunk extensions
+          // parse as Long and range-check the VALUE (not the digit
+          // count): a leading-zeros size like "0000000a" is valid
+          // framing and must de-chunk, not fall into the raw-bytes
+          // damage lane; 16 hex digits still fit an unsigned-ish Long
+          // parse, anything longer is framing damage
           val size =
-            if (sizeStr.nonEmpty && sizeStr.forall(c =>
-                Character.digit(c, 16) >= 0) && sizeStr.length <= 7)
-              Integer.parseInt(sizeStr, 16)
-            else -1
+            if (sizeStr.nonEmpty && sizeStr.length <= 16 &&
+                sizeStr.forall(c => Character.digit(c, 16) >= 0)) {
+              val v = java.lang.Long.parseLong(sizeStr, 16)
+              if (v <= Int.MaxValue) v.toInt else -1
+            } else -1
           if (size < 0) result = None
           else if (size == 0)
             // terminal chunk; trailers (if any) are ignored — a

@@ -335,10 +335,18 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
       .map(new String(_, "UTF-8")) == Some("abc"))
     assert(WarcRecords.dechunk(ch("3\r\nabc\r\n0\r\n"))
       .map(new String(_, "UTF-8")) == Some("abc"))
-    // damage: non-hex size, chunk overruns body, missing terminator line
+    // leading-zero chunk sizes are VALID framing (value, not digit
+    // count, decides) — incl. one padded past 7 digits and a zero-padded
+    // terminal chunk
+    assert(WarcRecords.dechunk(ch("0000000a\r\nhello worl\r\n1\r\nd\r\n00\r\n\r\n"))
+      .map(new String(_, "UTF-8")) == Some("hello world"))
+    // damage: non-hex size, chunk overruns body, missing terminator
+    // line, size line too long even for a Long, value past Int range
     assert(WarcRecords.dechunk(ch("zz\r\nabc\r\n0\r\n\r\n")).isEmpty)
     assert(WarcRecords.dechunk(ch("ff\r\nabc\r\n0\r\n\r\n")).isEmpty)
     assert(WarcRecords.dechunk(ch("3\r\nabcXY0\r\n\r\n")).isEmpty)
+    assert(WarcRecords.dechunk(ch(("0" * 17 + "3") + "\r\nabc\r\n0\r\n\r\n")).isEmpty)
+    assert(WarcRecords.dechunk(ch("ffffffffff\r\nabc\r\n0\r\n\r\n")).isEmpty)
   }
 
   test("chunked response: digest covers the DE-CHUNKED entity (equals " +
@@ -466,6 +474,24 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     // the other family selects the other records
     assert(WarcExtract.metadataRows(spark, Seq(f.toString), "response")
       .count() == 1)
+  }
+
+  test("PlainWarc: misrouted binary fails at 5 bytes; separator-less " +
+      "head fails at the 1 MiB bound, not EOF") {
+    // a binary payload without the gzip magic routes here — it must
+    // fail on the first 5 bytes, not after buffering the whole input
+    val binary = new java.io.ByteArrayInputStream(
+      Array.fill[Byte](1 << 22)(0x13))
+    val e1 = intercept[IllegalArgumentException](
+      graft.sources.warc.PlainWarc.iterate(binary).hasNext)
+    assert(e1.getMessage.contains("WARC/"))
+    // a 'WARC/' head that never produces its blank-line separator must
+    // fail at MaxHeadBytes, bounded
+    val longHead = ("WARC/1.0\r\n" + "X: y\r\n" * (1 << 18)).getBytes("UTF-8")
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.warc.PlainWarc.iterate(
+        new java.io.ByteArrayInputStream(longHead)).hasNext)
+    assert(e2.getMessage.contains("separator within"))
   }
 
   test("item-metadata JSON payloads inside WARC resource records: the " +
