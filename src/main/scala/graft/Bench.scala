@@ -147,13 +147,22 @@ object Bench {
       val eng = "\"engine\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(d).map(_.group(1))
       tot.map(t => s""","duckdb_baseline":{"total_sec":$t${eng.map(e => s""","engine":${jstr(e)}""").getOrElse("")},"detail":"DUCK_BENCH.json"}""")
     }.getOrElse("")
-    // Ratio policy, stated in-band: q51 measures Structured Streaming
-    // micro-batch MACHINERY (trigger + state store) against a batch SQL
-    // oracle — its ~0.7s is a documented floor, kept in the headline
-    // total with this caveat rather than footnoted out (STATUS.md §bench).
-    val notes = "q51_stream_daycap and q92_stream_dedup time real " +
-      "micro-batch machinery (trigger + state store) vs a batch oracle; " +
-      "their ratios are a floor of the streaming runtime, not a plan gap"
+    // Ratio policy, stated in-band: the streaming surfaces measure real
+    // Structured Streaming micro-batch MACHINERY (trigger + state store
+    // + checkpoint commit; q113 additionally a full index-maintenance
+    // cycle) against batch SQL oracles that replay only the final
+    // answer — structural floors, kept in the headline total with the
+    // ex-streaming decomposition stated in-band rather than footnoted
+    // out (STATUS.md §bench).
+    val streamingQs = Set("q51_stream_daycap", "q92_stream_dedup",
+      "q104_stream_windows", "q110_stream_sessions", "q113_stream_zipnum")
+    val streamTotal = results
+      .collect { case (n, v) if streamingQs(n) && v >= 0 => v }.sum
+    val notes = s"the ${streamingQs.size} streaming surfaces " +
+      s"(${streamingQs.toSeq.sorted.mkString(", ")}) total " +
+      s"${jnum(streamTotal)}s of real micro-batch machinery vs batch " +
+      s"oracle replays - a structural floor, not a plan gap; " +
+      s"ex-streaming total ${jnum(total - streamTotal)}s"
     // errors are reported in-band (a failed query benches as -1 + an
     // errors entry) AND fail the process: a bench with any broken query
     // must never be recorded as a clean run (round-10 lesson — rc:0 with

@@ -342,7 +342,11 @@ object TextAnalysis {
     * score nothing and are excluded from both N and the output. At a
     * corpus where the distinct-token vocabulary outgrows broadcast,
     * swap the df broadcast join for a shuffle join (plus a stopword
-    * cap) — the N derivation is unaffected. */
+    * cap) — the N derivation is unaffected. (A token-colocated
+    * single-exchange variant — the q88/q91 shape — was A/B'd r13: the
+    * colocated sort-merge join's string sorts cost MORE than the
+    * broadcast hash join at bench scale, 0.57 vs 0.48 s isolated, so
+    * the broadcast form stays.) */
   def tfIdf(df: DataFrame, idCol: String, textCol: String,
             nDocs: Option[Long] = None): DataFrame = {
     nDocs.foreach(n => require(n > 0, s"nDocs must be positive, got $n"))
@@ -621,14 +625,16 @@ object TextAnalysis {
     * survive document-level dedup (they differ somewhere) but still
     * flood training with repeated spans.
     *
-    * Scale shape: grams hash to md5 on the map side (fixed-width wire
-    * rows, never the gram text), then THREE map-side-combinable keyed
-    * exchanges: (1) (gram, doc) occurrence counts; (2) one window over
-    * the gram hash for the distinct-doc count — on the ALREADY
-    * per-(gram,doc)-reduced rows, so a gram's partition carries one row
-    * per document containing it, not per occurrence; (3) the per-doc
-    * fraction aggregation. Cross-doc gram skew is bounded by that
-    * reduction: a gram must appear in millions of DISTINCT documents
+    * Scale shape: grams hash on the map side (fixed-width wire rows,
+    * never the gram text) and the occurrence stream is hash-partitioned
+    * on the GRAM once; the (gram, doc) reduction, the distinct-doc
+    * window, and everything up to the per-doc fraction aggregation then
+    * run in place on that one exchange (k-word grams rarely repeat
+    * within a document, so a pre-aggregation exchange would ship nearly
+    * as many rows and then pay a second corpus-scale re-key for the
+    * window — the q88 measurement). Cross-doc gram skew is bounded by
+    * the (gram, doc) reduction the window runs over: a gram must appear
+    * in millions of DISTINCT documents
     * (pure boilerplate — exactly what the score exists to flag) before
     * its window partition grows large; such grams are cap-and-flag
     * material upstream, same policy as the LSH bucket cap. Documents
@@ -644,8 +650,11 @@ object TextAnalysis {
     // grams) shifts one doc's fraction by one gram, nothing else
     val per = Shingles.explodeShingles(df, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("shingle")).as("__h"))
+      .repartition(col("__h"))
       .groupBy(col("__h"), col(idCol))
       .agg(count(lit(1)).as("__occ"))
+    // clustered by __h from the one exchange above — the window sorts
+    // within partitions but moves nothing
     val withDocs = per.withColumn("__ndocs",
       count(lit(1)).over(Window.partitionBy(col("__h"))))
     withDocs.groupBy(col(idCol))

@@ -114,6 +114,29 @@ object Diag {
       "q70_cosine_neardup", "q95_bpe_apply", "q60_tfidf",
       "q77_chunk_dedup", "q36_embed_neardup", "q109_kmv_setops",
       "q108_dsir_select").foreach(q)
+    time("tfidf NEW (colocated)") {
+      noop(graft.operators.llm.TextAnalysis.tfIdf(
+        tbl("documents").select(col("doc_id"), col("text")),
+        "doc_id", "text"))
+    }
+    time("tfidf OLD (ckpt+bcast)") {
+      val df = tbl("documents").select(col("doc_id"), col("text"))
+      val tf = df.select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("__tf"))
+        .localCheckpoint(eager = false)
+      val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+      noop(tf.join(broadcast(docFreq), "token")
+        .crossJoin(broadcast(tf.agg(countDistinct(col("doc_id")).as("__n"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          sum(col("__tf") * expr("CAST((10000 * __n) DIV __df AS BIGINT)"))
+            .as("tfidf")))
+    }
+    time("q84 (colocated)") {
+      noop(graft.SparkEntry.queries("q84_dup_fraction")(spark, sfDir))
+    }
     println("[diag] ---- q81 decomposition ----")
     time("q81 lloyd only") {
       noop(graft.operators.llm.KMeans.lloyd(
