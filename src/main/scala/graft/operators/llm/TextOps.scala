@@ -580,22 +580,20 @@ object TextAnalysis {
                       Seq("the", "a", "of", "to", "and", "in"),
                     keepCols: Seq[String] = Seq.empty): DataFrame = {
     val keep = keepCols.map(col)
-    val stages = df.select(Seq(col(idCol), col(textCol).as("__t"),
-        filter(Shingles.words(col(textCol)), w => w =!= "").as("__w")) ++
-        keep: _*)
+    // ONE byte walk per document (GopherStatsExpression) replaces the
+    // regexp_replace + per-word rlike + two array-HOF passes — same
+    // five integer metrics, byte-identical (property-pinned), at a
+    // fifth of the scans and none of the regex machinery; this is a
+    // full-corpus filter stage, so its per-row cost IS the operator
+    val stages = df.select(Seq(col(idCol),
+        graft.functions.GopherStatsFunctions
+          .gopherStats(col(textCol), stopwords).as("__g")) ++ keep: _*)
       .select(Seq(col(idCol),
-        size(col("__w")).cast("long").as("n_words"),
-        aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
-          .as("__sum_len"),
-        // symbols = anything not alphanumeric-or-space; the character
-        // class has identical semantics in Java regex and RE2 engines
-        length(regexp_replace(col("__t"), "[A-Za-z0-9 ]", ""))
-          .cast("long").as("__n_sym"),
-        size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
-          .cast("long").as("__n_alpha"),
-        size(filter(array(stopwords.map(lit(_)): _*),
-          s => array_contains(col("__w"), s))).cast("long").as("n_stop"))
-        ++ keep: _*)
+        col("__g.n_words").as("n_words"),
+        col("__g.sum_len").as("__sum_len"),
+        col("__g.n_sym").as("__n_sym"),
+        col("__g.n_alpha").as("__n_alpha"),
+        col("__g.n_stop").as("n_stop")) ++ keep: _*)
       .select(Seq(col(idCol), col("n_words"),
         when(col("n_words") > 0,
           expr("CAST((10 * __sum_len) DIV n_words AS BIGINT)"))

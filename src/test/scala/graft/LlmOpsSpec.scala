@@ -522,6 +522,37 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(cb == Seq((0L, Seq(4000L, 0L)), (4L, Seq(0L, 4000L))))
   }
 
+  test("gopher stats: fused byte walk is byte-identical to the regex " +
+      "formulation on unicode / multi-space / edge texts") {
+    val stops = Seq("the", "a", "of", "to", "and", "in")
+    val texts = Seq(
+      "", " ", "  ", "the", "the the THE", "héllo wörld é中文 the",
+      "a  b   c#d e!", "100% of $5 to-go", "\ttab\nnl the",
+      "ümlaut-only ßtraße", "mixed é1a 中 the of of",
+      "trailing space ", " leading", "a#b the... (in) [of]")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = df.select(col("doc_id"),
+      graft.functions.GopherStatsFunctions.gopherStats(col("text"), stops)
+        .as("g")).select(col("doc_id"), col("g.*"))
+      .orderBy("doc_id").collect().toSeq
+    val ref = df.select(col("doc_id"),
+        filter(split(col("text"), " ", -1), w => w =!= "").as("__w"),
+        col("text").as("__t"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_words"),
+        aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
+          .as("sum_len"),
+        length(regexp_replace(col("__t"), "[A-Za-z0-9 ]", ""))
+          .cast("long").as("n_sym"),
+        size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        size(filter(array(stops.map(lit(_)): _*),
+          s => array_contains(col("__w"), s))).cast("long").as("n_stop"))
+      .orderBy("doc_id").collect().toSeq
+    assert(fused == ref)
+  }
+
   test("gopher quality: metrics are exact on a hand-computed doc") {
     // 4 words, lengths 3+1+7+2=13, one 7-symbol run, 3 alpha words,
     // stopwords {the, a, to} of the default list
