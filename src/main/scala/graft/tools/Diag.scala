@@ -114,28 +114,57 @@ object Diag {
       "q70_cosine_neardup", "q95_bpe_apply", "q60_tfidf",
       "q77_chunk_dedup", "q36_embed_neardup", "q109_kmv_setops",
       "q108_dsir_select").foreach(q)
-    time("tfidf NEW (colocated)") {
-      noop(graft.operators.llm.TextAnalysis.tfIdf(
-        tbl("documents").select(col("doc_id"), col("text")),
-        "doc_id", "text"))
-    }
-    time("tfidf OLD (ckpt+bcast)") {
-      val df = tbl("documents").select(col("doc_id"), col("text"))
-      val tf = df.select(col("doc_id"),
-          explode(split(col("text"), " ", -1)).as("token"))
-        .where(col("token") =!= "")
-        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("__tf"))
-        .localCheckpoint(eager = false)
-      val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-      noop(tf.join(broadcast(docFreq), "token")
-        .crossJoin(broadcast(tf.agg(countDistinct(col("doc_id")).as("__n"))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_distinct_tokens"),
-          sum(col("__tf") * expr("CAST((10000 * __n) DIV __df AS BIGINT)"))
-            .as("tfidf")))
-    }
-    time("q84 (colocated)") {
-      noop(graft.SparkEntry.queries("q84_dup_fraction")(spark, sfDir))
+    println("[diag] ---- q21 decomposition ----")
+    locally {
+      import graft.operators.llm.MinHashLsh
+      val docs = tbl("documents").select(col("doc_id"), col("text"))
+        .repartition(32)
+      val sh = graft.operators.llm.Shingles
+        .explodeShingles(docs, "doc_id", "text", 3)
+      time("q21 shingles only") { noop(sh) }
+      time("q21 + hashPool") {
+        noop(sh.select(col("doc_id"),
+          MinHashLsh.hashPool(col("shingle"), 20).as("__pool")))
+      }
+      time("q21 + signature agg") {
+        noop(MinHashLsh.signature(sh, "doc_id", 20))
+      }
+      time("q21 + bands") {
+        noop(MinHashLsh.bands(
+          MinHashLsh.signature(sh, "doc_id", 20), "doc_id", 20, 5))
+      }
+      time("q21 full") {
+        noop(graft.SparkEntry.queries("q21_minhash_lsh")(spark, sfDir))
+      }
+      time("q17 full") {
+        noop(graft.SparkEntry.queries("q17_crawl_log")(spark, sfDir))
+      }
+      val e = tbl("events")
+      val line = concat_ws(" ",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        when(col("event_type") === "error", "503").otherwise(lit("200")),
+        when(col("event_type") === "signup", lit("-"))
+          .otherwise(round(col("value") * 100).cast("long").cast("string")),
+        concat(lit("http://example.com/u/"), col("user_id"), lit("/e/"),
+          col("event_id")),
+        lit("LLP"), lit("-"), lit("text/html"),
+        concat(lit("#"), (col("user_id") % 10)),
+        when(col("event_type") === "error", lit("-"))
+          .otherwise(concat(date_format(col("ts"), "yyyyMMddHHmmss"),
+            lit("+"), round(col("value")).cast("long"))),
+        lit("sha1:ABC"), lit("-"), lit("-"))
+      val narrow = e.select(col("ts"), col("event_type"), col("value"),
+        col("user_id"), col("event_id"))
+      time("q17 render only") { noop(narrow.select(line.as("line"))) }
+      time("q17 render+repart") {
+        noop(narrow.repartition(32).select(line.as("line")))
+      }
+      time("q17 parse only") {
+        val rendered = narrow.repartition(32).select(line.as("line"))
+        noop(graft.model.CrawlLog.fromLines(rendered)
+          .select(col("uri"), col("status"), col("size"),
+            col("fetch_start"), col("fetch_duration")))
+      }
     }
     println("[diag] ---- q81 decomposition ----")
     time("q81 lloyd only") {
