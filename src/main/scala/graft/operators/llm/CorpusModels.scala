@@ -311,4 +311,156 @@ object CorpusModels {
           "(CAST(__nx AS DECIMAL(38,0)) * __ny) AS BIGINT)").as("lift_bp"))
       .orderBy(desc("lift_bp"), asc("w1"), asc("w2")).limit(topK)
   }
+
+  /** BM25 retrieval scoring (Robertson–Spärck Jones / Okapi), integer-
+    * exact: rank the corpus against a benchmark-sized query set — the
+    * retrieval primitive behind RAG source selection and dedup-by-
+    * retrieval ("which training docs does this eval question pull
+    * up?"). Per query term t in doc d:
+    *
+    *   avgdl_x100 = (100 · A) DIV N          (one global integer)
+    *   idf_bp(t)  = (10000 · (N − df + 1)) DIV (df + 1)
+    *   sat_bp     = (10000 · tf · (k1n + k1d) · bd · avgdl_x100) DIV
+    *                (tf · k1d · bd · avgdl_x100 +
+    *                 k1n · ((bd − bn) · avgdl_x100 + 100 · bn · dl))
+    *   term score = (idf_bp · sat_bp) DIV 10000,  doc score = Σ terms
+    *
+    * i.e. the classical tf-saturation fraction cleared of division by
+    * multiplying through with k1d·bd·avgdl_x100 (A = total corpus
+    * tokens, N = docs, dl = doc length) — every quantity integer,
+    * every DIV a deterministic truncation an external engine replays
+    * exactly. The IDF is the log-free LIFT form (the monotone-per-term
+    * trade of dsirScore/bigramFluency/collocationLift: a sum of
+    * integer ratios in place of a sum of float logs — rank-equivalent
+    * per term, engine-exact, which the float-log form can never
+    * promise). Width proof: sat_bp ≤ 10⁴·(k1n+k1d)/k1d (~22000) and
+    * its numerator ≤ 10⁴·tf·88·(100·maxdl) < 2⁶³ for docs to 10⁶
+    * tokens, so the whole saturation stays in int64 at any corpus
+    * size; only idf_bp·sat_bp (≤ ~10²⁰ at N = 10¹²) widens to
+    * DECIMAL(38,0) — ONE wide multiply per candidate row, not eight
+    * (the all-DECIMAL first cut benched 2.5x slower on exactly that).
+    *
+    * Scale shape — the decontaminate asymmetry and the retrieval
+    * lifecycle: the corpus reduces ONCE ([[bm25Index]]) to its
+    * per-(doc, term) tf table and per-doc lengths (map-side combinable
+    * — THE corpus exchange, materialized for every later query batch);
+    * each [[bm25Query]] collects its benchmark-sized distinct (query,
+    * term) pairs, counts df(t) on the term-filtered index slice only,
+    * folds idf/avgdl back as literals riding the broadcast query rows,
+    * and scores in one job — the corpus text itself never shuffles
+    * again. Top-`k` docs per query by (score desc, doc id) — the
+    * window runs over candidate rows only (docs sharing ≥ 1 query
+    * term). */
+  /** The indexed corpus side of [[bm25TopK]]: the per-(doc, term) tf
+    * table and per-doc lengths (both materialized once — the index), plus
+    * the two global stats. Index ONCE, query many — the retrieval
+    * lifecycle; every [[bm25Query]] against the same index reuses the
+    * materialized tables and pays only its own candidate slice. */
+  final case class Bm25Index(tf: DataFrame, dl: DataFrame,
+                             nDocs: Long, avg100: Long, gram: Int)
+
+  private def bm25Toks(d: DataFrame, id: String, text: String,
+                       outId: String, gram: Int): DataFrame =
+    if (gram == 1)
+      d.select(col(id).cast("long").as(outId),
+        explode(Shingles.words(col(text))).as("__t"))
+        .where(col("__t") =!= "")
+    else
+      Shingles.explodeShingles(d, id, text, gram)
+        .select(col(id).cast("long").as(outId), col("shingle").as("__t"))
+
+  /** Build the BM25 corpus index. `gram > 1` indexes word n-grams as
+    * the terms (phrase-sensitive n-gram BM25; dl becomes the doc's gram
+    * count) — the right shape when the unigram vocabulary is
+    * stopword-dense and unigram df carries no signal. */
+  def bm25Index(df: DataFrame, idCol: String, textCol: String,
+                gram: Int = 1): Bm25Index = {
+    require(gram >= 1, s"gram must be >= 1, got $gram")
+    import df.sparkSession.implicits._
+    val tf = bm25Toks(df, idCol, textCol, "__doc", gram)
+      .groupBy(col("__doc"), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(eager = false) // consumers: dl fold + every query
+    val dl = tf.groupBy(col("__doc")).agg(sum(col("__tf")).as("__dl"))
+      .localCheckpoint(eager = false) // consumers: totals + every query
+    val Array(nDocs, totTok) = dl
+      .agg(count(lit(1)), sum(col("__dl"))).as[(Long, Long)].collect()
+      .headOption.map(t => Array(t._1, t._2)).getOrElse(Array(0L, 0L))
+    Bm25Index(tf, dl, nDocs,
+      if (nDocs == 0) 0L else (100L * totTok) / nDocs, gram)
+  }
+
+  /** Score `queries` against a prepared [[Bm25Index]]; see [[bm25TopK]]
+    * for the formula and the scale shape. */
+  def bm25Query(index: Bm25Index, queries: DataFrame,
+                qIdCol: String, qTextCol: String, k: Int,
+                idCol: String,
+                k1Num: Int = 12, k1Den: Int = 10,
+                bNum: Int = 3, bDen: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1Num >= 0 && k1Den > 0 && bNum >= 0 && bDen > 0 &&
+      bNum <= bDen, s"bad BM25 params k1=$k1Num/$k1Den b=$bNum/$bDen")
+    import org.apache.spark.sql.expressions.Window
+    import queries.sparkSession.implicits._
+    val tf = index.tf
+    val avg100 = index.avg100
+    val nDocs = index.nDocs
+    // the query set is BENCHMARK-SIZED by contract, so its distinct
+    // (query, term) pairs live on the driver (same metadata class as a
+    // codebook); df(t) is a query-vocabulary-sized map and N/avgdl two
+    // scalars — all fold back in as literals, so the scoring pass is
+    // ONE job over the indexed tf slice with zero broadcast-exchange
+    // builds (a fully-declarative first cut's three broadcast joins
+    // cost 16 jobs)
+    val qPairs: Seq[(Long, String)] =
+      bm25Toks(queries, qIdCol, qTextCol, "__q", index.gram)
+        .distinct()
+        .as[(Long, String)].collect().toSeq.sorted
+    val terms: Seq[String] = qPairs.map(_._2).distinct.sorted
+    if (nDocs == 0L || qPairs.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as(qIdCol), lit(0L).as("rank"), lit(0L).as(idCol),
+          lit(0L).as("n_terms"), lit(0L).as("score")).limit(0)
+    val dft: Map[String, Long] = tf
+      .where(col("__t").isin(terms: _*))
+      .groupBy(col("__t")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val idfBp: Map[String, Long] = dft.map { case (t, dfc) =>
+      t -> (10000L * (nDocs - dfc + 1)) / (dfc + 1)
+    }
+    // idf rides the local (query, term) rows into the broadcast join —
+    // a string-keyed literal MAP lookup (element_at) would linear-scan
+    // its entries per candidate row (measured ~1 s at 250 terms x 300k
+    // candidates); the broadcast hash join probes in O(1)
+    val qt = qPairs.map { case (q, t) => (q, t, idfBp.getOrElse(t, 0L)) }
+      .toDF("__q", "__t", "__idf")
+    val dl = index.dl
+    val scored = tf.where(col("__t").isin(terms: _*))
+      .join(broadcast(qt), "__t")
+      .join(dl, "__doc")
+      .select(col("__q"), col("__doc"),
+        expr(s"""CAST(
+          |(CAST(__idf AS DECIMAL(38,0)) *
+          | ((10000 * __tf * ${(k1Num + k1Den) * bDen} * $avg100) DIV
+          |  (__tf * ${k1Den * bDen} * $avg100 +
+          |   $k1Num * (${(bDen - bNum) * avg100} + ${100 * bNum} * __dl))))
+          |DIV 10000 AS BIGINT)""".stripMargin.replaceAll("\n", " "))
+          .as("__term"))
+      .groupBy(col("__q"), col("__doc"))
+      .agg(sum(col("__term")).as("score"),
+        count(lit(1)).as("n_terms"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("__q"))
+        .orderBy(col("score").desc, col("__doc"))))
+      .where(col("rank") <= k)
+      .select(col("__q").as(qIdCol), col("rank").cast("long").as("rank"),
+        col("__doc").as(idCol), col("n_terms"), col("score"))
+  }
+
+  /** One-shot convenience: [[bm25Index]] + [[bm25Query]]. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int, k1Num: Int = 12, k1Den: Int = 10,
+               bNum: Int = 3, bDen: Int = 4, gram: Int = 1): DataFrame =
+    bm25Query(bm25Index(df, idCol, textCol, gram), queries,
+      qIdCol, qTextCol, k, idCol, k1Num, k1Den, bNum, bDen)
 }

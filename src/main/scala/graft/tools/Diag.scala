@@ -114,6 +114,65 @@ object Diag {
       "q70_cosine_neardup", "q95_bpe_apply", "q60_tfidf",
       "q77_chunk_dedup", "q36_embed_neardup", "q109_kmv_setops",
       "q108_dsir_select").foreach(q)
+    time("q114_bm25") {
+      noop(graft.SparkEntry.queries("q114_bm25")(spark, sfDir))
+    }
+    time("q114 builder only") {
+      graft.SparkEntry.queries("q114_bm25")(spark, sfDir)
+    }
+    locally {
+      val built = graft.SparkEntry.queries("q114_bm25")(spark, sfDir)
+      time("q114 noop of built") { noop(built) }
+    }
+    locally {
+      import spark.implicits._
+      val docs = tbl("documents")
+      val tf = docs.select(col("doc_id").cast("long").as("__doc"),
+          explode(split(col("text"), " ", -1)).as("__t"))
+        .where(col("__t") =!= "")
+        .groupBy(col("__doc"), col("__t")).agg(count(lit(1)).as("__tf"))
+        .localCheckpoint(eager = false)
+      time("q114 qPairs collect") {
+        docs.where(col("doc_id") % 97 === 0)
+          .select(col("doc_id").cast("long").as("__q"),
+            explode(slice(split(col("text"), " ", -1), 1, 5)).as("__t"))
+          .where(col("__t") =!= "").distinct()
+          .as[(Long, String)].collect()
+      }
+      val terms = docs.where(col("doc_id") % 97 === 0)
+        .select(explode(slice(split(col("text"), " ", -1), 1, 5)).as("__t"))
+        .where(col("__t") =!= "").distinct().as[String].collect().toSeq
+      time("q114 dft collect (tf mat)") {
+        tf.where(col("__t").isin(terms: _*))
+          .groupBy(col("__t")).agg(count(lit(1)).as("c")).collect()
+      }
+      time("q114 totals collect") {
+        tf.groupBy(col("__doc")).agg(sum(col("__tf")).as("__dl"))
+          .agg(count(lit(1)), sum(col("__dl"))).collect()
+      }
+      time("q114 slice+join+agg") {
+        val dl = tf.groupBy(col("__doc")).agg(sum(col("__tf")).as("__dl"))
+        val qt = Seq((1L, "the"), (2L, "a")).toDF("__q", "__t")
+        noop(tf.where(col("__t").isin(terms: _*))
+          .join(broadcast(qt), "__t")
+          .join(dl, "__doc")
+          .groupBy(col("__q"), col("__doc"))
+          .agg(sum(col("__tf")).as("score"), count(lit(1)).as("n_terms")))
+      }
+    }
+    locally {
+      val docs = tbl("documents")
+      val tf = docs.select(col("doc_id").cast("long").as("__doc"),
+          explode(split(col("text"), " ", -1)).as("__t"))
+        .where(col("__t") =!= "")
+        .groupBy(col("__doc"), col("__t")).agg(count(lit(1)).as("__tf"))
+      time("q114 tf only") { noop(tf) }
+      val qterms = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").cast("long").as("__q"),
+          explode(slice(split(col("text"), " ", -1), 1, 5)).as("__t"))
+        .where(col("__t") =!= "").distinct()
+      time("q114 hits only") { noop(tf.join(broadcast(qterms), "__t")) }
+    }
     println("[diag] ---- q21 decomposition ----")
     locally {
       import graft.operators.llm.MinHashLsh

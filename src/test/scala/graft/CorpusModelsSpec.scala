@@ -201,4 +201,81 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     val lifts = got.map(r => (r._1, r._2) -> r._3).toMap
     assert(lifts(("x", "y")) > lifts(("a", "b")))
   }
+
+  test("bm25TopK matches a BigInt brute force; self-query ranks its own " +
+      "doc first") {
+    val corpus = Seq(
+      (0L, "apple banana cherry apple"),
+      (1L, "banana banana durian"),
+      (2L, "cherry durian elderberry fig grape"),
+      (3L, "apple apple apple banana"),
+      (4L, "unrelated words only here"))
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq((0L, "apple banana"), (2L, "cherry durian"))
+      .toDF("query_id", "qtext")
+    val got = CorpusModels.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 3)
+      .orderBy("query_id", "rank")
+      .select("query_id", "rank", "doc_id", "n_terms", "score")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    // brute force with the exact integer formula
+    val toks = corpus.map { case (d, t) => d -> t.split(" ").toSeq }.toMap
+    val n = toks.size.toLong
+    val a = toks.values.map(_.size.toLong).sum
+    def score(qTerms: Seq[String], d: Long): (Long, Long) = {
+      val tfm = toks(d).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      val dl = toks(d).size.toLong
+      val terms = qTerms.distinct.filter(tfm.contains)
+      val avg100 = (100L * a) / n
+      val s = terms.map { t =>
+        val df = toks.values.count(_.contains(t)).toLong
+        val idf = (10000L * (n - df + 1)) / (df + 1)
+        val tf = tfm(t)
+        val sat = (10000L * tf * 88 * avg100) /
+          (tf * 40 * avg100 + 12 * (avg100 + 300 * dl))
+        (BigInt(idf) * sat / 10000).toLong
+      }.sum
+      (s, terms.size.toLong)
+    }
+    val expected = Seq((0L, Seq("apple", "banana")), (2L, Seq("cherry", "durian")))
+      .flatMap { case (q, ts) =>
+        val ranked = corpus.map(_._1)
+          .map(d => (d, score(ts, d))).filter(_._2._2 > 0)
+          .sortBy { case (d, (s, _)) => (-s, d) }.take(3)
+        ranked.zipWithIndex.map { case ((d, (s, nt)), i) =>
+          (q, (i + 1).toLong, d, nt, s) }
+      }
+    assert(got == expected)
+    // retrieval sanity: query 0's winner is doc 3 (three "apple"
+    // occurrences beat doc 0's two in a same-length doc — tf
+    // saturation, not raw counts, but 3 > 2 still wins); query 2's
+    // winner is its own source doc; the no-overlap doc 4 never appears
+    assert(got.filter(_._2 == 1L).map(r => (r._1, r._3)) ==
+      Seq((0L, 3L), (2L, 2L)))
+    assert(!got.exists(_._3 == 4L))
+  }
+
+  test("bm25TopK gram=2: phrase order matters — the exact-phrase doc " +
+      "outranks the bag-of-words doc; index reuse across query batches") {
+    val docs = Seq(
+      (0L, "red fox jumps high today"),
+      (1L, "fox red and jumps never fox"),   // both words, wrong order
+      (2L, "red fox red fox red fox"),       // exact phrase, thrice
+      (3L, "entirely different content here")).toDF("doc_id", "text")
+    val idx = CorpusModels.bm25Index(docs, "doc_id", "text", gram = 2)
+    val q1 = Seq((10L, "red fox")).toDF("query_id", "qtext")
+    val r1 = CorpusModels.bm25Query(idx, q1, "query_id", "qtext",
+        k = 4, idCol = "doc_id")
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    // only docs containing the BIGRAM "red fox" are candidates at all
+    assert(r1.toSet == Set(0L, 2L))
+    assert(r1.head == 2L) // higher tf of the phrase wins
+    // the same index serves a second query batch
+    val q2 = Seq((11L, "jumps never")).toDF("query_id", "qtext")
+    val r2 = CorpusModels.bm25Query(idx, q2, "query_id", "qtext",
+        k = 4, idCol = "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(r2 == Seq(1L))
+  }
 }
