@@ -2122,12 +2122,14 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("query_id"),
           array_join(slice(split(col("text"), " ", -1), 1, 5), " ")
             .as("qtext"))
-      val index = bm25IndexCache.getOrElseUpdate(
-        tableTag(dir, "documents"),
-        graft.operators.llm.CorpusModels.bm25Index(
-          docs, "doc_id", "text", gram = 2))
-      graft.operators.llm.CorpusModels.bm25Query(
-        index, queries, "query_id", "qtext", k = 5, idCol = "doc_id")
+      // the gate rebuilds the INDEX on every run, exactly like its
+      // oracle SQL rebuilds its tf CTE — a symmetric pairing (a
+      // session-cached index was measured 0.5 vs 1.4 s but times a
+      // different lifecycle than the denominator; production callers
+      // use bm25Index once + bm25Query per batch)
+      graft.operators.llm.CorpusModels.bm25TopK(
+        docs, "doc_id", "text", queries, "query_id", "qtext", k = 5,
+        gram = 2)
     })
   )
 
@@ -2348,13 +2350,6 @@ object SparkEntry {
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Long])]]
 
-  /** q114's BM25 corpus index, built once per source-table identity —
-    * the retrieval lifecycle (index once, query many): repeated runs
-    * time the QUERY path, the same shape the DuckDB denominator
-    * measures once its CTEs are scanned (q19's fixtureOnce rationale,
-    * session-lifetime flavored like the q43 codebook). */
-  private val bm25IndexCache = scala.collection.concurrent.TrieMap
-    .empty[String, graft.operators.llm.CorpusModels.Bm25Index]
 
   /** Set session confs for the duration of `f`, restoring (or unsetting)
     * previous values after — for queries that EAGERLY execute inside
