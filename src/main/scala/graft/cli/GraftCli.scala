@@ -254,6 +254,30 @@ object GraftCli {
               s"clean corpus -> ${rest(2)}")
         }
         spark.stop()
+      case "bm25" =>
+        // bm25 <corpus.parquet> <queries.parquet> <outDir> [k] [gram] —
+        // rank the corpus (doc_id, text) against a query set (query_id,
+        // qtext): top-k docs per query by the integer-exact BM25 score
+        // (CorpusModels.bm25TopK; gram > 1 = phrase-sensitive n-gram
+        // terms). The RAG-source-selection / dedup-by-retrieval verb.
+        if (rest.length < 3) { usage(); sys.exit(2) }
+        val k = rest.lift(3) match {
+          case None => 10
+          case Some(v) => v.toIntOption.getOrElse { usage(); sys.exit(2) }
+        }
+        val gram = rest.lift(4) match {
+          case None => 1
+          case Some(v) => v.toIntOption.getOrElse { usage(); sys.exit(2) }
+        }
+        val spark = session("bm25")
+        val ranked = graft.operators.llm.CorpusModels.bm25TopK(
+          spark.read.parquet(rest(0)), "doc_id", "text",
+          spark.read.parquet(rest(1)), "query_id", "qtext",
+          k = k, gram = gram)
+        ranked.write.mode("overwrite").parquet(rest(2))
+        println(s"bm25 top-$k (gram=$gram) -> ${rest(2)}: " +
+          s"${spark.read.parquet(rest(2)).count()} rows")
+        spark.stop()
       case other =>
         System.err.println(s"unknown tool: $other"); usage(); sys.exit(2)
     }
@@ -276,5 +300,6 @@ object GraftCli {
       |  dedup <corpus> <out> [id] [text] [cap] [localBelow]  near-dup dedup (LSH -> CC -> keep-min;
       |                                         localBelow>0 finishes small graphs in one union-find task)
       |  decontaminate <corpus> <eval> <out> [k] [dropAt]  hit counts, or clean corpus + quarantine at >= dropAt hits
+      |  bm25 <corpus> <queries> <out> [k] [gram]  top-k BM25 retrieval per query (gram>1: n-gram terms)
       |""".stripMargin)
 }
