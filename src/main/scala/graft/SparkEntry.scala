@@ -2078,8 +2078,7 @@ object SparkEntry {
       }
       val ckptBase =
         if (new java.io.File("/dev/shm").isDirectory) {
-          tmpfsCleanupHook
-          s"/dev/shm/graft_tmp/${new java.io.File(base).getName}"
+          s"$tmpfsScratchDir/${new java.io.File(base).getName}"
         } else base
       val ckptPath = new org.apache.hadoop.fs.Path(s"$ckptBase/ckpt_q113")
       val ckptFs = ckptPath.getFileSystem(hconf)
@@ -2420,8 +2419,7 @@ object SparkEntry {
     // across runs.
     val ckptBase =
       if (new java.io.File("/dev/shm").isDirectory) {
-        tmpfsCleanupHook
-        s"/dev/shm/graft_tmp/${new java.io.File(base).getName}"
+        s"$tmpfsScratchDir/${new java.io.File(base).getName}"
       } else base
     val ckpt = s"$ckptBase/ckpt_$sink"
     val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
@@ -2459,17 +2457,33 @@ object SparkEntry {
     s.table(sink)
   }
 
-  /** One JVM-exit sweep of the tmpfs scratch root: stream checkpoints
-    * there are ephemeral by design, and a killed or crashed run must not
-    * leave them resident in RAM until reboot. */
-  private lazy val tmpfsCleanupHook: Unit = {
+  /** This process's PRIVATE tmpfs scratch dir (`graft_tmp/pid<pid>`),
+    * with a JVM-exit hook scoped to it alone — a finishing bench JVM
+    * must never delete the live checkpoints of a concurrently running
+    * diag JVM, so the shared root is never swept by a live process.
+    * SIGKILL'd runs can't run their hook, so registration also reaps
+    * sibling subdirs whose owning pid is gone (`/proc/<pid>` absent) —
+    * the crash-leak coverage the old whole-root sweep provided, minus
+    * its cross-process stomping. */
+  private lazy val tmpfsScratchDir: String = {
     def rm(f: java.io.File): Unit = {
       val children = f.listFiles()
       if (children != null) children.foreach(rm)
       f.delete()
     }
-    sys.addShutdownHook(rm(new java.io.File("/dev/shm/graft_tmp")))
-    ()
+    val root = new java.io.File("/dev/shm/graft_tmp")
+    val mine = new java.io.File(root,
+      s"pid${ProcessHandle.current().pid()}")
+    val siblings = root.listFiles()
+    if (siblings != null) siblings.foreach { d =>
+      val owner = d.getName match {
+        case n if n.startsWith("pid") => n.drop(3)
+        case _ => "" // pre-pid-layout leftover: no live owner
+      }
+      if (!new java.io.File(s"/proc/$owner").exists()) rm(d)
+    }
+    sys.addShutdownHook(rm(mine))
+    mine.getAbsolutePath
   }
 
   /** [[streamCdxLines]] plus ONE watermark-advancing sentinel line

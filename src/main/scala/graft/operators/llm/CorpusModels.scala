@@ -333,12 +333,15 @@ object CorpusModels {
     * trade of dsirScore/bigramFluency/collocationLift: a sum of
     * integer ratios in place of a sum of float logs — rank-equivalent
     * per term, engine-exact, which the float-log form can never
-    * promise). Width proof: sat_bp ≤ 10⁴·(k1n+k1d)/k1d (~22000) and
-    * its numerator ≤ 10⁴·tf·88·(100·maxdl) < 2⁶³ for docs to 10⁶
-    * tokens, so the whole saturation stays in int64 at any corpus
-    * size; only idf_bp·sat_bp (≤ ~10²⁰ at N = 10¹²) widens to
-    * DECIMAL(38,0) — ONE wide multiply per candidate row, not eight
-    * (the all-DECIMAL first cut benched 2.5x slower on exactly that).
+    * promise). Width handling: sat_bp ≤ 10⁴·(k1n+k1d)/k1d (~22000),
+    * but its numerator c·tf (c = 10⁴·(k1n+k1d)·bd·avgdl_x100) exceeds
+    * int64 once tf·avgdl ≳ 10¹¹, so the scoring expression guards the
+    * int64 fast path with driver-computed row bounds (tf ≤ tfMax,
+    * dl ≤ dlMax — every intermediate provably in-range) and falls to a
+    * DECIMAL(38,0) replay of the same truncating DIV for the rare
+    * pathological row; idf_bp·sat_bp (≤ ~10²⁰ at N = 10¹²) always
+    * widens to DECIMAL(38,0) — ONE wide multiply per candidate row, not
+    * eight (the all-DECIMAL first cut benched 2.5x slower on that).
     *
     * Scale shape — the decontaminate asymmetry and the retrieval
     * lifecycle: the corpus reduces ONCE ([[bm25Index]]) to its
@@ -434,15 +437,39 @@ object CorpusModels {
     val qt = qPairs.map { case (q, t) => (q, t, idfBp.getOrElse(t, 0L)) }
       .toDF("__q", "__t", "__idf")
     val dl = index.dl
+    // Saturation coefficients folded on the driver (BigInt: the folds
+    // themselves must not wrap):
+    //   sat = (cNum·tf) DIV (cTf·tf + cConst + cDl·dl)
+    val cNum = BigInt(10000) * (k1Num.toLong + k1Den) * bDen * avg100
+    val cTf = BigInt(k1Den) * bDen * avg100
+    val cConst = BigInt(k1Num) * (bDen - bNum) * avg100
+    val cDl = BigInt(100) * bNum * k1Num
+    // int64 fast-path row bounds: cNum·tf ≤ MAX forces cTf·tf ≤ MAX/1e4
+    // (cTf·1e4 ≤ cNum), and cConst ≤ MAX/4 ∧ cDl·dl ≤ MAX/4 keeps the
+    // denominator sum in range; any row above the bounds replays the
+    // identical truncating DIV in DECIMAL(38,0)
+    val longMax = BigInt(Long.MaxValue)
+    val fastOk = cNum > 0 && cNum <= longMax && cConst <= longMax / 4
+    val tfMax = if (fastOk) (longMax / cNum).min(longMax).toLong else 0L
+    val dlMax =
+      if (!fastOk) 0L
+      else if (cDl == 0) Long.MaxValue
+      else (longMax / (cDl * 4)).min(longMax).toLong
+    val satLong =
+      s"(($cNum * __tf) DIV ($cTf * __tf + $cConst + $cDl * __dl))"
+    val satDec =
+      s"((CAST('$cNum' AS DECIMAL(38,0)) * __tf) DIV " +
+        s"(CAST('$cTf' AS DECIMAL(38,0)) * __tf + " +
+        s"CAST('$cConst' AS DECIMAL(38,0)) + " +
+        s"CAST('$cDl' AS DECIMAL(38,0)) * __dl))"
     val scored = tf.where(col("__t").isin(terms: _*))
       .join(broadcast(qt), "__t")
       .join(dl, "__doc")
       .select(col("__q"), col("__doc"),
         expr(s"""CAST(
           |(CAST(__idf AS DECIMAL(38,0)) *
-          | ((10000 * __tf * ${(k1Num + k1Den) * bDen} * $avg100) DIV
-          |  (__tf * ${k1Den * bDen} * $avg100 +
-          |   $k1Num * (${(bDen - bNum) * avg100} + ${100 * bNum} * __dl))))
+          | (CASE WHEN __tf <= $tfMax AND __dl <= $dlMax
+          |  THEN $satLong ELSE $satDec END))
           |DIV 10000 AS BIGINT)""".stripMargin.replaceAll("\n", " "))
           .as("__term"))
       .groupBy(col("__q"), col("__doc"))

@@ -67,8 +67,11 @@ object KMeans {
       val probe = e0.take(localBelow.toInt + 1)
       if (probe.length <= localBelow) {
         val data = probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        // NULL seedPred (nullable column) must read as false, matching
+        // the distributed path's where(col("__seed")) — getBoolean on a
+        // null cell NPEs
         var centroids: Seq[(Long, Array[Long])] =
-          probe.filter(_.getBoolean(2))
+          probe.filter(r => !r.isNullAt(2) && r.getBoolean(2))
             .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
             .sortBy(_._1).toSeq
         require(centroids.nonEmpty, "seedPred matched no rows")

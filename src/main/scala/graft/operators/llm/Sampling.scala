@@ -204,8 +204,11 @@ object Sampling {
         b -> ((BigInt(ct + 1) * 10000 * (BigInt(nr) + buckets)) /
           (BigInt(cr + 1) * (BigInt(nt) + buckets))).toLong
     }.toMap
-    docBuckets.where(!col("__tgt"))
-      .withColumn("__wbp", element_at(typedLit(weights), col("__b")))
+    // literal map for small B only — above TextAnalysis
+    // .LiteralMapMaxEntries element_at's per-row linear scan loses to a
+    // broadcast hash join (user-supplied `buckets` is unbounded here)
+    TextAnalysis.withWeightCol(docBuckets.where(!col("__tgt")),
+        "__b", weights, "__wbp")
       .groupBy(col("__doc"))
       .agg(sum(col("__c")).as("n_grams"),
         // DECIMAL(38,0) BEFORE the product: wbp reaches ~10^16 in

@@ -695,6 +695,27 @@ object TextAnalysis {
     * (total_target+1)·(total_corpus+B)·10⁴ is exact at any corpus
     * size (the former SQL BIGINT product overflowed past ~10¹⁴
     * combined token counts). */
+  /** Attach a driver-computed Long→Long weight table as `outCol` keyed
+    * by `keyCol`. Small tables fold in as a literal map inside one
+    * codegen'd projection (zero extra jobs); `element_at` over a
+    * literal map LINEAR-SCANS its entries per row, so above
+    * [[LiteralMapMaxEntries]] the table ships as a broadcast hash join
+    * instead (O(1) probes — the bm25Query rationale). Callers must
+    * guarantee every key is present: the join is inner. */
+  private[graft] val LiteralMapMaxEntries = 1024
+
+  private[graft] def withWeightCol(df: DataFrame, keyCol: String,
+                                 weights: Map[Long, Long],
+                                 outCol: String): DataFrame =
+    if (weights.size <= LiteralMapMaxEntries)
+      df.withColumn(outCol, element_at(typedLit(weights), col(keyCol)))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val w = weights.toSeq.sorted.toDF(keyCol, outCol)
+      df.join(broadcast(w), keyCol)
+    }
+
   def dsirScore(corpus: DataFrame, idCol: String, textCol: String,
                 target: DataFrame, targetTextCol: String,
                 prefixLen: Int = 2): DataFrame = {
@@ -742,9 +763,8 @@ object TextAnalysis {
         (BigInt(cc + 1) * BigInt(totalT + buckets))).toLong
     }
     // every __b in perDocBucket is a corpusCnt key by construction, so
-    // the literal-map lookup never misses
-    perDocBucket
-      .withColumn("__w", element_at(typedLit(weights), col("__b")))
+    // the weight attach never misses (lookup or inner join alike)
+    TextAnalysis.withWeightCol(perDocBucket, "__b", weights, "__w")
       .groupBy(col(idCol))
       .agg(sum(col("__cnt")).as("n_tokens"),
         sum(col("__cnt") * col("__w")).as("score"))

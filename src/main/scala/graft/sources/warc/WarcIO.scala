@@ -471,8 +471,12 @@ object WarcRecords {
           val size =
             if (sizeStr.nonEmpty && sizeStr.length <= 16 &&
                 sizeStr.forall(c => Character.digit(c, 16) >= 0)) {
-              val v = java.lang.Long.parseLong(sizeStr, 16)
-              if (v <= Int.MaxValue) v.toInt else -1
+              // parseUnsignedLong: 16 hex digits >= 2^63 (e.g. 16 'f's)
+              // must classify as damage, not throw out of the task —
+              // the unsigned parse never throws for valid hex digits
+              // and yields a negative bit-pattern we range-check away
+              val v = java.lang.Long.parseUnsignedLong(sizeStr, 16)
+              if (v >= 0 && v <= Int.MaxValue) v.toInt else -1
             } else -1
           if (size < 0) result = None
           else if (size == 0)

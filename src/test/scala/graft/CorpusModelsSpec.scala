@@ -278,4 +278,51 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
       .select("doc_id").as[Long].collect().toSeq
     assert(r2 == Seq(1L))
   }
+
+  test("bm25: DECIMAL fallback branch (coefficients past int64) matches " +
+      "the BigInt formula exactly") {
+    // k1/b chosen so cNum = 1e4·(k1n+k1d)·bd·avg100 overflows int64 →
+    // every row takes the DECIMAL(38,0) replay of the saturation; the
+    // expected scores come from the identical formula in BigInt
+    val corpus = Seq(
+      (0L, "apple banana cherry apple"),
+      (1L, "banana banana durian"),
+      (2L, "apple apple apple banana"))
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq((0L, "apple banana")).toDF("query_id", "qtext")
+    val k1n = Int.MaxValue; val k1d = 1; val bn = 0; val bd = Int.MaxValue
+    val got = CorpusModels.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 3,
+        k1Num = k1n, k1Den = k1d, bNum = bn, bDen = bd)
+      .orderBy("rank")
+      .select("query_id", "rank", "doc_id", "n_terms", "score")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val toks = corpus.map { case (d, t) => d -> t.split(" ").toSeq }.toMap
+    val n = toks.size.toLong
+    val avg100 = (100L * toks.values.map(_.size.toLong).sum) / n
+    val cNum = BigInt(10000) * (BigInt(k1n) + k1d) * bd * avg100
+    assert(cNum > BigInt(Long.MaxValue)) // the premise: fast path is off
+    val cTf = BigInt(k1d) * bd * avg100
+    val cConst = BigInt(k1n) * (bd - bn) * avg100
+    val cDl = BigInt(100) * bn * k1n
+    def score(qTerms: Seq[String], d: Long): (Long, Long) = {
+      val tfm = toks(d).groupBy(identity)
+        .map { case (t, o) => t -> o.size.toLong }
+      val dl = BigInt(toks(d).size)
+      val terms = qTerms.distinct.filter(tfm.contains)
+      val s = terms.map { t =>
+        val df = toks.values.count(_.contains(t)).toLong
+        val idf = (10000L * (n - df + 1)) / (df + 1)
+        val sat = (cNum * tfm(t)) / (cTf * tfm(t) + cConst + cDl * dl)
+        (BigInt(idf) * sat / 10000).toLong
+      }.sum
+      (s, terms.size.toLong)
+    }
+    val expected = corpus.map(_._1)
+      .map(d => (d, score(Seq("apple", "banana"), d)))
+      .sortBy { case (d, (s, _)) => (-s, d) }
+      .zipWithIndex.map { case ((d, (s, nt)), i) =>
+        (0L, (i + 1).toLong, d, nt, s) }
+    assert(got == expected)
+  }
 }

@@ -504,6 +504,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("kmeans: NULL-valued seedPred reads as false on both paths") {
+    // when() with no otherwise: NULL for non-seeds — getBoolean on the
+    // localBelow probe must not NPE, and NULL must mean "not a seed"
+    // exactly like the distributed where()
+    val r = new scala.util.Random(11)
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(4)((r.nextInt(2001) - 1000).toLong)))
+    val pred = when(col("vec_id") < 3, true)
+    val dist = graft.operators.llm.KMeans.lloyd(
+      toEmb(rows), "vec_id", "embedding", pred, 2)
+      .as[(Long, Long)].collect().toMap
+    val local = graft.operators.llm.KMeans.lloyd(
+      toEmb(rows), "vec_id", "embedding", pred, 2, localBelow = 1L << 16)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(dist.keySet == rows.map(_._1).toSet)
+  }
+
   test("kmeans: duplicate seeds tie-break to the smaller id; loser dies") {
     val rows = Seq(
       (0L, Array(1000L, 0L)), (1L, Array(1000L, 0L)),
@@ -614,6 +632,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       docs.toDF("doc_id", "text").repartition(3), "doc_id", "text", k)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expect)
+  }
+
+  test("withWeightCol: broadcast-join path (big map) == literal-map path") {
+    // above LiteralMapMaxEntries the helper switches from element_at
+    // over a literal map to a broadcast hash join; both must attach
+    // identical weights (inner join never misses: every key present)
+    val weights: Map[Long, Long] =
+      (0L until (TextAnalysis.LiteralMapMaxEntries + 500L))
+        .map(b => b -> (b * 37 + 5)).toMap
+    val df = Seq((1L, 3L), (2L, 999L), (3L, 1400L), (4L, 3L))
+      .toDF("doc", "__b")
+    def out(w: Map[Long, Long]) =
+      TextAnalysis.withWeightCol(df, "__b", w, "__w")
+        .select("doc", "__b", "__w")
+        .as[(Long, Long, Long)].collect().toSet
+    val viaJoin = out(weights)
+    val viaMap = out(weights.view.filterKeys(Set(3L, 999L, 1400L)).toMap)
+    assert(viaJoin == viaMap)
+    assert(viaJoin == Set((1L, 3L, 116L), (2L, 999L, 36968L),
+      (3L, 1400L, 51805L), (4L, 3L, 116L)))
   }
 
   test("dsir: identical target and corpus gives every bucket weight ~10000") {

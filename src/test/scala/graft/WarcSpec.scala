@@ -347,6 +347,10 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(WarcRecords.dechunk(ch("3\r\nabcXY0\r\n\r\n")).isEmpty)
     assert(WarcRecords.dechunk(ch(("0" * 17 + "3") + "\r\nabc\r\n0\r\n\r\n")).isEmpty)
     assert(WarcRecords.dechunk(ch("ffffffffff\r\nabc\r\n0\r\n\r\n")).isEmpty)
+    // 16 hex digits >= 2^63: must classify as damage, not throw
+    // (Long.parseLong would NumberFormatException here)
+    assert(WarcRecords.dechunk(ch("ffffffffffffffff\r\nabc\r\n0\r\n\r\n")).isEmpty)
+    assert(WarcRecords.dechunk(ch("8000000000000000\r\nabc\r\n0\r\n\r\n")).isEmpty)
   }
 
   test("chunked response: digest covers the DE-CHUNKED entity (equals " +
