@@ -1652,15 +1652,15 @@ object SparkEntry {
     // add-one-smoothed per-token class odds in integer basis points,
     // fitted on a deterministic source-derived label, scored over every
     // document in the same plan.
-    // r12's +31% (0.281 -> 0.368 s, no operator change) investigated
-    // r13: the plan was rebuilt to the single-exchange colocated shape
-    // (three corpus-scale exchanges -> one) and A/B'd against the old
-    // docToks form in one JVM — both read ~0.48-0.52 s isolated, i.e.
-    // at 5k docs the query is JOB-overhead-bound (6 jobs), not
-    // wire-bound, and identical code spans 0.37-0.52 s across same-day
-    // full-suite draws. Verdict: r12's delta was suite phase, and the
-    // colocated shape is kept for its strictly-lower exchange count at
-    // scale.
+    // Two-round drift (0.281 -> 0.368 -> 0.468 s) adjudicated r14 with
+    // Diag min-of-3: the r13 colocated repartition(__tok) shape itself
+    // was the regression — it shuffled RAW occurrences, defeating the
+    // vocab fit's map-side combine, and pinned the scoring join to a
+    // colocated sort-merge over strings. The shape now declares the
+    // join unhinted with no pre-partitioning: AQE broadcasts the fitted
+    // vocab at this scale (0.688 -> 0.345 s same-JVM, 5 -> 4 jobs) and
+    // falls back to the single token exchange when the vocab is
+    // web-scale. Full A/B table in CorpusModels.nbQualityScore.
     "q91_nb_quality" -> ((s, dir) =>
       graft.operators.llm.CorpusModels.nbQualityScore(
         tbl(s, dir, "documents")

@@ -30,26 +30,36 @@ object CorpusModels {
     * Document score = token-count-weighted mean weight (integer div);
     * `pred` = score ≥ 5000 bp.
     *
-    * Scale shape: ONE corpus-scale exchange — the exploded token stream
-    * hash-partitions on the token once, the vocab fit aggregates in
-    * place on that partitioning, and the scoring join runs with both
-    * sides already colocated on the token (the engine reuses the single
-    * exchange for both branches); the per-doc score is then one
+    * Scale shape: the vocab fit is a map-side-combinable aggregation
+    * whose wire is per-partition-distinct-token partials (Zipfian text
+    * collapses hard under combine — vocab-scale, not corpus-scale);
+    * the scoring join is declared unhinted so AQE picks its physical
+    * form from the FIT'S ACTUAL SIZE at runtime: a broadcast hash join
+    * when the vocabulary is small (zero corpus-scale exchanges in the
+    * whole plan), the one corpus-scale token exchange + shuffle join
+    * when it is web-scale; the per-doc score is then one
     * map-side-combinable aggregation whose wire is one row per doc. */
   def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
                      labelCol: String): DataFrame = {
-    // The occurrence stream is hash-partitioned on the TOKEN once; the
-    // vocab fit then aggregates with no further exchange, and the
-    // scoring join consumes the SAME partitioning on BOTH sides (vocab
-    // is derived from it), so after the one corpus-scale shuffle the
-    // only remaining exchange is the per-doc partial aggregation. The
-    // former shape (vocab partials + a per-(doc, token) pre-agg + a
-    // re-key of that table onto the vocab) shuffled corpus-scale rows
-    // three times for the same answer.
+    // r14 adjudication of the two-round q91 drift (0.281 -> 0.368 ->
+    // 0.468 s committed): same-JVM min-of-3 at sf0.1 read
+    //   colocated repartition(__tok) (r13 shape)   0.688 s  5 jobs
+    //   colocated + shuffle_hash hint              0.566 s  4 jobs
+    //   no repartition, broadcast hint             0.373 s  4 jobs
+    //   no repartition, AQE decides   (this shape) 0.345 s  4 jobs
+    // (anchor q74 0.715 s in the same JVM, battery 0.511 — host factor
+    // ~1.4, so ~0.25 s battery-equivalent). The r13 colocation bought
+    // its single exchange by shuffling RAW occurrences — exactly the
+    // map-side-combine defeat SCALE.md records for q94: the vocab fit's
+    // combine collapses the Zipfian token stream to vocab-sized
+    // partials, so the unpartitioned plan moves less wire AND lets AQE
+    // broadcast the fitted vocab (the sort-free join) when it is small.
+    // The corpus lineage is read twice (fit + score) — scan+explode is
+    // pushdown-pruned and strictly cheaper than materializing one full
+    // occurrence exchange at any scale we measured.
     val toks = df.select(col(idCol).cast("long").as("__doc"),
         col(labelCol).cast("boolean").as("__pos"),
         explode(Shingles.words(col(textCol))).as("__tok"))
-      .repartition(col("__tok"))
     val vocab = toks.groupBy(col("__tok"))
       .agg(((sum(when(col("__pos"), 1L).otherwise(0L)) + 1L) * 10000L)
         .as("__num"), (count(lit(1)) + 2L).as("__den"))
