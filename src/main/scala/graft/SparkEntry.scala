@@ -301,6 +301,15 @@ object SparkEntry {
     }),
 
     // S4 — crawl-log parse (col-8 start+duration split, '-'-size → -1)
+    // r14 hot-path work, same-JVM min-of-3 at sf0.1 (anchor q74 0.58-0.70):
+    //   r13 shape (rlike size check + Filter(size(toks)>=12))   0.803 s
+    //   rlike → translate()='' digit check                      0.698 s
+    //   + generator shape (ws_split_rows under explode)         0.394 s
+    // The Filter was the real cost: its predicate pushed below the
+    // token-staging AND line-render projections, re-evaluating split
+    // and render once in the Filter and again in the Projects. The
+    // generator shape has no predicate to push (decomposition table in
+    // CrawlLog.fromLines scaladoc).
     "q17_crawl_log" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       val line = concat_ws(" ",

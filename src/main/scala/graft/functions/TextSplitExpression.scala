@@ -133,6 +133,56 @@ object TextSplitCodegen {
     }
     new GenericArrayData(out)
   }
+
+  private val EmptyRows = new GenericArrayData(Array.empty[Any])
+
+  def wsSplitRows(s: UTF8String, minTokens: Int): ArrayData = {
+    val toks = wsSplit(s)
+    if (toks.numElements() < minTokens) EmptyRows
+    else new GenericArrayData(Array[Any](toks))
+  }
+}
+
+/**
+ * [[WhitespaceSplitExpression]] wrapped for `explode`: the token array
+ * boxed as a 1-element `array<array<string>>` when it has at least
+ * `minTokens` tokens, an EMPTY outer array otherwise. `explode` of this
+ * drops short lines with NO Filter operator in the plan — the point:
+ * a `where(size(toks) >= minTokens)` predicate gets pushed below the
+ * token-staging projection (and, when the line is itself rendered, below
+ * that render too), re-evaluating the split AND the render once in the
+ * Filter and again in the Project (A/B'd +45% on the q17 parse). A
+ * generator has no predicate to push, so line → tokens is evaluated
+ * exactly once per row.
+ */
+case class WsSplitRowsExpression(child: Expression, minTokens: Int)
+    extends UnaryExpression {
+
+  require(minTokens >= 0, s"minTokens must be >= 0, got $minTokens")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ws_split_rows requires STRING, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "ws_split_rows"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSplitCodegen.wsSplitRows(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      minTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextSplitCodegen.wsSplitRows($c, $minTokens)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WsSplitRowsExpression =
+    copy(child = newChild)
 }
 
 /**
@@ -230,6 +280,9 @@ case class HexHighBitsExpression(child: Expression) extends UnaryExpression {
 object TextFunctions {
   def wsSplit(c: Column): Column =
     ColumnShim.column(WhitespaceSplitExpression(ColumnShim.expression(c)))
+  def wsSplitRows(c: Column, minTokens: Int): Column =
+    ColumnShim.column(
+      WsSplitRowsExpression(ColumnShim.expression(c), minTokens))
   def hexSliceLong(c: Column, pos: Int, len: Int): Column =
     ColumnShim.column(
       HexSliceLongExpression(ColumnShim.expression(c), pos, len))

@@ -27,35 +27,44 @@ object CrawlLog {
   def read(spark: SparkSession, path: String): DataFrame =
     fromLines(spark.read.text(path))
 
-  /** Same projection over any single-column DataFrame of lines. The token
-    * array is STAGED as its own projection so the split runs once per
-    * line — inlining `toks` into the 13 output columns would re-evaluate
-    * the split tree per column.
+  /** Same projection over any single-column DataFrame of lines.
     *
-    * Tokenization is the native [[graft.functions.WhitespaceSplitExpression]]
+    * Tokenization is the native [[graft.functions.WsSplitRowsExpression]]
     * — ONE regex-free byte scan, byte-exact to the reference's
     * `line.split("\\s+")` after its single-trailing-CR strip
-    * (CrawlLogLoader.java:44-60). The declarative
-    * `split(trim(regexp_replace(...)), "\\s+")` it replaces was both the
-    * dominant cost of the parse (two regex passes per line, 2.2x
-    * measured) and subtly unfaithful on edge-whitespace lines (Spark's
-    * trim strips only spaces; Spark's split keeps trailing empties). A
-    * conditional literal-split fast path measured WORSE still (2.4x):
-    * expressions inside `when` branches are excluded from codegen
-    * subexpression elimination, so every reference re-evaluates the
-    * split. */
+    * (CrawlLogLoader.java:44-60), emitted THROUGH `explode` as a
+    * 0-or-1-row generator so the short-line drop needs no Filter
+    * operator: a `where(size(toks) >= 12)` predicate was being pushed
+    * below the staging projection (and below the caller's line-render
+    * projection), re-evaluating split AND render once in the Filter and
+    * again in the Project — the generator shape evaluates line → tokens
+    * exactly once per row (q17 0.80 → 0.5x s min-of-3; table in the
+    * SparkEntry gate note). The token array lands as a real Generate
+    * output attribute, so the 13-column projection reads a slot, never
+    * re-splits. The earlier declarative history still holds:
+    * `split(trim(regexp_replace(...)))` was 2.2x slower and unfaithful
+    * on edge-whitespace; a `when`-guarded literal-split fast path 2.4x
+    * (conditional branches are excluded from codegen subexpression
+    * elimination). */
   def fromLines(lines: DataFrame): DataFrame = {
     val c = lines.columns.head
     lines
-      .select(graft.functions.TextFunctions.wsSplit(col(c)).as("__toks"))
-      .where(size(col("__toks")) >= 12)
+      .select(explode(
+        graft.functions.TextFunctions.wsSplitRows(col(c), 12)).as("__toks"))
       .select(projectTokens(col("__toks")): _*)
   }
 
   /** Column projection given the pre-split token array (1-based fields). */
   def projectTokens(f: Column): Seq[Column] = {
     def fld(i: Int) = element_at(f, i + 1)
-    val sizeCol = when(fld(2).rlike("^\\d+$"), fld(2)).otherwise(lit("-1"))
+    // all-digits check without the regex machinery: translate deletes
+    // every digit, so an empty result on a non-empty field ⇔ ^\d+$ —
+    // one codegen'd byte pass instead of a per-row Pattern match (the
+    // same regex-ectomy as wsSplit, A/B'd in-gate: q17 0.80 → see
+    // SparkEntry q17 note)
+    val digits = fld(2) =!= "" &&
+      translate(fld(2), "0123456789", "") === ""
+    val sizeCol = when(digits, fld(2)).otherwise(lit("-1"))
       .cast("long")
     val col8 = fld(8)
     val plusIdx = instr(col8, "+")

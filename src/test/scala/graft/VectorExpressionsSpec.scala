@@ -134,6 +134,37 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("wsSplitRows: explode drops short lines, keeps the exact wsSplit " +
+      "token array; CrawlLog.fromLines parses the generator shape") {
+    val lines = Seq(
+      "a b c",                                        // < 12 → dropped
+      (1 to 12).map("t" + _).mkString(" "),           // exactly 12 kept
+      " lead " + (1 to 11).map("t" + _).mkString(" "),// leading empty counts
+      "")                                             // [""] → dropped
+    val out = lines.toDF("line")
+      .select(explode(graft.functions.TextFunctions
+        .wsSplitRows(col("line"), 12)).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    assert(out.length == 2)
+    assert(out(0) == (1 to 12).map("t" + _))
+    assert(out(1) == "" +: "lead" +: (1 to 11).map("t" + _))
+    // end-to-end parse semantics: '-' size → -1, digits pass, col-8
+    // start+duration split, '-' col-8 → both null
+    val logs = Seq(
+      "2012-01-03T08:45:08Z 200 561 http://a/ P - text/html #1 20120103084508+120 sha1:X - -",
+      "2012-01-03T08:45:09Z 404 - http://b/ P - text/html #2 - sha1:Y - -",
+      "short line")
+    val parsed = graft.model.CrawlLog.fromLines(logs.toDF("line"))
+      .select("status", "size", "fetch_start", "fetch_duration")
+      .collect()
+    assert(parsed.length == 2)
+    assert(parsed(0).getInt(0) == 200 && parsed(0).getLong(1) == 561L &&
+      parsed(0).getString(2) == "20120103084508" &&
+      parsed(0).getString(3) == "120")
+    assert(parsed(1).getInt(0) == 404 && parsed(1).getLong(1) == -1L &&
+      parsed(1).isNullAt(2) && parsed(1).isNullAt(3))
+  }
+
   test("hexSliceLong matches conv(substring) incl. bad chars and short input") {
     val rnd = new scala.util.Random(17)
     val hexish = "0123456789abcdefABCDEFxy"
