@@ -2489,7 +2489,16 @@ object SparkEntry {
         case n if n.startsWith("pid") => n.drop(3)
         case _ => "" // pre-pid-layout leftover: no live owner
       }
-      if (!new java.io.File(s"/proc/$owner").exists()) rm(d)
+      // An empty/non-numeric owner must reap unconditionally — probing
+      // "/proc/" (or "/proc/garbage" on some procfs) would read as a
+      // live owner and pin the leftover in tmpfs until reboot. Residual
+      // risk: a SIGKILL'd run's dir survives if its pid number was
+      // since REUSED by an unrelated process (liveness here is by pid
+      // only, not start time) — accepted, the next reuse-free sweep
+      // gets it.
+      val live = owner.nonEmpty && owner.forall(_.isDigit) &&
+        new java.io.File(s"/proc/$owner").exists()
+      if (!live) rm(d)
     }
     sys.addShutdownHook(rm(mine))
     mine.getAbsolutePath

@@ -357,12 +357,15 @@ object CorpusModels {
     * lifecycle: the corpus reduces ONCE ([[bm25Index]]) to its
     * per-(doc, term) tf table and per-doc lengths (map-side combinable
     * — THE corpus exchange, materialized for every later query batch);
-    * each [[bm25Query]] collects its benchmark-sized distinct (query,
-    * term) pairs, counts df(t) on the term-filtered index slice only,
-    * folds idf/avgdl back as literals riding the broadcast query rows,
-    * and scores in one job — the corpus text itself never shuffles
-    * again. Top-`k` docs per query by (score desc, doc id) — the
-    * window runs over candidate rows only (docs sharing ≥ 1 query
+    * each [[bm25Query]] collects a benchmark-sized distinct (query,
+    * term) pair set to the driver, counts df(t) on the term-filtered
+    * index slice only, folds idf/avgdl back as literals riding the
+    * broadcast query rows, and scores in one job — while a query set
+    * past `driverPairLimit` pairs (decontamination scale: millions of
+    * eval queries) keeps the pair table DISTRIBUTED end to end, with
+    * idf attached by broadcast join; either way the corpus text never
+    * shuffles again. Top-`k` docs per query by (score desc, doc id) —
+    * the window runs over candidate rows only (docs sharing ≥ 1 query
     * term). */
   /** The indexed corpus side of [[bm25TopK]]: the per-(doc, term) tf
     * table and per-doc lengths (both materialized once — the index), plus
@@ -408,7 +411,8 @@ object CorpusModels {
                 qIdCol: String, qTextCol: String, k: Int,
                 idCol: String,
                 k1Num: Int = 12, k1Den: Int = 10,
-                bNum: Int = 3, bDen: Int = 4): DataFrame = {
+                bNum: Int = 3, bDen: Int = 4,
+                driverPairLimit: Int = 8192): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1Num >= 0 && k1Den > 0 && bNum >= 0 && bDen > 0 &&
       bNum <= bDen, s"bad BM25 params k1=$k1Num/$k1Den b=$bNum/$bDen")
@@ -417,35 +421,59 @@ object CorpusModels {
     val tf = index.tf
     val avg100 = index.avg100
     val nDocs = index.nDocs
-    // the query set is BENCHMARK-SIZED by contract, so its distinct
-    // (query, term) pairs live on the driver (same metadata class as a
-    // codebook); df(t) is a query-vocabulary-sized map and N/avgdl two
-    // scalars — all fold back in as literals, so the scoring pass is
-    // ONE job over the indexed tf slice with zero broadcast-exchange
-    // builds (a fully-declarative first cut's three broadcast joins
-    // cost 16 jobs)
-    val qPairs: Seq[(Long, String)] =
-      bm25Toks(queries, qIdCol, qTextCol, "__q", index.gram)
-        .distinct()
-        .as[(Long, String)].collect().toSeq.sorted
-    val terms: Seq[String] = qPairs.map(_._2).distinct.sorted
-    if (nDocs == 0L || qPairs.isEmpty)
+    // TWO query-set regimes, picked by ONE probe job (limit N+1): a
+    // benchmark-sized set's distinct (query, term) pairs live on the
+    // driver (same metadata class as a codebook — df(t) a
+    // query-vocabulary-sized map, N/avgdl two scalars, everything folds
+    // back as literals, so scoring is ONE job with zero
+    // broadcast-exchange builds); above `driverPairLimit` pairs — a
+    // decontamination-scale query set, millions of rows at 100x — the
+    // pair table NEVER funnels through the driver: it stays a DataFrame,
+    // the idf fold becomes a broadcast join against the slice-computed
+    // df(t), and the pair table ships as a Spark-managed broadcast into
+    // the same scoring tail.
+    val qtAll = bm25Toks(queries, qIdCol, qTextCol, "__q", index.gram)
+      .distinct()
+    val headPairs: Array[(Long, String)] =
+      qtAll.limit(driverPairLimit + 1).as[(Long, String)].collect()
+    if (nDocs == 0L || headPairs.isEmpty)
       return queries.sparkSession.emptyDataFrame
         .select(lit(0L).as(qIdCol), lit(0L).as("rank"), lit(0L).as(idCol),
           lit(0L).as("n_terms"), lit(0L).as("score")).limit(0)
-    val dft: Map[String, Long] = tf
-      .where(col("__t").isin(terms: _*))
-      .groupBy(col("__t")).agg(count(lit(1)).as("c"))
-      .as[(String, Long)].collect().toMap
-    val idfBp: Map[String, Long] = dft.map { case (t, dfc) =>
-      t -> (10000L * (nDocs - dfc + 1)) / (dfc + 1)
-    }
-    // idf rides the local (query, term) rows into the broadcast join —
-    // a string-keyed literal MAP lookup (element_at) would linear-scan
-    // its entries per candidate row (measured ~1 s at 250 terms x 300k
-    // candidates); the broadcast hash join probes in O(1)
-    val qt = qPairs.map { case (q, t) => (q, t, idfBp.getOrElse(t, 0L)) }
-      .toDF("__q", "__t", "__idf")
+    // cand = the term-filtered index slice; qt = (__q, __t, __idf) —
+    // idf rides the (query, term) rows into the broadcast join (a
+    // string-keyed literal MAP lookup would linear-scan its entries per
+    // candidate row — measured ~1 s at 250 terms x 300k candidates; the
+    // broadcast hash join probes in O(1))
+    val (cand: DataFrame, qt: DataFrame) =
+      if (headPairs.length <= driverPairLimit) {
+        val qPairs: Seq[(Long, String)] = headPairs.toSeq.sorted
+        val terms: Seq[String] = qPairs.map(_._2).distinct.sorted
+        val dft: Map[String, Long] = tf
+          .where(col("__t").isin(terms: _*))
+          .groupBy(col("__t")).agg(count(lit(1)).as("c"))
+          .as[(String, Long)].collect().toMap
+        val idfBp: Map[String, Long] = dft.map { case (t, dfc) =>
+          t -> (10000L * (nDocs - dfc + 1)) / (dfc + 1)
+        }
+        (tf.where(col("__t").isin(terms: _*)),
+          qPairs.map { case (q, t) => (q, t, idfBp.getOrElse(t, 0L)) }
+            .toDF("__q", "__t", "__idf"))
+      } else {
+        val qtD = qtAll.localCheckpoint(eager = false) // term set + idf join
+        val slice = tf.join(broadcast(qtD.select(col("__t")).distinct()),
+            Seq("__t"), "leftsemi")
+          .localCheckpoint(eager = false) // consumers: df(t) + scoring
+        // same integer idf as the local path (operands nonnegative, so
+        // Scala Long / == SQL DIV); terms absent from the corpus drop
+        // out of the inner join — they match no candidate row anyway
+        val idfD = slice.groupBy(col("__t"))
+          .agg(count(lit(1)).as("__dfc"))
+          .select(col("__t"), expr(
+            s"(10000L * (${nDocs}L - __dfc + 1L)) DIV (__dfc + 1L)")
+            .as("__idf"))
+        (slice, qtD.join(broadcast(idfD), "__t"))
+      }
     val dl = index.dl
     // Saturation coefficients folded on the driver (BigInt: the folds
     // themselves must not wrap):
@@ -459,7 +487,11 @@ object CorpusModels {
     // denominator sum in range; any row above the bounds replays the
     // identical truncating DIV in DECIMAL(38,0)
     val longMax = BigInt(Long.MaxValue)
-    val fastOk = cNum > 0 && cNum <= longMax && cConst <= longMax / 4
+    // cDl's bound sits in fastOk explicitly (not only implicitly via a
+    // dlMax of 0 when longMax/(cDl*4) floors to zero) so the whole
+    // int64-safety invariant is checkable on this one line
+    val fastOk = cNum > 0 && cNum <= longMax && cConst <= longMax / 4 &&
+      cDl <= longMax / 4
     val tfMax = if (fastOk) (longMax / cNum).min(longMax).toLong else 0L
     val dlMax =
       if (!fastOk) 0L
@@ -472,7 +504,7 @@ object CorpusModels {
         s"(CAST('$cTf' AS DECIMAL(38,0)) * __tf + " +
         s"CAST('$cConst' AS DECIMAL(38,0)) + " +
         s"CAST('$cDl' AS DECIMAL(38,0)) * __dl))"
-    val scored = tf.where(col("__t").isin(terms: _*))
+    val scored = cand
       .join(broadcast(qt), "__t")
       .join(dl, "__doc")
       .select(col("__q"), col("__doc"),

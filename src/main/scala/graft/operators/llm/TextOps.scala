@@ -713,7 +713,13 @@ object TextAnalysis {
       val spark = df.sparkSession
       import spark.implicits._
       val w = weights.toSeq.sorted.toDF(keyCol, outCol)
-      df.join(broadcast(w), keyCol)
+      // LEFT join: the literal-map path KEEPS a missing-key row with a
+      // NULL weight (element_at semantics) — an inner join here would
+      // silently drop it, a behavior fork that only surfaces above
+      // LiteralMapMaxEntries. Current callers guarantee every key is
+      // present; a future caller relying on the NULL gets identical
+      // semantics on both paths.
+      df.join(broadcast(w), Seq(keyCol), "left")
     }
 
   def dsirScore(corpus: DataFrame, idCol: String, textCol: String,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -83,7 +83,13 @@ object CdxStream {
    *
    * Boundaries: fixed if supplied (generations then partition-align with
    * the main cluster, making the later merge shuffle-free); otherwise
-   * sampled per batch.
+   * sampled ONCE from the first non-empty batch and PINNED — persisted
+   * to `outDir/_gen_boundaries` (AlphaPartitioner split-file format,
+   * loadable by [[graft.operators.Boundaries.fromSplitFile]]) so every
+   * later generation, including after a query restart, shards on the
+   * SAME boundaries. Per-batch resampling would let generations shard
+   * differently, and the periodic compaction merge would silently lose
+   * its shuffle-free alignment.
    */
   def zipnumGenerations(lines: Dataset[String], outDir: String,
                         checkpointDir: String, nShards: Int = 4,
@@ -102,7 +108,8 @@ object CdxStream {
         try {
           if (!rdd.isEmpty()) {
             val bounds = fixedBoundaries.getOrElse(
-              graft.operators.Boundaries.sample(rdd, nShards))
+              pinnedBoundaries(batch.sparkSession, outDir,
+                () => graft.operators.Boundaries.sample(rdd, nShards)))
             graft.operators.ClusterOps.build(batch.sparkSession, rdd,
               f"$outDir/gen-$batchId%05d", bounds,
               linesPerBlock = linesPerBlock, overwrite = true)
@@ -110,6 +117,36 @@ object CdxStream {
         } finally rdd.unpersist(blocking = false)
       }
       .start()
+
+  /** Read the pinned generation boundaries under `outDir`, or sample and
+    * pin them (write-to-temp + rename; if the rename loses to an already
+    * present pin — e.g. a replayed first batch racing its pre-crash
+    * write — the existing pin wins and is re-read, so every code path
+    * returns the one durable boundary set). An EMPTY pin file is a valid
+    * pin: nShards == 1 has no interior boundaries. */
+  private def pinnedBoundaries(spark: SparkSession, outDir: String,
+                               sample: () => IndexedSeq[String])
+      : IndexedSeq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pin = new org.apache.hadoop.fs.Path(outDir, "_gen_boundaries")
+    val fs = pin.getFileSystem(conf)
+    def read(): IndexedSeq[String] = {
+      val in = fs.open(pin)
+      val text = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      text.split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
+    }
+    if (fs.exists(pin)) read()
+    else {
+      val b = sample()
+      val tmp = new org.apache.hadoop.fs.Path(outDir,
+        s"._gen_boundaries.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(b.mkString("\n").getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, pin)) b
+      else { fs.delete(tmp, false); read() }
+    }
+  }
 
   /** O4e as custom streaming state: cap captures per (urlkey, day) ACROSS
     * micro-batches — admitting `dayLimit` + 1 rows per group, matching the

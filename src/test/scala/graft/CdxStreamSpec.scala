@@ -278,6 +278,66 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
       Seq("org,a)/1", "org,b)/2"))
   }
 
+  test("zipnumGenerations with NO fixed boundaries pins the first " +
+      "batch's sample: later generations shard-align and the merge is " +
+      "byte-identical to a batch build on the pinned boundaries") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream-gen-pin")
+    val lines = (0 until 400).map { i =>
+      val key = f"org,s${i % 13}%d)/p/$i%05d"
+      s"$key 201201010${i % 10}0000 http://s${i % 13}.org/p/$i " +
+        s"text/html 200 D$i - - ${100 + i} ${i * 100L} f.warc.gz"
+    }
+    val gensDir = root.resolve("gens").toString
+    val ms = MemoryStream[String]
+    val q = CdxStream.zipnumGenerations(ms.toDS(), gensDir,
+      root.resolve("ckpt").toString, nShards = 4, linesPerBlock = 40)
+    // batch 0: EVEN lines only — the pin is sampled from these alone,
+    // so a per-batch resample over batch 1's different (odd) lines
+    // would disagree; the pinned file must make both generations shard
+    // on batch 0's sample
+    ms.addData(lines.zipWithIndex.collect { case (l, i) if i % 2 == 0 => l }: _*)
+    q.processAllAvailable()
+    val pinFile = new java.io.File(gensDir, "_gen_boundaries")
+    assert(pinFile.isFile, "first non-empty batch must persist the pin")
+    val pinned = scala.io.Source.fromFile(pinFile, "UTF-8").getLines()
+      .filter(_.nonEmpty).toIndexedSeq
+    assert(pinned.nonEmpty && pinned == pinned.sorted)
+    ms.addData(lines.zipWithIndex.collect { case (l, i) if i % 2 == 1 => l }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val gens = new java.io.File(gensDir).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getPath).sorted.toSeq
+    assert(gens.length == 2)
+    // both generations carry the SAME shard count (boundary-aligned)
+    val shardCounts = gens.map(g => new java.io.File(g).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.endsWith(".idx") && !f.getName.endsWith(".summary")))
+    assert(shardCounts.distinct.size == 1,
+      s"generations shard differently: $shardCounts")
+    // the compaction merge on the PINNED boundaries is byte-identical
+    // to a one-shot batch build of all lines on those boundaries
+    val mergedDir = root.resolve("merged").toString
+    graft.operators.ClusterOps.merge(spark, gens, mergedDir,
+      nShards = pinned.size + 1, boundaries = Some(pinned),
+      linesPerBlock = 40, overwrite = true)
+    val batchDir = root.resolve("batch").toString
+    graft.operators.ClusterOps.build(spark, spark.sparkContext
+      .parallelize(lines, 3), batchDir, pinned,
+      linesPerBlock = 40, overwrite = true)
+    def fileMap(d: String): Map[String, Seq[Byte]] =
+      new java.io.File(d).listFiles().filter(_.isFile)
+        .filterNot(_.getName.startsWith("_"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val m = fileMap(mergedDir)
+    val b = fileMap(batchDir)
+    assert(m.keySet == b.keySet)
+    for (k <- b.keySet) assert(m(k) == b(k), s"file $k differs")
+  }
+
   test("zipnumGenerations + merge is BYTE-IDENTICAL to one batch build " +
       "of the same lines") {
     import spark.implicits._

@@ -279,6 +279,31 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     assert(r2 == Seq(1L))
   }
 
+  test("bm25Query distributed path (pairs past driverPairLimit) equals " +
+      "the driver-literal path row for row") {
+    val docs = Seq(
+      (0L, "apple banana cherry apple"),
+      (1L, "banana banana durian"),
+      (2L, "cherry durian elderberry fig grape"),
+      (3L, "apple apple apple banana"),
+      (4L, "unrelated words only here")).toDF("doc_id", "text")
+    val queries = Seq(
+      (0L, "apple banana"), (1L, "cherry durian"),
+      (2L, "banana fig grape"), (3L, "elderberry apple nonword"))
+      .toDF("query_id", "qtext")
+    val idx = CorpusModels.bm25Index(docs, "doc_id", "text")
+    def run(limit: Int): Seq[(Long, Long, Long, Long, Long)] =
+      CorpusModels.bm25Query(idx, queries, "query_id", "qtext",
+          k = 3, idCol = "doc_id", driverPairLimit = limit)
+        .orderBy("query_id", "rank")
+        .select("query_id", "rank", "doc_id", "n_terms", "score")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val local = run(8192)      // all pairs fit on the driver
+    val distributed = run(1)   // forces the distributed pair table
+    assert(local.nonEmpty)
+    assert(distributed == local)
+  }
+
   test("bm25: DECIMAL fallback branch (coefficients past int64) matches " +
       "the BigInt formula exactly") {
     // k1/b chosen so cNum = 1e4·(k1n+k1d)·bd·avg100 overflows int64 →
