@@ -269,6 +269,13 @@ object SparkEntry {
     }),
 
     // §2.7 window top-k per group
+    // r15 exchange audit (the carried "q14 is ~5.9x duck" item): the
+    // rn<=3 filter already optimizes to a PARTIAL WindowGroupLimit
+    // below the exchange (map-side top-3 per segment, <= 3 x parts x
+    // segments rows on the wire) + a final WindowGroupLimit — verified
+    // in the formatted plan; there is no full per-segment sort to
+    // replace with a TakeOrdered shape. Diag 0.423-0.481 s at anchor
+    // q74 0.68-0.73 is the broadcast-build + scan job floor; left as is.
     "q14_topk_group" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
       val c = tbl(s, dir, "customer")

@@ -57,6 +57,15 @@ object CorpusModels {
     // The corpus lineage is read twice (fit + score) — scan+explode is
     // pushdown-pruned and strictly cheaper than materializing one full
     // occurrence exchange at any scale we measured.
+    // Job-count correction (r15): the steady count for this shape is
+    // 5, not the 4 the r14 table recorded — AQE only converts the
+    // scoring SMJ to a broadcast join AFTER materializing the vocab
+    // fit as its own query stage, so the runtime decision costs one
+    // extra stage-job over a static broadcast hint (the hint variant
+    // is genuinely 4). The time win is real either way (0.388-0.429 s
+    // r15 Diag at anchor q74 0.675 vs 0.688 colocated); the hint was
+    // rejected because web-scale vocabularies must not be forced
+    // through a broadcast.
     val toks = df.select(col(idCol).cast("long").as("__doc"),
         col(labelCol).cast("boolean").as("__pos"),
         explode(Shingles.words(col(textCol))).as("__tok"))

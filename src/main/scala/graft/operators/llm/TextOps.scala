@@ -346,7 +346,24 @@ object TextAnalysis {
     * single-exchange variant — the q88/q91 shape — was A/B'd r13: the
     * colocated sort-merge join's string sorts cost MORE than the
     * broadcast hash join at bench scale, 0.57 vs 0.48 s isolated, so
-    * the broadcast form stays.) */
+    * the broadcast form stays.)
+    *
+    * r15 exchange audit (Diag min-of-3 at sf0.1, anchor q74 alongside;
+    * the carried "q60 is 5.1x duck" item) — three literal-folding
+    * variants built and REVERTED, this declarative shape keeps winning:
+    *   shape                                     q60      anchor q74
+    *   THIS (bcast df join + crossJoin bcast N)  0.526 s  0.728 s
+    *   N collected to a driver literal           0.556 s  0.680-1.006
+    *   one rollup pass -> df map + N literals    0.575 s  0.700 s
+    *   df probe collect -> literal map + N coll  0.598 s  0.599-0.784
+    * Why literal folding loses HERE but won in q114/dsir: those folds
+    * replace metadata-sized side tables consumed by one scoring pass;
+    * here the eager collects run at plan-build time against the lazy
+    * tf checkpoint, SERIALIZING the three-consumer job chain that the
+    * declarative form's broadcast builds overlap — and the rollup
+    * variant's fused countDistinct even re-expands the checkpointed tf
+    * into a second corpus-scale exchange. Duck's remaining edge is the
+    * fixed multi-job floor (~9 jobs), not a plan defect. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String,
             nDocs: Option[Long] = None): DataFrame = {
     nDocs.foreach(n => require(n > 0, s"nDocs must be positive, got $n"))
@@ -700,8 +717,11 @@ object TextAnalysis {
     * codegen'd projection (zero extra jobs); `element_at` over a
     * literal map LINEAR-SCANS its entries per row, so above
     * [[LiteralMapMaxEntries]] the table ships as a broadcast hash join
-    * instead (O(1) probes — the bm25Query rationale). Callers must
-    * guarantee every key is present: the join is inner. */
+    * instead (O(1) probes — the bm25Query rationale); the join is LEFT
+    * so a missing key yields a NULL weight on both paths. r15
+    * re-confirmed the threshold after the left-join change: forcing
+    * q85's 256-entry long-keyed table onto the join path read 0.619 s
+    * vs 0.550 s literal (Diag min-of-3, anchor q74 0.707/0.728). */
   private[graft] val LiteralMapMaxEntries = 1024
 
   private[graft] def withWeightCol(df: DataFrame, keyCol: String,
@@ -815,7 +835,26 @@ object TextAnalysis {
     * prefix key would ("the" is one prefix-count ROW here, not a join
     * hot key; each of its continuations is its own join key). Documents
     * shorter than 2 words have no bigrams and are absent from the
-    * output. */
+    * output.
+    *
+    * ADJUDICATED (r15 Diag min-of-3 at sf0.1, anchor q74 alongside
+    * each draw, after the battery drifted 0.439 -> 0.575 on untouched
+    * code — the q91 suspicion pattern): this shape is NOT the q91
+    * failure mode; the colocated exchange WINS here and stays.
+    *   shape                                    q88      anchor q74
+    *   repartition(__gh), no checkpoint (THIS)  0.486 s  0.728 s
+    *   no repartition + lcp(bigramCnt)          0.586 s  0.710 s
+    *   no repartition, pure AQE                 0.618 s  0.781 s
+    *   repartition + lcp(bigramCnt)             0.655 s  0.681 s
+    * Why the q91 verdict doesn't transfer: q91's vocab fit REDUCES
+    * hard (map-side combine collapses the occurrence stream before the
+    * wire), so its pre-agg exchange was pure cost; here the scoring
+    * join must move the full occurrence stream to the bigram key
+    * ANYWAY (per-doc bigrams rarely repeat, so combine saves little,
+    * and the LM side is not broadcastable in general), and the single
+    * reused exchange serves both the count agg and the join. The +31%
+    * battery read was host-phase drift, uniform across untouched
+    * queries that session. */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // bigram and prefix keys are ENGINE-INTERNAL (output = per-doc
     // integer scores), so every exchange carries xxhash64 longs, never
