@@ -2099,7 +2099,11 @@ object SparkEntry {
       val ckptPath = new org.apache.hadoop.fs.Path(s"$ckptBase/ckpt_q113")
       val ckptFs = ckptPath.getFileSystem(hconf)
       ckptFs.delete(ckptPath, true)
-      try withScopedConf(s, "spark.sql.shuffle.partitions" -> "8") {
+      try withScopedConf(s, "spark.sql.shuffle.partitions" -> "8",
+        // same tmpfs-scoped checkpoint-manager trade as runStreamQuery
+        "spark.sql.streaming.checkpointFileManagerClass" ->
+          ("org.apache.spark.sql.execution.streaming.checkpointing." +
+            "FileSystemBasedCheckpointFileManager")) {
         val lines = s.readStream.option("maxFilesPerTrigger", "1")
           .text(s"$base/in").as[String]
         graft.streaming.CdxStream.zipnumGenerations(lines, gens,
@@ -2445,6 +2449,17 @@ object SparkEntry {
     try withScopedConf(s,
       "spark.sql.shuffle.partitions" -> "1",
       "spark.sql.files.maxPartitionBytes" -> "1073741824",
+      // ~35 ms -> ~9 ms per metadata-log write (offsets/commit WALs,
+      // x3 per batch): the default FileContext-based manager
+      // re-instantiates a FileContext per operation for rename
+      // atomicity the LOCAL fs already guarantees; the FileSystem-based
+      // manager reuses the cached FileSystem. Scoped to the gate's
+      // ephemeral tmpfs checkpoints only — a production stream on
+      // HDFS/S3 keeps the default (and its stronger atomic-rename
+      // contract) by not going through this scaffold.
+      "spark.sql.streaming.checkpointFileManagerClass" ->
+        ("org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager"),
       // noDataBatch = true is the append-mode flush path: ONE data
       // batch (the fixture, sentinel line included, raises the
       // watermark at its end) + one trailing NO-DATA batch that emits
@@ -2465,6 +2480,10 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .start()
       query.awaitTermination()
+      // diagnostic only: per-micro-batch duration decomposition
+      if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
+        query.recentProgress.foreach(p => println(
+          s"[stream] $sink batch=${p.batchId} dur=${p.durationMs}"))
     // the checkpoint is pure scratch once the run finished (the next
     // run deletes-and-rebuilds it anyway) — removing it NOW keeps it
     // from sitting resident in tmpfs RAM between runs; the JVM-exit
