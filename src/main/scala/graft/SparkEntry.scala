@@ -2043,6 +2043,47 @@ object SparkEntry {
           col("thumb_hash"))
     }),
 
+    // REAL baseline JPEG decode under the oracle gate — the format a
+    // crawl actually carries most, closing the r13/r14 decide-or-descope
+    // debt with a decode, not a paragraph. Each doc synthesizes a VALID
+    // baseline JFIF whose 8x8 blocks are CONSTANT (DC-only, all-ones
+    // quant): any faithful IDCT reconstructs such blocks EXACTLY, so
+    // whole-image channel statistics have a closed form the oracle
+    // recomputes — including the fixed-point YCbCr->RGB, replayed
+    // integer-for-integer in SQL. The fixture cycles geometry (1-3
+    // blocks wide, 1-2 tall), grayscale vs color, 4:4:4 vs 4:2:0
+    // (constant chroma makes the box downsample lossless), and restart
+    // intervals, so the Huffman DC chain, EOB path, MCU geometry with
+    // edge-replication crop, RST resets, upsampling, and color convert
+    // all sit on the hash-compare. (JpegCodecSpec pins the decoder
+    // against the JDK's independent codec both directions, with real
+    // AC coefficients.)
+    "q115_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{JpegCodec, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bw = 1 + (id % 3).toInt
+          val bh = 1 + ((id / 3) % 2).toInt
+          val w = 8 * bw
+          val h = 8 * bh
+          val nComp = if (id % 2 == 0) 3 else 1
+          val cb = 128 + 4 * (id % 7).toInt
+          val cr = 128 + 6 * (id % 5).toInt
+          val sub = if (id % 6 == 0) 2 else 1 // 4:2:0 on a color subset
+          val rst = if (id % 4 <= 1) 1 else 0 // RSTn on both kinds
+          val px = (x: Int, y: Int) =>
+            (16 + 8 * (((x / 8) + 2 * (y / 8) + id) % 24).toInt, cb, cr)
+          MultimodalOps.MediaRecord(id,
+            JpegCodec.encodeJpeg(w, h, nComp, sub, JpegCodec.flatQuant,
+              JpegCodec.flatQuant, rst, px), "jpeg", w, h)
+        }
+      MultimodalOps.decode(media)
+        .select(col("doc_id"), col("format"), col("decoded_bytes"),
+          col("thumb_hash"))
+    }),
+
     // Incremental ZipNum index maintenance under the oracle gate — the
     // FIFTH streaming surface, and the one whose state is the INDEX
     // itself: each micro-batch of CDX lines becomes its own sorted
@@ -4287,6 +4328,36 @@ object SparkEntry {
         |SELECT id AS doc_id, 'png' AS format,
         |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes,
         |  md5('png ' || kind || ' ' || w || 'x' || h || ' ' || s || ' '
+        |    || m) AS thumb_hash
+        |FROM f""".stripMargin,
+
+    // Replays the q115 fixture in closed form: DC-only blocks decode to
+    // their exact input values, so each block's (R,G,B) comes from the
+    // SAME fixed-point YCbCr conversion the decoder runs ((x+32768)//65536
+    // == >>16 — every adjustment nonnegative by fixture construction).
+    "q115_jpeg_decode" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, 1 + id % 3 AS bw, 1 + (id // 3) % 2 AS bh,
+        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr FROM p),
+        |b AS (SELECT id, bw, bh, ch, cb, cr,
+        |    16 + 8 * ((bx + 2 * by + id) % 24) AS yv
+        |  FROM g, range(0, 3) r1(bx), range(0, 2) r2(by)
+        |  WHERE bx < bw AND by < bh),
+        |c AS (SELECT id, bw, bh, ch,
+        |    LEAST(255, GREATEST(0, yv + (91881 * (cr - 128) + 32768) // 65536)) AS r,
+        |    LEAST(255, GREATEST(0, yv - (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) // 65536)) AS gg,
+        |    LEAST(255, GREATEST(0, yv + (116130 * (cb - 128) + 32768) // 65536)) AS bb,
+        |    yv FROM b),
+        |f AS (SELECT id, MIN(bw) AS bw, MIN(bh) AS bh, MIN(ch) AS ch,
+        |    SUM(64 * CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END) AS s,
+        |    MAX(CASE WHEN ch = 1 THEN yv
+        |        ELSE GREATEST(r, gg, bb) END) AS m
+        |  FROM c GROUP BY id)
+        |SELECT id AS doc_id, 'jpeg' AS format,
+        |  CAST(64 * bw * bh * ch AS BIGINT) AS decoded_bytes,
+        |  md5('jpeg ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
+        |    || ' ' || (8 * bw) || 'x' || (8 * bh) || ' ' || s || ' '
         |    || m) AS thumb_hash
         |FROM f""".stripMargin,
 

@@ -7,13 +7,16 @@ import org.apache.spark.sql.Dataset
  * `binary` columns with typed metadata; decode/feature-extract runs
  * executor-side in batches).
  *
- * The DECODE step is REAL for the three containers the JDK can carry —
- * uncompressed 24-bpp BMP, PCM16 mono WAV, and non-interlaced 8-bit
- * RGB/RGBA PNG ([[MediaCodecs]], no external libs; q106 and q112 gate
- * the byte-level walks against closed-form oracles) — and a documented
- * deterministic fallback (byte length + payload md5) for every other
- * format (JPEG, video), since codec libraries are not in this
- * container's frozen build. The Spark-side plumbing is identical
+ * The DECODE step is REAL for the four containers the JDK can carry —
+ * uncompressed 24-bpp BMP, PCM16 mono WAV, non-interlaced 8-bit
+ * RGB/RGBA PNG ([[MediaCodecs]]), and baseline sequential JFIF
+ * ([[JpegCodec]]) — no external libs; q106, q112 and q115 gate the
+ * byte-level walks against closed-form oracles — and a documented
+ * deterministic fallback (byte length + payload md5) for every
+ * unsniffed format (video), since codec libraries are not in this
+ * container's frozen build. Unsupported VARIANTS of a sniffed
+ * container (progressive/arithmetic JPEG, interlaced PNG) fail loudly,
+ * per the MediaCodecs contract. The Spark-side plumbing is identical
  * either way: binary payload columns with typed metadata via case-class
  * Encoders, and per-partition batch iteration (`mapPartitions`) so a
  * codec amortizes its init across a whole batch — exactly where an image
@@ -71,6 +74,13 @@ object MultimodalOps {
         val img = MediaCodecs.decodePng(m.payload)
         val kind = if (img.channels == 3) "rgb" else "rgba"
         val feat = s"png $kind ${img.width}x${img.height} " +
+          s"${img.sumChannels} ${img.maxChannel}"
+        DecodedMedia(m.doc_id, m.format, img.nPixels * img.channels,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else if (JpegCodec.sniffJpeg(m.payload)) {
+        val img = JpegCodec.decodeJpeg(m.payload)
+        val kind = if (img.channels == 1) "gray" else "ycc"
+        val feat = s"jpeg $kind ${img.width}x${img.height} " +
           s"${img.sumChannels} ${img.maxChannel}"
         DecodedMedia(m.doc_id, m.format, img.nPixels * img.channels,
           hexLower(md.digest(feat.getBytes("UTF-8"))))
