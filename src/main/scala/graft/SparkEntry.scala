@@ -2084,6 +2084,53 @@ object SparkEntry {
           col("thumb_hash"))
     }),
 
+    // REAL pixel resample under the oracle gate (the former resize stub
+    // is gone): mixed BMP/PNG/JPEG mosaics of constant 8x8 blocks at
+    // 16x16 or 32x32 resize into an 8-px box — every output pixel's
+    // integer box average lies inside ONE source block, so the
+    // thumbnail is the exactly-scaled mosaic and the oracle recomputes
+    // the decoded thumbnail statistics in closed form. The path under
+    // test per row: container decode -> boxResample -> lossless
+    // re-encode (BMP->BMP, PNG->PNG, JPEG->PNG) -> second decode of the
+    // RE-ENCODED payload (the hash-compare sits on the full round
+    // trip, both codecs' encoders included).
+    "q116_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{JpegCodec, MediaCodecs, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val kind = (id % 3).toInt
+          val n = 2 + 2 * ((id / 3) % 2).toInt
+          val wh = 8 * n
+          val cb = 128 + 4 * (id % 7).toInt
+          val cr = 128 + 6 * (id % 5).toInt
+          def yv(bx: Int, by: Int): Int =
+            16 + 8 * ((bx + 2 * by + id) % 24).toInt
+          def gv(bx: Int, by: Int): Int =
+            16 + 8 * ((bx + by + id) % 20).toInt
+          def bv(bx: Int, by: Int): Int =
+            ((bx * 64 + by * 32 + id) % 256).toInt
+          val payload = kind match {
+            case 0 => MediaCodecs.encodeBmp(wh, wh, (x, y) =>
+              (yv(x / 8, y / 8), gv(x / 8, y / 8), bv(x / 8, y / 8)))
+            case 1 => MediaCodecs.encodePng(wh, wh, 2, (x, y) =>
+              Array(yv(x / 8, y / 8), gv(x / 8, y / 8), bv(x / 8, y / 8)))
+            case _ => JpegCodec.encodeJpeg(wh, wh, 3, 1,
+              JpegCodec.flatQuant, JpegCodec.flatQuant, 0,
+              (x, y) => (yv(x / 8, y / 8), cb, cr))
+          }
+          MultimodalOps.MediaRecord(id, payload,
+            Seq("bmp", "png", "jpeg")(kind), wh, wh)
+        }
+      val back = MultimodalOps.resize(media, maxDim = 8)
+        .map(r => MultimodalOps.MediaRecord(r.doc_id, r.payload,
+          r.format, r.width, r.height))
+      MultimodalOps.decode(back)
+        .select(col("doc_id"), col("format"), col("decoded_bytes"),
+          col("thumb_hash"))
+    }),
+
     // Incremental ZipNum index maintenance under the oracle gate — the
     // FIFTH streaming surface, and the one whose state is the INDEX
     // itself: each micro-batch of CDX lines becomes its own sorted
@@ -4359,6 +4406,41 @@ object SparkEntry {
         |  md5('jpeg ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
         |    || ' ' || (8 * bw) || 'x' || (8 * bh) || ' ' || s || ' '
         |    || m) AS thumb_hash
+        |FROM f""".stripMargin,
+
+    // Replays the q116 fixture: thumbnails are the exactly-scaled
+    // mosaics (box averages never cross a constant block), so each
+    // 8x8 thumbnail's sums weight every block by its (8//n)^2-pixel
+    // footprint; the JPEG branch first replays the decoder's integer
+    // YCbCr conversion.
+    "q116_media_resize" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, id % 3 AS kind, 2 + 2 * ((id // 3) % 2) AS n,
+        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr FROM p),
+        |b AS (SELECT id, kind, n, cb, cr,
+        |    16 + 8 * ((bx + 2 * by + id) % 24) AS yv,
+        |    16 + 8 * ((bx + by + id) % 20) AS gv,
+        |    (bx * 64 + by * 32 + id) % 256 AS bv
+        |  FROM g, range(0, 4) r1(bx), range(0, 4) r2(by)
+        |  WHERE bx < n AND by < n),
+        |c AS (SELECT id, kind, n,
+        |    CASE WHEN kind = 2 THEN LEAST(255, GREATEST(0,
+        |      yv + (91881 * (cr - 128) + 32768) // 65536)) ELSE yv END AS r,
+        |    CASE WHEN kind = 2 THEN LEAST(255, GREATEST(0,
+        |      yv - (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) // 65536))
+        |      ELSE gv END AS gg,
+        |    CASE WHEN kind = 2 THEN LEAST(255, GREATEST(0,
+        |      yv + (116130 * (cb - 128) + 32768) // 65536)) ELSE bv END AS bb
+        |  FROM b),
+        |f AS (SELECT id, MIN(kind) AS kind,
+        |    SUM(((8 // n) * (8 // n)) * (r + gg + bb)) AS s,
+        |    MAX(GREATEST(r, gg, bb)) AS m
+        |  FROM c GROUP BY id)
+        |SELECT id AS doc_id,
+        |  CASE WHEN kind = 0 THEN 'bmp' ELSE 'png' END AS format,
+        |  CAST(192 AS BIGINT) AS decoded_bytes,
+        |  md5(CASE WHEN kind = 0 THEN 'bmp 8x8 ' ELSE 'png rgb 8x8 ' END
+        |    || s || ' ' || m) AS thumb_hash
         |FROM f""".stripMargin,
 
     // The incremental (stream-generations + merge) path must serve the

@@ -9,9 +9,10 @@ package graft.operators.llm
  * PNG (CRC-verified chunk walk + java.util.zip Inflater + the five
  * scanline unfilters). These replace the former deterministic-fake
  * decode stub in [[MultimodalOps.decodeBatch]] for payloads whose magic
- * bytes match; formats outside this set (JPEG, video) still take the
- * documented fallback (a real deployment drops a JNI/codec-library
- * decoder into the same mapPartitions slot).
+ * bytes match; baseline JPEG lives in [[JpegCodec]]; formats outside
+ * this set (video) still take the documented fallback (a real
+ * deployment drops a JNI/codec-library decoder into the same
+ * mapPartitions slot).
  *
  * Encoders exist so fixtures can synthesize VALID files deterministically
  * from row data; decoders walk the actual bytes (row padding, LE fields,
@@ -44,6 +45,69 @@ object MediaCodecs {
   private def readLe16(b: Array[Byte], off: Int): Int = {
     require(off + 2 <= b.length, s"truncated at offset $off (need 2 bytes)")
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  }
+
+  // ---- rasters (shared pixel form across the codecs) ------------------
+
+  /** Decoded pixels: `channels` interleaved samples (0..255) per pixel,
+    * row-major top-down — the common currency between the per-format
+    * decoders, [[boxResample]], and the re-encoders. */
+  final case class Raster(width: Int, height: Int, channels: Int,
+                          samples: Array[Int])
+
+  private def rasterStats(r: Raster): (Long, Int) = {
+    var sum = 0L
+    var max = 0
+    var i = 0
+    while (i < r.samples.length) {
+      val v = r.samples(i)
+      sum += v
+      if (v > max) max = v
+      i += 1
+    }
+    (sum, max)
+  }
+
+  /** Integer box downsample: output pixel (ox, oy) is the rounded mean
+    * of the source box [ox·w/outW, (ox+1)·w/outW) × [oy·h/outH,
+    * (oy+1)·h/outH) (at least one source pixel per axis) — the standard
+    * thumbnailer area average, all-integer so any engine replays it
+    * exactly. Upsampling is out of contract (resize never upscales). */
+  def boxResample(r: Raster, outW: Int, outH: Int): Raster = {
+    require(outW >= 1 && outH >= 1 && outW <= r.width && outH <= r.height,
+      s"boxResample ${r.width}x${r.height} -> ${outW}x$outH must downscale")
+    if (outW == r.width && outH == r.height) return r
+    val ch = r.channels
+    val out = new Array[Int](outW * outH * ch)
+    var oy = 0
+    while (oy < outH) {
+      val sy0 = oy * r.height / outH
+      val sy1 = math.max(sy0 + 1, (oy + 1) * r.height / outH)
+      var ox = 0
+      while (ox < outW) {
+        val sx0 = ox * r.width / outW
+        val sx1 = math.max(sx0 + 1, (ox + 1) * r.width / outW)
+        val n = (sy1 - sy0) * (sx1 - sx0)
+        var c = 0
+        while (c < ch) {
+          var s = 0L
+          var sy = sy0
+          while (sy < sy1) {
+            var sx = sx0
+            while (sx < sx1) {
+              s += r.samples((sy * r.width + sx) * ch + c)
+              sx += 1
+            }
+            sy += 1
+          }
+          out((oy * outW + ox) * ch + c) = ((s + n / 2) / n).toInt
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    Raster(outW, outH, ch, out)
   }
 
   // ---- BMP (uncompressed 24-bpp) ------------------------------------
@@ -120,6 +184,15 @@ object MediaCodecs {
     * every pixel byte. Throws IllegalArgumentException on anything that
     * is not a well-formed BI_RGB 24-bpp file. */
   def decodeBmp(bytes: Array[Byte]): BmpImage = {
+    val r = decodeBmpPixels(bytes)
+    val (sum, max) = rasterStats(r)
+    BmpImage(r.width, r.height, r.width.toLong * r.height, sum, max)
+  }
+
+  /** Full-pixel BMP decode: RGB interleaved, row-major TOP-DOWN
+    * regardless of the file's row order (bottom-up files — positive
+    * height — are flipped on read). */
+  def decodeBmpPixels(bytes: Array[Byte]): Raster = {
     require(isBmp(bytes), "not a BMP (missing BM magic)")
     require(bytes.length >= 54, s"truncated BMP header (${bytes.length} bytes)")
     val pixelOff = readLe32(bytes, 10)
@@ -137,29 +210,24 @@ object MediaCodecs {
     val rowStride = ((width * 3 + 3) / 4) * 4
     require(pixelOff.toLong + rowStride.toLong * height <= bytes.length,
       s"pixel data overruns file: need ${pixelOff.toLong + rowStride.toLong * height}, have ${bytes.length}")
-    var sum = 0L
-    var max = 0
-    var y = 0
-    while (y < height) {
-      val rowOff = pixelOff + y * rowStride
+    val samples = new Array[Int](width * height * 3)
+    var fy = 0
+    while (fy < height) {
+      val iy = if (topDown) fy else height - 1 - fy
+      val rowOff = pixelOff + fy * rowStride
       var x = 0
       while (x < width) {
         val p = rowOff + x * 3
-        var c = 0
-        while (c < 3) {
-          val v = bytes(p + c) & 0xff
-          sum += v
-          if (v > max) max = v
-          c += 1
-        }
+        val o = (iy * width + x) * 3
+        // file stores BGR
+        samples(o) = bytes(p + 2) & 0xff
+        samples(o + 1) = bytes(p + 1) & 0xff
+        samples(o + 2) = bytes(p) & 0xff
         x += 1
       }
-      y += 1
+      fy += 1
     }
-    // topDown only changes row ORDER, not the whole-image statistics —
-    // but it must still parse (negative height is a legal header)
-    val _ = topDown
-    BmpImage(width, height, width.toLong * height, sum, max)
+    Raster(width, height, 3, samples)
   }
 
   // ---- WAV (PCM16 mono) ----------------------------------------------
@@ -428,6 +496,15 @@ object MediaCodecs {
     * structural damage, a bad CRC, an unsupported IHDR, or an IDAT
     * stream whose inflated size disagrees with the header geometry. */
   def decodePng(bytes: Array[Byte]): PngImage = {
+    val r = decodePngPixels(bytes)
+    val (sum, max) = rasterStats(r)
+    PngImage(r.width, r.height, r.channels,
+      r.width.toLong * r.height, sum, max)
+  }
+
+  /** Full-pixel PNG decode (same support envelope as [[decodePng]]):
+    * RGB/RGBA interleaved, row-major. */
+  def decodePngPixels(bytes: Array[Byte]): Raster = {
     require(isPng(bytes), "not a PNG (missing signature)")
     var off = 8
     var width = -1
@@ -496,8 +573,7 @@ object MediaCodecs {
         throw new IllegalArgumentException(s"corrupt IDAT zlib stream: $e")
     } finally inflater.end()
     // unfilter in place, row by row
-    var sum = 0L
-    var max = 0
+    val samples = new Array[Int](width * height * bpp)
     val prior = new Array[Byte](stride)
     val cur = new Array[Byte](stride)
     var y = 0
@@ -519,13 +595,12 @@ object MediaCodecs {
         }
         val v = ((raw(rowOff + 1 + i) & 0xff) + pred) & 0xff
         cur(i) = v.toByte
-        sum += v
-        if (v > max) max = v
+        samples(y * stride + i) = v
         i += 1
       }
       System.arraycopy(cur, 0, prior, 0, stride)
       y += 1
     }
-    PngImage(width, height, bpp, width.toLong * height, sum, max)
+    Raster(width, height, bpp, samples)
   }
 }

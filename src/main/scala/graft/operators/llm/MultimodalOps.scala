@@ -108,25 +108,77 @@ object MultimodalOps {
                                 width: Int, height: Int,
                                 payload: Array[Byte])
 
-  /** Aspect-preserving fit into `maxDim` — the dimension math is real
-    * (what a pipeline partitions and budgets on); the pixel resample is
-    * the STUB (payload passes through, where a codec would re-encode).
-    * Already-fitting media pass through unscaled (never upscale). */
+  /** Aspect-preserving fit into `maxDim`. For payloads the codec set
+    * can decode (BMP, PNG, baseline JPEG), the resample is REAL: decode
+    * -> integer box average ([[MediaCodecs.boxResample]]) -> re-encode.
+    * Thumbnails re-encode LOSSLESSLY — BMP stays BMP, PNG stays PNG
+    * (gray/RGB/RGBA preserved via color type), JPEG thumbnails come
+    * back as PNG (re-quantizing through a lossy encoder would make the
+    * thumbnail bytes depend on this library's FDCT rounding; the
+    * returned `format` says what the payload now IS). Undecodable
+    * payloads (video) keep the declared-dimension pass-through stub,
+    * the slot a codec library fills. Already-fitting media pass
+    * through unscaled (never upscale). */
   def resize(ds: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedMedia] = {
     import ds.sparkSession.implicits._
     require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    // floor-scale, min 1px: integer math keeps it engine-portable;
+    // scale in Long — width * maxDim overflows Int for declared
+    // dimensions past ~2^31/maxDim (the result itself always fits:
+    // it is <= maxDim)
+    def fit(w: Int, h: Int): (Int, Int) = {
+      val longest = math.max(w, h)
+      (math.max(1L, w.toLong * maxDim / longest).toInt,
+        math.max(1L, h.toLong * maxDim / longest).toInt)
+    }
     ds.mapPartitions(_.map { m =>
-      val longest = math.max(m.width, m.height)
-      if (longest <= maxDim)
-        ResizedMedia(m.doc_id, m.format, m.width, m.height, m.payload)
-      else {
-        // floor-scale, min 1px: integer math keeps it engine-portable;
-        // scale in Long — width * maxDim overflows Int for declared
-        // dimensions past ~2^31/maxDim (the result itself always fits:
-        // it is <= maxDim)
-        val w = math.max(1L, m.width.toLong * maxDim / longest).toInt
-        val h = math.max(1L, m.height.toLong * maxDim / longest).toInt
-        ResizedMedia(m.doc_id, m.format, w, h, m.payload)
+      val raster: Option[(MediaCodecs.Raster, String)] =
+        if (MediaCodecs.sniffBmp(m.payload))
+          Some((MediaCodecs.decodeBmpPixels(m.payload), "bmp"))
+        else if (MediaCodecs.sniffPng(m.payload))
+          Some((MediaCodecs.decodePngPixels(m.payload), "png"))
+        else if (JpegCodec.sniffJpeg(m.payload)) {
+          val p = JpegCodec.decodePixels(m.payload)
+          Some((MediaCodecs.Raster(p.width, p.height, p.channels,
+            p.samples), "png")) // jpeg thumbnails re-encode lossless
+        } else None
+      raster match {
+        case None =>
+          val longest = math.max(m.width, m.height)
+          if (longest <= maxDim)
+            ResizedMedia(m.doc_id, m.format, m.width, m.height, m.payload)
+          else {
+            val (w, h) = fit(m.width, m.height)
+            ResizedMedia(m.doc_id, m.format, w, h, m.payload)
+          }
+        case Some((r, container)) =>
+          // decoded dimensions are the truth, not the declared metadata
+          if (math.max(r.width, r.height) <= maxDim)
+            ResizedMedia(m.doc_id, m.format, r.width, r.height, m.payload)
+          else {
+            val (w, h) = fit(r.width, r.height)
+            val t = MediaCodecs.boxResample(r, w, h)
+            val payload = container match {
+              case "bmp" =>
+                MediaCodecs.encodeBmp(w, h, (x, y) => {
+                  val o = (y * w + x) * 3
+                  (t.samples(o), t.samples(o + 1), t.samples(o + 2))
+                })
+              case _ =>
+                // gray rasters (1ch, from grayscale JPEG) widen to RGB;
+                // RGBA keeps its alpha (PNG color type 6)
+                val ct = if (t.channels == 4) 6 else 2
+                MediaCodecs.encodePng(w, h, ct, (x, y) =>
+                  if (t.channels == 1) {
+                    val v = t.samples(y * w + x)
+                    Array(v, v, v)
+                  } else {
+                    val o = (y * w + x) * t.channels
+                    Array.tabulate(t.channels)(c => t.samples(o + c))
+                  })
+            }
+            ResizedMedia(m.doc_id, container, w, h, payload)
+          }
       }
     })
   }

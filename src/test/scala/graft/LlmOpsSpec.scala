@@ -225,6 +225,91 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(1L) == (1024, 512))
   }
 
+  test("boxResample: rounded integer box means equal brute force, " +
+      "non-divisible scales included") {
+    import graft.operators.llm.MediaCodecs
+    val w = 13; val h = 7
+    val samples = Array.tabulate(w * h * 3)(i => (i * 37 + 11) % 256)
+    val r = MediaCodecs.Raster(w, h, 3, samples)
+    val out = MediaCodecs.boxResample(r, 5, 3)
+    assert(out.width == 5 && out.height == 3 && out.channels == 3)
+    for (oy <- 0 until 3; ox <- 0 until 5; c <- 0 until 3) {
+      val sy0 = oy * h / 3
+      val sy1 = math.max(sy0 + 1, (oy + 1) * h / 3)
+      val sx0 = ox * w / 5
+      val sx1 = math.max(sx0 + 1, (ox + 1) * w / 5)
+      var s = 0L
+      for (sy <- sy0 until sy1; sx <- sx0 until sx1)
+        s += samples((sy * w + sx) * 3 + c)
+      val n = (sy1 - sy0) * (sx1 - sx0)
+      assert(out.samples((oy * 5 + ox) * 3 + c) == ((s + n / 2) / n).toInt,
+        s"($ox,$oy,$c)")
+    }
+  }
+
+  test("real resize: BMP and PNG payloads resample pixel-for-pixel; " +
+      "JPEG thumbnails come back as lossless PNG") {
+    import graft.operators.llm.{JpegCodec, MediaCodecs}
+    // 16x16 mosaic of constant 8x8 blocks -> maxDim 8 halves it: each
+    // output pixel's 2x2 box lies inside one block, so the resampled
+    // image IS the 2x2-scaled mosaic, exactly
+    def block(bx: Int, by: Int): (Int, Int, Int) =
+      (40 * bx + 20, 40 * by + 30, 60 * (bx + by) + 10)
+    val bmp = MediaCodecs.encodeBmp(16, 16,
+      (x, y) => block(x / 8, y / 8))
+    val png = MediaCodecs.encodePng(16, 16, 2, (x, y) => {
+      val (r, g, b) = block(x / 8, y / 8); Array(r, g, b)
+    })
+    val jpg = JpegCodec.encodeJpeg(16, 16, 3, 1, JpegCodec.flatQuant,
+      JpegCodec.flatQuant, 0, (x, y) => (block(x / 8, y / 8)._1, 128, 128))
+    val recs = Seq(
+      MultimodalOps.MediaRecord(0L, bmp, "bmp", 16, 16),
+      MultimodalOps.MediaRecord(1L, png, "png", 16, 16),
+      MultimodalOps.MediaRecord(2L, jpg, "jpeg", 16, 16))
+    val out = MultimodalOps.resize(spark.createDataset(recs), maxDim = 8)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.values.forall(r => r.width == 8 && r.height == 8))
+    // BMP stays BMP, pixels = the block colors
+    assert(out(0L).format == "bmp")
+    val backBmp = MediaCodecs.decodeBmpPixels(out(0L).payload)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (r, g, b) = block(x / 4, y / 4)
+      val o = (y * 8 + x) * 3
+      assert((backBmp.samples(o), backBmp.samples(o + 1),
+        backBmp.samples(o + 2)) == ((r, g, b)), s"bmp ($x,$y)")
+    }
+    // PNG stays PNG
+    assert(out(1L).format == "png")
+    val backPng = MediaCodecs.decodePngPixels(out(1L).payload)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (r, g, b) = block(x / 4, y / 4)
+      val o = (y * 8 + x) * 3
+      assert((backPng.samples(o), backPng.samples(o + 1),
+        backPng.samples(o + 2)) == ((r, g, b)), s"png ($x,$y)")
+    }
+    // neutral-chroma DC-only JPEG decodes exactly, thumbnails as PNG
+    assert(out(2L).format == "png")
+    val backJpg = MediaCodecs.decodePngPixels(out(2L).payload)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = block(x / 4, y / 4)._1
+      val o = (y * 8 + x) * 3
+      assert((backJpg.samples(o), backJpg.samples(o + 1),
+        backJpg.samples(o + 2)) == ((v, v, v)), s"jpeg ($x,$y)")
+    }
+  }
+
+  test("real resize: already-fitting decodable payloads pass through " +
+      "untouched; decoded dims override declared metadata") {
+    import graft.operators.llm.MediaCodecs
+    val bmp = MediaCodecs.encodeBmp(6, 6, (x, y) => (x * 40, y * 40, 7))
+    // declared 4000x4000 lies; the decode says 6x6, which fits
+    val recs = Seq(MultimodalOps.MediaRecord(0L, bmp, "bmp", 4000, 4000))
+    val out = MultimodalOps.resize(spark.createDataset(recs), maxDim = 8)
+      .collect().head
+    assert(out.width == 6 && out.height == 6)
+    assert(out.payload.sameElements(bmp))
+  }
+
   test("connected components: shortcut mode releases iteration storage") {
     // each shortcut iteration local-checkpoints a label table; the RDD
     // handles must be unpersisted as they are superseded, leaving at most
