@@ -2101,7 +2101,10 @@ object SparkEntry {
         .select(col("doc_id").cast("long")).as[Long]
         .map { id =>
           val kind = (id % 3).toInt
-          val n = 2 + 2 * ((id / 3) % 2).toInt
+          // n must DIVIDE 8 (output boxes stay inside one constant
+          // block); a 1/9 slice at 32px keeps the 4x scale gated while
+          // the bulk stays at q112-convention fixture size
+          val n = if (id % 9 == 0) 4 else 2
           val wh = 8 * n
           val cb = 128 + 4 * (id % 7).toInt
           val cr = 128 + 6 * (id % 5).toInt
@@ -4415,7 +4418,8 @@ object SparkEntry {
     // YCbCr conversion.
     "q116_media_resize" ->
       """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |g AS (SELECT id, id % 3 AS kind, 2 + 2 * ((id // 3) % 2) AS n,
+        |g AS (SELECT id, id % 3 AS kind,
+        |    CASE WHEN id % 9 = 0 THEN 4 ELSE 2 END AS n,
         |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr FROM p),
         |b AS (SELECT id, kind, n, cb, cr,
         |    16 + 8 * ((bx + 2 * by + id) % 24) AS yv,

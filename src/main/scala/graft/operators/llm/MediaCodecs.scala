@@ -464,7 +464,12 @@ object MediaCodecs {
       System.arraycopy(cur, 0, prior, 0, stride)
       y += 1
     }
-    val deflater = new java.util.zip.Deflater()
+    // BEST_SPEED: this encoder writes fixtures and resize thumbnails,
+    // where per-image wall time matters and nothing hashes the
+    // compressed BYTES (decoders verify stats/pixels); level 6 spent
+    // ~3x the zlib time for a few hundred bytes saved on 3 KB rasters
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED)
     deflater.setInput(raw)
     deflater.finish()
     val zout = new java.io.ByteArrayOutputStream()
