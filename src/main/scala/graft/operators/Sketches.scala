@@ -206,7 +206,19 @@ object Sketches {
     * Exact, deterministic, engine-replayable (the oracle is a plain
     * GROUP BY + HAVING). Output: (value, cnt, share_bp) with share_bp =
     * 10000·cnt DIV total. NULLs are excluded (same semantics as
-    * countDistinct-family aggregates). */
+    * countDistinct-family aggregates).
+    *
+    * Perf pin (r15 Diag min-of-3 at sf0.1: 0.558 s, 7 jobs/11 stages,
+    * anchor q74 0.873 — a slow host phase): the wall is the two
+    * wire-bounded corpus passes (MG summaries, then the
+    * candidate-marked exact count — the second pass re-derives the
+    * token projection rather than materializing a corpus-scale token
+    * table, deliberately) plus the 7-job floor; the oracle's one
+    * vectorized GROUP BY+HAVING over the 31-token fixture vocabulary
+    * replays in ~0.07 s, so the bench ratio is the fixture's tiny
+    * vocabulary, not a plan gap — at a real heavy-hitter cardinality
+    * the plain-groupBy oracle shape is the one that dies (one shuffle
+    * row per distinct value), which is the operator's whole point. */
   def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
     import df.sparkSession.implicits._

@@ -178,6 +178,37 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"gray vs JDK: maxDiff=$maxDiff")
   }
 
+  test("16-bit DQT (Pq=1) and SOF1 (extended sequential) decode " +
+      "identically to their baseline 8-bit forms") {
+    val w = 16; val h = 16
+    val base = JpegCodec.encodeJpeg(w, h, 1, 1,
+      JpegCodec.flatQuant, JpegCodec.flatQuant, 0, mosaic(4, 128, 128))
+    val want = JpegCodec.decodePixels(base)
+    // rewrite the 8-bit DQT segment (FF DB, len 67, id, 64 bytes) into
+    // the equivalent 16-bit one (len 131, Pq=1, 64 big-endian shorts)
+    val dqtAt = base.indices.dropRight(1).find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xdb).get
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, dqtAt)
+    out.write(0xff); out.write(0xdb)
+    out.write(0); out.write(131)             // segment length
+    out.write(0x10 | (base(dqtAt + 4) & 0x0f)) // Pq=1, same table id
+    for (i <- 0 until 64) {
+      out.write(0)                           // high byte
+      out.write(base(dqtAt + 5 + i) & 0xff)  // low byte = 8-bit value
+    }
+    out.write(base, dqtAt + 69, base.length - (dqtAt + 69))
+    val wide = out.toByteArray
+    val gotWide = JpegCodec.decodePixels(wide)
+    assert(gotWide.samples.sameElements(want.samples))
+    // SOF1 marker: same baseline payload, extended-sequential marker
+    val sof1 = base.clone()
+    val sofAt = sof1.indices.dropRight(1).find(i =>
+      (sof1(i) & 0xff) == 0xff && (sof1(i + 1) & 0xff) == 0xc0).get
+    sof1(sofAt + 1) = 0xc1.toByte
+    assert(JpegCodec.decodePixels(sof1).samples.sameElements(want.samples))
+  }
+
   test("malformed input fails loudly: truncation, progressive SOF, " +
       "bad marker, RST outside scan") {
     val good = JpegCodec.encodeJpeg(16, 16, 3, 1,
