@@ -349,9 +349,15 @@ object JpegCodec {
     val vMax = comps.map(_.v).max
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    // per-component padded sample planes
+    // per-component padded sample planes — bound BEFORE allocating (the
+    // decodePng stance): a hostile header must fail loudly, not OOM a
+    // task with a multi-GB plane
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)
+    comps.indices.foreach { i =>
+      require(planeW(i).toLong * planeH(i) <= Int.MaxValue / 4,
+        s"image too large: ${planeW(i)}x${planeH(i)} component plane")
+    }
     val planes = comps.indices.map(i =>
       new Array[Int](planeW(i) * planeH(i))).toArray
     comps.foreach { c =>
