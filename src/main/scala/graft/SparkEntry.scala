@@ -2071,13 +2071,22 @@ object SparkEntry {
           val nComp = if (id % 2 == 0) 3 else 1
           val cb = 128 + 4 * (id % 7).toInt
           val cr = 128 + 6 * (id % 5).toInt
-          val sub = if (id % 6 == 0) 2 else 1 // 4:2:0 on a color subset
+          // color slices by id % 6 (even = color): 0 -> 4:2:0, 2 ->
+          // 4:2:2 (non-square MCU), 4 -> 4:4:4 — DC-only blocks with
+          // constant chroma decode exactly under ANY sampling, so the
+          // oracle needs no per-sampling branch
+          val (sh, sv) = (id % 6) match {
+            case 0 => (2, 2)
+            case 2 => (2, 1)
+            case _ => (1, 1) // 4:4:4; ignored for grayscale
+          }
           val rst = if (id % 4 <= 1) 1 else 0 // RSTn on both kinds
           val px = (x: Int, y: Int) =>
             (16 + 8 * (((x / 8) + 2 * (y / 8) + id) % 24).toInt, cb, cr)
           MultimodalOps.MediaRecord(id,
-            JpegCodec.encodeJpeg(w, h, nComp, sub, JpegCodec.flatQuant,
-              JpegCodec.flatQuant, rst, px), "jpeg", w, h)
+            JpegCodec.encodeJpeg(w, h, nComp, sh, JpegCodec.flatQuant,
+              JpegCodec.flatQuant, rst, px, subsampleV = sv),
+            "jpeg", w, h)
         }
       MultimodalOps.decode(media)
         .select(col("doc_id"), col("format"), col("decoded_bytes"),

@@ -26,7 +26,7 @@ package graft.operators.llm
  *
  * ENCODER (fixture/test side): baseline SOF0 with the T.81 Annex K
  * example Huffman tables, caller-supplied quantization tables, 4:4:4 /
- * 4:2:0 / grayscale, optional restart intervals. JpegCodecSpec pins the
+ * 4:2:0 / 4:2:2 / 4:4:0 / grayscale, optional restart intervals. JpegCodecSpec pins the
  * decoder against the JDK's OWN independent codec (javax.imageio both
  * directions) within the IDCT rounding tolerance, and byte-exactly on
  * DC-only fixtures.
@@ -616,17 +616,23 @@ object JpegCodec {
   }
 
   /** Encode a baseline JFIF. `pixelYcc(x, y)` returns (Y, Cb, Cr) (or
-    * only Y read when `nComp` = 1), each 0..255. `subsample` = 1 (4:4:4)
-    * or 2 (4:2:0, chroma box-averaged). `qLuma`/`qChroma` are 64-entry
-    * NATURAL-order tables (all-ones = the q115 exact fixture). */
+    * only Y read when `nComp` = 1), each 0..255. `subsample` is the
+    * luma horizontal sampling factor (1 or 2) and `subsampleV` the
+    * vertical one (0 = same as `subsample`): (1,1) = 4:4:4, (2,2) =
+    * 4:2:0, (2,1) = 4:2:2, (1,2) = 4:4:0 — chroma box-averaged over
+    * the h x v footprint. `qLuma`/`qChroma` are 64-entry NATURAL-order
+    * tables (all-ones = the q115 exact fixture). */
   def encodeJpeg(width: Int, height: Int, nComp: Int, subsample: Int,
                  qLuma: Array[Int], qChroma: Array[Int],
                  restartInterval: Int,
-                 pixelYcc: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+                 pixelYcc: (Int, Int) => (Int, Int, Int),
+                 subsampleV: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     require(nComp == 1 || nComp == 3, s"nComp must be 1 or 3, got $nComp")
     require(subsample == 1 || subsample == 2,
-      s"subsample must be 1 (4:4:4) or 2 (4:2:0), got $subsample")
+      s"subsample must be 1 or 2, got $subsample")
+    require(subsampleV >= 0 && subsampleV <= 2,
+      s"subsampleV must be 0 (= subsample), 1 or 2, got $subsampleV")
     require(qLuma.length == 64 && (nComp == 1 || qChroma.length == 64),
       "quant tables must have 64 entries")
     val out = new java.io.ByteArrayOutputStream()
@@ -652,7 +658,8 @@ object JpegCodec {
     marker(0xc0); be16(8 + 3 * nComp); out.write(8)
     be16(height); be16(width); out.write(nComp)
     val h0 = if (nComp == 3) subsample else 1
-    val v0 = h0
+    val v0 = if (nComp == 3) (if (subsampleV == 0) subsample else subsampleV)
+      else 1
     out.write(1); out.write((h0 << 4) | v0); out.write(0)
     if (nComp == 3) {
       out.write(2); out.write(0x11); out.write(1)
@@ -679,9 +686,8 @@ object JpegCodec {
     out.write(0); out.write(63); out.write(0)
 
     // component planes (padded to MCU multiple by edge replication)
-    val mcuPx = 8 * h0
-    val mcusX = (width + mcuPx - 1) / mcuPx
-    val mcusY = (height + mcuPx - 1) / mcuPx
+    val mcusX = (width + 8 * h0 - 1) / (8 * h0)
+    val mcusY = (height + 8 * v0 - 1) / (8 * v0)
     val lw = mcusX * h0 * 8
     val lh = mcusY * v0 * 8
     val yPlane = new Array[Int](lw * lh)
@@ -705,29 +711,25 @@ object JpegCodec {
       while (cy < ch) {
         var cx = 0
         while (cx < cw) {
-          if (subsample == 1) {
-            val sx = math.min(cx, width - 1)
-            val sy = math.min(cy, height - 1)
-            val p = pixelYcc(sx, sy)
-            cbPlane(cy * cw + cx) = p._2
-            crPlane(cy * cw + cx) = p._3
-          } else {
-            // 2x2 box average over the replicated-edge source
+          {
+            // h0 x v0 box average over the replicated-edge source
+            // ((1,1) degenerates to the point sample)
             var sb = 0; var sr = 0
             var dy = 0
-            while (dy < 2) {
+            while (dy < v0) {
               var dx = 0
-              while (dx < 2) {
-                val sx = math.min(cx * 2 + dx, width - 1)
-                val sy = math.min(cy * 2 + dy, height - 1)
+              while (dx < h0) {
+                val sx = math.min(cx * h0 + dx, width - 1)
+                val sy = math.min(cy * v0 + dy, height - 1)
                 val p = pixelYcc(sx, sy)
                 sb += p._2; sr += p._3
                 dx += 1
               }
               dy += 1
             }
-            cbPlane(cy * cw + cx) = (sb + 2) / 4
-            crPlane(cy * cw + cx) = (sr + 2) / 4
+            val nPx = h0 * v0
+            cbPlane(cy * cw + cx) = (sb + nPx / 2) / nPx
+            crPlane(cy * cw + cx) = (sr + nPx / 2) / nPx
           }
           cx += 1
         }

@@ -178,6 +178,27 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"gray vs JDK: maxDiff=$maxDiff")
   }
 
+  test("asymmetric chroma sampling (4:2:2 and 4:4:0) decodes DC-only " +
+      "mosaics byte-exactly — the non-square MCU geometry path") {
+    for {
+      ((sh, sv), tag) <- Seq(((2, 1), "4:2:2"), ((1, 2), "4:4:0"))
+      (w, h) <- Seq((16, 16), (24, 8), (8, 24))
+    } {
+      val cb = 132; val cr = 140
+      val bytes = JpegCodec.encodeJpeg(w, h, 3, sh,
+        JpegCodec.flatQuant, JpegCodec.flatQuant, 0, mosaic(6, cb, cr),
+        subsampleV = sv)
+      val got = JpegCodec.decodePixels(bytes)
+      assert(got.width == w && got.height == h && got.channels == 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (er, eg, eb) = expectedRgb(blockY(x / 8, y / 8, 6), cb, cr)
+        val o = (y * w + x) * 3
+        assert(got.samples(o) == er && got.samples(o + 1) == eg &&
+          got.samples(o + 2) == eb, s"$tag pixel ($x,$y) of ${w}x$h")
+      }
+    }
+  }
+
   test("16-bit DQT (Pq=1) and SOF1 (extended sequential) decode " +
       "identically to their baseline 8-bit forms") {
     val w = 16; val h = 16
