@@ -2143,6 +2143,51 @@ object SparkEntry {
           col("thumb_hash"))
     }),
 
+    // REAL video frame sampling under the oracle gate — the former
+    // chunking stub now dispatches sniffed RIFF/AVI payloads to a
+    // container walk (AviCodec) + per-frame baseline-JPEG decode, and
+    // only the KEPT frames ever pay entropy decode. Each doc
+    // synthesizes a valid single-stream MJPEG AVI of 2-6 DC-only 8x8
+    // frames (gray/color alternating, restart intervals on a subset,
+    // frame CONTENT varying by frame index — the frames dimension is
+    // what this gate adds; intra-frame MCU geometry AND chroma
+    // sampling are q115's job, so color frames stay 4:4:4: a 4:2:0
+    // 8x8 frame would pad luma to a 16x16 MCU and quadruple the
+    // fixture's DCT volume for no new coverage); stride-2 sampling
+    // keeps frames
+    // 0,2,4 and the oracle replays each kept frame's exact channel
+    // statistics in closed form (the q115 argument, per frame). The
+    // SKIPPED frames are deliberately NON-JPEG filler chunks: the
+    // extent walk must index past them, and a sampler that eagerly
+    // decoded every frame would hash the filler fallback and fail the
+    // oracle — the gate proves 1-in-N laziness, not just decode.
+    "q117_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{AviCodec, JpegCodec, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val nf = 2 + (id % 5).toInt
+          val nComp = if (id % 2 == 0) 3 else 1
+          val cb = 128 + 4 * (id % 7).toInt
+          val cr = 128 + 6 * (id % 5).toInt
+          val rst = if (id % 4 <= 1) 1 else 0
+          val frames = (0 until nf).map { fi =>
+            if (fi % 2 == 1) Array.fill[Byte](16)((fi + id).toByte)
+            else {
+              val yv = 16 + 8 * ((id + 5 * fi) % 24).toInt
+              JpegCodec.encodeJpeg(8, 8, nComp, 1, JpegCodec.flatQuant,
+                JpegCodec.flatQuant, rst, (_, _) => (yv, cb, cr))
+            }
+          }
+          MultimodalOps.MediaRecord(id,
+            AviCodec.encodeAviMjpeg(8, 8, 10, frames), "avi", 8, 8)
+        }
+      MultimodalOps.frameSample(media, frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          col("frame_hash"))
+    }),
+
     // Incremental ZipNum index maintenance under the oracle gate — the
     // FIFTH streaming surface, and the one whose state is the INDEX
     // itself: each micro-batch of CDX lines becomes its own sorted
@@ -4455,6 +4500,31 @@ object SparkEntry {
         |  md5(CASE WHEN kind = 0 THEN 'bmp 8x8 ' ELSE 'png rgb 8x8 ' END
         |    || s || ' ' || m) AS thumb_hash
         |FROM f""".stripMargin,
+
+    // Replays the q117 fixture in closed form: the kept frames (fi
+    // even, fi < nf) are single DC-only 8x8 blocks, so each frame
+    // runs the same fixed-point YCbCr replay as q115 with the frame
+    // index folded into the block-luma formula.
+    "q117_video_frames" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, 2 + id % 5 AS nf,
+        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr FROM p),
+        |fr AS (SELECT id, ch, cb, cr, fi,
+        |    16 + 8 * ((id + 5 * fi) % 24) AS yv
+        |  FROM g, range(0, 6) r0(fi) WHERE fi < nf AND fi % 2 = 0),
+        |c AS (SELECT id, fi, ch,
+        |    LEAST(255, GREATEST(0, yv + (91881 * (cr - 128) + 32768) // 65536)) AS r,
+        |    LEAST(255, GREATEST(0, yv - (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) // 65536)) AS gg,
+        |    LEAST(255, GREATEST(0, yv + (116130 * (cb - 128) + 32768) // 65536)) AS bb,
+        |    yv FROM fr)
+        |SELECT id AS doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(64 * ch AS BIGINT) AS frame_bytes,
+        |  md5('avi-frame ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
+        |    || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)
+        |    || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
+        |    AS frame_hash
+        |FROM c""".stripMargin,
 
     // The incremental (stream-generations + merge) path must serve the
     // exact rows a batch build serves — q19's oracle without the range

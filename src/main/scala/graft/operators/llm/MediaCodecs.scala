@@ -9,10 +9,10 @@ package graft.operators.llm
  * PNG (CRC-verified chunk walk + java.util.zip Inflater + the five
  * scanline unfilters). These replace the former deterministic-fake
  * decode stub in [[MultimodalOps.decodeBatch]] for payloads whose magic
- * bytes match; baseline JPEG lives in [[JpegCodec]]; formats outside
- * this set (video) still take the documented fallback (a real
- * deployment drops a JNI/codec-library decoder into the same
- * mapPartitions slot).
+ * bytes match; baseline JPEG lives in [[JpegCodec]], MJPEG-in-AVI
+ * video in [[AviCodec]]; formats outside this set (MP4/Matroska
+ * video) still take the documented fallback (a real deployment drops
+ * a JNI/codec-library decoder into the same mapPartitions slot).
  *
  * Encoders exist so fixtures can synthesize VALID files deterministically
  * from row data; decoders walk the actual bytes (row padding, LE fields,

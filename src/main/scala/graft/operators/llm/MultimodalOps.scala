@@ -7,14 +7,16 @@ import org.apache.spark.sql.Dataset
  * `binary` columns with typed metadata; decode/feature-extract runs
  * executor-side in batches).
  *
- * The DECODE step is REAL for the four containers the JDK can carry —
+ * The DECODE step is REAL for the five containers the JDK can carry —
  * uncompressed 24-bpp BMP, PCM16 mono WAV, non-interlaced 8-bit
- * RGB/RGBA PNG ([[MediaCodecs]]), and baseline sequential JFIF
- * ([[JpegCodec]]) — no external libs; q106, q112 and q115 gate the
- * byte-level walks against closed-form oracles — and a documented
- * deterministic fallback (byte length + payload md5) for every
- * unsniffed format (video), since codec libraries are not in this
- * container's frozen build. Unsupported VARIANTS of a sniffed
+ * RGB/RGBA PNG ([[MediaCodecs]]), baseline sequential JFIF
+ * ([[JpegCodec]]), and MJPEG video in RIFF/AVI ([[AviCodec]] container
+ * walk, per-frame JPEG decode) — no external libs; q106, q112, q115
+ * and q117 gate the byte-level walks against closed-form oracles —
+ * and a documented deterministic fallback (byte length + payload md5)
+ * for every unsniffed format (e.g. MP4/Matroska video, whose codecs
+ * need libraries the frozen build cannot take). Unsupported VARIANTS
+ * of a sniffed
  * container (progressive/arithmetic JPEG, interlaced PNG) fail loudly,
  * per the MediaCodecs contract. The Spark-side plumbing is identical
  * either way: binary payload columns with typed metadata via case-class
@@ -89,6 +91,26 @@ object MultimodalOps {
         val feat = s"wav ${au.sampleRate} ${au.nSamples} " +
           s"${au.sumAbs} ${au.peak}"
         DecodedMedia(m.doc_id, m.format, au.nSamples * 2,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else if (AviCodec.sniffAvi(m.payload)) {
+        // MJPEG video: container walk + per-frame JPEG decode; frames
+        // whose bytes are not JPEG (a non-MJPG codec in the same
+        // container) count their raw chunk size, so one exotic stream
+        // degrades gracefully instead of failing the whole record
+        val vid = AviCodec.parseAvi(m.payload)
+        var sum = 0L; var max = 0; var decBytes = 0L
+        vid.frames.foreach { ext =>
+          val fb = AviCodec.frameBytes(m.payload, ext)
+          if (JpegCodec.sniffJpeg(fb)) {
+            val img = JpegCodec.decodeJpeg(fb)
+            sum += img.sumChannels
+            if (img.maxChannel > max) max = img.maxChannel
+            decBytes += img.nPixels * img.channels
+          } else decBytes += fb.length
+        }
+        val feat = s"avi ${vid.width}x${vid.height} ${vid.nFrames} " +
+          s"$sum $max"
+        DecodedMedia(m.doc_id, m.format, decBytes,
           hexLower(md.digest(feat.getBytes("UTF-8"))))
       } else {
         // fallback for containers with no dependency-free decode
@@ -187,12 +209,16 @@ object MultimodalOps {
   final case class SampledFrame(doc_id: Long, frame_idx: Int,
                                 frame_bytes: Long, frame_hash: String)
 
-  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
-    * stands in for a decoded frame (the STUB — a real video codec yields
-    * actual frames; chunking keeps offsets and counts deterministic).
-    * The flatMap SHAPE is the real part: one input row fans out to
-    * O(payload/frameSize/stride) feature rows executor-side, with
-    * nothing driver-side and no full-materialization of all frames. */
+  /** Frame sampling. Payloads that sniff as RIFF/AVI get the REAL
+    * path: [[AviCodec.parseAvi]] walks the container once for frame
+    * EXTENTS, then only every `stride`-th frame is JPEG-decoded
+    * ([[JpegCodec]]) — skipped frames never pay entropy decode, which
+    * at a production 1-in-N stride skips (N-1)/N of the work. Other
+    * payloads keep the documented chunking stub (every `stride`-th
+    * `frameSize` chunk digested as a stand-in frame). Either way the
+    * flatMap SHAPE is the same: one input row fans out to O(frames /
+    * stride) feature rows executor-side, nothing driver-side, no full
+    * materialization of all frames. */
   def frameSample(ds: Dataset[MediaRecord], frameSize: Int,
                   stride: Int): Dataset[SampledFrame] = {
     import ds.sparkSession.implicits._
@@ -201,12 +227,32 @@ object MultimodalOps {
     ds.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.flatMap { m =>
-        val nFrames = m.payload.length / frameSize   // trailing partial dropped
-        (0 until nFrames by stride).iterator.map { i =>
-          md.reset()
-          md.update(m.payload, i * frameSize, frameSize)
-          SampledFrame(m.doc_id, i, frameSize.toLong,
-            hexLower(md.digest()))
+        if (AviCodec.sniffAvi(m.payload)) {
+          val vid = AviCodec.parseAvi(m.payload)
+          (0 until vid.nFrames by stride).iterator.map { i =>
+            val fb = AviCodec.frameBytes(m.payload, vid.frames(i))
+            md.reset()
+            if (JpegCodec.sniffJpeg(fb)) {
+              val img = JpegCodec.decodeJpeg(fb)
+              val kind = if (img.channels == 1) "gray" else "ycc"
+              val feat = s"avi-frame $kind ${img.width}x${img.height} " +
+                s"${img.sumChannels} ${img.maxChannel}"
+              SampledFrame(m.doc_id, i, img.nPixels * img.channels,
+                hexLower(md.digest(feat.getBytes("UTF-8"))))
+            } else {
+              // non-MJPG frame chunk: digest raw bytes, count raw size
+              SampledFrame(m.doc_id, i, fb.length.toLong,
+                hexLower(md.digest(fb)))
+            }
+          }
+        } else {
+          val nFrames = m.payload.length / frameSize // trailing partial dropped
+          (0 until nFrames by stride).iterator.map { i =>
+            md.reset()
+            md.update(m.payload, i * frameSize, frameSize)
+            SampledFrame(m.doc_id, i, frameSize.toLong,
+              hexLower(md.digest()))
+          }
         }
       }
     }
