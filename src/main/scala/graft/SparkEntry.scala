@@ -2188,6 +2188,41 @@ object SparkEntry {
           col("frame_hash"))
     }),
 
+    // REAL GIF decode under the oracle gate — the palette format a
+    // 20-year crawl carries alongside JPEG/PNG. Each doc synthesizes
+    // a valid GIF89a of 4x4-px tiles over a 4-color id-derived
+    // palette; GIF is LOSSLESS over a palette, so the oracle is pure
+    // arithmetic — no IDCT replay, each color covers exactly 64 of
+    // the 256 pixels ((tx+ty)%4 is uniform on the 4x4 tile grid).
+    // Slices: every 3rd doc interlaced (same pixels, different stream
+    // row order — decode must agree), every 5th transparent at index
+    // 2 (RGBA out, transparent pixels contribute 0, opaque alpha
+    // 255). The full LZW path (code growth, clear handling) sits
+    // under the hash-compare; GifCodecSpec pins the codec against
+    // javax.imageio byte-exactly both directions.
+    "q118_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{GifCodec, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val tr = id % 5 == 0
+          val pal = Array(
+            10, 20, 30,
+            200, 100 + 4 * (id % 7).toInt, 50,
+            8 * (id % 9).toInt, 0, 120,
+            255, 255, (id % 256).toInt)
+          val bytes = GifCodec.encodeGif(16, 16, pal,
+            (x, y) => ((x / 4) + (y / 4)) % 4,
+            interlaced = id % 3 == 0,
+            transparentIndex = if (tr) 2 else -1)
+          MultimodalOps.MediaRecord(id, bytes, "gif", 16, 16)
+        }
+      MultimodalOps.decode(media)
+        .select(col("doc_id"), col("format"), col("decoded_bytes"),
+          col("thumb_hash"))
+    }),
+
     // Incremental ZipNum index maintenance under the oracle gate — the
     // FIFTH streaming surface, and the one whose state is the INDEX
     // itself: each micro-batch of CDX lines becomes its own sorted
@@ -4525,6 +4560,27 @@ object SparkEntry {
         |    || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
         |    AS frame_hash
         |FROM c""".stripMargin,
+
+    // Replays the q118 fixture arithmetically: 64 pixels per palette
+    // color; transparent docs drop color 2 and add 255 alpha per
+    // opaque pixel (3 colors x 64 px); max channel is always 255
+    // (color 3 is opaque white-ish in every slice).
+    "q118_gif_decode" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END AS tr,
+        |    100 + 4 * (id % 7) AS c1g, 8 * (id % 9) AS c2r,
+        |    id % 256 AS c3b FROM p),
+        |f AS (SELECT id, tr,
+        |    64 * ((10 + 20 + 30) + (200 + c1g + 50)
+        |      + (CASE WHEN tr = 1 THEN 0 ELSE c2r + 0 + 120 END)
+        |      + (255 + 255 + c3b))
+        |      + tr * 192 * 255 AS s
+        |  FROM g)
+        |SELECT id AS doc_id, 'gif' AS format,
+        |  CAST(256 * (3 + tr) AS BIGINT) AS decoded_bytes,
+        |  md5('gif ' || CASE WHEN tr = 1 THEN 'rgba' ELSE 'rgb' END
+        |    || ' 16x16 1 ' || s || ' 255') AS thumb_hash
+        |FROM f""".stripMargin,
 
     // The incremental (stream-generations + merge) path must serve the
     // exact rows a batch build serves — q19's oracle without the range

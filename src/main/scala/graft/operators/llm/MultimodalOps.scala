@@ -7,12 +7,13 @@ import org.apache.spark.sql.Dataset
  * `binary` columns with typed metadata; decode/feature-extract runs
  * executor-side in batches).
  *
- * The DECODE step is REAL for the five containers the JDK can carry —
+ * The DECODE step is REAL for the six containers the JDK can carry —
  * uncompressed 24-bpp BMP, PCM16 mono WAV, non-interlaced 8-bit
  * RGB/RGBA PNG ([[MediaCodecs]]), baseline sequential JFIF
- * ([[JpegCodec]]), and MJPEG video in RIFF/AVI ([[AviCodec]] container
- * walk, per-frame JPEG decode) — no external libs; q106, q112, q115
- * and q117 gate the byte-level walks against closed-form oracles —
+ * ([[JpegCodec]]), GIF 87a/89a incl. interlace and transparency
+ * ([[GifCodec]]), and MJPEG video in RIFF/AVI ([[AviCodec]] container
+ * walk, per-frame JPEG decode) — no external libs; q106, q112, q115,
+ * q117 and q118 gate the byte-level walks against closed-form oracles —
  * and a documented deterministic fallback (byte length + payload md5)
  * for every unsniffed format (e.g. MP4/Matroska video, whose codecs
  * need libraries the frozen build cannot take). Unsupported VARIANTS
@@ -92,6 +93,13 @@ object MultimodalOps {
           s"${au.sumAbs} ${au.peak}"
         DecodedMedia(m.doc_id, m.format, au.nSamples * 2,
           hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else if (GifCodec.sniffGif(m.payload)) {
+        val img = GifCodec.decodeGif(m.payload)
+        val kind = if (img.channels == 3) "rgb" else "rgba"
+        val feat = s"gif $kind ${img.width}x${img.height} " +
+          s"${img.nFrames} ${img.sumChannels} ${img.maxChannel}"
+        DecodedMedia(m.doc_id, m.format, img.nPixels * img.channels,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
       } else if (AviCodec.sniffAvi(m.payload)) {
         // MJPEG video: container walk + per-frame JPEG decode; frames
         // whose bytes are not JPEG (a non-MJPG codec in the same
@@ -131,12 +139,13 @@ object MultimodalOps {
                                 payload: Array[Byte])
 
   /** Aspect-preserving fit into `maxDim`. For payloads the codec set
-    * can decode (BMP, PNG, baseline JPEG), the resample is REAL: decode
-    * -> integer box average ([[MediaCodecs.boxResample]]) -> re-encode.
-    * Thumbnails re-encode LOSSLESSLY — BMP stays BMP, PNG stays PNG
-    * (gray/RGB/RGBA preserved via color type), JPEG thumbnails come
-    * back as PNG (re-quantizing through a lossy encoder would make the
-    * thumbnail bytes depend on this library's FDCT rounding; the
+    * can decode (BMP, PNG, baseline JPEG, GIF), the resample is REAL:
+    * decode -> integer box average ([[MediaCodecs.boxResample]]) ->
+    * re-encode. Thumbnails re-encode LOSSLESSLY — BMP stays BMP, PNG
+    * stays PNG (gray/RGB/RGBA preserved via color type), JPEG and GIF
+    * thumbnails come back as PNG (re-quantizing through a lossy
+    * encoder — or re-palettizing box-averaged colors — would make the
+    * thumbnail bytes depend on this library's rounding; the
     * returned `format` says what the payload now IS). Undecodable
     * payloads (video) keep the declared-dimension pass-through stub,
     * the slot a codec library fills. Already-fitting media pass
@@ -163,7 +172,11 @@ object MultimodalOps {
           val p = JpegCodec.decodePixels(m.payload)
           Some((MediaCodecs.Raster(p.width, p.height, p.channels,
             p.samples), "png")) // jpeg thumbnails re-encode lossless
-        } else None
+        } else if (GifCodec.sniffGif(m.payload))
+          // box-averaged colors leave the source palette, so GIF
+          // thumbnails also re-encode as (lossless, true-color) PNG
+          Some((GifCodec.decodeGifPixels(m.payload), "png"))
+        else None
       raster match {
         case None =>
           val longest = math.max(m.width, m.height)

@@ -248,8 +248,8 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("real resize: BMP and PNG payloads resample pixel-for-pixel; " +
-      "JPEG thumbnails come back as lossless PNG") {
-    import graft.operators.llm.{JpegCodec, MediaCodecs}
+      "JPEG and GIF thumbnails come back as lossless PNG") {
+    import graft.operators.llm.{GifCodec, JpegCodec, MediaCodecs}
     // 16x16 mosaic of constant 8x8 blocks -> maxDim 8 halves it: each
     // output pixel's 2x2 box lies inside one block, so the resampled
     // image IS the 2x2-scaled mosaic, exactly
@@ -262,10 +262,15 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     })
     val jpg = JpegCodec.encodeJpeg(16, 16, 3, 1, JpegCodec.flatQuant,
       JpegCodec.flatQuant, 0, (x, y) => (block(x / 8, y / 8)._1, 128, 128))
+    val gifPal = (for (by <- 0 to 1; bx <- 0 to 1) yield block(bx, by))
+      .flatMap { case (r, g, b) => Seq(r, g, b) }.toArray
+    val gif = GifCodec.encodeGif(16, 16, gifPal,
+      (x, y) => (x / 8) + 2 * (y / 8))
     val recs = Seq(
       MultimodalOps.MediaRecord(0L, bmp, "bmp", 16, 16),
       MultimodalOps.MediaRecord(1L, png, "png", 16, 16),
-      MultimodalOps.MediaRecord(2L, jpg, "jpeg", 16, 16))
+      MultimodalOps.MediaRecord(2L, jpg, "jpeg", 16, 16),
+      MultimodalOps.MediaRecord(3L, gif, "gif", 16, 16))
     val out = MultimodalOps.resize(spark.createDataset(recs), maxDim = 8)
       .collect().map(r => r.doc_id -> r).toMap
     assert(out.values.forall(r => r.width == 8 && r.height == 8))
@@ -295,6 +300,15 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       val o = (y * 8 + x) * 3
       assert((backJpg.samples(o), backJpg.samples(o + 1),
         backJpg.samples(o + 2)) == ((v, v, v)), s"jpeg ($x,$y)")
+    }
+    // GIF (lossless palette) thumbnails as PNG, pixels exact
+    assert(out(3L).format == "png")
+    val backGif = MediaCodecs.decodePngPixels(out(3L).payload)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (r, g, b) = block(x / 4, y / 4)
+      val o = (y * 8 + x) * 3
+      assert((backGif.samples(o), backGif.samples(o + 1),
+        backGif.samples(o + 2)) == ((r, g, b)), s"gif ($x,$y)")
     }
   }
 
