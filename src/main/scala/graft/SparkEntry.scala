@@ -2083,10 +2083,17 @@ object SparkEntry {
           val rst = if (id % 4 <= 1) 1 else 0 // RSTn on both kinds
           val px = (x: Int, y: Int) =>
             (16 + 8 * (((x / 8) + 2 * (y / 8) + id) % 24).toInt, cb, cr)
-          MultimodalOps.MediaRecord(id,
-            JpegCodec.encodeJpeg(w, h, nComp, sh, JpegCodec.flatQuant,
-              JpegCodec.flatQuant, rst, px, subsampleV = sv),
-            "jpeg", w, h)
+          // every 7th doc is PROGRESSIVE (SOF2, 4:4:4, four-scan
+          // DC-approximation progression): DC-only blocks reconstruct
+          // exactly under multi-scan accumulation too, so the same
+          // closed-form oracle covers both flavors
+          val payload =
+            if (id % 7 == 3)
+              JpegCodec.encodeJpegProgressive(w, h, nComp,
+                JpegCodec.flatQuant, JpegCodec.flatQuant, px)
+            else JpegCodec.encodeJpeg(w, h, nComp, sh, JpegCodec.flatQuant,
+              JpegCodec.flatQuant, rst, px, subsampleV = sv)
+          MultimodalOps.MediaRecord(id, payload, "jpeg", w, h)
         }
       MultimodalOps.decode(media)
         .select(col("doc_id"), col("format"), col("decoded_bytes"),

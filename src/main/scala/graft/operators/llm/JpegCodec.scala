@@ -1,35 +1,41 @@
 package graft.operators.llm
 
 /**
- * Dependency-free baseline JFIF (JPEG) codec — the last
- * reference-relevant media format (a web crawl's images are mostly
- * JPEG; cf. the WAT/WARC payload handling the reference delegates to
+ * Dependency-free JFIF (JPEG) codec — the last reference-relevant
+ * media format (a web crawl's images are mostly JPEG; cf. the
+ * WAT/WARC payload handling the reference delegates to
  * webarchive-commons, e.g. ia-hadoop-tools's WAT extraction pipeline),
  * closing the MediaCodecs set (BMP/WAV/PNG) without codec libraries.
  *
- * DECODER: baseline sequential DCT, 8-bit samples (SOF0), 1 component
- * (grayscale) or 3 (YCbCr), any sampling factors up to 2x2 (4:4:4,
- * 4:2:2, 4:4:0, 4:2:0), 8- or 16-bit quantization tables, restart
- * markers, APPn/COM skip. Entropy decode follows ITU-T T.81 Annex F
- * (canonical Huffman via MINCODE/MAXCODE/VALPTR, EXTEND for
- * sign-magnitude, byte-stuffed bit reader); dequantized blocks go
- * through a separable double-precision IDCT with StrictMath cosine
- * tables (bit-deterministic across JVMs), box chroma upsampling, and a
- * fixed-point integer YCbCr->RGB (the libjpeg constants, 16-bit
- * fractional — every step replayable by an external engine, which is
- * what puts real decodes under the DuckDB oracle gate: q115 fixtures
- * are constant-per-block mosaics whose DC-only blocks reconstruct
- * EXACTLY, so the oracle recomputes whole-image channel statistics in
- * closed form). Non-baseline streams (progressive SOF2, arithmetic
- * coding, 12-bit, hierarchical) fail LOUDLY, like the other codecs —
- * never silently decode garbage.
+ * DECODER: sequential baseline/extended (SOF0/SOF1) AND progressive
+ * (SOF2) DCT, 8-bit samples, 1 component (grayscale) or 3 (YCbCr),
+ * any sampling factors up to 2x2 (4:4:4, 4:2:2, 4:4:0, 4:2:0), 8- or
+ * 16-bit quantization tables, restart markers, APPn/COM skip. Entropy
+ * decode follows ITU-T T.81 Annex F (canonical Huffman via
+ * MINCODE/MAXCODE/VALPTR, EXTEND for sign-magnitude, byte-stuffed bit
+ * reader); progressive streams accumulate raw coefficients across
+ * scans per T.81 G.2 — spectral selection bands, DC/AC successive
+ * approximation with the G.1.2.3 correction-bit refinement walk, EOB
+ * runs, interleaved DC + single-component AC scans. Dequantized
+ * blocks go through a separable double-precision IDCT with StrictMath
+ * cosine tables (bit-deterministic across JVMs), box chroma
+ * upsampling, and a fixed-point integer YCbCr->RGB (the libjpeg
+ * constants, 16-bit fractional — every step replayable by an external
+ * engine, which is what puts real decodes under the DuckDB oracle
+ * gate: q115 fixtures are constant-per-block mosaics whose DC-only
+ * blocks reconstruct EXACTLY, so the oracle recomputes whole-image
+ * channel statistics in closed form). Remaining non-DCT flavors
+ * (arithmetic coding, 12-bit, lossless, hierarchical) fail LOUDLY,
+ * like the other codecs — never silently decode garbage.
  *
  * ENCODER (fixture/test side): baseline SOF0 with the T.81 Annex K
  * example Huffman tables, caller-supplied quantization tables, 4:4:4 /
- * 4:2:0 / 4:2:2 / 4:4:0 / grayscale, optional restart intervals. JpegCodecSpec pins the
- * decoder against the JDK's OWN independent codec (javax.imageio both
- * directions) within the IDCT rounding tolerance, and byte-exactly on
- * DC-only fixtures.
+ * 4:2:0 / 4:2:2 / 4:4:0 / grayscale, optional restart intervals; plus
+ * a four-scan progressive (SOF2) variant for fixture streams
+ * (encodeJpegProgressive). JpegCodecSpec and JpegProgressiveSpec pin
+ * the decoder against the JDK's OWN independent codec (javax.imageio
+ * both directions) within the IDCT rounding tolerance, and
+ * byte-exactly on DC-only fixtures.
  */
 object JpegCodec {
 
@@ -217,6 +223,13 @@ object JpegCodec {
     var restartInterval = 0
     var pos = 2
     var sawSof = false
+    var progressive = false
+    // progressive state: per-component RAW (undequantized) coefficient
+    // planes in natural order, accumulated across scans
+    var pCoefs: Array[Array[Int]] = null
+    var pBlockW: Array[Int] = null
+    var pBlockH: Array[Int] = null
+    var pMcusX = 0; var pMcusY = 0
 
     def segLen(at: Int): Int = {
       val n = readBe16(bytes, at)
@@ -279,7 +292,8 @@ object JpegCodec {
             if (tc == 0) dcT(th) = t else acT(th) = t
           }
           pos = end
-        case 0xc0 | 0xc1 => // SOF0/1 (baseline / extended sequential)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1/2 (sequential / progressive)
+          progressive = m == 0xc2
           val end = pos + segLen(pos)
           require((bytes(pos + 2) & 0xff) == 8,
             s"unsupported sample precision ${bytes(pos + 2) & 0xff}")
@@ -300,33 +314,71 @@ object JpegCodec {
           }.toArray
           sawSof = true
           pos = end
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
             f"unsupported JPEG flavor (SOF marker 0xff$m%02x — " +
-              "baseline sequential only)")
+              "sequential or progressive Huffman only)")
         case 0xdd => // DRI
           val end = pos + segLen(pos)
           restartInterval = readBe16(bytes, pos + 2)
           pos = end
-        case 0xda => // SOS: decode the single baseline scan
+        case 0xda => // SOS
           require(sawSof, "SOS before SOF")
           val end = pos + segLen(pos)
           val ns = bytes(pos + 2) & 0xff
-          require(ns == comps.length,
-            s"partial scans unsupported ($ns of ${comps.length} components)")
-          var i = 0
-          while (i < ns) {
-            val cs = bytes(pos + 3 + 2 * i) & 0xff
-            val tt = bytes(pos + 4 + 2 * i) & 0xff
-            val c = comps.find(_.id == cs).getOrElse(
-              throw new IllegalArgumentException(s"SOS names unknown component $cs"))
-            c.td = tt >> 4; c.ta = tt & 0x0f
-            i += 1
+          if (!progressive) { // single baseline scan
+            require(ns == comps.length,
+              s"partial scans unsupported ($ns of ${comps.length} components)")
+            var i = 0
+            while (i < ns) {
+              val cs = bytes(pos + 3 + 2 * i) & 0xff
+              val tt = bytes(pos + 4 + 2 * i) & 0xff
+              val c = comps.find(_.id == cs).getOrElse(
+                throw new IllegalArgumentException(s"SOS names unknown component $cs"))
+              c.td = tt >> 4; c.ta = tt & 0x0f
+              i += 1
+            }
+            return decodeScan(bytes, end, comps, qt, dcT, acT, w, h,
+              restartInterval)
+          } else { // one of many progressive scans, accumulated
+            require(ns >= 1 && ns <= comps.length, s"bad scan component count $ns")
+            val scanComps = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cs = bytes(pos + 3 + 2 * i) & 0xff
+              val tt = bytes(pos + 4 + 2 * i) & 0xff
+              val ci = comps.indexWhere(_.id == cs)
+              require(ci >= 0, s"SOS names unknown component $cs")
+              comps(ci).td = tt >> 4; comps(ci).ta = tt & 0x0f
+              scanComps(i) = ci
+              i += 1
+            }
+            val ss = bytes(pos + 3 + 2 * ns) & 0xff
+            val se = bytes(pos + 4 + 2 * ns) & 0xff
+            val ahal = bytes(pos + 5 + 2 * ns) & 0xff
+            if (pCoefs == null) {
+              val hMax = comps.map(_.h).max
+              val vMax = comps.map(_.v).max
+              pMcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              pMcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              pBlockW = comps.map(c => pMcusX * c.h)
+              pBlockH = comps.map(c => pMcusY * c.v)
+              comps.indices.foreach { i => // same hostile-header stance as decodeScan
+                require(pBlockW(i).toLong * pBlockH(i) * 64 <= Int.MaxValue / 4,
+                  s"image too large: ${pBlockW(i)}x${pBlockH(i)}-block coefficient plane")
+              }
+              pCoefs = comps.indices.map(i =>
+                new Array[Int](pBlockW(i) * pBlockH(i) * 64)).toArray
+            }
+            pos = progressiveScan(bytes, end, comps, scanComps, pCoefs,
+              pBlockW, pMcusX, pMcusY, dcT, acT, w, h,
+              ss, se, ahal >> 4, ahal & 0x0f, restartInterval)
           }
-          return decodeScan(bytes, end, comps, qt, dcT, acT, w, h,
-            restartInterval)
         case 0xd9 =>
+          if (progressive && pCoefs != null)
+            return finishProgressive(comps, pCoefs, pBlockW, pBlockH, qt,
+              w, h)
           throw new IllegalArgumentException("EOI before any scan")
         case x if x >= 0xe0 && x <= 0xef => pos += segLen(pos) // APPn
         case 0xfe => pos += segLen(pos) // COM
@@ -442,8 +494,14 @@ object JpegCodec {
     }
     // trailing marker sanity: EOI (or at least a marker) after the scan
     br.byteAlign()
+    composePixels(planes, planeW, comps, w, h, hMax, vMax)
+  }
 
-    // upsample + color convert
+  /** Upsample + color convert the decoded component planes — shared
+    * tail of the baseline and progressive paths. */
+  private def composePixels(planes: Array[Array[Int]], planeW: Array[Int],
+                            comps: Array[Component], w: Int, h: Int,
+                            hMax: Int, vMax: Int): JpegPixels = {
     if (comps.length == 1) {
       val out = new Array[Int](w * h)
       val pw = planeW(0)
@@ -480,6 +538,240 @@ object JpegCodec {
       }
       JpegPixels(w, h, 3, out)
     }
+  }
+
+  /** One progressive scan (T.81 G.2): spectral selection band
+    * [ss, se], successive approximation ah -> al, interleaved (DC
+    * only) or single-component. Accumulates RAW coefficients into
+    * `coefs` (natural order, 64 per block, MCU-padded block grid);
+    * returns the position after the scan's entropy data. The AC
+    * refinement walk is the G.1.2.3/libjpeg correction-bit algorithm:
+    * every nonzero-history coefficient traversed carries a bit, zero
+    * coefficients count against the run, and an EOB run refines the
+    * remainder of the current block before skipping whole blocks. */
+  private def progressiveScan(bytes: Array[Byte], start: Int,
+                              comps: Array[Component], scanComps: Array[Int],
+                              coefs: Array[Array[Int]], blockW: Array[Int],
+                              mcusX: Int, mcusY: Int,
+                              dcT: Array[HuffTable], acT: Array[HuffTable],
+                              w: Int, h: Int, ss: Int, se: Int,
+                              ah: Int, al: Int,
+                              restartInterval: Int): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+    require(al <= 13 && (ah == 0 || ah == al + 1),
+      s"bad successive approximation $ah -> $al")
+    if (ss == 0) require(se == 0, "progressive DC scan must have Se=0")
+    else require(scanComps.length == 1, "progressive AC scan must be single-component")
+    scanComps.foreach { ci =>
+      val c = comps(ci)
+      if (ss == 0 && ah == 0)
+        require(dcT(c.td) != null, s"component ${c.id} references missing DC DHT ${c.td}")
+      if (ss > 0)
+        require(acT(c.ta) != null, s"component ${c.id} references missing AC DHT ${c.ta}")
+    }
+    val br = new BitReader(bytes, start)
+    val pred = new Array[Int](comps.length)
+    var eobrun = 0
+    var rstExpect = 0
+
+    def restart(): Unit = {
+      br.byteAlign()
+      require(br.pos + 2 <= bytes.length, "truncated at restart marker")
+      require((bytes(br.pos) & 0xff) == 0xff &&
+        (bytes(br.pos + 1) & 0xff) == (0xd0 + rstExpect),
+        f"expected RST$rstExpect%d at ${br.pos}")
+      br.pos += 2
+      rstExpect = (rstExpect + 1) % 8
+      java.util.Arrays.fill(pred, 0)
+      eobrun = 0
+    }
+
+    def dcUnit(ci: Int, blk: Int): Unit = {
+      val co = coefs(ci)
+      if (ah == 0) {
+        val t = br.decode(dcT(comps(ci).td))
+        require(t <= 11, s"bad DC magnitude $t")
+        pred(ci) += extend(br.receive(t), t)
+        co(blk) = pred(ci) << al
+      } else if (br.bit() != 0) co(blk) |= 1 << al
+    }
+
+    def acFirst(ta: Int, co: Array[Int], blk: Int): Unit = {
+      if (eobrun > 0) eobrun -= 1
+      else {
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decode(acT(ta))
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.receive(r)
+              done = true
+            } else k += 16
+          } else {
+            k += r
+            require(k <= se, "AC run past band end")
+            co(blk + ZigZag(k)) = extend(br.receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+    }
+
+    def acRefine(ta: Int, co: Array[Int], blk: Int): Unit = {
+      val p1 = 1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decode(acT(ta))
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var newval = 0
+          if (s != 0) {
+            require(s == 1, s"AC refinement magnitude $s (must be 1)")
+            newval = if (br.bit() != 0) p1 else -p1
+          } else if (r < 15) {
+            eobrun = 1 << r // includes THIS block; decremented below
+            if (r > 0) eobrun += br.receive(r)
+            done = true
+          } // r == 15 (ZRL): pass over 16 zero-history coefficients
+          if (!done) {
+            // advance over r zero-history coefficients, correcting
+            // every nonzero one along the way; stop AT the (r+1)-th
+            // zero — the placement position (or the ZRL-final zero)
+            var atZero = false
+            while (k <= se && !atZero) {
+              val idx = blk + ZigZag(k)
+              if (co(idx) != 0) {
+                if (br.bit() != 0 && (co(idx) & p1) == 0)
+                  co(idx) += (if (co(idx) >= 0) p1 else -p1)
+                k += 1
+              } else {
+                r -= 1
+                if (r < 0) atZero = true else k += 1
+              }
+            }
+            if (newval != 0) {
+              require(atZero && k <= se, "AC refinement run past band end")
+              co(blk + ZigZag(k)) = newval
+            }
+            k += 1 // past the placement / final-zero position
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB region: correction bits for the rest of this block's band
+        while (k <= se) {
+          val idx = blk + ZigZag(k)
+          if (co(idx) != 0 && br.bit() != 0 && (co(idx) & p1) == 0)
+            co(idx) += (if (co(idx) >= 0) p1 else -p1)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (scanComps.length > 1) {
+      // interleaved DC scan: walk the MCU grid
+      val nMcus = mcusX * mcusY
+      var mcu = 0
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0)
+          restart()
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var i = 0
+        while (i < scanComps.length) {
+          val ci = scanComps(i)
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              dcUnit(ci, ((my * c.v + by) * blockW(ci) + mx * c.h + bx) * 64)
+              bx += 1
+            }
+            by += 1
+          }
+          i += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan: walk the component's own block grid
+      // (NOT MCU-padded — T.81 A.2.2 non-interleaved dimensions)
+      val ci = scanComps(0)
+      val c = comps(ci)
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      val bw = ((w * c.h + hMax - 1) / hMax + 7) / 8
+      val bh = ((h * c.v + vMax - 1) / vMax + 7) / 8
+      val co = coefs(ci)
+      val nUnits = bw * bh
+      var unit = 0
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0)
+          restart()
+        val blk = ((unit / bw) * blockW(ci) + unit % bw) * 64
+        if (ss == 0) dcUnit(ci, blk)
+        else if (ah == 0) acFirst(c.ta, co, blk)
+        else acRefine(c.ta, co, blk)
+        unit += 1
+      }
+    }
+    br.byteAlign()
+    br.pos
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and
+    * hand the planes to the shared compose tail. */
+  private def finishProgressive(comps: Array[Component],
+                                coefs: Array[Array[Int]],
+                                blockW: Array[Int], blockH: Array[Int],
+                                qt: Array[Array[Int]],
+                                w: Int, h: Int): JpegPixels = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val planeW = comps.indices.map(i => blockW(i) * 8).toArray
+    val planes = comps.indices.map(i =>
+      new Array[Int](blockW(i) * blockH(i) * 64)).toArray
+    val coef = new Array[Int](64)
+    val blockOut = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = qt(comps(ci).tq)
+      require(q != null, s"component ${comps(ci).id} references missing DQT ${comps(ci).tq}")
+      val co = coefs(ci)
+      val bw = blockW(ci)
+      val pw = planeW(ci)
+      var b = 0
+      val nBlocks = bw * blockH(ci)
+      while (b < nBlocks) {
+        val blk = b * 64
+        var i = 0
+        while (i < 64) { coef(i) = co(blk + i) * q(i); i += 1 }
+        idct(coef, blockOut)
+        val px0 = (b % bw) * 8
+        val py0 = (b / bw) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          val rowOff = (py0 + yy) * pw + px0
+          while (xx < 8) {
+            planes(ci)(rowOff + xx) = blockOut(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
+    composePixels(planes, planeW, comps, w, h, hMax, vMax)
   }
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
@@ -812,6 +1104,178 @@ object JpegCodec {
     }
     bw.flush()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a PROGRESSIVE (SOF2) JFIF, fixture/test side: 4:4:4 or
+    * grayscale, Annex K tables, four-scan progression — interleaved
+    * DC first scan at Al=1, DC refinement scan delivering the low
+    * bit, then one full-band AC scan per component (Ss=1..63, no
+    * successive approximation; per-block EOB, since the Annex K AC
+    * tables carry no EOBn>0 symbols). Exercises spectral selection,
+    * DC successive approximation, multi-scan accumulation and the
+    * non-interleaved walk on the decode side; AC refinement decode is
+    * pinned against ImageIO-written streams (JpegProgressiveSpec),
+    * whose default progression uses it. Same DC-exactness property as
+    * [[encodeJpeg]]: x == ((x>>1)<<1 | (x&1)) in two's complement, so
+    * DC-only fixtures reconstruct byte-identically. */
+  def encodeJpegProgressive(width: Int, height: Int, nComp: Int,
+                            qLuma: Array[Int], qChroma: Array[Int],
+                            pixelYcc: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(nComp == 1 || nComp == 3, s"nComp must be 1 or 3, got $nComp")
+    require(qLuma.length == 64 && (nComp == 1 || qChroma.length == 64),
+      "quant tables must have 64 entries")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8)
+    marker(0xe0); be16(16)
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      marker(0xdb); be16(67); out.write(id)
+      var i = 0
+      while (i < 64) {
+        val v = q(ZigZag(i))
+        require(v >= 1 && v <= 255, s"8-bit DQT entry out of range: $v")
+        out.write(v); i += 1
+      }
+    }
+    dqt(0, qLuma)
+    if (nComp == 3) dqt(1, qChroma)
+    marker(0xc2); be16(8 + 3 * nComp); out.write(8) // SOF2
+    be16(height); be16(width); out.write(nComp)
+    out.write(1); out.write(0x11); out.write(0)
+    if (nComp == 3) {
+      out.write(2); out.write(0x11); out.write(1)
+      out.write(3); out.write(0x11); out.write(1)
+    }
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write(tcTh)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0x00, StdDcLumaBits, StdDcLumaVals)
+    dht(0x10, StdAcLumaBits, StdAcLumaVals)
+    if (nComp == 3) {
+      dht(0x01, StdDcChromaBits, StdDcChromaVals)
+      dht(0x11, StdAcChromaBits, StdAcChromaVals)
+    }
+
+    // all coefficients up front (4:4:4 -> one shared block grid)
+    val bwX = (width + 7) / 8
+    val bwY = (height + 7) / 8
+    val nBlocks = bwX * bwY
+    val coefs = Array.ofDim[Int](nComp, nBlocks, 64)
+    val block = new Array[Double](64)
+    var ci = 0
+    while (ci < nComp) {
+      val q = if (ci == 0) qLuma else qChroma
+      var b = 0
+      while (b < nBlocks) {
+        val px0 = (b % bwX) * 8
+        val py0 = (b / bwX) * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(px0 + x, width - 1)
+            val sy = math.min(py0 + y, height - 1)
+            val p = pixelYcc(sx, sy)
+            block(y * 8 + x) =
+              (if (ci == 0) p._1 else if (ci == 1) p._2 else p._3) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        coefs(ci)(b) = fdctQuant(block, q)
+        b += 1
+      }
+      ci += 1
+    }
+
+    val dcLuma = encTable(StdDcLumaBits, StdDcLumaVals)
+    val acLuma = encTable(StdAcLumaBits, StdAcLumaVals)
+    val dcChroma = encTable(StdDcChromaBits, StdDcChromaVals)
+    val acChroma = encTable(StdAcChromaBits, StdAcChromaVals)
+    def sos(comps: Seq[Int], ss: Int, se: Int, ahal: Int): Unit = {
+      marker(0xda); be16(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c =>
+        out.write(c + 1)
+        out.write((if (c == 0) 0x00 else 0x11))
+      }
+      out.write(ss); out.write(se); out.write(ahal)
+    }
+
+    // scan 1: interleaved DC first, Al=1
+    sos(0 until nComp, 0, 0, 0x01)
+    locally {
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](nComp)
+      var b = 0
+      while (b < nBlocks) {
+        var c = 0
+        while (c < nComp) {
+          val dc = coefs(c)(b)(0) >> 1
+          val diff = dc - pred(c)
+          pred(c) = dc
+          val t = magnitude(diff)
+          val (code, len) = (if (c == 0) dcLuma else dcChroma)(t)
+          bw.write(code, len)
+          if (t > 0) bw.write(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+          c += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+    // scan 2: interleaved DC refinement, Al=0 (one raw bit per block)
+    sos(0 until nComp, 0, 0, 0x10)
+    locally {
+      val bw = new BitWriter(out)
+      var b = 0
+      while (b < nBlocks) {
+        var c = 0
+        while (c < nComp) {
+          bw.write(coefs(c)(b)(0) & 1, 1)
+          c += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+    // scans 3..: one full-band AC scan per component
+    var sc = 0
+    while (sc < nComp) {
+      sos(Seq(sc), 1, 63, 0x00)
+      val bw = new BitWriter(out)
+      val ac = if (sc == 0) acLuma else acChroma
+      var b = 0
+      while (b < nBlocks) {
+        val c = coefs(sc)(b)
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val v = c(ZigZag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { val (zc, zl) = ac(0xf0); bw.write(zc, zl); run -= 16 }
+            val s = magnitude(v)
+            val (code, len) = ac((run << 4) | s)
+            bw.write(code, len)
+            bw.write(if (v >= 0) v else v + (1 << s) - 1, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = ac(0x00); bw.write(ec, el) }
+        b += 1
+      }
+      bw.flush()
+      sc += 1
+    }
+    marker(0xd9)
     out.toByteArray
   }
 

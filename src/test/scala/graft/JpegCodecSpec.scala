@@ -230,7 +230,7 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decodePixels(sof1).samples.sameElements(want.samples))
   }
 
-  test("malformed input fails loudly: truncation, progressive SOF, " +
+  test("malformed input fails loudly: truncation, lossless SOF, " +
       "bad marker, RST outside scan") {
     val good = JpegCodec.encodeJpeg(16, 16, 3, 1,
       JpegCodec.flatQuant, JpegCodec.flatQuant, 0, mosaic(0, 128, 128))
@@ -240,15 +240,17 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JpegCodec.decodePixels(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00))
     }
-    // flip SOF0 -> SOF2 (progressive): find FF C0 and patch
-    val prog = good.clone()
-    val sofAt = prog.indices.dropRight(1).find(i =>
-      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
-    prog(sofAt + 1) = 0xc2.toByte
+    // flip SOF0 -> SOF3 (lossless, genuinely unsupported): the
+    // progressive flavor moved to the supported set in
+    // JpegProgressiveSpec, so the fail-loudly pin rides on SOF3
+    val bad = good.clone()
+    val sofAt = bad.indices.dropRight(1).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0).get
+    bad(sofAt + 1) = 0xc3.toByte
     val e = intercept[IllegalArgumentException] {
-      JpegCodec.decodePixels(prog)
+      JpegCodec.decodePixels(bad)
     }
-    assert(e.getMessage.contains("baseline"))
+    assert(e.getMessage.contains("unsupported JPEG flavor"))
   }
 
   test("restart-marker damage is caught (wrong RST index)") {
