@@ -70,44 +70,54 @@ object WarcExtract {
     * (the ORIGINAL capture's payload hash — the revisit block itself has
     * no payload to hash), status from the re-serialized HTTP headers
     * when the block carries them. */
-  private def cdxOf(m: GzipMembers.Member, name: String): Seq[CdxRow] =
-    if (m.payload.length >= 5 && m.payload(0) == 'W' && m.payload(1) == 'A' &&
-        m.payload(2) == 'R' && m.payload(3) == 'C' && m.payload(4) == '/') {
-      WarcRecords.parseAll(m.payload).flatMap { rec =>
-        if (rec.warcType != "response" && rec.warcType != "resource" &&
-            rec.warcType != "revisit") None
-        else for {
-          uri <- rec.targetUri
-          ts <- rec.timestamp14
-        } yield {
-          val (status, httpMime) = rec.httpStatusAndMime
-          val body =
-            if (status.isDefined) httpBody(rec.payload) else rec.payload
-          val isRevisit = rec.warcType == "revisit"
-          val payloadDigest = rec.headers.collectFirst {
-            case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") =>
-              if (v.toLowerCase.startsWith("sha1:")) v.substring(5) else v
-          }
-          CdxRow(
-            urlkey = graft.functions.Surt.surtLenient(uri),
-            timestamp = ts,
-            original_url = uri,
-            mimetype =
-              if (isRevisit) "warc/revisit"
-              else httpMime
-                .orElse(rec.contentType.map(_.split(";")(0).trim))
-                .getOrElse("unk"),
-            statuscode = status,
-            digest =
-              if (isRevisit)
-                payloadDigest.getOrElse(WarcRecords.sha1Base32(body))
-              else WarcRecords.sha1Base32(body),
-            compressed_size = m.length,
-            offset = m.offset,
-            filename = name)
-        }
+  /** One parsed WARC record → its CDX row (response / resource /
+    * revisit only), carrying the copyable extent the caller provides —
+    * a member's extent on the normal path, the whole file's on the
+    * healed mid-record-boundary path. */
+  private def rowOfRecord(rec: WarcRecords.WarcRecord, length: Long,
+                          offset: Long, name: String): Option[CdxRow] = {
+    if (rec.warcType != "response" && rec.warcType != "resource" &&
+        rec.warcType != "revisit") None
+    else for {
+      uri <- rec.targetUri
+      ts <- rec.timestamp14
+    } yield {
+      val (status, httpMime) = rec.httpStatusAndMime
+      val body =
+        if (status.isDefined) httpBody(rec.payload) else rec.payload
+      val isRevisit = rec.warcType == "revisit"
+      val payloadDigest = rec.headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("WARC-Payload-Digest") =>
+          if (v.toLowerCase.startsWith("sha1:")) v.substring(5) else v
       }
-    } else {
+      CdxRow(
+        urlkey = graft.functions.Surt.surtLenient(uri),
+        timestamp = ts,
+        original_url = uri,
+        mimetype =
+          if (isRevisit) "warc/revisit"
+          else httpMime
+            .orElse(rec.contentType.map(_.split(";")(0).trim))
+            .getOrElse("unk"),
+        statuscode = status,
+        digest =
+          if (isRevisit)
+            payloadDigest.getOrElse(WarcRecords.sha1Base32(body))
+          else WarcRecords.sha1Base32(body),
+        compressed_size = length,
+        offset = offset,
+        filename = name)
+    }
+  }
+
+  private def cdxOf(m: GzipMembers.Member, name: String): Seq[CdxRow] =
+    if (WarcRecords.looksLikeWarc(m.payload)) {
+      WarcRecords.parseAll(m.payload).flatMap(rec =>
+        rowOfRecord(rec, m.length, m.offset, name))
+    } else arcRowsOf(m, name)
+
+  private def arcRowsOf(m: GzipMembers.Member, name: String): Seq[CdxRow] =
+    {
       ArcRecords.parse(m.payload).toSeq.flatMap { rec =>
         if (rec.isFiledesc) None
         else Some {
@@ -150,13 +160,66 @@ object WarcExtract {
       .values
     val rows = spark.createDataset(pathsRdd)
       .mapPartitions { pathIter =>
-        pathIter.flatMap { pathStr =>
-          val p = new Path(pathStr)
-          val name = p.getName
-          openMembers(p, conf, soft, bad).flatMap(m => cdxOf(m, name))
-        }
+        pathIter.flatMap(pathStr => fileRows(pathStr, conf, soft, bad))
       }
     Extraction(rows, bad)
+  }
+
+  /** All CDX rows of one archive file: the per-member walk, plus a
+    * HEALING pass for re-zipped archives whose gzip member boundaries
+    * no longer align with record boundaries (a decompress+re-gzip with
+    * arbitrary chunking — rsyncable recompression, chunked uploads).
+    * Detection: the file leads with WARC magic but some member is
+    * structurally unparseable as WARC (a continuation chunk, or a
+    * chunk whose records are cut mid-payload). Repair: gzip members
+    * only matter for random access, so the healed walk re-frames
+    * records over the file's CONCATENATED decompressed stream
+    * (GZIPInputStream reads multi-member streams natively) and every
+    * healed row carries the WHOLE FILE as its copyable extent — the
+    * smallest range a repackage can copy once member boundaries are
+    * meaningless. The healed result only replaces the member walk's
+    * rows when it recovers MORE records; per-file rows materialize in
+    * memory on this path (CDX rows are ~0.02% of archive bytes). */
+  private def fileRows(pathStr: String, conf: SerializableConfiguration,
+                       soft: Boolean, bad: LongAccumulator): Seq[CdxRow] = {
+    val p = new Path(pathStr)
+    val name = p.getName
+    val memberRows = scala.collection.mutable.ArrayBuffer.empty[CdxRow]
+    var misaligned = false
+    var firstIsWarc = false
+    var first = true
+    openMembers(p, conf, soft, bad).foreach { m =>
+      val isWarc = WarcRecords.looksLikeWarc(m.payload)
+      if (first) { first = false; firstIsWarc = isWarc }
+      if (isWarc) {
+        val recs = WarcRecords.parseAll(m.payload)
+        if (recs.isEmpty) misaligned = true
+        memberRows ++= recs.flatMap(rowOfRecord(_, m.length, m.offset, name))
+      } else {
+        val rows = arcRowsOf(m, name)
+        if (rows.isEmpty && firstIsWarc) misaligned = true
+        memberRows ++= rows
+      }
+    }
+    if (!(misaligned && firstIsWarc)) memberRows.toVector
+    else {
+      try {
+        val fs = p.getFileSystem(conf.value)
+        val fileLen = fs.getFileStatus(p).getLen
+        val in = fs.open(p)
+        try {
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.BufferedInputStream(in, 1 << 16))
+          val walk = graft.sources.warc.PlainWarc.iterate(gz)
+          val softWalk =
+            if (soft) GzipMembers.soften(walk, _ => bad.add(1)) else walk
+          val healed = softWalk.flatMap(rm =>
+            WarcRecords.parse(rm.payload).flatMap(
+              rowOfRecord(_, fileLen, 0L, name))).toVector
+          if (healed.size > memberRows.size) healed else memberRows.toVector
+        } finally in.close()
+      } catch { case _: Exception => memberRows.toVector }
+    }
   }
 
   /** Write one `<basename>.cdx` next to nothing in particular — per-input

@@ -323,6 +323,17 @@ object WarcRecords {
     }
   }
 
+  /** WARC magic test with leading-NUL tolerance: NUL-padded rewrites
+    * and disk damage prepend 0x00 runs to otherwise-intact records, and
+    * the dispatch must still route them to the WARC parser (which
+    * strips head NULs) instead of the ARC fallback. */
+  def looksLikeWarc(payload: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < payload.length && payload(i) == 0) i += 1
+    i + 5 <= payload.length && payload(i) == 'W' && payload(i + 1) == 'A' &&
+      payload(i + 2) == 'R' && payload(i + 3) == 'C' && payload(i + 4) == '/'
+  }
+
   /** Parse one member payload as a WARC record: "WARC/1.x" version line,
     * CRLF headers, blank line, payload block. The spec mandates CRLF,
     * but LF-only WARC headers exist in the wild (hand-built or
@@ -344,8 +355,14 @@ object WarcRecords {
       if (sep4 >= 0 && (sep2 < 0 || sep4 < sep2)) (sep4, 4)
       else if (sep2 >= 0) (sep2, 2)
       else return None
+    // mid-header NULs: disk damage and NUL-padded rewrites spatter the
+    // HEAD with 0x00 bytes (leading runs before the version line,
+    // interior bytes inside header text). NUL is meaningless in the
+    // WARC header grammar, so stripping it from the head recovers the
+    // record; the payload stays raw. (webarchive-commons' lax readers
+    // tolerate the same class.)
     val head = new String(bytes, 0, sep,
-      java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.charset.StandardCharsets.UTF_8).replace("\u0000", "")
     val rawLines = head.split("\n").map(_.stripSuffix("\r"))
     if (!rawLines.head.startsWith("WARC/")) return None
     // LWS folding (the WARC header grammar inherits it): a line starting
@@ -401,7 +418,7 @@ object WarcRecords {
       else if (sep2 >= 0) (sep2, 2)
       else return single
     val head = new String(bytes, 0, sep,
-      java.nio.charset.StandardCharsets.ISO_8859_1)
+      java.nio.charset.StandardCharsets.ISO_8859_1).replace("\u0000", "")
     val len = head.split("\n").map(_.stripSuffix("\r"))
       .find(_.toLowerCase.startsWith("content-length:"))
       .flatMap(_.split(":", 2)(1).trim.toLongOption)

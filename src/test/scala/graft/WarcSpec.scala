@@ -530,4 +530,69 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     val li = graft.model.ItemMetadata.parseOne(listBody).get
     assert(li.properties("mediatype") == Seq("texts", "data"))
   }
+
+  test("mid-header NULs: leading runs and interior bytes strip out of " +
+      "the head; payload stays raw; dispatch still routes to WARC") {
+    val clean = warcResponse("http://nul.org/x", "2012-01-03T08:45:08Z", "nnn")
+    // leading NUL run (NUL-padded rewrite) + a NUL spattered into the
+    // header text (disk damage) — payload untouched
+    val sep = clean.indexOfSlice("\r\n\r\n".getBytes("US-ASCII"))
+    val damagedHead = new String(clean.take(sep), "ISO-8859-1")
+      .replace("WARC-Type: response", "WARC-Type: resp\u0000onse")
+      .getBytes("ISO-8859-1")
+    val damaged = Array.fill[Byte](5)(0) ++ damagedHead ++ clean.drop(sep)
+    assert(WarcRecords.looksLikeWarc(damaged))
+    val rec = WarcRecords.parse(damaged).get
+    assert(rec.warcType == "response")
+    assert(rec.targetUri.contains("http://nul.org/x"))
+    assert(rec.timestamp14.contains("20120103084508"))
+    val (status, mime) = rec.httpStatusAndMime
+    assert(status.contains(200) && mime.contains("text/html"))
+    // end-to-end: the damaged member still yields its CDX row
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "warcnul")
+    val f = dir.resolve("nul-00000.warc.gz")
+    Files.write(f, gz(warcinfo) ++ gz(damaged))
+    val rows = WarcExtract.extract(spark, Seq(f.toString)).rows.collect()
+    assert(rows.length == 1)
+    assert(rows(0).urlkey == "org,nul)/x")
+    assert(rows(0).digest == WarcRecords.sha1Base32("nnn".getBytes("UTF-8")))
+  }
+
+  test("re-zipped member boundaries: arbitrary-chunk recompression " +
+      "heals via the whole-stream record walk, whole-file extents") {
+    // a valid plain WARC stream (records + CRLF separators), then
+    // decompress+re-gzip chunked every 100 bytes: NO member boundary
+    // aligns with a record boundary any more
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
+    // conformant warcinfo (the healed whole-stream walk is
+    // Content-Length-framed, like any plain WARC walk)
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 16\r\n\r\n" +
+      "software: graft\n").getBytes("UTF-8")
+    val plain = info ++ sep ++
+      warcResponse("http://a.org/1", "2012-01-03T08:45:08Z", "aaa") ++ sep ++
+      warcResponse("http://b.org/2", "2012-01-04T09:00:00Z", "bbb") ++ sep
+    val rezipped = plain.grouped(100).map(gz).reduce(_ ++ _)
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "warcrz")
+    val f = dir.resolve("rezip-00000.warc.gz")
+    Files.write(f, rezipped)
+    val rows = WarcExtract.extract(spark, Seq(f.toString), soft = true)
+      .rows.collect().sortBy(_.timestamp)
+    assert(rows.length == 2, s"healed rows: ${rows.length}")
+    assert(rows(0).urlkey == "org,a)/1" && rows(1).urlkey == "org,b)/2")
+    assert(rows(0).digest == WarcRecords.sha1Base32("aaa".getBytes("UTF-8")))
+    // member boundaries are meaningless -> the copyable extent is the file
+    assert(rows.forall(r => r.offset == 0L &&
+      r.compressed_size == Files.size(f)))
+    // properly-zipped control: same records, one member each, extents
+    // stay PER-MEMBER (the healing pass must not engage)
+    val g = dir.resolve("aligned-00000.warc.gz")
+    Files.write(g, gz(warcinfo) ++
+      gz(warcResponse("http://a.org/1", "2012-01-03T08:45:08Z", "aaa")) ++
+      gz(warcResponse("http://b.org/2", "2012-01-04T09:00:00Z", "bbb")))
+    val ctrl = WarcExtract.extract(spark, Seq(g.toString))
+      .rows.collect().sortBy(_.timestamp)
+    assert(ctrl.length == 2 && ctrl(0).offset > 0L &&
+      ctrl(0).compressed_size < Files.size(g))
+  }
 }
