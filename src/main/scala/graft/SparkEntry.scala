@@ -2015,13 +2015,16 @@ object SparkEntry {
 
     // REAL PNG decode under the oracle gate (the q106 pattern for the
     // format a crawl archive actually carries most): each doc
-    // synthesizes a VALID non-interlaced 8-bit PNG — even ids RGB,
-    // odd ids RGBA — whose per-channel pixel formulas have closed-form
-    // sums; the encoder cycles the scanline filter type per row
-    // (None/Sub/Up/Average/Paeth) and splits IDAT into two chunks, so
-    // the decoder's CRC-verified chunk walk, zlib inflate, IDAT
-    // concatenation, and all five unfilters all sit on the hash-compare
-    // path — one wrong Paeth tie-break fails the gate.
+    // synthesizes a VALID PNG — even ids RGB, odd ids RGBA, and every
+    // 5th-with-offset-2 id a PALETTE image (sub-byte or 8-bit indices,
+    // Adam7-interlaced on a sub-slice) — whose pixel formulas have
+    // closed-form sums; the truecolor encoder cycles the scanline
+    // filter type per row (None/Sub/Up/Average/Paeth) and splits IDAT
+    // into two chunks, so the decoder's CRC-verified chunk walk, zlib
+    // inflate, IDAT concatenation, all five unfilters, PLTE
+    // dereference, sub-byte unpack, and the 7-pass de-interlace all
+    // sit on the hash-compare path — one wrong Paeth tie-break or
+    // pass-origin slip fails the gate.
     "q112_png_decode" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{MediaCodecs, MultimodalOps}
@@ -2035,8 +2038,21 @@ object SparkEntry {
           val px = (x: Int, y: Int) =>
             if (ct == 2) Array(x + b0, y + b0, x + 2 * y + b0)
             else Array(x + b0, y + b0, x + 2 * y + b0, x + y + b0)
-          MultimodalOps.MediaRecord(id,
-            MediaCodecs.encodePng(w, h, ct, px), "png", w, h)
+          val payload =
+            if (id % 5 == 2) {
+              // palette slice: 4 id-derived colors, columns by x % 4
+              // (w >= 4, so every color appears h*((w-c+3)/4) times —
+              // the oracle's count formula); index depth and interlace
+              // vary but never change the decoded pixels
+              val pal = Array(10, 20, 30,
+                200, 100 + 4 * (id % 7).toInt, 50,
+                8 * (id % 9).toInt, 0, 120,
+                255, 255, (id % 256).toInt)
+              MediaCodecs.encodePngPalette(w, h, pal, (x, _) => x % 4,
+                bitDepth = if (id % 2 == 0) 2 else 8,
+                interlaced = id % 3 == 0)
+            } else MediaCodecs.encodePng(w, h, ct, px)
+          MultimodalOps.MediaRecord(id, payload, "png", w, h)
         }
       MultimodalOps.decode(media)
         .select(col("doc_id"), col("format"), col("decoded_bytes"),
@@ -4457,20 +4473,33 @@ object SparkEntry {
     // r=x+b0, g=y+b0, b=x+2y+b0 (+ a=x+y+b0 for RGBA) sum to
     // 2hSx+3wSy+3Nb0 (RGB) / 3hSx+4wSy+4Nb0 (RGBA) with Sx=w(w-1)/2,
     // Sy=h(h-1)/2, N=wh; the max channel is b at (w-1, h-1). The
+    // palette slice counts whole columns per color (x % 4 ->
+    // h*((w-c+3)//4) pixels of color c); interlace and index depth
+    // never change decoded pixels, so the oracle ignores them. The
     // filter/deflate round-trip is exact, so the decoded stats ARE the
     // formulas — any header, CRC, inflate, or unfilter slip diverges.
     "q112_png_decode" ->
       """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |g AS (SELECT id, 4 + id % 13 AS w, 3 + id % 7 AS h,
         |    id % 180 AS b0,
-        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 4 END AS ch FROM p),
+        |    CASE WHEN id % 5 = 2 THEN 1 ELSE 0 END AS pal,
+        |    100 + 4 * (id % 7) AS c1g, 8 * (id % 9) AS c2r,
+        |    id % 256 AS c3b,
+        |    CASE WHEN id % 5 = 2 OR id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM p),
         |f AS (SELECT id, w, h, ch, w * h * ch AS decoded_bytes,
         |  CASE WHEN ch = 3 THEN 'rgb' ELSE 'rgba' END AS kind,
-        |  CASE WHEN ch = 3
+        |  CASE WHEN pal = 1 THEN
+        |      h * ((w + 3) // 4) * (10 + 20 + 30)
+        |    + h * ((w + 2) // 4) * (200 + c1g + 50)
+        |    + h * ((w + 1) // 4) * (c2r + 0 + 120)
+        |    + h * (w // 4) * (255 + 255 + c3b)
+        |  WHEN ch = 3
         |    THEN 2*h*(w*(w-1)//2) + 3*w*(h*(h-1)//2) + 3*w*h*b0
         |    ELSE 3*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2) + 4*w*h*b0
         |  END AS s,
-        |  (w - 1) + 2*(h - 1) + b0 AS m FROM g)
+        |  CASE WHEN pal = 1 THEN 255
+        |    ELSE (w - 1) + 2*(h - 1) + b0 END AS m FROM g)
         |SELECT id AS doc_id, 'png' AS format,
         |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes,
         |  md5('png ' || kind || ' ' || w || 'x' || h || ' ' || s || ' '

@@ -5,8 +5,10 @@ package graft.operators.llm
  * formats whose containers need nothing beyond the JDK (no codec
  * libraries, which the frozen offline build cannot take): uncompressed
  * 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + padded bottom-up
- * BGR rows), PCM16 mono RIFF/WAVE, and non-interlaced 8-bit RGB/RGBA
- * PNG (CRC-verified chunk walk + java.util.zip Inflater + the five
+ * BGR rows), PCM16 mono RIFF/WAVE, and PNG — all five color types
+ * (gray / RGB / palette / gray+alpha / RGBA) at their legal bit
+ * depths (1/2/4/8/16), tRNS transparency, Adam7 interlace
+ * (CRC-verified chunk walk + java.util.zip Inflater + the five
  * scanline unfilters). These replace the former deterministic-fake
  * decode stub in [[MultimodalOps.decodeBatch]] for payloads whose magic
  * bytes match; baseline JPEG lives in [[JpegCodec]], MJPEG-in-AVI
@@ -372,9 +374,10 @@ object MediaCodecs {
   /** Structural sniff for DISPATCH (see [[sniffBmp]]): the 8-byte
     * signature is already collision-proof against text, but the sniff
     * additionally requires a well-formed IHDR advertising the subset
-    * this decoder handles (8-bit depth, RGB/RGBA, deflate, standard
-    * filtering, no interlace) so unsupported-but-valid PNGs take the
-    * caller's fallback lane instead of failing the decode job. */
+    * this decoder handles (all five color types at their legal bit
+    * depths, deflate, standard filtering, none/Adam7 interlace) so
+    * unsupported-but-valid PNGs take the caller's fallback lane
+    * instead of failing the decode job. */
   def sniffPng(bytes: Array[Byte]): Boolean =
     isPng(bytes) && bytes.length >= 33 &&
       readBe32(bytes, 8) == 13 &&
@@ -387,9 +390,14 @@ object MediaCodecs {
         val compression = bytes(26) & 0xff
         val filterMethod = bytes(27) & 0xff
         val interlace = bytes(28) & 0xff
-        width > 0 && height > 0 && bitDepth == 8 &&
-          (colorType == 2 || colorType == 6) && compression == 0 &&
-          filterMethod == 0 && interlace == 0
+        val okDepth = colorType match {
+          case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
+          case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+          case 3 => Set(1, 2, 4, 8)(bitDepth)
+          case _ => false
+        }
+        width > 0 && height > 0 && okDepth && compression == 0 &&
+          filterMethod == 0 && interlace <= 1
       }
 
   private def pngChunk(out: java.io.ByteArrayOutputStream, chunkType: String,
@@ -495,11 +503,107 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Decode a non-interlaced 8-bit RGB/RGBA PNG: CRC-verified chunk
-    * walk, IDAT concatenation + zlib inflate, and per-row unfiltering
-    * (all five filter types). Throws IllegalArgumentException on
-    * structural damage, a bad CRC, an unsupported IHDR, or an IDAT
-    * stream whose inflated size disagrees with the header geometry. */
+  /** Build a valid PALETTE (color type 3) PNG, fixture/test side:
+    * exact `palette` (flat r,g,b triples), `pixel(x, y)` returning a
+    * palette index, bit depth 1/2/4/8 (sub-byte indices packed
+    * MSB-first per spec), optional Adam7 interlace (per-pass
+    * scanline filtering, types cycling so every unfilter runs against
+    * every pass geometry), optional `trns` alpha entries. */
+  def encodePngPalette(width: Int, height: Int, palette: Array[Int],
+                       pixel: (Int, Int) => Int, bitDepth: Int = 8,
+                       interlaced: Boolean = false,
+                       trns: Array[Int] = null): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 768, "palette must hold 1..256 rgb triples")
+    require(Set(1, 2, 4, 8)(bitDepth), s"bad palette bit depth $bitDepth")
+    val nColors = palette.length / 3
+    require(nColors <= (1 << bitDepth),
+      s"$nColors colors exceed $bitDepth-bit indices")
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlaced) Adam7 else Array((0, 0, 1, 1))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    passes.foreach { p =>
+      val pw = if (width > p._1) (width - p._1 + p._3 - 1) / p._3 else 0
+      val ph = if (height > p._2) (height - p._2 + p._4 - 1) / p._4 else 0
+      if (pw > 0 && ph > 0) {
+        val stride = (pw * bitDepth + 7) / 8
+        val prior = new Array[Byte](stride)
+        val cur = new Array[Byte](stride)
+        var j = 0
+        while (j < ph) {
+          java.util.Arrays.fill(cur, 0.toByte)
+          var i = 0
+          while (i < pw) {
+            val idx = pixel(p._1 + i * p._3, p._2 + j * p._4)
+            require(idx >= 0 && idx < nColors, s"pixel index $idx")
+            if (bitDepth == 8) cur(i) = idx.toByte
+            else {
+              val bit = i * bitDepth
+              cur(bit >> 3) = (cur(bit >> 3) |
+                (idx << (8 - bitDepth - (bit & 7)))).toByte
+            }
+            i += 1
+          }
+          val ft = j % 5
+          rawOut.write(ft)
+          var k = 0
+          while (k < stride) {
+            val left = if (k >= 1) cur(k - 1) & 0xff else 0
+            val up = prior(k) & 0xff
+            val ul = if (k >= 1) prior(k - 1) & 0xff else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case _ => paeth(left, up, ul)
+            }
+            rawOut.write(((cur(k) & 0xff) - pred) & 0xff)
+            k += 1
+          }
+          System.arraycopy(cur, 0, prior, 0, stride)
+          j += 1
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED)
+    deflater.setInput(rawOut.toByteArray)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    val ihdr = new Array[Byte](13)
+    be32(ihdr, 0, width)
+    be32(ihdr, 4, height)
+    ihdr(8) = bitDepth.toByte
+    ihdr(9) = 3
+    ihdr(10) = 0; ihdr(11) = 0
+    ihdr(12) = if (interlaced) 1 else 0
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "PLTE", palette.map(_.toByte))
+    if (trns != null) pngChunk(out, "tRNS", trns.map(_.toByte))
+    pngChunk(out, "IDAT", zout.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a PNG: CRC-verified chunk walk, IDAT concatenation + zlib
+    * inflate, per-scanline unfiltering (all five filter types), all
+    * five color types (gray / RGB / palette / gray+alpha / RGBA), bit
+    * depths 1/2/4/8/16 (16-bit samples truncate to their high byte,
+    * the common 8-bit rendering), tRNS transparency (palette alpha and
+    * single-transparent-color for gray/RGB), and Adam7 interlacing.
+    * Output channels: 1 for plain gray, 3 for plain RGB/palette, 4
+    * whenever alpha exists (gray widens to RGBA). Throws
+    * IllegalArgumentException on structural damage, a bad CRC, an
+    * unsupported IHDR, or an IDAT stream whose inflated size disagrees
+    * with the header geometry. */
   def decodePng(bytes: Array[Byte]): PngImage = {
     val r = decodePngPixels(bytes)
     val (sum, max) = rasterStats(r)
@@ -507,14 +611,23 @@ object MediaCodecs {
       r.width.toLong * r.height, sum, max)
   }
 
-  /** Full-pixel PNG decode (same support envelope as [[decodePng]]):
-    * RGB/RGBA interleaved, row-major. */
+  /** Adam7 pass origins/steps; a single full pass when not interlaced. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Full-pixel PNG decode (same support envelope as [[decodePng]]),
+    * interleaved, row-major. */
   def decodePngPixels(bytes: Array[Byte]): Raster = {
     require(isPng(bytes), "not a PNG (missing signature)")
     var off = 8
     var width = -1
     var height = -1
     var colorType = -1
+    var bitDepth = -1
+    var interlace = -1
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     var sawEnd = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawEnd) {
@@ -533,18 +646,30 @@ object MediaCodecs {
           require(len == 13, s"IHDR length $len != 13")
           width = readBe32(bytes, off + 8)
           height = readBe32(bytes, off + 12)
-          val bitDepth = bytes(off + 16) & 0xff
+          bitDepth = bytes(off + 16) & 0xff
           colorType = bytes(off + 17) & 0xff
           val compression = bytes(off + 18) & 0xff
           val filterMethod = bytes(off + 19) & 0xff
-          val interlace = bytes(off + 20) & 0xff
+          interlace = bytes(off + 20) & 0xff
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-          require(bitDepth == 8, s"unsupported bit depth $bitDepth (only 8)")
-          require(colorType == 2 || colorType == 6,
-            s"unsupported color type $colorType (only RGB/RGBA)")
+          val okDepth = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
+            case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+            case 3 => Set(1, 2, 4, 8)(bitDepth)
+            case _ => false
+          }
+          require(okDepth,
+            s"unsupported color type $colorType / bit depth $bitDepth")
           require(compression == 0 && filterMethod == 0,
             "unsupported compression/filter method")
-          require(interlace == 0, "interlaced PNG unsupported")
+          require(interlace == 0 || interlace == 1,
+            s"unknown interlace method $interlace")
+        case "PLTE" =>
+          require(len % 3 == 0 && len >= 3 && len <= 768,
+            s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        case "tRNS" =>
+          trns = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case "IDAT" =>
           require(width > 0, "IDAT before IHDR")
           idat.write(bytes, off + 8, len)
@@ -554,11 +679,32 @@ object MediaCodecs {
       off += 12 + len
     }
     require(width > 0 && colorType >= 0, "no IHDR chunk")
-    val bpp = if (colorType == 2) 3 else 4
-    val stride = width * bpp
-    val expect = (1L + stride) * height
-    require(expect <= Int.MaxValue, s"image too large: $expect bytes")
-    val raw = new Array[Byte](expect.toInt)
+    if (colorType == 3) require(plte != null, "palette PNG without PLTE")
+
+    val rawCh = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case _ => 4
+    }
+    val outCh =
+      if (colorType == 0 && trns == null) 1
+      else if ((colorType == 2 || colorType == 3) && trns == null) 3
+      else 4
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = (
+      if (width > p._1) (width - p._1 + p._3 - 1) / p._3 else 0,
+      if (height > p._2) (height - p._2 + p._4 - 1) / p._4 else 0)
+    def strideOf(pw: Int): Int = (pw * rawCh * bitDepth + 7) / 8
+    val totalRaw = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + strideOf(pw))
+    }.sum
+    require(totalRaw <= Int.MaxValue &&
+      width.toLong * height * outCh <= Int.MaxValue / 4,
+      s"image too large: $totalRaw raw bytes")
+    val raw = new Array[Byte](totalRaw.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var got = 0
@@ -577,35 +723,118 @@ object MediaCodecs {
       case e: java.util.zip.DataFormatException =>
         throw new IllegalArgumentException(s"corrupt IDAT zlib stream: $e")
     } finally inflater.end()
-    // unfilter in place, row by row
-    val samples = new Array[Int](width * height * bpp)
-    val prior = new Array[Byte](stride)
-    val cur = new Array[Byte](stride)
-    var y = 0
-    while (y < height) {
-      val rowOff = y * (1 + stride)
-      val ft = raw(rowOff) & 0xff
-      require(ft <= 4, s"bad filter type $ft on row $y")
-      var i = 0
-      while (i < stride) {
-        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
-        val up = prior(i) & 0xff
-        val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+
+    // gray sub-8 expansion to 8-bit (v * 255 / (2^d - 1))
+    val grayMax = (1 << math.min(bitDepth, 8)) - 1
+    // tRNS comparisons at source depth
+    val trnsGray = if (trns != null && (colorType == 0) && trns.length >= 2)
+      ((trns(0) & 0xff) << 8 | (trns(1) & 0xff)) else -1
+    val trnsRgb: Array[Int] =
+      if (trns != null && colorType == 2 && trns.length >= 6)
+        Array((trns(0) & 0xff) << 8 | (trns(1) & 0xff),
+          (trns(2) & 0xff) << 8 | (trns(3) & 0xff),
+          (trns(4) & 0xff) << 8 | (trns(5) & 0xff))
+      else null
+
+    val samples = new Array[Int](width * height * outCh)
+    val bppF = math.max(1, rawCh * bitDepth / 8)
+    var rawOff = 0
+    val chVals = new Array[Int](4) // raw channel values at SOURCE depth
+    passes.foreach { p =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val stride = strideOf(pw)
+        val prior = new Array[Byte](stride)
+        val cur = new Array[Byte](stride)
+        java.util.Arrays.fill(prior, 0.toByte)
+        var j = 0
+        while (j < ph) {
+          val ft = raw(rawOff) & 0xff
+          require(ft <= 4, s"bad filter type $ft")
+          var i = 0
+          while (i < stride) {
+            val left = if (i >= bppF) cur(i - bppF) & 0xff else 0
+            val up = prior(i) & 0xff
+            val ul = if (i >= bppF) prior(i - bppF) & 0xff else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 => paeth(left, up, ul)
+            }
+            cur(i) = (((raw(rawOff + 1 + i) & 0xff) + pred) & 0xff).toByte
+            i += 1
+          }
+          // extract this scanline's pixels into the output raster
+          var px = 0
+          while (px < pw) {
+            var c = 0
+            while (c < rawCh) {
+              chVals(c) = bitDepth match {
+                case 8 => cur(px * rawCh + c) & 0xff
+                case 16 => cur((px * rawCh + c) * 2) & 0xff // high byte
+                case d => // sub-byte: rawCh == 1 by IHDR validity
+                  val bit = px * d
+                  (cur(bit >> 3) >> (8 - d - (bit & 7))) & ((1 << d) - 1)
+              }
+              c += 1
+            }
+            val o = ((p._2 + j * p._4) * width + p._1 + px * p._3) * outCh
+            colorType match {
+              case 0 =>
+                val g8 = if (bitDepth == 16) chVals(0)
+                  else chVals(0) * 255 / grayMax
+                if (outCh == 1) samples(o) = g8
+                else {
+                  // 16-bit tRNS compares the full sample; we only kept
+                  // the high byte, so compare high bytes — exact for
+                  // the <=8-bit depths a fixture/crawl actually uses
+                  val srcV = if (bitDepth == 16) chVals(0) << 8 else chVals(0)
+                  val a = if (srcV == (if (bitDepth == 16) trnsGray & 0xff00
+                    else trnsGray)) 0 else 255
+                  samples(o) = g8; samples(o + 1) = g8
+                  samples(o + 2) = g8; samples(o + 3) = a
+                }
+              case 2 =>
+                samples(o) = chVals(0); samples(o + 1) = chVals(1)
+                samples(o + 2) = chVals(2)
+                if (outCh == 4) {
+                  val a = if (trnsRgb != null && {
+                    val m = if (bitDepth == 16) 0xff00 else 0xffff
+                    def cmp(ci: Int) = (if (bitDepth == 16) chVals(ci) << 8
+                      else chVals(ci)) == (trnsRgb(ci) & m)
+                    cmp(0) && cmp(1) && cmp(2)
+                  }) 0 else 255
+                  samples(o + 3) = a
+                }
+              case 3 =>
+                val idx = chVals(0)
+                require(3 * idx + 2 < plte.length,
+                  s"palette index $idx outside PLTE")
+                samples(o) = plte(3 * idx) & 0xff
+                samples(o + 1) = plte(3 * idx + 1) & 0xff
+                samples(o + 2) = plte(3 * idx + 2) & 0xff
+                if (outCh == 4)
+                  samples(o + 3) =
+                    if (idx < trns.length) trns(idx) & 0xff else 255
+              case 4 =>
+                val g8 = chVals(0)
+                samples(o) = g8; samples(o + 1) = g8; samples(o + 2) = g8
+                samples(o + 3) = chVals(1)
+              case _ =>
+                samples(o) = chVals(0); samples(o + 1) = chVals(1)
+                samples(o + 2) = chVals(2); samples(o + 3) = chVals(3)
+            }
+            px += 1
+          }
+          System.arraycopy(cur, 0, prior, 0, stride)
+          rawOff += 1 + stride
+          j += 1
         }
-        val v = ((raw(rowOff + 1 + i) & 0xff) + pred) & 0xff
-        cur(i) = v.toByte
-        samples(y * stride + i) = v
-        i += 1
       }
-      System.arraycopy(cur, 0, prior, 0, stride)
-      y += 1
     }
-    Raster(width, height, bpp, samples)
+    Raster(width, height, outCh, samples)
   }
+
 }

@@ -74,7 +74,11 @@ object MultimodalOps {
           hexLower(md.digest(feat.getBytes("UTF-8"))))
       } else if (MediaCodecs.sniffPng(m.payload)) {
         val img = MediaCodecs.decodePng(m.payload)
-        val kind = if (img.channels == 3) "rgb" else "rgba"
+        val kind = img.channels match {
+          case 1 => "gray"
+          case 3 => "rgb"
+          case _ => "rgba"
+        }
         val feat = s"png $kind ${img.width}x${img.height} " +
           s"${img.sumChannels} ${img.maxChannel}"
         DecodedMedia(m.doc_id, m.format, img.nPixels * img.channels,

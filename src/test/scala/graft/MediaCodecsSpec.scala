@@ -209,15 +209,135 @@ class MediaCodecsSpec extends AnyFunSuite {
       "PNGs fall back") {
     val rgb = MediaCodecs.encodePng(3, 3, 2, (_, _) => Array(1, 2, 3))
     assert(MediaCodecs.sniffPng(rgb))
-    // 16-bit depth advertised -> sniff says no (fallback lane), decode throws
+    // 16-bit depth and grayscale are IN the envelope now
     val deep = rgb.clone(); deep(24) = 16.toByte
-    assert(!MediaCodecs.sniffPng(deep))
-    // grayscale color type -> same
+    assert(MediaCodecs.sniffPng(deep))
     val gray = rgb.clone(); gray(25) = 0.toByte
-    assert(!MediaCodecs.sniffPng(gray))
+    assert(MediaCodecs.sniffPng(gray))
+    // illegal combination (16-bit palette) -> fallback lane
+    val badPal = rgb.clone(); badPal(24) = 16.toByte; badPal(25) = 3.toByte
+    assert(!MediaCodecs.sniffPng(badPal))
+    // sub-byte RGB is illegal too
+    val badRgb = rgb.clone(); badRgb(24) = 4.toByte
+    assert(!MediaCodecs.sniffPng(badRgb))
     // text starting with the signature bytes cannot happen (binary sig),
     // but a truncated signature-only payload must not sniff
     assert(!MediaCodecs.sniffPng(rgb.take(20)))
+  }
+
+  private def toIndexed(w: Int, h: Int, pal: Array[Int],
+                        px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val n = pal.length / 3
+    val r = new Array[Byte](n); val g = new Array[Byte](n)
+    val b = new Array[Byte](n)
+    for (i <- 0 until n) {
+      r(i) = pal(3 * i).toByte; g(i) = pal(3 * i + 1).toByte
+      b(i) = pal(3 * i + 2).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, n, r, g, b)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(x, y)
+      img.setRGB(x, y, (pal(3 * p) << 16) | (pal(3 * p + 1) << 8) |
+        pal(3 * p + 2))
+    }
+    img
+  }
+
+  test("PNG full-variant decode: palette (all bit depths, interlaced, " +
+      "tRNS), gray, gray+alpha, 16-bit — round-trips byte-exactly") {
+    val pal = Array(10, 20, 30, 200, 100, 50, 0, 0, 0, 255, 255, 255)
+    // palette: depths x interlace, non-multiple dims stress Adam7 edges
+    for {
+      d <- Seq(1, 2, 4, 8)
+      il <- Seq(false, true)
+      (w, h) <- Seq((16, 16), (13, 7), (3, 2), (1, 9))
+    } {
+      val np = math.min(4, 1 << d)
+      val px = (x: Int, y: Int) => (x + y) % np
+      val bytes = MediaCodecs.encodePngPalette(w, h, pal.take(3 * np), px,
+        bitDepth = d, interlaced = il)
+      assert(MediaCodecs.sniffPng(bytes), s"d=$d il=$il ${w}x$h sniff")
+      val got = MediaCodecs.decodePngPixels(bytes)
+      assert(got.width == w && got.height == h && got.channels == 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(x, y)
+        val o = (y * w + x) * 3
+        assert((got.samples(o), got.samples(o + 1), got.samples(o + 2)) ==
+          ((pal(3 * p), pal(3 * p + 1), pal(3 * p + 2))),
+          s"d=$d il=$il pixel ($x,$y) of ${w}x$h")
+      }
+    }
+    // palette with tRNS -> RGBA, missing entries default opaque
+    val tr = MediaCodecs.decodePngPixels(MediaCodecs.encodePngPalette(
+      4, 2, pal, (x, y) => (x + y) % 4, trns = Array(255, 0)))
+    assert(tr.channels == 4)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val p = (x + y) % 4
+      val want = if (p == 0) 255 else if (p == 1) 0 else 255
+      assert(tr.samples((y * 4 + x) * 4 + 3) == want, s"alpha ($x,$y)")
+    }
+  }
+
+  test("PNG gray / 16-bit / interlaced RGB cross-pinned against the " +
+      "JDK's own PNG codec, byte-exactly (lossless both sides)") {
+    // 8-bit gray via ImageIO
+    val g8 = {
+      val img = new java.awt.image.BufferedImage(11, 6,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 6; x <- 0 until 11)
+        img.getRaster.setSample(x, y, 0, (x * 23 + y * 31) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val gotG = MediaCodecs.decodePngPixels(g8)
+    assert(gotG.channels == 1 && gotG.width == 11)
+    for (y <- 0 until 6; x <- 0 until 11)
+      assert(gotG.samples(y * 11 + x) == (x * 23 + y * 31) % 256,
+        s"gray ($x,$y)")
+    // 16-bit gray via ImageIO: our samples are the high bytes
+    val g16 = {
+      val img = new java.awt.image.BufferedImage(7, 5,
+        java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      for (y <- 0 until 5; x <- 0 until 7)
+        img.getRaster.setSample(x, y, 0, (x * 9001 + y * 777) % 65536)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val got16 = MediaCodecs.decodePngPixels(g16)
+    assert(got16.channels == 1)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert(got16.samples(y * 7 + x) == ((x * 9001 + y * 777) % 65536) >> 8,
+        s"gray16 ($x,$y)")
+    // palette via ImageIO (TYPE_BYTE_INDEXED keeps exact colors)
+    val pal = Array(10, 20, 30, 200, 100, 50, 0, 0, 0, 255, 255, 255)
+    val px = (x: Int, y: Int) => (x / 2 + y) % 4
+    val pi = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(toIndexed(10, 8, pal, px), "png", bos))
+      bos.toByteArray
+    }
+    val gotP = MediaCodecs.decodePngPixels(pi)
+    for (y <- 0 until 8; x <- 0 until 10) {
+      val p = px(x, y)
+      val o = (y * 10 + x) * gotP.channels
+      assert((gotP.samples(o), gotP.samples(o + 1), gotP.samples(o + 2)) ==
+        ((pal(3 * p), pal(3 * p + 1), pal(3 * p + 2))), s"idx ($x,$y)")
+    }
+    // the JDK decodes OUR interlaced palette stream identically
+    val ours = MediaCodecs.encodePngPalette(9, 9, pal, px, bitDepth = 2,
+      interlaced = true)
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ours))
+    assert(jdk != null, "ImageIO rejected our interlaced palette PNG")
+    for (y <- 0 until 9; x <- 0 until 9) {
+      val p = px(x, y)
+      val want = (pal(3 * p) << 16) | (pal(3 * p + 1) << 8) | pal(3 * p + 2)
+      assert((jdk.getRGB(x, y) & 0xffffff) == want, s"jdk ($x,$y)")
+    }
   }
 
   test("decodeBatch dispatches PNG: decoded_bytes = pixels x channels, " +
