@@ -255,9 +255,21 @@ object MediaCodecs {
     isWav(bytes) && readLe32(bytes, 4).toLong + 8L == bytes.length.toLong
 
   /** Build a valid PCM16 mono RIFF/WAVE from the sample array. */
-  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+    encodeWavPcm(sampleRate, 1, 16, samples.map(_.toInt))
+
+  /** Build a valid PCM RIFF/WAVE: `bits` 8 (unsigned bytes) or 16
+    * (signed LE), any channel count, `samples` frame-interleaved —
+    * signed amplitudes for both depths (8-bit values are re-biased to
+    * the unsigned 0..255 file form). */
+  def encodeWavPcm(sampleRate: Int, channels: Int, bits: Int,
+                   samples: Array[Int]): Array[Byte] = {
     require(sampleRate > 0, s"bad sample rate $sampleRate")
-    val dataLen = samples.length * 2
+    require(channels >= 1, s"bad channel count $channels")
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16, got $bits")
+    require(samples.length % channels == 0, "partial trailing frame")
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer
     val out = new Array[Byte](44 + dataLen)
     out(0) = 'R'.toByte; out(1) = 'I'.toByte
     out(2) = 'F'.toByte; out(3) = 'F'.toByte
@@ -268,26 +280,31 @@ object MediaCodecs {
     out(14) = 't'.toByte; out(15) = ' '.toByte
     le32(out, 16, 16)             // fmt chunk size
     le16(out, 20, 1)              // PCM
-    le16(out, 22, 1)              // mono
+    le16(out, 22, channels)
     le32(out, 24, sampleRate)
-    le32(out, 28, sampleRate * 2) // byte rate
-    le16(out, 32, 2)              // block align
-    le16(out, 34, 16)             // bits per sample
+    le32(out, 28, sampleRate * channels * bytesPer) // byte rate
+    le16(out, 32, channels * bytesPer)              // block align
+    le16(out, 34, bits)
     out(36) = 'd'.toByte; out(37) = 'a'.toByte
     out(38) = 't'.toByte; out(39) = 'a'.toByte
     le32(out, 40, dataLen)
     var i = 0
     while (i < samples.length) {
-      le16(out, 44 + 2 * i, samples(i) & 0xffff)
+      if (bits == 16) le16(out, 44 + 2 * i, samples(i) & 0xffff)
+      else out(44 + i) = ((samples(i) + 128) & 0xff).toByte
       i += 1
     }
     out
   }
 
-  /** Decode a PCM16 mono WAV by walking the RIFF chunk list (odd-sized
-    * chunks are padded to even per the spec; unknown chunks are skipped,
-    * as real-world WAVs carry LIST/INFO blocks). Throws on non-PCM,
-    * non-16-bit, or structurally damaged files. */
+  /** Decode a PCM WAV — 8-bit (unsigned, re-biased to signed
+    * amplitudes) or 16-bit (signed LE), any channel count — by walking
+    * the RIFF chunk list (odd-sized chunks are padded to even per the
+    * spec; unknown chunks are skipped, as real-world WAVs carry
+    * LIST/INFO blocks). `nSamples` counts samples across ALL channels
+    * (frames x channels); `sumAbs`/`peak` are over signed amplitudes
+    * at source depth. Throws on non-PCM or structurally damaged
+    * files. */
   def decodeWav(bytes: Array[Byte]): WavAudio = {
     require(isWav(bytes), "not a RIFF/WAVE (missing magic)")
     var off = 12
@@ -309,8 +326,9 @@ object MediaCodecs {
           channels = readLe16(bytes, off + 10)
           sampleRate = readLe32(bytes, off + 12)
           bits = readLe16(bytes, off + 22)
-          require(bits == 16, s"unsupported bit depth $bits (only 16)")
-          require(channels == 1, s"unsupported channel count $channels (only mono)")
+          require(bits == 8 || bits == 16,
+            s"unsupported bit depth $bits (only 8/16)")
+          require(channels >= 1, s"bad channel count $channels")
         case "data" =>
           dataOff = off + 8
           dataLen = len
@@ -320,13 +338,17 @@ object MediaCodecs {
     }
     require(channels > 0, "no fmt chunk")
     require(dataOff >= 0, "no data chunk")
-    require(dataLen % 2 == 0, s"PCM16 data length $dataLen is odd")
+    val bytesPer = bits / 8
+    require(dataLen % (bytesPer * channels) == 0,
+      s"PCM data length $dataLen not a whole number of frames")
     var sumAbs = 0L
     var peak = 0
     var i = 0
-    val n = dataLen / 2
+    val n = dataLen / bytesPer
     while (i < n) {
-      val v = readLe16(bytes, dataOff + 2 * i).toShort.toInt
+      val v =
+        if (bits == 16) readLe16(bytes, dataOff + 2 * i).toShort.toInt
+        else (bytes(dataOff + i) & 0xff) - 128
       val a = math.abs(v)
       sumAbs += a
       if (a > peak) peak = a

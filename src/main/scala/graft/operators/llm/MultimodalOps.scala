@@ -94,7 +94,8 @@ object MultimodalOps {
         val au = MediaCodecs.decodeWav(m.payload)
         val feat = s"wav ${au.sampleRate} ${au.nSamples} " +
           s"${au.sumAbs} ${au.peak}"
-        DecodedMedia(m.doc_id, m.format, au.nSamples * 2,
+        DecodedMedia(m.doc_id, m.format,
+          au.nSamples * (au.bitsPerSample / 8),
           hexLower(md.digest(feat.getBytes("UTF-8"))))
       } else if (GifCodec.sniffGif(m.payload)) {
         val img = GifCodec.decodeGif(m.payload)

@@ -78,6 +78,42 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(got == WavAudio(1, 44100, 16, 321L, sumAbs, peak))
   }
 
+  test("WAV: stereo and 8-bit PCM round-trip with exact stats; the " +
+      "JDK's own audio reader agrees on the format header") {
+    // stereo 16-bit: interleaved L/R, nSamples counts both channels
+    val st = Array.tabulate(40)(i => (i * 251) % 1501 - 750)
+    val stereo = MediaCodecs.encodeWavPcm(22050, 2, 16, st)
+    val gotSt = MediaCodecs.decodeWav(stereo)
+    assert(gotSt == WavAudio(2, 22050, 16, 40L,
+      st.map(v => math.abs(v).toLong).sum, st.map(math.abs).max))
+    // mono 8-bit: unsigned in the file, signed amplitudes in stats
+    val m8 = Array.tabulate(33)(i => (i * 17) % 255 - 127)
+    val mono8 = MediaCodecs.encodeWavPcm(8000, 1, 8, m8)
+    val got8 = MediaCodecs.decodeWav(mono8)
+    assert(got8 == WavAudio(1, 8000, 8, 33L,
+      m8.map(v => math.abs(v).toLong).sum, m8.map(math.abs).max))
+    // independent reference: javax.sound parses both headers identically
+    for ((bytes, ch, rate, bits) <- Seq((stereo, 2, 22050, 16),
+        (mono8, 1, 8000, 8))) {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes)).getFormat
+      assert(fmt.getChannels == ch && fmt.getSampleRate.toInt == rate &&
+        fmt.getSampleSizeInBits == bits, s"JDK header for $bits-bit")
+    }
+    // partial trailing frame fails loudly
+    val bad = stereo.clone()
+    val shorter = java.util.Arrays.copyOf(bad, bad.length - 2)
+    // fix RIFF + data sizes to re-declare the truncated length (odd frames)
+    def fix32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    fix32(shorter, 4, shorter.length - 8)
+    fix32(shorter, 40, shorter.length - 44)
+    intercept[IllegalArgumentException] { MediaCodecs.decodeWav(shorter) }
+  }
+
   test("WAV: unknown chunks (incl. odd-size + pad byte) are skipped") {
     val samples = Array.tabulate(10)(i => (i * 100).toShort)
     val plain = MediaCodecs.encodeWav(8000, samples)
