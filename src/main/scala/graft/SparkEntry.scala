@@ -1925,12 +1925,21 @@ object SparkEntry {
                 (x, y) => { val v = x + y + b0; (v, v, v) }),
               "bmp", w, h)
           } else {
+            // WAV slices by id % 8 (odd): 5 -> stereo 16-bit, 7 ->
+            // mono 8-bit, else mono 16-bit; stats are depth/channel
+            // agnostic sums of arithmetic sequences, so each slice
+            // keeps a closed form (8-bit values bounded < 128)
             val n = 64 + (id % 37).toInt
             val a0 = ((id % 100) * 10).toInt
-            MultimodalOps.MediaRecord(id,
-              MediaCodecs.encodeWav(8000,
-                Array.tabulate(n)(i => (a0 + i).toShort)),
-              "wav", 0, 0)
+            val payload = (id % 8) match {
+              case 5 => MediaCodecs.encodeWavPcm(8000, 2, 16,
+                Array.tabulate(2 * n)(i => a0 + i))
+              case 7 => MediaCodecs.encodeWavPcm(8000, 1, 8,
+                Array.tabulate(n)(i => (id % 20).toInt + i))
+              case _ => MediaCodecs.encodeWav(8000,
+                Array.tabulate(n)(i => (a0 + i).toShort))
+            }
+            MultimodalOps.MediaRecord(id, payload, "wav", 0, 0)
           }
         }
       MultimodalOps.decode(media)
@@ -4308,11 +4317,18 @@ object SparkEntry {
         |  md5('bmp ' || w || 'x' || h || ' ' ||
         |      (3 * (w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2))) || ' ' ||
         |      (w - 1 + h - 1 + b0)) AS thumb_hash FROM b),
-        |v AS (SELECT id, 64 + id % 37 AS n, (id % 100) * 10 AS a0
+        |v AS (SELECT id, 64 + id % 37 AS n, (id % 100) * 10 AS a0,
+        |    id % 20 AS a1, id % 8 AS m8
         |  FROM p WHERE id % 2 = 1),
-        |vf AS (SELECT id, 'wav' AS format, n * 2 AS decoded_bytes,
-        |  md5('wav 8000 ' || n || ' ' || (n*a0 + n*(n-1)//2) || ' ' ||
-        |      (a0 + n - 1)) AS thumb_hash FROM v)
+        |vf AS (SELECT id, 'wav' AS format,
+        |  CASE WHEN m8 = 5 THEN 4 * n WHEN m8 = 7 THEN n
+        |    ELSE 2 * n END AS decoded_bytes,
+        |  CASE WHEN m8 = 5 THEN md5('wav 8000 ' || (2*n) || ' ' ||
+        |      (2*n*a0 + (2*n)*(2*n-1)//2) || ' ' || (a0 + 2*n - 1))
+        |  WHEN m8 = 7 THEN md5('wav 8000 ' || n || ' ' ||
+        |      (n*a1 + n*(n-1)//2) || ' ' || (a1 + n - 1))
+        |  ELSE md5('wav 8000 ' || n || ' ' || (n*a0 + n*(n-1)//2)
+        |      || ' ' || (a0 + n - 1)) END AS thumb_hash FROM v)
         |SELECT id AS doc_id, format,
         |  CAST(decoded_bytes AS BIGINT) AS decoded_bytes, thumb_hash
         |FROM (SELECT * FROM bf UNION ALL SELECT * FROM vf)""".stripMargin,
