@@ -2195,25 +2195,43 @@ object SparkEntry {
     // oracle — the gate proves 1-in-N laziness, not just decode.
     "q117_video_frames" -> ((s, dir) => {
       import s.implicits._
-      import graft.operators.llm.{AviCodec, JpegCodec, MultimodalOps}
+      import graft.operators.llm.{AviCodec, GifCodec, JpegCodec, MultimodalOps}
       val media = tbl(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
         .map { id =>
           val nf = 2 + (id % 5).toInt
-          val nComp = if (id % 2 == 0) 3 else 1
-          val cb = 128 + 4 * (id % 7).toInt
-          val cr = 128 + 6 * (id % 5).toInt
-          val rst = if (id % 4 <= 1) 1 else 0
-          val frames = (0 until nf).map { fi =>
-            if (fi % 2 == 1) Array.fill[Byte](16)((fi + id).toByte)
-            else {
-              val yv = 16 + 8 * ((id + 5 * fi) % 24).toInt
-              JpegCodec.encodeJpeg(8, 8, nComp, 1, JpegCodec.flatQuant,
-                JpegCodec.flatQuant, rst, (_, _) => (yv, cb, cr))
+          // every 4th doc is an ANIMATED GIF instead of an MJPEG AVI:
+          // the sampler's other real container path (one walk, kept
+          // frames only pay LZW decode), solid-color frames over a
+          // q118-style id-derived palette keep the closed form
+          val payload =
+            if (id % 4 == 3) {
+              val pal = Array(10, 20, 30,
+                200, 100 + 4 * (id % 7).toInt, 50,
+                8 * (id % 9).toInt, 0, 120,
+                255, 255, (id % 256).toInt)
+              GifCodec.encodeGifAnimation(8, 8, pal,
+                (0 until nf).map { fi =>
+                  val c = ((id + fi) % 4).toInt
+                  (_: Int, _: Int) => c
+                })
+            } else {
+              val nComp = if (id % 2 == 0) 3 else 1
+              val cb = 128 + 4 * (id % 7).toInt
+              val cr = 128 + 6 * (id % 5).toInt
+              val rst = if (id % 4 <= 1) 1 else 0
+              val frames = (0 until nf).map { fi =>
+                if (fi % 2 == 1) Array.fill[Byte](16)((fi + id).toByte)
+                else {
+                  val yv = 16 + 8 * ((id + 5 * fi) % 24).toInt
+                  JpegCodec.encodeJpeg(8, 8, nComp, 1, JpegCodec.flatQuant,
+                    JpegCodec.flatQuant, rst, (_, _) => (yv, cb, cr))
+                }
+              }
+              AviCodec.encodeAviMjpeg(8, 8, 10, frames)
             }
-          }
-          MultimodalOps.MediaRecord(id,
-            AviCodec.encodeAviMjpeg(8, 8, 10, frames), "avi", 8, 8)
+          MultimodalOps.MediaRecord(id, payload,
+            if (id % 4 == 3) "gif" else "avi", 8, 8)
         }
       MultimodalOps.frameSample(media, frameSize = 64, stride = 2)
         .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
@@ -4588,29 +4606,45 @@ object SparkEntry {
         |    || s || ' ' || m) AS thumb_hash
         |FROM f""".stripMargin,
 
-    // Replays the q117 fixture in closed form: the kept frames (fi
-    // even, fi < nf) are single DC-only 8x8 blocks, so each frame
-    // runs the same fixed-point YCbCr replay as q115 with the frame
-    // index folded into the block-luma formula.
+    // Replays the q117 fixture in closed form: AVI docs' kept frames
+    // (fi even, fi < nf) are single DC-only 8x8 blocks running the
+    // q115 fixed-point YCbCr replay with the frame index folded into
+    // the block-luma formula; GIF docs (id % 4 = 3) are solid-color
+    // frames over the id-derived palette — lossless, pure arithmetic.
     "q117_video_frames" ->
       """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |g AS (SELECT id, 2 + id % 5 AS nf,
+        |g AS (SELECT id, 2 + id % 5 AS nf, id % 4 AS m4,
         |    CASE WHEN id % 2 = 0 THEN 3 ELSE 1 END AS ch,
-        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr FROM p),
-        |fr AS (SELECT id, ch, cb, cr, fi,
-        |    16 + 8 * ((id + 5 * fi) % 24) AS yv
+        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr,
+        |    100 + 4 * (id % 7) AS c1g, 8 * (id % 9) AS c2r,
+        |    id % 256 AS c3b FROM p),
+        |fr AS (SELECT id, m4, ch, cb, cr, c1g, c2r, c3b, fi,
+        |    16 + 8 * ((id + 5 * fi) % 24) AS yv,
+        |    (id + fi) % 4 AS cidx
         |  FROM g, range(0, 6) r0(fi) WHERE fi < nf AND fi % 2 = 0),
-        |c AS (SELECT id, fi, ch,
+        |c AS (SELECT id, fi, ch, m4,
         |    LEAST(255, GREATEST(0, yv + (91881 * (cr - 128) + 32768) // 65536)) AS r,
         |    LEAST(255, GREATEST(0, yv - (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) // 65536)) AS gg,
         |    LEAST(255, GREATEST(0, yv + (116130 * (cb - 128) + 32768) // 65536)) AS bb,
-        |    yv FROM fr)
+        |    yv,
+        |    CASE cidx WHEN 0 THEN 10 WHEN 1 THEN 200 WHEN 2 THEN c2r
+        |      ELSE 255 END AS pr,
+        |    CASE cidx WHEN 0 THEN 20 WHEN 1 THEN c1g WHEN 2 THEN 0
+        |      ELSE 255 END AS pg,
+        |    CASE cidx WHEN 0 THEN 30 WHEN 1 THEN 50 WHEN 2 THEN 120
+        |      ELSE c3b END AS pb
+        |  FROM fr)
         |SELECT id AS doc_id, CAST(fi AS INT) AS frame_idx,
-        |  CAST(64 * ch AS BIGINT) AS frame_bytes,
-        |  md5('avi-frame ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
-        |    || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)
-        |    || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
-        |    AS frame_hash
+        |  CAST(CASE WHEN m4 = 3 THEN 192 ELSE 64 * ch END AS BIGINT)
+        |    AS frame_bytes,
+        |  CASE WHEN m4 = 3 THEN
+        |    md5('gif-frame rgb 8x8 ' || (64 * (pr + pg + pb)) || ' '
+        |      || GREATEST(pr, pg, pb))
+        |  ELSE
+        |    md5('avi-frame ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
+        |      || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)
+        |      || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
+        |  END AS frame_hash
         |FROM c""".stripMargin,
 
     // Replays the q118 fixture arithmetically: 64 pixels per palette

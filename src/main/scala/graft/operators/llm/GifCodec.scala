@@ -147,6 +147,113 @@ object GifCodec {
     (raster, math.max(frames, 1))
   }
 
+  /** Every `stride`-th frame of a (possibly animated) GIF, decoded
+    * STANDALONE as its local rect (no canvas compositing — the
+    * sampler consumes per-frame features, not a timed playback).
+    * ONE walk over the container; skipped frames advance block-wise
+    * past their LZW data without decompressing — at a 1-in-N stride,
+    * (N-1)/N of the LZW work is never done, the AVI sampler's
+    * laziness contract. */
+  def sampleFrames(bytes: Array[Byte], stride: Int): IndexedSeq[(Int, Raster)] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(sniffGif(bytes), "not a GIF payload")
+    val flags = u8(bytes, 10)
+    var off = 13
+    val gct: Array[Int] =
+      if ((flags & 0x80) != 0) {
+        val n = 2 << (flags & 7)
+        val t = readColorTable(bytes, off, n)
+        off += 3 * n
+        t
+      } else null
+    val outFrames = IndexedSeq.newBuilder[(Int, Raster)]
+    var frameIdx = 0
+    var transparent = -1
+    var done = false
+    while (!done) {
+      u8(bytes, off) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          val label = u8(bytes, off + 1)
+          if (label == 0xf9 && u8(bytes, off + 2) >= 4) {
+            val gcFlags = u8(bytes, off + 3)
+            transparent =
+              if ((gcFlags & 1) != 0) u8(bytes, off + 6) else -1
+          }
+          off = skipSubBlocks(bytes, off + 2)
+        case 0x2c =>
+          val iw = u16(bytes, off + 5)
+          val ih = u16(bytes, off + 7)
+          val iFlags = u8(bytes, off + 9)
+          off += 10
+          val lct: Array[Int] =
+            if ((iFlags & 0x80) != 0) {
+              val n = 2 << (iFlags & 7)
+              val t = readColorTable(bytes, off, n)
+              off += 3 * n
+              t
+            } else null
+          if (frameIdx % stride == 0) {
+            val palette = if (lct != null) lct else gct
+            if (palette == null) fail("frame has neither local nor global color table")
+            if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 26))
+              fail(s"bad frame rect ${iw}x$ih")
+            val minCode = u8(bytes, off)
+            val (indices, next) = lzwDecode(bytes, off + 1, minCode, iw * ih)
+            off = next
+            outFrames += ((frameIdx,
+              frameRaster(iw, ih, (iFlags & 0x40) != 0, indices,
+                palette, transparent)))
+          } else {
+            off = skipSubBlocks(bytes, off + 1) // past minCode + LZW data
+          }
+          frameIdx += 1
+          transparent = -1
+        case other => fail(f"unknown block 0x$other%02x at offset $off")
+      }
+    }
+    outFrames.result()
+  }
+
+  /** Standalone frame rect as a raster (RGB, or RGBA when the frame
+    * has a transparent index), interlace-aware. */
+  private def frameRaster(iw: Int, ih: Int, interlaced: Boolean,
+                          indices: Array[Int], palette: Array[Int],
+                          transparent: Int): Raster = {
+    val ch = if (transparent >= 0) 4 else 3
+    val out = new Array[Int](iw * ih * ch)
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.range(0, ih)
+      else {
+        val rows = new Array[Int](ih)
+        var k = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var r = start
+          while (r < ih) { rows(k) = r; k += 1; r += step }
+        }
+        rows
+      }
+    var srcRow = 0
+    while (srcRow < ih) {
+      val y = rowOrder(srcRow)
+      var x = 0
+      while (x < iw) {
+        val idx = indices(srcRow * iw + x)
+        if (3 * idx + 2 >= palette.length) fail(s"pixel index $idx outside palette")
+        val o = (y * iw + x) * ch
+        if (idx != transparent) {
+          out(o) = palette(3 * idx)
+          out(o + 1) = palette(3 * idx + 1)
+          out(o + 2) = palette(3 * idx + 2)
+          if (ch == 4) out(o + 3) = 255
+        }
+        x += 1
+      }
+      srcRow += 1
+    }
+    Raster(iw, ih, ch, out)
+  }
+
   private def readColorTable(b: Array[Byte], off: Int, n: Int): Array[Int] = {
     if (off + 3 * n > b.length) fail("truncated color table")
     val t = new Array[Int](3 * n)
@@ -371,6 +478,49 @@ object GifCodec {
       out.write(transparentIndex)
       out.write(0)
     }
+    writeImageBlock(out, width, height, nColors, tableBits, pixel,
+      interlaced)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Encode a multi-frame GIF89a "animation": shared global palette,
+    * every frame full-rect, no disposal/delay control (the sampler
+    * consumes frames standalone, not as a timed playback). */
+  def encodeGifAnimation(width: Int, height: Int, palette: Array[Int],
+                         frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(frames.nonEmpty, "at least one frame required")
+    require(palette.length % 3 == 0 && palette.length >= 6 &&
+      palette.length <= 768, s"palette must hold 2..256 rgb triples")
+    val nColors = palette.length / 3
+    var tableBits = 1
+    while ((1 << tableBits) < nColors) tableBits += 1
+    val tableSize = 1 << tableBits
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(width); le16(height)
+    out.write(0x80 | ((tableBits - 1) & 7) << 4 | ((tableBits - 1) & 7))
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 3 * tableSize) {
+      out.write(if (i < palette.length) palette(i) else 0)
+      i += 1
+    }
+    frames.foreach(f =>
+      writeImageBlock(out, width, height, nColors, tableBits, f,
+        interlaced = false))
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** One image block: descriptor + LZW-compressed index stream. */
+  private def writeImageBlock(out: java.io.ByteArrayOutputStream,
+                              width: Int, height: Int, nColors: Int,
+                              tableBits: Int, pixel: (Int, Int) => Int,
+                              interlaced: Boolean): Unit = {
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write(0x2c)
     le16(0); le16(0); le16(width); le16(height)
     out.write(if (interlaced) 0x40 else 0)
@@ -465,7 +615,5 @@ object GifCodec {
     flushBlock()
     body.write(0)
     out.write(body.toByteArray)
-    out.write(0x3b)
-    out.toByteArray
   }
 }

@@ -230,11 +230,14 @@ object MultimodalOps {
     * path: [[AviCodec.parseAvi]] walks the container once for frame
     * EXTENTS, then only every `stride`-th frame is JPEG-decoded
     * ([[JpegCodec]]) — skipped frames never pay entropy decode, which
-    * at a production 1-in-N stride skips (N-1)/N of the work. Other
-    * payloads keep the documented chunking stub (every `stride`-th
-    * `frameSize` chunk digested as a stand-in frame). Either way the
-    * flatMap SHAPE is the same: one input row fans out to O(frames /
-    * stride) feature rows executor-side, nothing driver-side, no full
+    * at a production 1-in-N stride skips (N-1)/N of the work. GIF
+    * payloads (animated or single-frame) get the same treatment via
+    * [[GifCodec.sampleFrames]]: one container walk, skipped frames
+    * advance block-wise past their LZW data undecoded. Other payloads
+    * keep the documented chunking stub (every `stride`-th `frameSize`
+    * chunk digested as a stand-in frame). Either way the flatMap
+    * SHAPE is the same: one input row fans out to O(frames / stride)
+    * feature rows executor-side, nothing driver-side, no full
     * materialization of all frames. */
   def frameSample(ds: Dataset[MediaRecord], frameSize: Int,
                   stride: Int): Dataset[SampledFrame] = {
@@ -261,6 +264,26 @@ object MultimodalOps {
               SampledFrame(m.doc_id, i, fb.length.toLong,
                 hexLower(md.digest(fb)))
             }
+          }
+        } else if (GifCodec.sniffGif(m.payload)) {
+          // animated (or single-frame) GIF: one container walk, only
+          // kept frames pay LZW decode, each consumed standalone
+          GifCodec.sampleFrames(m.payload, stride).iterator.map {
+            case (i, r) =>
+              md.reset()
+              var sum = 0L
+              var max = 0
+              var k = 0
+              while (k < r.samples.length) {
+                sum += r.samples(k)
+                if (r.samples(k) > max) max = r.samples(k)
+                k += 1
+              }
+              val kind = if (r.channels == 3) "rgb" else "rgba"
+              val feat = s"gif-frame $kind ${r.width}x${r.height} $sum $max"
+              SampledFrame(m.doc_id, i,
+                r.width.toLong * r.height * r.channels,
+                hexLower(md.digest(feat.getBytes("UTF-8"))))
           }
         } else {
           val nFrames = m.payload.length / frameSize // trailing partial dropped

@@ -173,6 +173,61 @@ class GifCodecSpec extends AnyFunSuite {
       .sameElements(GifCodec.decodeGifPixels(one).samples))
   }
 
+  test("animation writer + lazy frame sampler: stride keeps every " +
+      "Nth frame, skipped frames never decode (corruption-proof)") {
+    val frames = (0 until 5).map { fi =>
+      (x: Int, y: Int) => (x + y + fi) % 4
+    }
+    val anim = GifCodec.encodeGifAnimation(12, 8, pal4, frames)
+    // full walk via decodeGif still sees all frames, first-frame stats
+    assert(GifCodec.decodeGif(anim).nFrames == 5)
+    val kept = GifCodec.sampleFrames(anim, 2)
+    assert(kept.map(_._1) == IndexedSeq(0, 2, 4))
+    for ((fi, r) <- kept) {
+      assert(r.width == 12 && r.height == 8 && r.channels == 3)
+      for (y <- 0 until 8; x <- 0 until 12) {
+        val p = (x + y + fi) % 4
+        val o = (y * 12 + x) * 3
+        assert((r.samples(o), r.samples(o + 1), r.samples(o + 2)) ==
+          ((pal4(3 * p), pal4(3 * p + 1), pal4(3 * p + 2))),
+          s"frame $fi pixel ($x,$y)")
+      }
+    }
+    // LAZINESS, proven destructively: corrupt the LZW interior of a
+    // SKIPPED frame (frame 1) — sub-block lengths intact, content
+    // garbage. The sampler must still produce frames 0/2/4 exactly;
+    // an eager sampler would throw on the corrupt codes.
+    val f0end = {
+      // locate frame starts: walk image blocks
+      var off = 13 + 3 * 4 // header + GCT (4 colors -> 2 bits... table
+      // padded to 4 entries = 12 bytes)
+      def u8(i: Int) = anim(i) & 0xff
+      def skipSub(i0: Int): Int = {
+        var i = i0
+        var len = u8(i)
+        while (len != 0) { i += 1 + len; len = u8(i) }
+        i + 1
+      }
+      // first block must be an image descriptor
+      assert(u8(off) == 0x2c)
+      skipSub(off + 10 + 1) // descriptor + minCode, then sub-blocks
+    }
+    val corrupt = anim.clone()
+    // frame 1 starts at f0end with 0x2c; flip bytes INSIDE its first
+    // LZW sub-block (descriptor 10 + minCode 1 + length byte 1)
+    assert((corrupt(f0end) & 0xff) == 0x2c)
+    val lzwStart = f0end + 12
+    corrupt(lzwStart) = 0x5a.toByte
+    corrupt(lzwStart + 1) = 0x5a.toByte
+    val keptC = GifCodec.sampleFrames(corrupt, 2)
+    assert(keptC.map(_._1) == IndexedSeq(0, 2, 4))
+    assert(keptC(1)._2.samples.sameElements(kept(1)._2.samples))
+    // and decoding the corrupted SKIPPED frame directly DOES fail
+    intercept[IllegalArgumentException] {
+      GifCodec.sampleFrames(corrupt, 1)
+    }
+  }
+
   test("malformed input fails loudly") {
     intercept[IllegalArgumentException] {
       GifCodec.decodeGifPixels("GIF89a then garbage".getBytes("US-ASCII"))
