@@ -110,12 +110,6 @@ object WarcExtract {
     }
   }
 
-  private def cdxOf(m: GzipMembers.Member, name: String): Seq[CdxRow] =
-    if (WarcRecords.looksLikeWarc(m.payload)) {
-      WarcRecords.parseAll(m.payload).flatMap(rec =>
-        rowOfRecord(rec, m.length, m.offset, name))
-    } else arcRowsOf(m, name)
-
   private def arcRowsOf(m: GzipMembers.Member, name: String): Seq[CdxRow] =
     {
       ArcRecords.parse(m.payload).toSeq.flatMap { rec =>
@@ -216,7 +210,15 @@ object WarcExtract {
           val healed = softWalk.flatMap(rm =>
             WarcRecords.parse(rm.payload).flatMap(
               rowOfRecord(_, fileLen, 0L, name))).toVector
-          if (healed.size > memberRows.size) healed else memberRows.toVector
+          // >= on purpose: once misaligned, the member walk's rows can
+          // carry TRUNCATED payload digests (a record cut mid-body
+          // still parses with Content-Length clamped to the member),
+          // so at equal counts the healed rows — framed over the whole
+          // stream — are the trustworthy set; the member walk only
+          // survives when healing recovered strictly fewer records
+          // (damage stopped the healed scan early)
+          if (healed.size >= memberRows.size) healed
+          else memberRows.toVector
         } finally in.close()
       } catch { case _: Exception => memberRows.toVector }
     }

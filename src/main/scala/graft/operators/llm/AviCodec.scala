@@ -85,7 +85,9 @@ object AviCodec {
       while (off + 8 <= end) {
         val id = fourcc(bytes, off)
         val size = readLe32(bytes, off + 4)
-        require(size >= 0 && off + 8 + size <= end,
+        // long arithmetic: a hostile ~2^31 size would wrap the Int sum
+        // past the bound check and AIOOBE instead of failing loudly
+        require(size >= 0 && off + 8L + size <= end,
           s"chunk $id size $size overruns enclosing list at $off")
         val body = off + 8
         if (id == "LIST") {

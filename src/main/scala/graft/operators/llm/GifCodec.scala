@@ -215,6 +215,21 @@ object GifCodec {
     outFrames.result()
   }
 
+  /** GIF interlace row order (the four-pass 8/8/4/2 schedule), or the
+    * identity for non-interlaced streams — shared by the decoder's two
+    * raster builders and the encoder. */
+  private def interlaceRowOrder(h: Int, interlaced: Boolean): Array[Int] =
+    if (!interlaced) Array.range(0, h)
+    else {
+      val rows = new Array[Int](h)
+      var k = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var r = start
+        while (r < h) { rows(k) = r; k += 1; r += step }
+      }
+      rows
+    }
+
   /** Standalone frame rect as a raster (RGB, or RGBA when the frame
     * has a transparent index), interlace-aware. */
   private def frameRaster(iw: Int, ih: Int, interlaced: Boolean,
@@ -222,17 +237,7 @@ object GifCodec {
                           transparent: Int): Raster = {
     val ch = if (transparent >= 0) 4 else 3
     val out = new Array[Int](iw * ih * ch)
-    val rowOrder: Array[Int] =
-      if (!interlaced) Array.range(0, ih)
-      else {
-        val rows = new Array[Int](ih)
-        var k = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
-          var r = start
-          while (r < ih) { rows(k) = r; k += 1; r += step }
-        }
-        rows
-      }
+    val rowOrder = interlaceRowOrder(ih, interlaced)
     var srcRow = 0
     while (srcRow < ih) {
       val y = rowOrder(srcRow)
@@ -295,18 +300,7 @@ object GifCodec {
         }
       }
     }
-    // interlace pass schedule: (first row, step)
-    val rowOrder: Array[Int] =
-      if (!interlaced) Array.range(0, ih)
-      else {
-        val rows = new Array[Int](ih)
-        var k = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
-          var r = start
-          while (r < ih) { rows(k) = r; k += 1; r += step }
-        }
-        rows
-      }
+    val rowOrder = interlaceRowOrder(ih, interlaced)
     var srcRow = 0
     while (srcRow < ih) {
       val y = top + rowOrder(srcRow)
@@ -526,17 +520,7 @@ object GifCodec {
     out.write(if (interlaced) 0x40 else 0)
 
     // pixel indices in stream order
-    val order: Array[Int] =
-      if (!interlaced) Array.range(0, height)
-      else {
-        val rows = new Array[Int](height)
-        var k = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
-          var r = start
-          while (r < height) { rows(k) = r; k += 1; r += step }
-        }
-        rows
-      }
+    val order = interlaceRowOrder(height, interlaced)
     val minCode = math.max(2, tableBits)
     out.write(minCode)
 

@@ -290,8 +290,15 @@ object MediaCodecs {
     le32(out, 40, dataLen)
     var i = 0
     while (i < samples.length) {
-      if (bits == 16) le16(out, 44 + 2 * i, samples(i) & 0xffff)
-      else out(44 + i) = ((samples(i) + 128) & 0xff).toByte
+      val v = samples(i)
+      if (bits == 16) {
+        require(v >= Short.MinValue && v <= Short.MaxValue,
+          s"16-bit sample $v out of range")
+        le16(out, 44 + 2 * i, v & 0xffff)
+      } else {
+        require(v >= -128 && v <= 127, s"8-bit sample $v out of range")
+        out(44 + i) = ((v + 128) & 0xff).toByte
+      }
       i += 1
     }
     out

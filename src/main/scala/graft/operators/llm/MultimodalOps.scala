@@ -17,8 +17,8 @@ import org.apache.spark.sql.Dataset
  * and a documented deterministic fallback (byte length + payload md5)
  * for every unsniffed format (e.g. MP4/Matroska video, whose codecs
  * need libraries the frozen build cannot take). Unsupported VARIANTS
- * of a sniffed container (arithmetic-coded JPEG, interlaced PNG) fail
- * loudly, per the MediaCodecs contract. The Spark-side plumbing is identical
+ * of a sniffed container (arithmetic-coded or lossless JPEG, 16-bit
+ * palette PNG) fail loudly, per the MediaCodecs contract. The Spark-side plumbing is identical
  * either way: binary payload columns with typed metadata via case-class
  * Encoders, and per-partition batch iteration (`mapPartitions`) so a
  * codec amortizes its init across a whole batch — exactly where an image

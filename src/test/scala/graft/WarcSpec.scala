@@ -584,6 +584,24 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     // member boundaries are meaningless -> the copyable extent is the file
     assert(rows.forall(r => r.offset == 0L &&
       r.compressed_size == Files.size(f)))
+    // the equal-count tie-break: ONE record cut mid-payload into two
+    // members — the first member parses "successfully" with a payload
+    // TRUNCATED to the member (wrong digest), so member walk and
+    // healed walk both count 1; the healed row must win (correct
+    // digest over the full body)
+    val one = warcResponse("http://cut.org/x", "2012-01-05T10:00:00Z",
+      "the-full-body-content") ++ sep
+    val cutAt = one.length - 15 // inside the HTTP body
+    val f2 = dir.resolve("cut-00000.warc.gz")
+    Files.write(f2, gz(one.take(cutAt)) ++ gz(one.drop(cutAt)))
+    val cutRows = WarcExtract.extract(spark, Seq(f2.toString), soft = true)
+      .rows.collect()
+    assert(cutRows.length == 1)
+    assert(cutRows(0).digest ==
+      WarcRecords.sha1Base32("the-full-body-content".getBytes("UTF-8")),
+      "healed digest must cover the FULL body, not the first member's cut")
+    assert(cutRows(0).offset == 0L &&
+      cutRows(0).compressed_size == Files.size(f2))
     // properly-zipped control: same records, one member each, extents
     // stay PER-MEMBER (the healing pass must not engage)
     val g = dir.resolve("aligned-00000.warc.gz")
