@@ -2238,6 +2238,49 @@ object SparkEntry {
           col("frame_hash"))
     }),
 
+    // REAL MP4 frame sampling under the oracle gate — the ISO-BMFF
+    // container walk (Mp4Codec): frame extents come from the moov
+    // sample tables (stsc runs x stco/co64 offsets x stsz sizes), not
+    // a linear chunk scan, so the walk is O(moov) on a seekable store.
+    // Fixture mirrors q117's AVI arithmetic exactly (DC-only 8x8
+    // frames, gray/color by parity, restart slices) so the oracle is
+    // the SAME proven closed form — what this gate adds is the TABLE
+    // RESOLUTION under the hash-compare: samples-per-chunk cycles
+    // 1/2/3 by doc (ragged last chunks whenever spc does not divide
+    // nf), every 3rd doc declares 64-bit co64 offsets, every 2nd doc
+    // carries an stss. Odd sample slots hold NON-JPEG filler, so an
+    // eager decoder — or an extent walk that mis-resolves one stsc
+    // run and slices a byte off — hashes the wrong answer.
+    "q119_mp4_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{JpegCodec, Mp4Codec, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val nf = 2 + (id % 5).toInt
+          val nComp = if (id % 2 == 0) 3 else 1
+          val cb = 128 + 4 * (id % 7).toInt
+          val cr = 128 + 6 * (id % 5).toInt
+          val rst = if (id % 4 <= 1) 1 else 0
+          val frames = (0 until nf).map { fi =>
+            if (fi % 2 == 1) Array.fill[Byte](16)((fi + id).toByte)
+            else {
+              val yv = 16 + 8 * ((id + 5 * fi) % 24).toInt
+              JpegCodec.encodeJpeg(8, 8, nComp, 1, JpegCodec.flatQuant,
+                JpegCodec.flatQuant, rst, (_, _) => (yv, cb, cr))
+            }
+          }
+          val payload = Mp4Codec.encodeMp4Mjpeg(8, 8, 10, frames,
+            samplesPerChunk = 1 + (id % 3).toInt,
+            syncEvery = if (id % 2 == 0) 2 else 0,
+            forceCo64 = id % 3 == 0)
+          MultimodalOps.MediaRecord(id, payload, "mp4", 8, 8)
+        }
+      MultimodalOps.frameSample(media, frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          col("frame_hash"))
+    }),
+
     // REAL GIF decode under the oracle gate — the palette format a
     // 20-year crawl carries alongside JPEG/PNG. Each doc synthesizes
     // a valid GIF89a of 4x4-px tiles over a 4-color id-derived
@@ -4645,6 +4688,32 @@ object SparkEntry {
         |      || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)
         |      || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
         |  END AS frame_hash
+        |FROM c""".stripMargin,
+
+    // Replays the q119 fixture in closed form — q117's AVI arithmetic
+    // verbatim (kept frames fi even, fi < nf, DC-only 8x8 fixed-point
+    // YCbCr replay) with the 'mp4-frame' feature prefix; the stsc/
+    // stco/co64/stsz table resolution sits under the hash-compare.
+    "q119_mp4_frames" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, 2 + id % 5 AS nf,
+        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr FROM p),
+        |fr AS (SELECT id, ch, cb, cr, fi,
+        |    16 + 8 * ((id + 5 * fi) % 24) AS yv
+        |  FROM g, range(0, 6) r0(fi) WHERE fi < nf AND fi % 2 = 0),
+        |c AS (SELECT id, fi, ch,
+        |    LEAST(255, GREATEST(0, yv + (91881 * (cr - 128) + 32768) // 65536)) AS r,
+        |    LEAST(255, GREATEST(0, yv - (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) // 65536)) AS gg,
+        |    LEAST(255, GREATEST(0, yv + (116130 * (cb - 128) + 32768) // 65536)) AS bb,
+        |    yv
+        |  FROM fr)
+        |SELECT id AS doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(64 * ch AS BIGINT) AS frame_bytes,
+        |  md5('mp4-frame ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
+        |    || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)
+        |    || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
+        |  AS frame_hash
         |FROM c""".stripMargin,
 
     // Replays the q118 fixture arithmetically: 64 pixels per palette

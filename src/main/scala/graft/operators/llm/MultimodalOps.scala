@@ -7,16 +7,19 @@ import org.apache.spark.sql.Dataset
  * `binary` columns with typed metadata; decode/feature-extract runs
  * executor-side in batches).
  *
- * The DECODE step is REAL for the six containers the JDK can carry —
+ * The DECODE step is REAL for the seven containers the JDK can carry —
  * uncompressed 24-bpp BMP, PCM16 mono WAV, non-interlaced 8-bit
  * RGB/RGBA PNG ([[MediaCodecs]]), baseline sequential JFIF
  * ([[JpegCodec]]), GIF 87a/89a incl. interlace and transparency
- * ([[GifCodec]]), and MJPEG video in RIFF/AVI ([[AviCodec]] container
- * walk, per-frame JPEG decode) — no external libs; q106, q112, q115,
- * q117 and q118 gate the byte-level walks against closed-form oracles —
+ * ([[GifCodec]]), MJPEG video in RIFF/AVI ([[AviCodec]] container
+ * walk, per-frame JPEG decode), and ISO-BMFF video ([[Mp4Codec]]
+ * sample-table walk; photo-JPEG samples decode, other codecs yield
+ * exact extents) — no external libs; q106, q112, q115, q117, q118 and
+ * q119 gate the byte-level walks against closed-form oracles —
  * and a documented deterministic fallback (byte length + payload md5)
- * for every unsniffed format (e.g. MP4/Matroska video, whose codecs
- * need libraries the frozen build cannot take). Unsupported VARIANTS
+ * for every unsniffed format (e.g. Matroska/WebM video, whose EBML
+ * payloads carry codecs that need libraries the frozen build cannot
+ * take). Unsupported VARIANTS
  * of a sniffed container (arithmetic-coded or lossless JPEG, 16-bit
  * palette PNG) fail loudly, per the MediaCodecs contract. The Spark-side plumbing is identical
  * either way: binary payload columns with typed metadata via case-class
@@ -121,6 +124,25 @@ object MultimodalOps {
           } else decBytes += fb.length
         }
         val feat = s"avi ${vid.width}x${vid.height} ${vid.nFrames} " +
+          s"$sum $max"
+        DecodedMedia(m.doc_id, m.format, decBytes,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else if (Mp4Codec.sniffMp4(m.payload)) {
+        // ISO-BMFF video: sample-table walk + per-sample JPEG decode
+        // (photo-JPEG tracks); samples of other codecs count their raw
+        // extent size, same graceful degradation as the AVI path
+        val vid = Mp4Codec.parseMp4(m.payload)
+        var sum = 0L; var max = 0; var decBytes = 0L
+        vid.frames.foreach { ext =>
+          val fb = Mp4Codec.frameBytes(m.payload, ext)
+          if (JpegCodec.sniffJpeg(fb)) {
+            val img = JpegCodec.decodeJpeg(fb)
+            sum += img.sumChannels
+            if (img.maxChannel > max) max = img.maxChannel
+            decBytes += img.nPixels * img.channels
+          } else decBytes += fb.length
+        }
+        val feat = s"mp4 ${vid.width}x${vid.height} ${vid.nFrames} " +
           s"$sum $max"
         DecodedMedia(m.doc_id, m.format, decBytes,
           hexLower(md.digest(feat.getBytes("UTF-8"))))
@@ -233,9 +255,11 @@ object MultimodalOps {
     * at a production 1-in-N stride skips (N-1)/N of the work. GIF
     * payloads (animated or single-frame) get the same treatment via
     * [[GifCodec.sampleFrames]]: one container walk, skipped frames
-    * advance block-wise past their LZW data undecoded. Other payloads
-    * keep the documented chunking stub (every `stride`-th `frameSize`
-    * chunk digested as a stand-in frame). Either way the flatMap
+    * advance block-wise past their LZW data undecoded. ISO-BMFF (MP4)
+    * payloads resolve the `moov` sample tables to extents
+    * ([[Mp4Codec.parseMp4]]) and decode only kept samples. Other
+    * payloads keep the documented chunking stub (every `stride`-th
+    * `frameSize` chunk digested as a stand-in frame). Either way the flatMap
     * SHAPE is the same: one input row fans out to O(frames / stride)
     * feature rows executor-side, nothing driver-side, no full
     * materialization of all frames. */
@@ -284,6 +308,27 @@ object MultimodalOps {
               SampledFrame(m.doc_id, i,
                 r.width.toLong * r.height * r.channels,
                 hexLower(md.digest(feat.getBytes("UTF-8"))))
+          }
+        } else if (Mp4Codec.sniffMp4(m.payload)) {
+          // ISO-BMFF video: extents come from the moov sample tables,
+          // so skipped samples are never even INDEXED past linearly —
+          // on a seekable store the walk is O(moov), not O(file)
+          val vid = Mp4Codec.parseMp4(m.payload)
+          (0 until vid.nFrames by stride).iterator.map { i =>
+            val fb = Mp4Codec.frameBytes(m.payload, vid.frames(i))
+            md.reset()
+            if (JpegCodec.sniffJpeg(fb)) {
+              val img = JpegCodec.decodeJpeg(fb)
+              val kind = if (img.channels == 1) "gray" else "ycc"
+              val feat = s"mp4-frame $kind ${img.width}x${img.height} " +
+                s"${img.sumChannels} ${img.maxChannel}"
+              SampledFrame(m.doc_id, i, img.nPixels * img.channels,
+                hexLower(md.digest(feat.getBytes("UTF-8"))))
+            } else {
+              // non-JPEG sample: digest raw bytes, count raw size
+              SampledFrame(m.doc_id, i, fb.length.toLong,
+                hexLower(md.digest(fb)))
+            }
           }
         } else {
           val nFrames = m.payload.length / frameSize // trailing partial dropped
