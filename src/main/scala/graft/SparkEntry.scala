@@ -2281,6 +2281,49 @@ object SparkEntry {
           col("frame_hash"))
     }),
 
+    // REAL Matroska/WebM frame sampling under the oracle gate — the
+    // EBML walk (MkvCodec): one pass over the element tree collects
+    // the V_MJPEG video track's SimpleBlock extents; an INTERLEAVED
+    // audio track's blocks ride the same clusters and must be skipped
+    // by block-level track-number dispatch — a walk that mis-dispatches
+    // one audio block shifts every later frame index and fails the
+    // hash. Same q117/q119 closed-form frame arithmetic ('mkv-frame'
+    // prefix); odd video slots again hold non-JPEG filler (laziness),
+    // cluster grouping cycles 1/2/3 by doc.
+    "q120_mkv_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{JpegCodec, MkvCodec, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val nf = 2 + (id % 5).toInt
+          val nComp = if (id % 2 == 0) 3 else 1
+          val cb = 128 + 4 * (id % 7).toInt
+          val cr = 128 + 6 * (id % 5).toInt
+          val rst = if (id % 4 <= 1) 1 else 0
+          val frames = (0 until nf).map { fi =>
+            if (fi % 2 == 1) Array.fill[Byte](16)((fi + id).toByte)
+            else {
+              val yv = 16 + 8 * ((id + 5 * fi) % 24).toInt
+              JpegCodec.encodeJpeg(8, 8, nComp, 1, JpegCodec.flatQuant,
+                JpegCodec.flatQuant, rst, (_, _) => (yv, cb, cr))
+            }
+          }
+          // every doc interleaves audio noise blocks (track 2) between
+          // the video blocks — never sampled, only dodged
+          val noise = (0 until nf).map(fi =>
+            Array.fill[Byte](11)((3 * fi + id + 1).toByte))
+          val payload = MkvCodec.encodeMkvMjpeg(8, 8, frames,
+            clusterSize = 1 + (id % 3).toInt,
+            syncEvery = if (id % 2 == 0) 2 else 0,
+            audioFiller = noise)
+          MultimodalOps.MediaRecord(id, payload, "mkv", 8, 8)
+        }
+      MultimodalOps.frameSample(media, frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          col("frame_hash"))
+    }),
+
     // REAL GIF decode under the oracle gate — the palette format a
     // 20-year crawl carries alongside JPEG/PNG. Each doc synthesizes
     // a valid GIF89a of 4x4-px tiles over a 4-color id-derived
@@ -4711,6 +4754,31 @@ object SparkEntry {
         |SELECT id AS doc_id, CAST(fi AS INT) AS frame_idx,
         |  CAST(64 * ch AS BIGINT) AS frame_bytes,
         |  md5('mp4-frame ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
+        |    || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)
+        |    || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
+        |  AS frame_hash
+        |FROM c""".stripMargin,
+
+    // Replays the q120 fixture — identical closed form to q119 with
+    // the 'mkv-frame' prefix; the EBML walk + audio-track dispatch
+    // sit under the hash-compare.
+    "q120_mkv_frames" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, 2 + id % 5 AS nf,
+        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr FROM p),
+        |fr AS (SELECT id, ch, cb, cr, fi,
+        |    16 + 8 * ((id + 5 * fi) % 24) AS yv
+        |  FROM g, range(0, 6) r0(fi) WHERE fi < nf AND fi % 2 = 0),
+        |c AS (SELECT id, fi, ch,
+        |    LEAST(255, GREATEST(0, yv + (91881 * (cr - 128) + 32768) // 65536)) AS r,
+        |    LEAST(255, GREATEST(0, yv - (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) // 65536)) AS gg,
+        |    LEAST(255, GREATEST(0, yv + (116130 * (cb - 128) + 32768) // 65536)) AS bb,
+        |    yv
+        |  FROM fr)
+        |SELECT id AS doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(64 * ch AS BIGINT) AS frame_bytes,
+        |  md5('mkv-frame ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
         |    || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)
         |    || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
         |  AS frame_hash

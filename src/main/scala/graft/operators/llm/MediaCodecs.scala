@@ -12,10 +12,11 @@ package graft.operators.llm
  * scanline unfilters). These replace the former deterministic-fake
  * decode stub in [[MultimodalOps.decodeBatch]] for payloads whose magic
  * bytes match; baseline JPEG lives in [[JpegCodec]], MJPEG-in-AVI
- * video in [[AviCodec]], ISO-BMFF (MP4) video in [[Mp4Codec]]; formats
- * outside this set (Matroska/WebM video) still take the documented
- * fallback (a real deployment drops a JNI/codec-library decoder into
- * the same mapPartitions slot).
+ * video in [[AviCodec]], ISO-BMFF (MP4) video in [[Mp4Codec]],
+ * Matroska/WebM video in [[MkvCodec]]; unsniffed formats take the
+ * documented fallback, and non-MJPEG video CODECS inside a walked
+ * container degrade to exact-extent features (a real deployment drops
+ * a JNI/codec-library decoder into the same mapPartitions slot).
  *
  * Encoders exist so fixtures can synthesize VALID files deterministically
  * from row data; decoders walk the actual bytes (row padding, LE fields,

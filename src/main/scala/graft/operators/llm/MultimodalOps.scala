@@ -7,19 +7,21 @@ import org.apache.spark.sql.Dataset
  * `binary` columns with typed metadata; decode/feature-extract runs
  * executor-side in batches).
  *
- * The DECODE step is REAL for the seven containers the JDK can carry —
+ * The DECODE step is REAL for the eight containers the JDK can carry —
  * uncompressed 24-bpp BMP, PCM16 mono WAV, non-interlaced 8-bit
  * RGB/RGBA PNG ([[MediaCodecs]]), baseline sequential JFIF
  * ([[JpegCodec]]), GIF 87a/89a incl. interlace and transparency
  * ([[GifCodec]]), MJPEG video in RIFF/AVI ([[AviCodec]] container
- * walk, per-frame JPEG decode), and ISO-BMFF video ([[Mp4Codec]]
- * sample-table walk; photo-JPEG samples decode, other codecs yield
- * exact extents) — no external libs; q106, q112, q115, q117, q118 and
- * q119 gate the byte-level walks against closed-form oracles —
+ * walk, per-frame JPEG decode), ISO-BMFF video ([[Mp4Codec]]
+ * sample-table walk), and Matroska/WebM video ([[MkvCodec]] EBML
+ * walk; MJPEG-class samples decode, other codecs yield exact
+ * extents) — no external libs; q106, q112, q115, q117, q118, q119 and
+ * q120 gate the byte-level walks against closed-form oracles —
  * and a documented deterministic fallback (byte length + payload md5)
- * for every unsniffed format (e.g. Matroska/WebM video, whose EBML
- * payloads carry codecs that need libraries the frozen build cannot
- * take). Unsupported VARIANTS
+ * for every unsniffed format. The remaining boundary is pure CODEC
+ * (H.264/VP9/Opus entropy decode needs libraries the frozen build
+ * cannot take), no longer container: every mainstream crawl container
+ * walks for real. Unsupported VARIANTS
  * of a sniffed container (arithmetic-coded or lossless JPEG, 16-bit
  * palette PNG) fail loudly, per the MediaCodecs contract. The Spark-side plumbing is identical
  * either way: binary payload columns with typed metadata via case-class
@@ -146,6 +148,25 @@ object MultimodalOps {
           s"$sum $max"
         DecodedMedia(m.doc_id, m.format, decBytes,
           hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else if (MkvCodec.sniffMkv(m.payload)) {
+        // Matroska/WebM video: EBML walk + per-block JPEG decode for
+        // V_MJPEG tracks; blocks of other codecs count their raw
+        // extent size, same graceful degradation as the AVI/MP4 paths
+        val vid = MkvCodec.parseMkv(m.payload)
+        var sum = 0L; var max = 0; var decBytes = 0L
+        vid.frames.foreach { ext =>
+          val fb = MkvCodec.frameBytes(m.payload, ext)
+          if (JpegCodec.sniffJpeg(fb)) {
+            val img = JpegCodec.decodeJpeg(fb)
+            sum += img.sumChannels
+            if (img.maxChannel > max) max = img.maxChannel
+            decBytes += img.nPixels * img.channels
+          } else decBytes += fb.length
+        }
+        val feat = s"mkv ${vid.width}x${vid.height} ${vid.nFrames} " +
+          s"$sum $max"
+        DecodedMedia(m.doc_id, m.format, decBytes,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
       } else {
         // fallback for containers with no dependency-free decode
         DecodedMedia(m.doc_id, m.format, m.payload.length.toLong,
@@ -257,9 +278,11 @@ object MultimodalOps {
     * [[GifCodec.sampleFrames]]: one container walk, skipped frames
     * advance block-wise past their LZW data undecoded. ISO-BMFF (MP4)
     * payloads resolve the `moov` sample tables to extents
-    * ([[Mp4Codec.parseMp4]]) and decode only kept samples. Other
-    * payloads keep the documented chunking stub (every `stride`-th
-    * `frameSize` chunk digested as a stand-in frame). Either way the flatMap
+    * ([[Mp4Codec.parseMp4]]) and decode only kept samples; Matroska/
+    * WebM payloads walk the EBML tree once ([[MkvCodec.parseMkv]]),
+    * skipping non-video tracks by block track number. Other payloads
+    * keep the documented chunking stub (every `stride`-th `frameSize`
+    * chunk digested as a stand-in frame). Either way the flatMap
     * SHAPE is the same: one input row fans out to O(frames / stride)
     * feature rows executor-side, nothing driver-side, no full
     * materialization of all frames. */
@@ -326,6 +349,27 @@ object MultimodalOps {
                 hexLower(md.digest(feat.getBytes("UTF-8"))))
             } else {
               // non-JPEG sample: digest raw bytes, count raw size
+              SampledFrame(m.doc_id, i, fb.length.toLong,
+                hexLower(md.digest(fb)))
+            }
+          }
+        } else if (MkvCodec.sniffMkv(m.payload)) {
+          // Matroska/WebM: one EBML walk collects the video track's
+          // block extents (interleaved audio skipped by track-number
+          // dispatch); only kept frames pay entropy decode
+          val vid = MkvCodec.parseMkv(m.payload)
+          (0 until vid.nFrames by stride).iterator.map { i =>
+            val fb = MkvCodec.frameBytes(m.payload, vid.frames(i))
+            md.reset()
+            if (JpegCodec.sniffJpeg(fb)) {
+              val img = JpegCodec.decodeJpeg(fb)
+              val kind = if (img.channels == 1) "gray" else "ycc"
+              val feat = s"mkv-frame $kind ${img.width}x${img.height} " +
+                s"${img.sumChannels} ${img.maxChannel}"
+              SampledFrame(m.doc_id, i, img.nPixels * img.channels,
+                hexLower(md.digest(feat.getBytes("UTF-8"))))
+            } else {
+              // non-JPEG block: digest raw bytes, count raw size
               SampledFrame(m.doc_id, i, fb.length.toLong,
                 hexLower(md.digest(fb)))
             }
