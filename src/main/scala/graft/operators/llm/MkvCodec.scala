@@ -22,6 +22,10 @@ package graft.operators.llm
  * loudly rather than mis-slice). First video track (TrackType 1)
  * wins; blocks of every other track — interleaved audio is the normal
  * case — are SKIPPED by track-number dispatch, which the spec pins.
+ * Block-track filtering happens AFTER the walk, so layouts whose
+ * Tracks element follows the first Cluster (SeekHead/live-stream
+ * muxing) parse correctly, and a valid audio-only file parses to
+ * ZERO frames rather than failing.
  * `V_MJPEG` tracks make each frame a plain JFIF stream [[JpegCodec]]
  * decodes; other codec ids still yield exact extents.
  *
@@ -130,31 +134,28 @@ object MkvCodec {
     var width = 0
     var height = 0
     var codec = ""
-    // (bodyOff, bodyLen, isKeyframe) per video block, in stream order
-    val frames = IndexedSeq.newBuilder[(Int, Int)]
-    val sync = IndexedSeq.newBuilder[Int]
-    var frameIdx = 0
+    // every block's (track, bodyOff, bodyLen, isKey) in stream order —
+    // filtered by track AFTER the walk, because Tracks may legally
+    // FOLLOW the first Cluster (SeekHead/live-stream layouts)
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Int, Boolean)]
 
     // parse one block payload (SimpleBlock or Block body): vint track,
     // 2-byte relative timestamp, flags byte, then the frame bytes
     def block(off: Int, end: Int, simpleKeyBit: Boolean,
               groupHasRef: Boolean): Unit = {
-      val (track, tLen) = readSize(bytes, off) match {
-        case (v, l, u) => require(!u, "block with unknown track number"); (v, l)
-      }
+      // track numbers reuse the size-vint ENCODING but not its
+      // unknown-value semantics: 0xFF is simply track 127
+      val (track, tLen, _) = readSize(bytes, off)
       val flagsOff = off + tLen + 2
       require(flagsOff < end, "truncated block header")
       val flags = bytes(flagsOff) & 0xff
       require((flags & 0x06) == 0,
         "laced block: lacing is not supported, refusing to mis-slice")
-      if (track == videoTrack) {
-        frames += ((flagsOff + 1, end - (flagsOff + 1)))
-        val key =
-          if (simpleKeyBit) (flags & 0x80) != 0
-          else !groupHasRef // Block: keyframe = no ReferenceBlock sibling
-        if (key) sync += frameIdx
-        frameIdx += 1
-      }
+      val key =
+        if (simpleKeyBit) (flags & 0x80) != 0
+        else !groupHasRef // Block: keyframe = no ReferenceBlock sibling
+      blocks += ((track, flagsOff + 1, end - (flagsOff + 1), key))
     }
 
     // walk children of [off0, end); `at` dispatches on element id
@@ -239,10 +240,7 @@ object MkvCodec {
                 walk(b2, e2) { (id3, b3, e3) =>
                   if (id3 == IdTrackEntry) parseTrackEntry(b3, e3)
                 }
-              case IdCluster =>
-                require(videoTrack >= 0,
-                  "Cluster before any video TrackEntry")
-                parseCluster(b2, e2)
+              case IdCluster => parseCluster(b2, e2)
               case _ => // SeekHead, Cues, Tags, Void, ...
             }
           }
@@ -250,7 +248,21 @@ object MkvCodec {
       }
     }
 
-    require(videoTrack >= 0, "Matroska has no video (type-1) track")
+    // a VALID audio-only file has no type-1 track: zero frames is the
+    // correct answer, not an exception — structural damage still
+    // fails loudly above
+    val frames = IndexedSeq.newBuilder[(Int, Int)]
+    val sync = IndexedSeq.newBuilder[Int]
+    if (videoTrack >= 0) {
+      var idx = 0
+      blocks.foreach { case (track, off, len, key) =>
+        if (track == videoTrack) {
+          frames += ((off, len))
+          if (key) sync += idx
+          idx += 1
+        }
+      }
+    }
     MkvVideo(width, height, tsScale, codec, frames.result(), sync.result())
   }
 

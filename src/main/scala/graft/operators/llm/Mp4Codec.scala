@@ -21,7 +21,11 @@ package graft.operators.llm
  * timescale from `mdhd`, codec fourcc from the first `stsd` entry.
  * Sample extents resolve stsc runs against stco/co64 and stsz, and
  * every extent is bounds-checked against the payload — a hostile
- * offset table fails loudly instead of AIOOBE-ing the task.
+ * offset table fails loudly instead of AIOOBE-ing the task, and a
+ * hostile sample COUNT is bounded before allocation. A valid
+ * audio-only file (.m4a: no `vide` track) parses to ZERO frames —
+ * the correct answer, not an error — and non-video tracks never
+ * materialize their sample tables at all.
  * MJPEG-in-MP4 (sample entry `jpeg`, the QuickTime photo-JPEG
  * convention) makes each sample a plain JFIF stream [[JpegCodec]]
  * decodes; other codecs still yield exact extents (hash/size
@@ -136,28 +140,39 @@ object Mp4Codec {
       walkBoxes(body, end) { (typ, b, e) =>
         typ match {
           case "stsd" =>
+            require(e - b >= 8, s"stsd box too small (${e - b} bytes)")
             val n = readBe32(bytes, b + 4)
             if (n >= 1 && b + 16 <= e) t.codec = fourcc(bytes, b + 12)
           case "stsz" =>
+            require(e - b >= 12, s"stsz box too small (${e - b} bytes)")
             val fixed = readBe32(bytes, b + 4)
             val n = readBe32(bytes, b + 8)
-            require(n <= Int.MaxValue && (fixed != 0 || b + 12 + 4 * n <= e),
-              s"stsz declares $n samples beyond box end")
+            // the per-sample table must fit the box; the fixed form has
+            // no table, so bound the ALLOCATION instead: n samples of
+            // fixed >= 1 bytes each cannot exceed the payload — a tiny
+            // hostile header must raise here, not OOM the executor
+            require(n <= Int.MaxValue && (
+              if (fixed != 0) fixed * n <= bytes.length
+              else b + 12 + 4 * n <= e),
+              s"stsz declares $n samples beyond box/payload bounds")
             t.sizes =
               if (fixed != 0) Array.fill(n.toInt)(fixed.toInt)
               else Array.tabulate(n.toInt)(i =>
                 readBe32(bytes, b + 12 + 4 * i).toInt)
           case "stco" =>
+            require(e - b >= 8, s"stco box too small (${e - b} bytes)")
             val n = readBe32(bytes, b + 4)
             require(b + 8 + 4 * n <= e, s"stco declares $n entries beyond box end")
             t.chunkOffsets = Array.tabulate(n.toInt)(i =>
               readBe32(bytes, b + 8 + 4 * i))
           case "co64" =>
+            require(e - b >= 8, s"co64 box too small (${e - b} bytes)")
             val n = readBe32(bytes, b + 4)
             require(b + 8 + 8 * n <= e, s"co64 declares $n entries beyond box end")
             t.chunkOffsets = Array.tabulate(n.toInt)(i =>
               readBe64(bytes, b + 8 + 8 * i))
           case "stsc" =>
+            require(e - b >= 8, s"stsc box too small (${e - b} bytes)")
             val n = readBe32(bytes, b + 4)
             require(b + 8 + 12 * n <= e, s"stsc declares $n entries beyond box end")
             t.stscRuns = Array.tabulate(n.toInt) { i =>
@@ -165,6 +180,7 @@ object Mp4Codec {
               (readBe32(bytes, o).toInt, readBe32(bytes, o + 4).toInt)
             }
           case "stss" =>
+            require(e - b >= 8, s"stss box too small (${e - b} bytes)")
             val n = readBe32(bytes, b + 4)
             require(b + 8 + 4 * n <= e, s"stss declares $n entries beyond box end")
             t.sync = Array.tabulate(n.toInt)(i =>
@@ -181,21 +197,32 @@ object Mp4Codec {
             // width/height are the LAST 8 bytes (16.16 fixed) in both
             // version 0 and 1 layouts — read from the end, not a
             // version-dependent offset
+            require(e - b >= 8, s"tkhd box too small (${e - b} bytes)")
             t.width = (readBe32(bytes, e - 8) >> 16).toInt
             t.height = (readBe32(bytes, e - 4) >> 16).toInt
           case "mdia" =>
+            // hdlr first (a cheap header-only pre-pass): a non-video
+            // track's sample tables — commonly MILLIONS of audio
+            // samples — are never materialized at all
             walkBoxes(b, e) { (t2, b2, e2) =>
+              if (t2 == "hdlr") {
+                require(e2 - b2 >= 12, s"hdlr box too small (${e2 - b2} bytes)")
+                t.handler = fourcc(bytes, b2 + 8)
+              }
+            }
+            if (t.handler == "vide") walkBoxes(b, e) { (t2, b2, e2) =>
               t2 match {
                 case "mdhd" =>
-                  val version = bytes(b2) & 0xff
+                  val version = (readBe32(bytes, b2) >>> 24).toInt
                   if (version == 1) {
+                    require(e2 - b2 >= 32, s"mdhd v1 box too small (${e2 - b2} bytes)")
                     t.timescale = readBe32(bytes, b2 + 20).toInt
                     t.durationTicks = readBe64(bytes, b2 + 24)
                   } else {
+                    require(e2 - b2 >= 20, s"mdhd v0 box too small (${e2 - b2} bytes)")
                     t.timescale = readBe32(bytes, b2 + 12).toInt
                     t.durationTicks = readBe32(bytes, b2 + 16)
                   }
-                case "hdlr" => t.handler = fourcc(bytes, b2 + 8)
                 case "minf" =>
                   walkBoxes(b2, e2) { (t3, b3, e3) =>
                     if (t3 == "stbl") parseStbl(t, b3, e3)
@@ -212,11 +239,16 @@ object Mp4Codec {
     walkBoxes(0, bytes.length) { (typ, body, end) =>
       if (typ == "moov")
         walkBoxes(body, end) { (t2, b2, e2) =>
-          if (t2 == "trak") parseTrak(b2, e2)
+          // first vide track wins; later traks get a header-only scan
+          if (t2 == "trak" && video == null) parseTrak(b2, e2)
         }
     }
 
-    require(video != null, "MP4 has no video (vide-handler) track")
+    // a VALID audio-only file (e.g. .m4a) has no video track: zero
+    // frames is the correct answer, not an exception — structural
+    // damage still fails loudly above
+    if (video == null)
+      return Mp4Video(0, 0, 0, 0L, "", IndexedSeq.empty, IndexedSeq.empty)
     val t = video
     require(t.sizes != null && t.chunkOffsets != null && t.stscRuns != null,
       "video track is missing stsz/stco/stsc sample tables")

@@ -60,6 +60,58 @@ object MultimodalOps {
   final case class DecodedMedia(doc_id: Long, format: String,
                                 decoded_bytes: Long, thumb_hash: String)
 
+  /** Shared accounting for the container-video DECODE branches
+    * (AVI/MP4/MKV): walk the frame extents, JPEG frames pay a real
+    * decode, frames of other codecs count their raw extent size — one
+    * exotic stream degrades gracefully instead of failing the record. */
+  private def containerDecode(m: MediaRecord,
+                              md: java.security.MessageDigest,
+                              prefix: String, width: Int, height: Int,
+                              frames: IndexedSeq[(Int, Int)]): DecodedMedia = {
+    var sum = 0L; var max = 0; var decBytes = 0L
+    frames.foreach { ext =>
+      val fb = java.util.Arrays.copyOfRange(m.payload, ext._1,
+        ext._1 + ext._2)
+      if (JpegCodec.sniffJpeg(fb)) {
+        val img = JpegCodec.decodeJpeg(fb)
+        sum += img.sumChannels
+        if (img.maxChannel > max) max = img.maxChannel
+        decBytes += img.nPixels * img.channels
+      } else decBytes += fb.length
+    }
+    val feat = s"$prefix ${width}x${height} ${frames.length} $sum $max"
+    DecodedMedia(m.doc_id, m.format, decBytes,
+      hexLower(md.digest(feat.getBytes("UTF-8"))))
+  }
+
+  /** Shared accounting for the container-video SAMPLING branches:
+    * every `stride`-th extent is sliced and JPEG-decoded (or
+    * raw-digested for non-JPEG codecs); skipped extents are never
+    * touched — the laziness q117/q119/q120 prove. */
+  private def sampleContainer(m: MediaRecord,
+                              md: java.security.MessageDigest,
+                              framePrefix: String,
+                              frames: IndexedSeq[(Int, Int)],
+                              stride: Int): Iterator[SampledFrame] =
+    (0 until frames.length by stride).iterator.map { i =>
+      val ext = frames(i)
+      val fb = java.util.Arrays.copyOfRange(m.payload, ext._1,
+        ext._1 + ext._2)
+      md.reset()
+      if (JpegCodec.sniffJpeg(fb)) {
+        val img = JpegCodec.decodeJpeg(fb)
+        val kind = if (img.channels == 1) "gray" else "ycc"
+        val feat = s"$framePrefix $kind ${img.width}x${img.height} " +
+          s"${img.sumChannels} ${img.maxChannel}"
+        SampledFrame(m.doc_id, i, img.nPixels * img.channels,
+          hexLower(md.digest(feat.getBytes("UTF-8"))))
+      } else {
+        // non-JPEG frame chunk: digest raw bytes, count raw size
+        SampledFrame(m.doc_id, i, fb.length.toLong,
+          hexLower(md.digest(fb)))
+      }
+    }
+
   /** Batch decode — one codec instance per partition, reused per record.
     * Payloads whose magic bytes match a [[MediaCodecs]] container (BMP,
     * WAV) get a REAL byte-level decode: `decoded_bytes` is the actual
@@ -110,63 +162,19 @@ object MultimodalOps {
         DecodedMedia(m.doc_id, m.format, img.nPixels * img.channels,
           hexLower(md.digest(feat.getBytes("UTF-8"))))
       } else if (AviCodec.sniffAvi(m.payload)) {
-        // MJPEG video: container walk + per-frame JPEG decode; frames
-        // whose bytes are not JPEG (a non-MJPG codec in the same
-        // container) count their raw chunk size, so one exotic stream
-        // degrades gracefully instead of failing the whole record
+        // MJPEG video: container walk + per-frame JPEG decode
         val vid = AviCodec.parseAvi(m.payload)
-        var sum = 0L; var max = 0; var decBytes = 0L
-        vid.frames.foreach { ext =>
-          val fb = AviCodec.frameBytes(m.payload, ext)
-          if (JpegCodec.sniffJpeg(fb)) {
-            val img = JpegCodec.decodeJpeg(fb)
-            sum += img.sumChannels
-            if (img.maxChannel > max) max = img.maxChannel
-            decBytes += img.nPixels * img.channels
-          } else decBytes += fb.length
-        }
-        val feat = s"avi ${vid.width}x${vid.height} ${vid.nFrames} " +
-          s"$sum $max"
-        DecodedMedia(m.doc_id, m.format, decBytes,
-          hexLower(md.digest(feat.getBytes("UTF-8"))))
+        containerDecode(m, md, "avi", vid.width, vid.height, vid.frames)
       } else if (Mp4Codec.sniffMp4(m.payload)) {
         // ISO-BMFF video: sample-table walk + per-sample JPEG decode
-        // (photo-JPEG tracks); samples of other codecs count their raw
-        // extent size, same graceful degradation as the AVI path
+        // (photo-JPEG tracks); audio-only .m4a yields zero frames
         val vid = Mp4Codec.parseMp4(m.payload)
-        var sum = 0L; var max = 0; var decBytes = 0L
-        vid.frames.foreach { ext =>
-          val fb = Mp4Codec.frameBytes(m.payload, ext)
-          if (JpegCodec.sniffJpeg(fb)) {
-            val img = JpegCodec.decodeJpeg(fb)
-            sum += img.sumChannels
-            if (img.maxChannel > max) max = img.maxChannel
-            decBytes += img.nPixels * img.channels
-          } else decBytes += fb.length
-        }
-        val feat = s"mp4 ${vid.width}x${vid.height} ${vid.nFrames} " +
-          s"$sum $max"
-        DecodedMedia(m.doc_id, m.format, decBytes,
-          hexLower(md.digest(feat.getBytes("UTF-8"))))
+        containerDecode(m, md, "mp4", vid.width, vid.height, vid.frames)
       } else if (MkvCodec.sniffMkv(m.payload)) {
         // Matroska/WebM video: EBML walk + per-block JPEG decode for
-        // V_MJPEG tracks; blocks of other codecs count their raw
-        // extent size, same graceful degradation as the AVI/MP4 paths
+        // V_MJPEG tracks; audio-only files yield zero frames
         val vid = MkvCodec.parseMkv(m.payload)
-        var sum = 0L; var max = 0; var decBytes = 0L
-        vid.frames.foreach { ext =>
-          val fb = MkvCodec.frameBytes(m.payload, ext)
-          if (JpegCodec.sniffJpeg(fb)) {
-            val img = JpegCodec.decodeJpeg(fb)
-            sum += img.sumChannels
-            if (img.maxChannel > max) max = img.maxChannel
-            decBytes += img.nPixels * img.channels
-          } else decBytes += fb.length
-        }
-        val feat = s"mkv ${vid.width}x${vid.height} ${vid.nFrames} " +
-          s"$sum $max"
-        DecodedMedia(m.doc_id, m.format, decBytes,
-          hexLower(md.digest(feat.getBytes("UTF-8"))))
+        containerDecode(m, md, "mkv", vid.width, vid.height, vid.frames)
       } else {
         // fallback for containers with no dependency-free decode
         DecodedMedia(m.doc_id, m.format, m.payload.length.toLong,
@@ -295,23 +303,8 @@ object MultimodalOps {
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.flatMap { m =>
         if (AviCodec.sniffAvi(m.payload)) {
-          val vid = AviCodec.parseAvi(m.payload)
-          (0 until vid.nFrames by stride).iterator.map { i =>
-            val fb = AviCodec.frameBytes(m.payload, vid.frames(i))
-            md.reset()
-            if (JpegCodec.sniffJpeg(fb)) {
-              val img = JpegCodec.decodeJpeg(fb)
-              val kind = if (img.channels == 1) "gray" else "ycc"
-              val feat = s"avi-frame $kind ${img.width}x${img.height} " +
-                s"${img.sumChannels} ${img.maxChannel}"
-              SampledFrame(m.doc_id, i, img.nPixels * img.channels,
-                hexLower(md.digest(feat.getBytes("UTF-8"))))
-            } else {
-              // non-MJPG frame chunk: digest raw bytes, count raw size
-              SampledFrame(m.doc_id, i, fb.length.toLong,
-                hexLower(md.digest(fb)))
-            }
-          }
+          sampleContainer(m, md, "avi-frame",
+            AviCodec.parseAvi(m.payload).frames, stride)
         } else if (GifCodec.sniffGif(m.payload)) {
           // animated (or single-frame) GIF: one container walk, only
           // kept frames pay LZW decode, each consumed standalone
@@ -336,44 +329,14 @@ object MultimodalOps {
           // ISO-BMFF video: extents come from the moov sample tables,
           // so skipped samples are never even INDEXED past linearly —
           // on a seekable store the walk is O(moov), not O(file)
-          val vid = Mp4Codec.parseMp4(m.payload)
-          (0 until vid.nFrames by stride).iterator.map { i =>
-            val fb = Mp4Codec.frameBytes(m.payload, vid.frames(i))
-            md.reset()
-            if (JpegCodec.sniffJpeg(fb)) {
-              val img = JpegCodec.decodeJpeg(fb)
-              val kind = if (img.channels == 1) "gray" else "ycc"
-              val feat = s"mp4-frame $kind ${img.width}x${img.height} " +
-                s"${img.sumChannels} ${img.maxChannel}"
-              SampledFrame(m.doc_id, i, img.nPixels * img.channels,
-                hexLower(md.digest(feat.getBytes("UTF-8"))))
-            } else {
-              // non-JPEG sample: digest raw bytes, count raw size
-              SampledFrame(m.doc_id, i, fb.length.toLong,
-                hexLower(md.digest(fb)))
-            }
-          }
+          sampleContainer(m, md, "mp4-frame",
+            Mp4Codec.parseMp4(m.payload).frames, stride)
         } else if (MkvCodec.sniffMkv(m.payload)) {
           // Matroska/WebM: one EBML walk collects the video track's
           // block extents (interleaved audio skipped by track-number
           // dispatch); only kept frames pay entropy decode
-          val vid = MkvCodec.parseMkv(m.payload)
-          (0 until vid.nFrames by stride).iterator.map { i =>
-            val fb = MkvCodec.frameBytes(m.payload, vid.frames(i))
-            md.reset()
-            if (JpegCodec.sniffJpeg(fb)) {
-              val img = JpegCodec.decodeJpeg(fb)
-              val kind = if (img.channels == 1) "gray" else "ycc"
-              val feat = s"mkv-frame $kind ${img.width}x${img.height} " +
-                s"${img.sumChannels} ${img.maxChannel}"
-              SampledFrame(m.doc_id, i, img.nPixels * img.channels,
-                hexLower(md.digest(feat.getBytes("UTF-8"))))
-            } else {
-              // non-JPEG block: digest raw bytes, count raw size
-              SampledFrame(m.doc_id, i, fb.length.toLong,
-                hexLower(md.digest(fb)))
-            }
-          }
+          sampleContainer(m, md, "mkv-frame",
+            MkvCodec.parseMkv(m.payload).frames, stride)
         } else {
           val nFrames = m.payload.length / frameSize // trailing partial dropped
           (0 until nFrames by stride).iterator.map { i =>

@@ -97,6 +97,39 @@ class MkvCodecSpec extends AnyFunSuite {
       "the referenced block is non-sync, the unreferenced one is sync")
   }
 
+  test("audio-only file (no type-1 track) parses to zero frames, not " +
+      "an exception; Tracks AFTER the first Cluster still binds; and " +
+      "track number 127 (1-byte vint 0xFF) is a legal track, not " +
+      "'unknown'") {
+    val f0 = grayFrame(0)
+    val header = el(0x1A45DFA3L,
+      el(0x4282L, "matroska".getBytes("US-ASCII")))
+    def trackEntry(num: Long, typ: Long): Array[Byte] = el(0xAEL,
+      el(0xD7L, uint(num)) ++ el(0x83L, uint(typ)) ++
+        el(0x86L, (if (typ == 1) "V_MJPEG" else "A_PCM").getBytes("US-ASCII")) ++
+        (if (typ == 1)
+          el(0xE0L, el(0xB0L, uint(16)) ++ el(0xBAL, uint(16)))
+        else Array.emptyByteArray))
+    def sblock(trackVint: Array[Byte], data: Array[Byte]): Array[Byte] =
+      el(0xA3L, trackVint ++ Array[Byte](0, 0, 0x80.toByte) ++ data)
+    // audio-only: one type-2 track, one block
+    val audioOnly = header ++ el(0x18538067L,
+      el(0x1654AE6BL, trackEntry(2, 2)) ++
+        el(0x1F43B675L, el(0xE7L, uint(0)) ++
+          sblock(Array(0x82.toByte), Array[Byte](1, 2, 3))))
+    val a = MkvCodec.parseMkv(audioOnly)
+    assert(a.nFrames == 0 && a.syncFrames.isEmpty)
+    // cluster BEFORE tracks, video on track 127 (vint 0xFF)
+    val clusterFirst = header ++ el(0x18538067L,
+      el(0x1F43B675L, el(0xE7L, uint(0)) ++
+        sblock(Array(0xFF.toByte), f0) ++
+        sblock(Array(0x82.toByte), Array[Byte](9, 9))) ++
+        el(0x1654AE6BL, trackEntry(127, 1) ++ trackEntry(2, 2)))
+    val v = MkvCodec.parseMkv(clusterFirst)
+    assert(v.nFrames == 1)
+    assert(MkvCodec.frameBytes(clusterFirst, v.frames(0)).sameElements(f0))
+  }
+
   test("unknown-size Segment (all value bits set) parses to end of " +
       "payload") {
     val frames = (0 until 3).map(grayFrame(_))

@@ -127,6 +127,32 @@ class Mp4CodecSpec extends AnyFunSuite {
       assert(Mp4Codec.frameBytes(patched, vid.frames(i)).sameElements(f))
   }
 
+  test("audio-only file (no vide track) parses to zero frames, not an " +
+      "exception — a valid .m4a must not fail the task") {
+    val mp4 = Mp4Codec.encodeMp4Mjpeg(16, 16, 10,
+      (0 until 3).map(grayFrame(_)))
+    val patched = mp4.clone()
+    val hdlrOff = indexOf(patched, "vide")
+    for ((c, i) <- "soun".zipWithIndex) patched(hdlrOff + i) = c.toByte
+    val vid = Mp4Codec.parseMp4(patched)
+    assert(vid.nFrames == 0 && vid.syncFrames.isEmpty)
+  }
+
+  test("hostile fixed-size stsz with a huge sample count raises before " +
+      "allocating (no OOM from a tiny payload)") {
+    val mp4 = Mp4Codec.encodeMp4Mjpeg(16, 16, 10,
+      (0 until 3).map(grayFrame(_)))
+    val patched = mp4.clone()
+    val stszOff = indexOf(patched, "stsz") - 4
+    // sample_size = 1, sample_count = 0x7fffffff: 2 GiB of declared
+    // samples in a ~1 KB payload
+    patched(stszOff + 12) = 0; patched(stszOff + 13) = 0
+    patched(stszOff + 14) = 0; patched(stszOff + 15) = 1
+    patched(stszOff + 16) = 0x7f; patched(stszOff + 17) = 0xff.toByte
+    patched(stszOff + 18) = 0xff.toByte; patched(stszOff + 19) = 0xff.toByte
+    intercept[IllegalArgumentException] { Mp4Codec.parseMp4(patched) }
+  }
+
   test("hostile input fails loudly, never AIOOBE: truncation, offsets " +
       "past the payload, table counts past the box") {
     val mp4 = Mp4Codec.encodeMp4Mjpeg(16, 16, 10,
