@@ -28,7 +28,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val (mode, rest) = args.headOption match {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
-          m == "substr" || m == "pagerank" || m == "stream" =>
+          m == "substr" || m == "pagerank" || m == "stream" ||
+          m == "media" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -40,6 +41,7 @@ object ScaleRehearsal {
         case "substr" => 15 // gram window k
         case "pagerank" => 3 // iters
         case "stream" => 2 // watermark horizon, hours
+        case "media" => 8 // frame-sampling stride
         case _ => 400
       })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
@@ -75,6 +77,8 @@ object ScaleRehearsal {
       sfDir, read, write); spark.stop(); return }
     if (mode == "stream") { streamRehearsal(spark, copies, maxBucket,
       sfDir); spark.stop(); return }
+    if (mode == "media") { mediaRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
 
     // the q69 corpus rule (base + appended-text variants), replicated
     // with disjoint id spaces; every copy of a doc is a near-dup of every
@@ -194,6 +198,69 @@ object ScaleRehearsal {
       f"dropFrac=${dropped.toDouble / (kept + dropped)}%.4f " +
       f"wall=$wall%.1f s shuffleRead=${mib(readB)} MiB " +
       s"shuffleWrite=${mib(writeB)} MiB")
+  }
+
+  /** Media frame-sampling decades — measures the LAZINESS claim with a
+    * clock, not an oracle: the same persisted corpus of real video
+    * containers (AVI / MP4 / MKV round-robin, 24 DC-only JPEG frames
+    * each) is frame-sampled at stride 1 (decode everything) and at
+    * `stride` (decode 1-in-N). The container payloads are built and
+    * PERSISTED off the clock so the timed window contains only walk +
+    * decode; shuffle volumes are reported to pin the map-only shape
+    * (expected: 0 MiB at every decade — the output agg's k-row
+    * exchange only). A sampler that eagerly decoded every frame would
+    * show wall(stride N) ~= wall(stride 1); the real walks show
+    * wall(stride N) tracking the kept-frame fraction plus the O(frames)
+    * container walk floor. */
+  private def mediaRehearsal(spark: SparkSession, copies: Int, stride: Int,
+                             sfDir: String, read: AtomicLong,
+                             write: AtomicLong): Unit = {
+    import spark.implicits._
+    import graft.operators.llm.{AviCodec, JpegCodec, MkvCodec, Mp4Codec,
+      MultimodalOps}
+    val cpus = spark.sparkContext.defaultParallelism
+    val nFrames = 24
+    val media = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("doc_id"))
+      .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"))
+      .repartition(cpus) // testdata is one row group (SCALE.md caveat)
+      .as[Long]
+      .map { id =>
+        val frames = (0 until nFrames).map { fi =>
+          val yv = 16 + 8 * ((id + 5 * fi) % 24).toInt
+          JpegCodec.encodeJpeg(8, 8, 3, 1, JpegCodec.flatQuant,
+            JpegCodec.flatQuant, 0, (_, _) => (yv, 130, 140))
+        }
+        (id % 3) match {
+          case 0 => MultimodalOps.MediaRecord(id,
+            AviCodec.encodeAviMjpeg(8, 8, 10, frames), "avi", 8, 8)
+          case 1 => MultimodalOps.MediaRecord(id,
+            Mp4Codec.encodeMp4Mjpeg(8, 8, 10, frames), "mp4", 8, 8)
+          case _ => MultimodalOps.MediaRecord(id,
+            MkvCodec.encodeMkvMjpeg(8, 8, frames), "mkv", 8, 8)
+        }
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = media.count() // build payloads OFF the clock
+    def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+    Seq(1, stride).foreach { s =>
+      graftshim.ListenerShim.drain(spark.sparkContext)
+      val (r0, w0) = (read.get, write.get)
+      val t0 = System.nanoTime()
+      val stats = MultimodalOps.frameSample(media, frameSize = 64, s)
+        .agg(count(lit(1)).as("frames"),
+          sum(col("frame_bytes")).as("decodedBytes")).collect()(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      graftshim.ListenerShim.drain(spark.sparkContext)
+      val (readB, writeB) = (read.get - r0, write.get - w0)
+      println(f"[rehearsal] media copies=$copies docs=$nDocs " +
+        f"framesPerDoc=$nFrames stride=$s kept=${stats.getLong(0)} " +
+        f"decodedBytes=${stats.getLong(1)} wall=$wall%.2f s " +
+        f"shuffleRead=${mib(readB)} MiB shuffleWrite=${mib(writeB)} MiB")
+    }
+    media.unpersist()
   }
 
   /** PageRank decades — the DISTRIBUTED power-iteration path
