@@ -2324,6 +2324,33 @@ object SparkEntry {
           col("frame_hash"))
     }),
 
+    // Crawl → media END-TO-END under the oracle gate: WARC member walk
+    // → entity payload extraction (WarcExtract.payloadRows: HTTP
+    // headers stripped, chunked bodies DE-chunked — the same byte
+    // conventions the CDX digests use) → MultimodalOps.decode over the
+    // binary column. Every 5th record's image arrives CHUNKED, so one
+    // framing byte wrong in the binary de-chunk makes the codec see a
+    // broken magic and the hash fail; revisits must be skipped by
+    // type; the corrupt tail exercises --skip-bad. This composes two
+    // pipelines that are elsewhere gated separately (q42 extraction,
+    // q106/q112/q115/q118 codecs) into the query a crawl-media
+    // curation run actually executes.
+    "q121_warc_media" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.MultimodalOps
+      val file = mediaWarcFixture(s, dir)
+      val media = graft.operators.WarcExtract
+        .payloadRows(s, Seq(file.getAbsolutePath), soft = true)
+        .map { r =>
+          val id = r.original_url
+            .substring(r.original_url.lastIndexOf('/') + 1).toLong
+          MultimodalOps.MediaRecord(id, r.payload, r.mimetype, 8, 8)
+        }
+      MultimodalOps.decode(media)
+        .select(col("doc_id"), col("format"), col("decoded_bytes"),
+          col("thumb_hash"))
+    }),
+
     // REAL GIF decode under the oracle gate — the palette format a
     // 20-year crawl carries alongside JPEG/PNG. Each doc synthesizes
     // a valid GIF89a of 4x4-px tiles over a 4-color id-derived
@@ -2644,6 +2671,99 @@ object SparkEntry {
           out.write(gz((line + "\n" + content).getBytes("UTF-8")))
         }
         out.write(Array.fill[Byte](32)(0x17)) // corrupt tail (soft-skipped)
+      } finally out.close()
+    }
+    file
+  }
+
+  /** Media WARC fixture for q121 — the crawl→media END-TO-END bridge:
+    * one gzip member per record, each response carrying a BINARY image
+    * entity (BMP/PNG/JPEG/GIF by id % 4) whose constant pixel content
+    * has closed-form statistics (the q106/q112/q115/q118 arithmetic).
+    * Every 5th record stores its entity CHUNKED (binary de-chunk on
+    * the payload path must reproduce the exact bytes or the codec
+    * fails the hash), every id%9==4 capture is a payload-less revisit
+    * the extraction must skip by type, plus a warcinfo lead record and
+    * a corrupt gzip tail (soft-skipped). */
+  private def mediaWarcFixture(s: SparkSession, dir: String): java.io.File = {
+    val base = tmpDir("q121", dir)
+    val file = new java.io.File(s"$base/media.warc.gz")
+    fixtureOnce(base, "v1", dir, "documents") {
+      import graft.operators.llm.{GifCodec, JpegCodec, MediaCodecs}
+      val ids = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
+        .collect().map(_.getLong(0))
+      def gz(p: Array[Byte]): Array[Byte] =
+        graft.sources.zipnum.ZipNumFormat.gzipMember(p)
+      val epoch = java.time.Instant.parse("2021-06-01T00:00:00Z")
+      val out = new java.io.FileOutputStream(file)
+      try {
+        val info = "software: graft\r\n"
+        out.write(gz(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "Content-Type: application/warc-fields\r\n" +
+          s"Content-Length: ${info.length}\r\n\r\n$info").getBytes("UTF-8")))
+        ids.foreach { id =>
+          val uri = s"http://media${id % 5}.org/img/$id"
+          val date = java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(epoch.plusSeconds(id))
+          val rec: Array[Byte] =
+            if (id % 9 == 4) {
+              val orig = graft.sources.warc.WarcRecords
+                .sha1Base32(s"img $id".getBytes("UTF-8"))
+              (s"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: $uri\r\n" +
+                s"WARC-Date: $date\r\nWARC-Payload-Digest: sha1:$orig\r\n" +
+                "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+            } else {
+              val (mime, entity) = (id % 4) match {
+                case 0 =>
+                  ("image/bmp", MediaCodecs.encodeBmp(8, 8, (_, _) =>
+                    ((10 + id % 200).toInt, ((3 * id) % 256).toInt,
+                      ((7 * id) % 251).toInt)))
+                case 1 =>
+                  ("image/png", MediaCodecs.encodePng(8, 8, 2, (_, _) =>
+                    Array((10 + id % 200).toInt, ((3 * id) % 256).toInt,
+                      ((7 * id) % 251).toInt)))
+                case 2 =>
+                  val ch = if (id % 2 == 0) 3 else 1
+                  val cb = 128 + 4 * (id % 7).toInt
+                  val cr = 128 + 6 * (id % 5).toInt
+                  val yv = 16 + 8 * (id % 24).toInt
+                  ("image/jpeg", JpegCodec.encodeJpeg(8, 8, ch, 1,
+                    JpegCodec.flatQuant, JpegCodec.flatQuant, 0,
+                    (_, _) => (yv, cb, cr)))
+                case _ =>
+                  val pal = Array(10, 20, 30,
+                    200, 100 + 4 * (id % 7).toInt, 50,
+                    8 * (id % 9).toInt, 0, 120,
+                    255, 255, (id % 256).toInt)
+                  val cidx = ((id / 4) % 4).toInt
+                  ("image/gif", GifCodec.encodeGif(16, 16, pal,
+                    (_, _) => cidx, interlaced = false,
+                    transparentIndex = -1))
+              }
+              val body = new java.io.ByteArrayOutputStream()
+              if (id % 5 == 0) {
+                // binary entity chunked: split mid-magic at byte 5,
+                // chunk extension on the first chunk
+                val (a, b) = entity.splitAt(5)
+                body.write(f"${a.length}%x;ext=q121\r\n".getBytes("US-ASCII"))
+                body.write(a); body.write("\r\n".getBytes("US-ASCII"))
+                body.write(f"${b.length}%x\r\n".getBytes("US-ASCII"))
+                body.write(b)
+                body.write("\r\n0\r\n\r\n".getBytes("US-ASCII"))
+              } else body.write(entity)
+              val head = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n" +
+                (if (id % 5 == 0) "Transfer-Encoding: chunked\r\n" else "") +
+                "\r\n").getBytes("US-ASCII")
+              val http = head ++ body.toByteArray
+              (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: $uri\r\nWARC-Date: $date\r\n" +
+                s"Content-Length: ${http.length}\r\n\r\n")
+                .getBytes("US-ASCII") ++ http
+            }
+          out.write(gz(rec))
+        }
+        out.write(Array.fill[Byte](32)(0x19)) // corrupt tail (soft-skipped)
       } finally out.close()
     }
     file
@@ -4782,6 +4902,49 @@ object SparkEntry {
         |    || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)
         |    || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END))
         |  AS frame_hash
+        |FROM c""".stripMargin,
+
+    // Replays the q121 fixture in closed form: constant-pixel images
+    // per id (BMP/PNG solid RGB, JPEG DC-only via the q115 fixed-point
+    // replay, GIF solid palette color), revisits (id%9=4) excluded by
+    // record type; the WARC walk + binary de-chunk sit under the hash.
+    "q121_warc_media" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, id % 4 AS m4,
+        |    10 + id % 200 AS rv, (3 * id) % 256 AS gv, (7 * id) % 251 AS bv,
+        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr,
+        |    16 + 8 * (id % 24) AS yv,
+        |    (id // 4) % 4 AS cidx,
+        |    100 + 4 * (id % 7) AS c1g, 8 * (id % 9) AS c2r, id % 256 AS c3b
+        |  FROM p WHERE id % 9 <> 4),
+        |c AS (SELECT id, m4, ch, yv, rv, gv, bv,
+        |    LEAST(255, GREATEST(0, yv + (91881 * (cr - 128) + 32768) // 65536)) AS jr,
+        |    LEAST(255, GREATEST(0, yv - (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) // 65536)) AS jg,
+        |    LEAST(255, GREATEST(0, yv + (116130 * (cb - 128) + 32768) // 65536)) AS jb,
+        |    CASE cidx WHEN 0 THEN 10 WHEN 1 THEN 200 WHEN 2 THEN c2r
+        |      ELSE 255 END AS pr,
+        |    CASE cidx WHEN 0 THEN 20 WHEN 1 THEN c1g WHEN 2 THEN 0
+        |      ELSE 255 END AS pg,
+        |    CASE cidx WHEN 0 THEN 30 WHEN 1 THEN 50 WHEN 2 THEN 120
+        |      ELSE c3b END AS pb
+        |  FROM g)
+        |SELECT id AS doc_id,
+        |  CASE m4 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'image/jpeg' ELSE 'image/gif' END AS format,
+        |  CAST(CASE m4 WHEN 0 THEN 192 WHEN 1 THEN 192
+        |    WHEN 2 THEN 64 * ch ELSE 768 END AS BIGINT) AS decoded_bytes,
+        |  CASE m4
+        |    WHEN 0 THEN md5('bmp 8x8 ' || 64 * (rv + gv + bv) || ' '
+        |      || GREATEST(rv, gv, bv))
+        |    WHEN 1 THEN md5('png rgb 8x8 ' || 64 * (rv + gv + bv) || ' '
+        |      || GREATEST(rv, gv, bv))
+        |    WHEN 2 THEN md5('jpeg ' || CASE WHEN ch = 1 THEN 'gray' ELSE 'ycc' END
+        |      || ' 8x8 ' || 64 * (CASE WHEN ch = 1 THEN yv ELSE jr + jg + jb END)
+        |      || ' ' || (CASE WHEN ch = 1 THEN yv ELSE GREATEST(jr, jg, jb) END))
+        |    ELSE md5('gif rgb 16x16 1 ' || 256 * (pr + pg + pb) || ' '
+        |      || GREATEST(pr, pg, pb))
+        |  END AS thumb_hash
         |FROM c""".stripMargin,
 
     // Replays the q118 fixture arithmetically: 64 pixels per palette

@@ -128,6 +128,32 @@ object GraftCli {
           pos.tail.toSeq, pos.head, soft = flags.contains("--soft"))
         println(s"extracted $n cdx lines -> ${pos.head}")
         spark.stop()
+      case "media-decode" =>
+        // media-decode <outDir> <warc...> [--soft] — crawl→media:
+        // extract response/resource entity bytes (headers stripped,
+        // chunked de-chunked) and decode every payload the codec set
+        // sniffs (BMP/PNG/JPEG/GIF/WAV/AVI/MP4/MKV); one parquet of
+        // per-record features (the q121 composition as a tool)
+        val spark = session("media-decode")
+        val (flags, pos) = rest.partition(_.startsWith("--"))
+        import spark.implicits._
+        val media = graft.operators.WarcExtract
+          .payloadRows(spark, pos.tail.toSeq,
+            soft = flags.contains("--soft"))
+          .map { r =>
+            // urlkey+timestamp identify the capture; doc_id is a
+            // deterministic 63-bit hash of that identity
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val h = md.digest((r.urlkey + " " + r.timestamp)
+              .getBytes("UTF-8"))
+            val id = java.nio.ByteBuffer.wrap(h).getLong() >>> 1
+            graft.operators.llm.MultimodalOps.MediaRecord(
+              id, r.payload, r.mimetype, 0, 0)
+          }
+        graft.operators.llm.MultimodalOps.decode(media)
+          .write.mode("overwrite").parquet(pos.head)
+        println(s"wrote media features -> ${pos.head}")
+        spark.stop()
       case "date-filter" =>
         // date-filter <root> <expr> [extSuffix] — list files accepted by
         // the reference's mtime filter expression (S15 frontend): forms
@@ -294,6 +320,7 @@ object GraftCli {
       |  summary-generate <clusterDir>          rebuild ALL.summary from -idx files
       |  warc-extract <out> <warc...> [--soft]  WARC -> per-file .cdx
       |  wat-extract <out> <warc...> [--soft]   WARC -> WAT JSON lines
+      |  media-decode <out> <warc...> [--soft]  WARC -> media feature parquet (decode sniffed payloads)
       |  file-search <file> <start> [<end>]     binary search a sorted file
       |  date-filter <root> <expr> [ext]        mtime-expression file listing
       |                                         (all-digit operand = timestamp; path:X forces a path bound)

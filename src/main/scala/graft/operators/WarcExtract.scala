@@ -224,6 +224,69 @@ object WarcExtract {
     }
   }
 
+  /** One extracted entity payload: the media-pipeline entry row —
+    * binary payload + typed metadata (the brief's multimodal column
+    * convention), ready for MultimodalOps.decode / frameSample
+    * downstream. */
+  final case class PayloadRow(urlkey: String, timestamp: String,
+                              original_url: String, mimetype: String,
+                              payload: Array[Byte])
+
+  /** Extract response/resource ENTITY BYTES (one task per file, same
+    * placement as extract()): the WARC → binary-column bridge a
+    * crawl-media pipeline starts from. Bodies follow the same
+    * conventions the CDX digests use — HTTP headers stripped, chunked
+    * transfer-encoding DE-chunked (damaged framing keeps raw bytes) —
+    * so the payload a codec decodes here is byte-identical to what the
+    * digest covered. Revisits (no payload) and warcinfo/metadata
+    * records are skipped by type; ARC members are skipped (media
+    * crawls are WARC-era). The flatMap stays lazy over the member
+    * walk: payload bytes live only while their row is in flight, never
+    * a whole file's worth at once. */
+  def payloadRows(spark: SparkSession, paths: Seq[String],
+                  soft: Boolean = false): Dataset[PayloadRow] = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bad = spark.sparkContext.longAccumulator("warc.bad.members.payload")
+    val n = math.max(1, paths.size)
+    val pathsRdd = spark.sparkContext
+      .parallelize(paths.zipWithIndex.map(_.swap), n)
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int] % n
+      })
+      .values
+    spark.createDataset(pathsRdd).mapPartitions { pathIter =>
+      pathIter.flatMap { pathStr =>
+        val p = new Path(pathStr)
+        openMembers(p, conf, soft, bad).flatMap { m =>
+          if (!WarcRecords.looksLikeWarc(m.payload)) Iterator.empty
+          else WarcRecords.parseAll(m.payload).iterator.flatMap { rec =>
+            if (rec.warcType != "response" && rec.warcType != "resource")
+              None
+            else for {
+              uri <- rec.targetUri
+              ts <- rec.timestamp14
+            } yield {
+              val (status, httpMime) = rec.httpStatusAndMime
+              val body =
+                if (status.isDefined) httpBody(rec.payload) else rec.payload
+              PayloadRow(
+                urlkey = graft.functions.Surt.surtLenient(uri),
+                timestamp = ts,
+                original_url = uri,
+                mimetype = httpMime
+                  .orElse(rec.contentType.map(_.split(";")(0).trim))
+                  .getOrElse("unk"),
+                payload = body)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Write one `<basename>.cdx` next to nothing in particular — per-input
     * side outputs with the .TMP→rename commit of CDXGenerator.java:171-179. */
   def extractToFiles(spark: SparkSession, paths: Seq[String], outDir: String,

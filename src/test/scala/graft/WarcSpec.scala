@@ -430,6 +430,49 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.badMembers.value == 0L)
   }
 
+  test("payloadRows: binary entities byte-exact, chunked bodies " +
+      "de-chunked to the same bytes, revisits/warcinfo skipped") {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "pay")
+    val f = dir.resolve("media-00000.warc.gz")
+    // a binary entity with interior \r\n\r\n and gzip-magic bytes: the
+    // header split must stop at the FIRST separator, not the body's
+    val entity = Array[Byte](0x1f, 0x8b.toByte, 'B', 'M', 0, 13, 10, 13,
+      10, 0x7f, 0x80.toByte, 0xff.toByte, 1, 2, 3)
+    def resp(uri: String, chunked: Boolean): Array[Byte] = {
+      val body =
+        if (!chunked) entity
+        else {
+          val (a, b) = entity.splitAt(5)
+          f"${a.length}%x;x=1\r\n".getBytes("US-ASCII") ++ a ++
+            "\r\n".getBytes ++ f"${b.length}%x\r\n".getBytes("US-ASCII") ++
+            b ++ "\r\n0\r\n\r\n".getBytes("US-ASCII")
+        }
+      val head = ("HTTP/1.1 200 OK\r\nContent-Type: image/bmp\r\n" +
+        (if (chunked) "Transfer-Encoding: chunked\r\n" else "") +
+        "\r\n").getBytes("US-ASCII")
+      val http = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2021-06-01T00:00:00Z\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
+        http
+    }
+    val revisit = ("WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      "WARC-Target-URI: http://example.com/r\r\n" +
+      "WARC-Date: 2021-06-01T00:00:01Z\r\nContent-Length: 0\r\n\r\n")
+      .getBytes("US-ASCII")
+    Files.write(f, gz(warcinfo) ++
+      gz(resp("http://example.com/plain", chunked = false)) ++
+      gz(resp("http://example.com/chunk", chunked = true)) ++
+      gz(revisit))
+    val rows = WarcExtract.payloadRows(spark, Seq(f.toString))
+      .collect().sortBy(_.original_url)
+    assert(rows.length == 2, "warcinfo and revisit skipped by type")
+    assert(rows.forall(_.mimetype == "image/bmp"))
+    assert(rows(0).payload.sameElements(entity), "chunked de-chunks exactly")
+    assert(rows(1).payload.sameElements(entity), "plain body exact")
+    assert(rows(0).urlkey == "com,example)/chunk")
+  }
+
   test("extract -soft: corrupt member counted, good prefix recovered") {
     val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "warcbad")
     val good = gz(warcResponse("http://ok.org/", "2012-01-03T08:45:08Z", "ok"))
