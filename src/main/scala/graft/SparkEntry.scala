@@ -494,6 +494,22 @@ object SparkEntry {
         queryPred = col("vec_id") % 97 === 0,
         numPlanes = 8, dim = 64, k = 5, probes = 4)),
 
+    // Product-quantization ANN under the oracle gate (Jégou et al.
+    // 2011): vectors encode to 4 byte-range codes against seeded
+    // deterministic codebooks (md5-derived like q54's planes, so the
+    // oracle recomputes them); queries score candidates by ADC — a
+    // per-query LUT of centroid dots, mSub lookups per candidate, the
+    // candidate side carrying ONLY codes. The memory-bounded scale
+    // path next to IVF (q43) and hyperplane LSH (q54/q73): at 100 TB
+    // the code table is 32x smaller than the vectors and is all the
+    // search scans. The oracle replays codebook derivation, argmin
+    // encode (ties -> smallest code) and the LUT sum exactly.
+    "q122_ann_pq" -> ((s, dir) =>
+      graft.operators.llm.AnnOps.pqTopK(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") % 101 === 0,
+        mSub = 4, kCodes = 16, dim = 64, k = 5)),
+
     // Revisit resolution (as-of join): each warc/revisit capture resolves
     // to the newest prior original of the same (urlkey, digest); originals
     // resolve to themselves; dangling revisits stay NULL. Synthesized
@@ -3313,6 +3329,46 @@ object SparkEntry {
         |SELECT * FROM (SELECT query_id, cand_id, dot,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
+        |WHERE rn <= 5""".stripMargin,
+
+    // Replays PQ end-to-end: the seeded codebooks from the md5 hex
+    // derivation (16*h1 + h2 - 128 per component), argmin-distance
+    // encode with ties to the smallest code, and the ADC sum of
+    // per-subspace centroid dots.
+    "q122_ann_pq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cb AS (SELECT m, c, list(
+        |      16 * (strpos('0123456789abcdef', substring(md5(
+        |        'pq|' || CAST(m AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+        |        || '|' || CAST(j AS VARCHAR)), 1, 1)) - 1)
+        |      + (strpos('0123456789abcdef', substring(md5(
+        |        'pq|' || CAST(m AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+        |        || '|' || CAST(j AS VARCHAR)), 2, 1)) - 1) - 128
+        |    ORDER BY j) AS cv
+        |  FROM range(0, 4) tm(m), range(0, 16) tc(c), range(0, 16) tj(j)
+        |  GROUP BY m, c),
+        |dist AS (SELECT e.vec_id, cb.m, cb.c,
+        |    CAST(list_sum(list_transform(cb.cv, x -> x * x)) AS BIGINT)
+        |      - 2 * CAST(list_sum(list_transform(range(1, 17),
+        |          i -> e.q[cb.m * 16 + i] * cb.cv[i])) AS BIGINT) AS d
+        |  FROM e CROSS JOIN cb),
+        |enc AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, q AS qv FROM e
+        |  WHERE vec_id % 101 = 0),
+        |sc AS (SELECT qs.query_id, enc.vec_id AS cand_id,
+        |    CAST(SUM(CAST(list_sum(list_transform(range(1, 17),
+        |      i -> qs.qv[enc.m * 16 + i] * cb.cv[i])) AS BIGINT))
+        |      AS BIGINT) AS dot
+        |  FROM enc JOIN cb ON cb.m = enc.m AND cb.c = enc.c
+        |  CROSS JOIN qs WHERE enc.vec_id <> qs.query_id
+        |  GROUP BY qs.query_id, enc.vec_id)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM sc)
         |WHERE rn <= 5""".stripMargin,
 
     "q73_ann_multiprobe" ->

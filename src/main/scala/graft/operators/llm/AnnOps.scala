@@ -306,6 +306,116 @@ object AnnOps {
     topK(scored, k)
   }
 
+  /** Deterministic PQ codebook centroid (Jégou et al. 2011, product
+    * quantization): component j of code c in subspace m is the FIRST
+    * BYTE of md5("pq|m|c|j") minus 128 — an integer in [-128, 127],
+    * engine-portable (an external oracle recomputes it from the two
+    * leading hex chars: 16·h1 + h2 − 128, the same derivation family
+    * as [[hyperplane]]). Production codebooks come from per-subspace
+    * k-means ([[KMeans]] on sliced columns); this seeded rule exists so
+    * the DuckDB gate can replay ENCODE and ADC exactly — the mechanics
+    * are identical for trained codebooks via [[pqTopKWithCodebooks]]. */
+  def pqCentroid(m: Int, c: Int, subDim: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until subDim).map { j =>
+      (md.digest(s"pq|$m|$c|$j".getBytes("UTF-8"))(0) & 0xff) - 128L
+    }
+  }
+
+  /** All `mSub` seeded codebooks of `kCodes` centroids each. */
+  def pqCodebooks(mSub: Int, kCodes: Int, dim: Int): Seq[Seq[Seq[Long]]] = {
+    require(mSub >= 1 && dim % mSub == 0,
+      s"dim=$dim must split evenly into mSub=$mSub subspaces")
+    require(kCodes >= 1 && kCodes <= 256,
+      s"kCodes must be in [1, 256] (a code is a byte), got $kCodes")
+    (0 until mSub).map(m =>
+      (0 until kCodes).map(c => pqCentroid(m, c, dim / mSub)))
+  }
+
+  /** Code of subspace m: argmin_c ‖x_m − cent_c‖² — expanded as
+    * argmin_c (Σcent² − 2·dot(x_m, cent)) since Σx² is constant across
+    * c; ties → smallest c (array_min on struct(dist, c)). Map-side
+    * literal fold like [[ivfTopKWithCodebook]]'s argmax. */
+  private def pqCodeCol(q: Column, m: Int, cents: Seq[Seq[Long]],
+                        subDim: Int): Column = {
+    val sub = slice(q, m * subDim + 1, subDim)
+    val scored = cents.zipWithIndex.map { case (cv, c) =>
+      val cent2 = cv.map(v => v * v).sum
+      struct((lit(cent2) - lit(2L) * dot(sub, typedLit(cv))).as("dist"),
+        lit(c).as("c"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("c")
+  }
+
+  /**
+   * Product-quantization encode: every vector becomes `mSub` byte-range
+   * codes — (id, codes array<int>). Pure MAP-SIDE (the codebooks fold
+   * in as literals), zero shuffle at any scale, and the corpus
+   * representation shrinks from `dim` longs to `mSub` small ints —
+   * the memory-bounded ANN path: at 100 TB of embeddings, the code
+   * table is dim/mSub·8× smaller than the vectors and is the ONLY
+   * thing the search stage ever scans.
+   */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               mSub: Int, kCodes: Int, dim: Int): DataFrame = {
+    val cbs = pqCodebooks(mSub, kCodes, dim)
+    val subDim = dim / mSub
+    emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .select(col(idCol), array((0 until mSub).map(m =>
+        pqCodeCol(col("__q"), m, cbs(m), subDim)): _*).as("codes"))
+  }
+
+  /**
+   * PQ top-k by asymmetric distance computation (ADC): the query keeps
+   * full precision and precomputes a lookup table of its dot product
+   * with every centroid (mSub·kCodes entries, QUERY-side only); each
+   * candidate's approximate score is then mSub table lookups on its
+   * codes — no per-candidate vector arithmetic at all. The corpus side
+   * of the broadcast join carries ONLY (id, codes); scoring is mSub
+   * element_at + adds (plain codegen, no HOF). Exhaustive over
+   * candidates by design — PQ's point is making the exhaustive scan
+   * cheap and the scan input small; compose with [[ivfTopK]]'s coarse
+   * buckets for IVF-PQ when even the code scan must prune.
+   */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, mSub: Int, kCodes: Int, dim: Int,
+             k: Int): DataFrame =
+    pqTopKWithCodebooks(emb, idCol, vecCol, queryPred,
+      pqCodebooks(mSub, kCodes, dim), dim, k)
+
+  /** [[pqTopK]] with explicit codebooks — the trained-codebook
+    * production shape (per-subspace k-means output). */
+  def pqTopKWithCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, cbs: Seq[Seq[Seq[Long]]],
+                          dim: Int, k: Int): DataFrame = {
+    val mSub = cbs.length
+    require(mSub >= 1 && dim % mSub == 0,
+      s"dim=$dim must split evenly into ${mSub} codebooks")
+    val kCodes = cbs.head.length
+    require(cbs.forall(_.length == kCodes),
+      "all subspace codebooks must have the same size")
+    val subDim = dim / mSub
+    val codes = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .select(col(idCol), array((0 until mSub).map(m =>
+        pqCodeCol(col("__q"), m, cbs(m), subDim)): _*).as("__codes"))
+    // query side filters BEFORE the quantize+LUT projection (the
+    // broadcast build otherwise runs mSub·kCodes corpus-wide dots to
+    // keep 1/queryRate rows)
+    val qs = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
+      .select(col("query_id"), array((for {
+        m <- 0 until mSub; c <- 0 until kCodes
+      } yield dot(slice(col("__qv"), m * subDim + 1, subDim),
+        typedLit(cbs(m)(c)))).toIndexedSeq: _*).as("__lut"))
+    val scored = codes.crossJoin(broadcast(qs))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        (0 until mSub).map(m => element_at(col("__lut"),
+          lit(m * kCodes + 1) + element_at(col("__codes"), m + 1)))
+          .reduce(_ + _).as("dot"))
+    topK(scored, k)
+  }
+
   /** Bucketed top-k: probe only candidates sharing the query's bucket. */
   def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String,
                    bucketCol: String, queryPred: Column, k: Int): DataFrame = {

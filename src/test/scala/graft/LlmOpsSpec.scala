@@ -393,6 +393,52 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!out.contains(3L))                 // negated vec flips every sign
   }
 
+  test("product quantization: encode + ADC exactly match a JVM " +
+      "recomputation of the seeded codebooks; codes stay in range") {
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => graft.functions.VectorCodegen.roundCastLong(x.toDouble * 1000.0))
+    val dim = 16; val mSub = 4; val kC = 8; val sd = dim / mSub
+    val vecs = (0L until 30L).map(i => (i, Array.tabulate(dim)(d =>
+      (((i * 13 + d * 7) % 23) - 11).toFloat / 4.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = AnnOps.pqTopK(df, "vec_id", "embedding",
+        col("vec_id") === 0, mSub, kC, dim, k = 3)
+      .select("query_id", "cand_id", "dot")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val cbs = AnnOps.pqCodebooks(mSub, kC, dim)
+    assert(cbs.flatten.flatten.forall(v => v >= -128 && v <= 127))
+    def code(q: Array[Long], m: Int): Int =
+      (0 until kC).minBy { c =>
+        val cv = cbs(m)(c)
+        val dist = (0 until sd).map { j =>
+          val d = q(m * sd + j) - cv(j); d * d
+        }.sum
+        (dist, c) // ties -> smallest code, the documented rule
+      }
+    def adc(qv: Array[Long], codes: IndexedSeq[Int]): Long =
+      (0 until mSub).map(m =>
+        (0 until sd).map(j => qv(m * sd + j) * cbs(m)(codes(m))(j)).sum).sum
+    val qv = quant(vecs.head._2)
+    val want = vecs.tail.map { case (id, v) =>
+        val q = quant(v)
+        (id, adc(qv, (0 until mSub).map(code(q, _))))
+      }.sortBy { case (id, d) => (-d, id) }.take(3)
+      .map { case (id, d) => (0L, id, d) }.toSet
+    assert(got == want)
+
+    val codesOut = AnnOps.pqEncode(df, "vec_id", "embedding", mSub, kC, dim)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codesOut.values.forall(cs =>
+      cs.length == mSub && cs.forall(c => c >= 0 && c < kC)))
+    // identical vectors encode identically (vec 0 vs a clone)
+    val twin = (100L, vecs.head._2.clone())
+    val both = AnnOps.pqEncode((vecs :+ twin).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", mSub, kC, dim).as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(both(0L) == both(100L))
+  }
+
   test("vocab: df dedups per doc, tf counts occurrences, ties break on token") {
     val df = Seq(
       (1L, "b b a c"),
