@@ -383,8 +383,42 @@ object AnnOps {
     pqTopKWithCodebooks(emb, idCol, vecCol, queryPred,
       pqCodebooks(mSub, kCodes, dim), dim, k)
 
+  /** Train per-subspace PQ codebooks with [[KMeans.lloyd]] on SLICED
+    * subvectors — the production codebook path (the seeded
+    * [[pqCodebooks]] exist for oracle replay): subspace m's codebook
+    * is k-means over components [m·subDim, (m+1)·subDim), centroids
+    * are floor-divided exact integer means (deterministic, like every
+    * integer op here), densely re-indexed in cluster-id order (dead
+    * clusters drop). `seedPred` picks the initial centroid rows as in
+    * [[ivfTopK]]. Feed the result to [[pqTopKWithCodebooks]]. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              seedPred: Column, mSub: Int, dim: Int,
+              iters: Int = 3): Seq[Seq[Seq[Long]]] = {
+    require(mSub >= 1 && dim % mSub == 0,
+      s"dim=$dim must split evenly into mSub=$mSub subspaces")
+    val subDim = dim / mSub
+    (0 until mSub).map { m =>
+      val sub = emb.select(col(idCol),
+        slice(col(vecCol), m * subDim + 1, subDim).as("__sub"))
+      val assigned = KMeans.lloyd(sub, idCol, "__sub", seedPred, iters)
+      val e = sub.select(col(idCol).cast("long").as("__id"),
+        quantize(col("__sub")).as("__q"))
+      val sums = (0 until subDim).map(i =>
+        sum(element_at(col("__q"), i + 1)).as(s"s$i"))
+      assigned.join(e, assigned(idCol) === e("__id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val n = r.getLong(1)
+          (0 until subDim).map(i => Math.floorDiv(r.getLong(i + 2), n)): Seq[Long]
+        }.toSeq
+    }
+  }
+
   /** [[pqTopK]] with explicit codebooks — the trained-codebook
-    * production shape (per-subspace k-means output). */
+    * production shape (per-subspace k-means output, [[pqTrain]]). */
   def pqTopKWithCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, cbs: Seq[Seq[Seq[Long]]],
                           dim: Int, k: Int): DataFrame = {

@@ -439,6 +439,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(both(0L) == both(100L))
   }
 
+  test("trained PQ codebooks (per-subspace k-means) drop into " +
+      "pqTopKWithCodebooks and retrieve the query's own cluster") {
+    // 4 well-separated prototypes x 10 members each, deterministic
+    // per-member noise far smaller than the cluster separation
+    val dim = 8; val mSub = 2
+    val protos = Array(
+      Array.fill(dim)(2.0f), Array.fill(dim)(-2.0f),
+      Array.tabulate(dim)(d => if (d < dim / 2) 2.0f else -2.0f),
+      Array.tabulate(dim)(d => if (d % 2 == 0) 2.0f else -2.0f))
+    val vecs = (0L until 40L).map { i =>
+      val p = protos((i / 10).toInt)
+      (i, Array.tabulate(dim)(d => p(d) + 0.001f * (((i + d) % 7) - 3)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cbs = AnnOps.pqTrain(df, "vec_id", "embedding",
+      seedPred = col("vec_id") % 10 === 0, mSub, dim)
+    assert(cbs.length == mSub && cbs.forall(_.nonEmpty))
+    val got = AnnOps.pqTopKWithCodebooks(df, "vec_id", "embedding",
+        col("vec_id") === 0, cbs, dim, k = 5)
+      .select("cand_id").as[Long].collect().toSet
+    // trained centroids separate the clusters, so ADC ranks the
+    // query's own cluster (ids 1-9) above every other prototype
+    assert(got.forall(_ < 10), s"top-5 leaked other clusters: $got")
+  }
+
   test("vocab: df dedups per doc, tf counts occurrences, ties break on token") {
     val df = Seq(
       (1L, "b b a c"),
