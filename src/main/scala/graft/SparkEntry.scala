@@ -643,6 +643,29 @@ object SparkEntry {
         queryPred = col("vec_id") % 97 === 0, k = 3)
     }),
 
+    // IVF-PQ under the oracle gate — the composed billion-scale ANN
+    // architecture: q43's coarse argmax assignment prunes candidates
+    // to the query's bucket, q122's PQ codes + ADC LUT score the
+    // survivors; the candidate side of the join carries (id, bucket,
+    // 4 codes) and never a vector. The oracle composes the two proven
+    // replays (seed assignment + codebook/encode/LUT-sum) verbatim.
+    "q123_ann_ivfpq" -> ((s, dir) => {
+      val coarse = codebookCache.getOrElseUpdate(
+        tableTag(dir, "embeddings"), {
+          import graft.functions.VectorFunctions.{quantize1000 => qz}
+          tbl(s, dir, "embeddings").where(col("vec_id") < 8)
+            .select(col("vec_id").cast("long"), qz(col("embedding")))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+            .sortBy(_._1)
+        })
+      graft.operators.llm.AnnOps.ivfPqTopK(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", coarse,
+        queryPred = col("vec_id") % 97 === 0,
+        cbs = graft.operators.llm.AnnOps.pqCodebooks(4, 16, 64),
+        dim = 64, k = 3)
+    }),
+
     // Text analysis: per-(lang, source) doc/char/token stats. The token
     // count is PROJECTED once per row before the aggregation — sum() and
     // max() each evaluate their own expression tree, so referencing the
@@ -3330,6 +3353,54 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
         |WHERE rn <= 5""".stripMargin,
+
+    // Replays IVF-PQ: q43's seed-assignment CTEs + q122's
+    // codebook/encode CTEs, joined on bucket equality, ADC-summed.
+    "q123_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS sid, q AS sq FROM e WHERE vec_id < 8),
+        |scx AS (SELECT e.vec_id, e.q, s.sid,
+        |    CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+        |      i -> e.q[i] * s.sq[i])) AS BIGINT) AS sdot
+        |  FROM e CROSS JOIN seeds s),
+        |assigned AS (SELECT vec_id, q, sid FROM (
+        |    SELECT vec_id, q, sid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sdot DESC, sid) AS rk FROM scx) WHERE rk = 1),
+        |cb AS (SELECT m, c, list(
+        |      16 * (strpos('0123456789abcdef', substring(md5(
+        |        'pq|' || CAST(m AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+        |        || '|' || CAST(j AS VARCHAR)), 1, 1)) - 1)
+        |      + (strpos('0123456789abcdef', substring(md5(
+        |        'pq|' || CAST(m AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+        |        || '|' || CAST(j AS VARCHAR)), 2, 1)) - 1) - 128
+        |    ORDER BY j) AS cv
+        |  FROM range(0, 4) tm(m), range(0, 16) tc(c), range(0, 16) tj(j)
+        |  GROUP BY m, c),
+        |dist AS (SELECT e.vec_id, cb.m, cb.c,
+        |    CAST(list_sum(list_transform(cb.cv, x -> x * x)) AS BIGINT)
+        |      - 2 * CAST(list_sum(list_transform(range(1, 17),
+        |          i -> e.q[cb.m * 16 + i] * cb.cv[i])) AS BIGINT) AS d
+        |  FROM e CROSS JOIN cb),
+        |enc AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, q AS qv, sid AS qb
+        |  FROM assigned WHERE vec_id % 97 = 0),
+        |pairs AS (SELECT query_id, a.vec_id AS cand_id, qv
+        |  FROM assigned a JOIN qs ON a.sid = qb AND a.vec_id <> query_id),
+        |d AS (SELECT p.query_id, p.cand_id,
+        |    CAST(SUM(CAST(list_sum(list_transform(range(1, 17),
+        |      i -> p.qv[enc.m * 16 + i] * cb.cv[i])) AS BIGINT))
+        |      AS BIGINT) AS dot
+        |  FROM pairs p JOIN enc ON enc.vec_id = p.cand_id
+        |  JOIN cb ON cb.m = enc.m AND cb.c = enc.c
+        |  GROUP BY p.query_id, p.cand_id)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
+        |WHERE rn <= 3""".stripMargin,
 
     // Replays PQ end-to-end: the seeded codebooks from the md5 hex
     // derivation (16*h1 + h2 - 128 per component), argmin-distance

@@ -178,14 +178,10 @@ object AnnOps {
     require(codebook.length <= 256,
       s"${codebook.length} centroids: the literal-fold assignment is for " +
         "coarse codebooks (<= 256); use a broadcast centroid table beyond that")
-    val scoreStructs = codebook.map { case (sid, sq) =>
-      struct(dot(col("__q"), typedLit(sq)).as("sdot"),
-        lit(-sid).as("nsid"))
-    }
-    val best = array_max(array(scoreStructs.toIndexedSeq: _*))
     def assign(d: DataFrame): DataFrame =
       d.select(col(idCol), quantize(col(vecCol)).as("__q"))
-        .select(col(idCol), col("__q"), (-best.getField("nsid")).as("__sid"))
+        .select(col(idCol), col("__q"),
+          coarseAssignCol(col("__q"), codebook).as("__sid"))
     val assigned = assign(emb)
     // the QUERY side filters BEFORE the quantize+assign projection: the
     // broadcast build otherwise re-runs the codebook dots over the whole
@@ -199,6 +195,18 @@ object AnnOps {
       .select(col("query_id"), col(idCol).as("cand_id"),
         dot(col("__qv"), col("__q")).as("dot"))
     topK(scored, k)
+  }
+
+  /** Map-side coarse-centroid assignment: argmax dot against
+    * literal-fold centroids, ties to the lowest centroid id (max over
+    * struct(sdot, -sid)) — the shared core of [[ivfTopKWithCodebook]]
+    * and [[ivfPqTopK]]. */
+  private def coarseAssignCol(q: Column,
+                              codebook: Seq[(Long, Seq[Long])]): Column = {
+    val scoreStructs = codebook.map { case (sid, sq) =>
+      struct(dot(q, typedLit(sq)).as("sdot"), lit(-sid).as("nsid"))
+    }
+    -array_max(array(scoreStructs.toIndexedSeq: _*)).getField("nsid")
   }
 
   /** Deterministic ±1 hyperplane `p` over `dim` dimensions: component c
@@ -443,6 +451,50 @@ object AnnOps {
         typedLit(cbs(m)(c)))).toIndexedSeq: _*).as("__lut"))
     val scored = codes.crossJoin(broadcast(qs))
       .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        (0 until mSub).map(m => element_at(col("__lut"),
+          lit(m * kCodes + 1) + element_at(col("__codes"), m + 1)))
+          .reduce(_ + _).as("dot"))
+    topK(scored, k)
+  }
+
+  /**
+   * IVF-PQ — the composed published architecture (coarse quantizer +
+   * product codes): the coarse codebook prunes candidates to the
+   * query's bucket via the map-side argmax fold (as [[ivfTopK]]), and
+   * PQ codes make scanning the survivors cheap — the candidate side of
+   * the join carries (id, bucket, mSub codes), never a vector; ADC
+   * scores via the query's broadcast LUT exactly as [[pqTopK]]. At
+   * 100 TB this is the standard billion-scale ANN shape: vectors are
+   * read once at encode time, search touches only buckets and codes.
+   */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                coarse: Seq[(Long, Seq[Long])], queryPred: Column,
+                cbs: Seq[Seq[Seq[Long]]], dim: Int, k: Int): DataFrame = {
+    require(coarse.nonEmpty && coarse.length <= 256,
+      s"coarse codebook must have 1..256 centroids, got ${coarse.length}")
+    val mSub = cbs.length
+    require(mSub >= 1 && dim % mSub == 0,
+      s"dim=$dim must split evenly into ${mSub} codebooks")
+    val kCodes = cbs.head.length
+    require(cbs.forall(_.length == kCodes),
+      "all subspace codebooks must have the same size")
+    val subDim = dim / mSub
+    val cand = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .select(col(idCol),
+        coarseAssignCol(col("__q"), coarse).as("__sid"),
+        array((0 until mSub).map(m =>
+          pqCodeCol(col("__q"), m, cbs(m), subDim)): _*).as("__codes"))
+    val qs = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
+      .select(col("query_id"),
+        coarseAssignCol(col("__qv"), coarse).as("__qb"),
+        array((for {
+          m <- 0 until mSub; c <- 0 until kCodes
+        } yield dot(slice(col("__qv"), m * subDim + 1, subDim),
+          typedLit(cbs(m)(c)))).toIndexedSeq: _*).as("__lut"))
+    val scored = cand.join(broadcast(qs),
+        col("__sid") === col("__qb") && col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
         (0 until mSub).map(m => element_at(col("__lut"),
           lit(m * kCodes + 1) + element_at(col("__codes"), m + 1)))
