@@ -348,9 +348,28 @@ object ScaleRehearsal {
     val multi = AnnOps.hyperplaneTopK(
       big, "vec_id", "embedding", queries, numPlanes, dim, 10,
       probes = numPlanes)
+    // PQ in its production shape: per-subspace k-means codebooks
+    // trained on the corpus (one-time), codes MATERIALIZED once
+    // (one-time ingest), then ADC search over the CODE TABLE — the
+    // search plan never reads a vector. Train + encode are timed
+    // separately because they amortize over every later query batch.
+    val tT = System.nanoTime()
+    val pqCbs = AnnOps.pqTrain(big, "vec_id", "embedding",
+      seedPred = col("vec_id") < 16, mSub = 4, dim = dim)
+    val trainWall = (System.nanoTime() - tT) / 1e9
+    val pqCodes = AnnOps.pqEncodeWithCodebooks(
+      big, "vec_id", "embedding", pqCbs, dim).persist()
+    val tE = System.nanoTime()
+    pqCodes.count()
+    val encodeWall = (System.nanoTime() - tE) / 1e9
+    println(f"[rehearsal-ann] pq one-time: train=$trainWall%.2f s " +
+      f"encode=$encodeWall%.2f s (k=${pqCbs.head.length} codes/subspace)")
+    val pq = AnnOps.pqTopKFromCodes(pqCodes, "vec_id", "codes",
+      big.where(queries), "vec_id", "embedding", pqCbs, dim, 10)
     timed("brute")(brute)
     timed(s"hyperplane(p=$numPlanes,probes=0)")(single)
     timed(s"hyperplane(p=$numPlanes,probes=$numPlanes)")(multi)
+    timed("pq-adc-search(m=4,trained)")(pq)
 
     // recall vs the exact top-10 (untimed diagnostic): the production
     // quality metric for the scale path — multi-probe exists because
@@ -366,7 +385,9 @@ object ScaleRehearsal {
       if (truth.isEmpty) 1.0
       else (pairs(df) intersect truth).size.toDouble / truth.size
     println(f"[rehearsal-ann] recall@10 single=${recall(single)}%.3f " +
-      f"multi(probes=$numPlanes)=${recall(multi)}%.3f")
+      f"multi(probes=$numPlanes)=${recall(multi)}%.3f " +
+      f"pq(trained)=${recall(pq)}%.3f")
+    pqCodes.unpersist(blocking = false)
     big.unpersist(blocking = false)
   }
 

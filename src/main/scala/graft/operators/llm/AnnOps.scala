@@ -365,12 +365,53 @@ object AnnOps {
    * thing the search stage ever scans.
    */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-               mSub: Int, kCodes: Int, dim: Int): DataFrame = {
-    val cbs = pqCodebooks(mSub, kCodes, dim)
+               mSub: Int, kCodes: Int, dim: Int): DataFrame =
+    pqEncodeWithCodebooks(emb, idCol, vecCol,
+      pqCodebooks(mSub, kCodes, dim), dim)
+
+  /** [[pqEncode]] with explicit (e.g. [[pqTrain]]ed) codebooks. */
+  def pqEncodeWithCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                            cbs: Seq[Seq[Seq[Long]]], dim: Int): DataFrame = {
+    val mSub = cbs.length
+    require(mSub >= 1 && dim % mSub == 0,
+      s"dim=$dim must split evenly into ${mSub} codebooks")
     val subDim = dim / mSub
     emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
       .select(col(idCol), array((0 until mSub).map(m =>
         pqCodeCol(col("__q"), m, cbs(m), subDim)): _*).as("codes"))
+  }
+
+  /** ADC search over a PRECOMPUTED code table — the production shape:
+    * [[pqEncodeWithCodebooks]] runs once at ingest, this is what every
+    * query batch executes; the vectors are never read again. `codes` is
+    * (idCol, codesCol); `queries` carries full-precision query vectors
+    * (queryIdCol, queryVecCol). Self-pairs (same id value on both
+    * sides) are excluded, matching [[pqTopK]]. */
+  def pqTopKFromCodes(codes: DataFrame, idCol: String, codesCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryVecCol: String, cbs: Seq[Seq[Seq[Long]]],
+                      dim: Int, k: Int): DataFrame = {
+    val mSub = cbs.length
+    require(mSub >= 1 && dim % mSub == 0,
+      s"dim=$dim must split evenly into ${mSub} codebooks")
+    val kCodes = cbs.head.length
+    require(cbs.forall(_.length == kCodes),
+      "all subspace codebooks must have the same size")
+    val subDim = dim / mSub
+    val qs = queries
+      .select(col(queryIdCol).as("query_id"),
+        quantize(col(queryVecCol)).as("__qv"))
+      .select(col("query_id"), array((for {
+        m <- 0 until mSub; c <- 0 until kCodes
+      } yield dot(slice(col("__qv"), m * subDim + 1, subDim),
+        typedLit(cbs(m)(c)))).toIndexedSeq: _*).as("__lut"))
+    val scored = codes.crossJoin(broadcast(qs))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        (0 until mSub).map(m => element_at(col("__lut"),
+          lit(m * kCodes + 1) + element_at(col(codesCol), m + 1)))
+          .reduce(_ + _).as("dot"))
+    topK(scored, k)
   }
 
   /**
@@ -426,37 +467,19 @@ object AnnOps {
   }
 
   /** [[pqTopK]] with explicit codebooks — the trained-codebook
-    * production shape (per-subspace k-means output, [[pqTrain]]). */
+    * production shape (per-subspace k-means output, [[pqTrain]]).
+    * Encode-then-search in one plan; when the same corpus serves many
+    * query batches, materialize [[pqEncodeWithCodebooks]] once and use
+    * [[pqTopKFromCodes]] instead. The query side filters BEFORE the
+    * quantize+LUT projection (the broadcast build otherwise runs
+    * mSub·kCodes corpus-wide dots to keep 1/queryRate rows). */
   def pqTopKWithCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, cbs: Seq[Seq[Seq[Long]]],
-                          dim: Int, k: Int): DataFrame = {
-    val mSub = cbs.length
-    require(mSub >= 1 && dim % mSub == 0,
-      s"dim=$dim must split evenly into ${mSub} codebooks")
-    val kCodes = cbs.head.length
-    require(cbs.forall(_.length == kCodes),
-      "all subspace codebooks must have the same size")
-    val subDim = dim / mSub
-    val codes = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
-      .select(col(idCol), array((0 until mSub).map(m =>
-        pqCodeCol(col("__q"), m, cbs(m), subDim)): _*).as("__codes"))
-    // query side filters BEFORE the quantize+LUT projection (the
-    // broadcast build otherwise runs mSub·kCodes corpus-wide dots to
-    // keep 1/queryRate rows)
-    val qs = emb.where(queryPred)
-      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
-      .select(col("query_id"), array((for {
-        m <- 0 until mSub; c <- 0 until kCodes
-      } yield dot(slice(col("__qv"), m * subDim + 1, subDim),
-        typedLit(cbs(m)(c)))).toIndexedSeq: _*).as("__lut"))
-    val scored = codes.crossJoin(broadcast(qs))
-      .where(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("cand_id"),
-        (0 until mSub).map(m => element_at(col("__lut"),
-          lit(m * kCodes + 1) + element_at(col("__codes"), m + 1)))
-          .reduce(_ + _).as("dot"))
-    topK(scored, k)
-  }
+                          dim: Int, k: Int): DataFrame =
+    pqTopKFromCodes(
+      pqEncodeWithCodebooks(emb, idCol, vecCol, cbs, dim),
+      idCol, "codes",
+      emb.where(queryPred), idCol, vecCol, cbs, dim, k)
 
   /**
    * IVF-PQ — the composed published architecture (coarse quantizer +
