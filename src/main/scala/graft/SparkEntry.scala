@@ -2380,6 +2380,7 @@ object SparkEntry {
       val file = mediaWarcFixture(s, dir)
       val media = graft.operators.WarcExtract
         .payloadRows(s, Seq(file.getAbsolutePath), soft = true)
+        .rows
         .map { r =>
           val id = r.original_url
             .substring(r.original_url.lastIndexOf('/') + 1).toLong
@@ -2727,7 +2728,7 @@ object SparkEntry {
   private def mediaWarcFixture(s: SparkSession, dir: String): java.io.File = {
     val base = tmpDir("q121", dir)
     val file = new java.io.File(s"$base/media.warc.gz")
-    fixtureOnce(base, "v1", dir, "documents") {
+    fixtureOnce(base, "v2", dir, "documents") {
       import graft.operators.llm.{GifCodec, JpegCodec, MediaCodecs}
       val ids = tbl(s, dir, "documents")
         .select(col("doc_id").cast("long")).orderBy(col("doc_id"))
@@ -2763,7 +2764,9 @@ object SparkEntry {
                     Array((10 + id % 200).toInt, ((3 * id) % 256).toInt,
                       ((7 * id) % 251).toInt)))
                 case 2 =>
-                  val ch = if (id % 2 == 0) 3 else 1
+                  // id % 4 == 2 forces id even, so the gray/color split
+                  // must key on a bit that VARIES within this branch
+                  val ch = if ((id / 4) % 2 == 0) 3 else 1
                   val cb = 128 + 4 * (id % 7).toInt
                   val cr = 128 + 6 * (id % 5).toInt
                   val yv = 16 + 8 * (id % 24).toInt
@@ -5039,7 +5042,7 @@ object SparkEntry {
       """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |g AS (SELECT id, id % 4 AS m4,
         |    10 + id % 200 AS rv, (3 * id) % 256 AS gv, (7 * id) % 251 AS bv,
-        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |    CASE WHEN (id // 4) % 2 = 0 THEN 3 ELSE 1 END AS ch,
         |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr,
         |    16 + 8 * (id % 24) AS yv,
         |    (id // 4) % 4 AS cidx,

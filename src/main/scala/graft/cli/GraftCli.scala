@@ -137,9 +137,10 @@ object GraftCli {
         val spark = session("media-decode")
         val (flags, pos) = rest.partition(_.startsWith("--"))
         import spark.implicits._
-        val media = graft.operators.WarcExtract
+        val ex = graft.operators.WarcExtract
           .payloadRows(spark, pos.tail.toSeq,
             soft = flags.contains("--soft"))
+        val media = ex.rows
           .map { r =>
             // urlkey+timestamp identify the capture; doc_id is a
             // deterministic 63-bit hash of that identity
@@ -152,7 +153,10 @@ object GraftCli {
           }
         graft.operators.llm.MultimodalOps.decode(media)
           .write.mode("overwrite").parquet(pos.head)
-        println(s"wrote media features -> ${pos.head}")
+        // accumulator is valid only after the action above ran
+        println(s"wrote media features -> ${pos.head}" +
+          (if (ex.badMembers.value > 0)
+            s" (skipped ${ex.badMembers.value} corrupt members)" else ""))
         spark.stop()
       case "date-filter" =>
         // date-filter <root> <expr> [extSuffix] — list files accepted by

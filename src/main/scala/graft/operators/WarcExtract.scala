@@ -134,16 +134,12 @@ object WarcExtract {
       }
     }
 
-  /** Extract response/resource/revisit records of `paths` (one task per
-    * file). */
-  def extract(spark: SparkSession, paths: Seq[String],
-              soft: Boolean = false): Extraction = {
+  /** EXACT one-file-per-task placement (S1): round-robin repartition can
+    * stack two files on one task and leave another empty — shared by
+    * every per-file walk in this object. */
+  private def oneTaskPerFile(spark: SparkSession,
+                             paths: Seq[String]): Dataset[String] = {
     import spark.implicits._
-    val conf = new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val bad = spark.sparkContext.longAccumulator("warc.bad.members")
-    // EXACT one-file-per-task placement (S1): round-robin repartition can
-    // stack two files on one task and leave another empty
     val n = math.max(1, paths.size)
     val pathsRdd = spark.sparkContext
       .parallelize(paths.zipWithIndex.map(_.swap), n)
@@ -152,7 +148,18 @@ object WarcExtract {
         override def getPartition(key: Any): Int = key.asInstanceOf[Int] % n
       })
       .values
-    val rows = spark.createDataset(pathsRdd)
+    spark.createDataset(pathsRdd)
+  }
+
+  /** Extract response/resource/revisit records of `paths` (one task per
+    * file). */
+  def extract(spark: SparkSession, paths: Seq[String],
+              soft: Boolean = false): Extraction = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bad = spark.sparkContext.longAccumulator("warc.bad.members")
+    val rows = oneTaskPerFile(spark, paths)
       .mapPartitions { pathIter =>
         pathIter.flatMap(pathStr => fileRows(pathStr, conf, soft, bad))
       }
@@ -232,6 +239,12 @@ object WarcExtract {
                               original_url: String, mimetype: String,
                               payload: Array[Byte])
 
+  /** [[payloadRows]] result: the rows plus the --skip-bad accumulator
+    * (how many corrupt members `soft` silently skipped — same
+    * observable [[Extraction]] carries; evaluate it AFTER an action). */
+  final case class PayloadExtraction(rows: Dataset[PayloadRow],
+                                     badMembers: LongAccumulator)
+
   /** Extract response/resource ENTITY BYTES (one task per file, same
     * placement as extract()): the WARC → binary-column bridge a
     * crawl-media pipeline starts from. Bodies follow the same
@@ -244,20 +257,12 @@ object WarcExtract {
     * walk: payload bytes live only while their row is in flight, never
     * a whole file's worth at once. */
   def payloadRows(spark: SparkSession, paths: Seq[String],
-                  soft: Boolean = false): Dataset[PayloadRow] = {
+                  soft: Boolean = false): PayloadExtraction = {
     import spark.implicits._
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bad = spark.sparkContext.longAccumulator("warc.bad.members.payload")
-    val n = math.max(1, paths.size)
-    val pathsRdd = spark.sparkContext
-      .parallelize(paths.zipWithIndex.map(_.swap), n)
-      .partitionBy(new org.apache.spark.Partitioner {
-        override def numPartitions: Int = n
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int] % n
-      })
-      .values
-    spark.createDataset(pathsRdd).mapPartitions { pathIter =>
+    val rows = oneTaskPerFile(spark, paths).mapPartitions { pathIter =>
       pathIter.flatMap { pathStr =>
         val p = new Path(pathStr)
         openMembers(p, conf, soft, bad).flatMap { m =>
@@ -285,6 +290,7 @@ object WarcExtract {
         }
       }
     }
+    PayloadExtraction(rows, bad)
   }
 
   /** Write one `<basename>.cdx` next to nothing in particular — per-input

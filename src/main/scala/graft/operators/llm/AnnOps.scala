@@ -355,6 +355,35 @@ object AnnOps {
     array_min(array(scored.toIndexedSeq: _*)).getField("c")
   }
 
+  /** All mSub code columns as one array — the shared candidate-side
+    * projection of [[pqEncodeWithCodebooks]] and [[ivfPqTopK]]. */
+  private def pqCodesCol(q: Column, cbs: Seq[Seq[Seq[Long]]],
+                         subDim: Int): Column =
+    array(cbs.indices.map(m => pqCodeCol(q, m, cbs(m), subDim)): _*)
+
+  /** Per-subspace LUT offsets into the flattened query LUT — cumulative
+    * codebook sizes, so RAGGED codebooks (uneven dead-cluster drops
+    * from [[pqTrain]]) address correctly. */
+  private def pqLutOffsets(cbs: Seq[Seq[Seq[Long]]]): IndexedSeq[Int] =
+    cbs.scanLeft(0)(_ + _.length).toIndexedSeq
+
+  /** Query-side flattened ADC lookup table: dot of the query's
+    * subvector m with every centroid of codebook m, in (m, c) order. */
+  private def pqLutCol(qv: Column, cbs: Seq[Seq[Seq[Long]]],
+                       subDim: Int): Column =
+    array((for {
+      m <- cbs.indices; cv <- cbs(m)
+    } yield dot(slice(qv, m * subDim + 1, subDim),
+      typedLit(cv))).toIndexedSeq: _*)
+
+  /** ADC score: Σ_m lut[offset(m) + code_m] — mSub lookups and adds. */
+  private def adcScoreCol(lut: Column, codes: Column,
+                          cbs: Seq[Seq[Seq[Long]]]): Column = {
+    val offs = pqLutOffsets(cbs)
+    cbs.indices.map(m => element_at(lut,
+      lit(offs(m) + 1) + element_at(codes, m + 1))).reduce(_ + _)
+  }
+
   /**
    * Product-quantization encode: every vector becomes `mSub` byte-range
    * codes — (id, codes array<int>). Pure MAP-SIDE (the codebooks fold
@@ -369,7 +398,8 @@ object AnnOps {
     pqEncodeWithCodebooks(emb, idCol, vecCol,
       pqCodebooks(mSub, kCodes, dim), dim)
 
-  /** [[pqEncode]] with explicit (e.g. [[pqTrain]]ed) codebooks. */
+  /** [[pqEncode]] with explicit (e.g. [[pqTrain]]ed) codebooks —
+    * ragged codebooks (uneven sizes across subspaces) are fine. */
   def pqEncodeWithCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                             cbs: Seq[Seq[Seq[Long]]], dim: Int): DataFrame = {
     val mSub = cbs.length
@@ -377,8 +407,7 @@ object AnnOps {
       s"dim=$dim must split evenly into ${mSub} codebooks")
     val subDim = dim / mSub
     emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
-      .select(col(idCol), array((0 until mSub).map(m =>
-        pqCodeCol(col("__q"), m, cbs(m), subDim)): _*).as("codes"))
+      .select(col(idCol), pqCodesCol(col("__q"), cbs, subDim).as("codes"))
   }
 
   /** ADC search over a PRECOMPUTED code table — the production shape:
@@ -394,23 +423,16 @@ object AnnOps {
     val mSub = cbs.length
     require(mSub >= 1 && dim % mSub == 0,
       s"dim=$dim must split evenly into ${mSub} codebooks")
-    val kCodes = cbs.head.length
-    require(cbs.forall(_.length == kCodes),
-      "all subspace codebooks must have the same size")
+    require(cbs.forall(_.nonEmpty), "a subspace codebook is empty")
     val subDim = dim / mSub
     val qs = queries
       .select(col(queryIdCol).as("query_id"),
         quantize(col(queryVecCol)).as("__qv"))
-      .select(col("query_id"), array((for {
-        m <- 0 until mSub; c <- 0 until kCodes
-      } yield dot(slice(col("__qv"), m * subDim + 1, subDim),
-        typedLit(cbs(m)(c)))).toIndexedSeq: _*).as("__lut"))
+      .select(col("query_id"), pqLutCol(col("__qv"), cbs, subDim).as("__lut"))
     val scored = codes.crossJoin(broadcast(qs))
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
-        (0 until mSub).map(m => element_at(col("__lut"),
-          lit(m * kCodes + 1) + element_at(col(codesCol), m + 1)))
-          .reduce(_ + _).as("dot"))
+        adcScoreCol(col("__lut"), col(codesCol), cbs).as("dot"))
     topK(scored, k)
   }
 
@@ -446,23 +468,18 @@ object AnnOps {
     require(mSub >= 1 && dim % mSub == 0,
       s"dim=$dim must split evenly into mSub=$mSub subspaces")
     val subDim = dim / mSub
+    // one k-means per subspace, sequential — acceptable because
+    // codebook training is a ONE-TIME offline step that amortizes over
+    // every later encode/search (the rehearsal reports it separately);
+    // if retraining ever becomes hot, the fusion is one Lloyd loop
+    // whose per-round agg groups by (subspace, cluster)
     (0 until mSub).map { m =>
       val sub = emb.select(col(idCol),
         slice(col(vecCol), m * subDim + 1, subDim).as("__sub"))
-      val assigned = KMeans.lloyd(sub, idCol, "__sub", seedPred, iters)
-      val e = sub.select(col(idCol).cast("long").as("__id"),
-        quantize(col("__sub")).as("__q"))
-      val sums = (0 until subDim).map(i =>
-        sum(element_at(col("__q"), i + 1)).as(s"s$i"))
-      assigned.join(e, assigned(idCol) === e("__id"))
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("__n"), sums: _*)
-        .collect()
-        .sortBy(_.getLong(0))
-        .map { r =>
-          val n = r.getLong(1)
-          (0 until subDim).map(i => Math.floorDiv(r.getLong(i + 2), n)): Seq[Long]
-        }.toSeq
+      KMeans.codebookWithCounts(sub, idCol, "__sub", seedPred, iters)
+        .map { case (_, n, sums) =>
+          sums.map(s => Math.floorDiv(s, n)): Seq[Long]
+        }
     }
   }
 
@@ -499,29 +516,21 @@ object AnnOps {
     val mSub = cbs.length
     require(mSub >= 1 && dim % mSub == 0,
       s"dim=$dim must split evenly into ${mSub} codebooks")
-    val kCodes = cbs.head.length
-    require(cbs.forall(_.length == kCodes),
-      "all subspace codebooks must have the same size")
+    require(cbs.forall(_.nonEmpty), "a subspace codebook is empty")
     val subDim = dim / mSub
     val cand = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
       .select(col(idCol),
         coarseAssignCol(col("__q"), coarse).as("__sid"),
-        array((0 until mSub).map(m =>
-          pqCodeCol(col("__q"), m, cbs(m), subDim)): _*).as("__codes"))
+        pqCodesCol(col("__q"), cbs, subDim).as("__codes"))
     val qs = emb.where(queryPred)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
       .select(col("query_id"),
         coarseAssignCol(col("__qv"), coarse).as("__qb"),
-        array((for {
-          m <- 0 until mSub; c <- 0 until kCodes
-        } yield dot(slice(col("__qv"), m * subDim + 1, subDim),
-          typedLit(cbs(m)(c)))).toIndexedSeq: _*).as("__lut"))
+        pqLutCol(col("__qv"), cbs, subDim).as("__lut"))
     val scored = cand.join(broadcast(qs),
         col("__sid") === col("__qb") && col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
-        (0 until mSub).map(m => element_at(col("__lut"),
-          lit(m * kCodes + 1) + element_at(col("__codes"), m + 1)))
-          .reduce(_ + _).as("dot"))
+        adcScoreCol(col("__lut"), col("__codes"), cbs).as("dot"))
     topK(scored, k)
   }
 

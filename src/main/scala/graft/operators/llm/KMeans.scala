@@ -135,7 +135,15 @@ object KMeans {
   /** Final centroids as a driver-side codebook (id, sum-vector) — the
     * shape [[AnnOps.ivfTopKWithCodebook]] takes. */
   def codebook(emb: DataFrame, idCol: String, vecCol: String,
-               seedPred: Column, iters: Int = 3): Seq[(Long, Seq[Long])] = {
+               seedPred: Column, iters: Int = 3): Seq[(Long, Seq[Long])] =
+    codebookWithCounts(emb, idCol, vecCol, seedPred, iters)
+      .map { case (id, _, s) => (id, s) }
+
+  /** [[codebook]] plus member counts — (cluster id, count, sum-vector);
+    * count enables exact integer MEAN centroids ([[AnnOps.pqTrain]]). */
+  def codebookWithCounts(emb: DataFrame, idCol: String, vecCol: String,
+                         seedPred: Column,
+                         iters: Int = 3): Seq[(Long, Long, Seq[Long])] = {
     val assigned = lloyd(emb, idCol, vecCol, seedPred, iters)
     val e = emb.select(col(idCol).cast("long").as("__id"),
       AnnOps.quantize(col(vecCol)).as("__q"))
@@ -143,10 +151,11 @@ object KMeans {
     val sums = (0 until dim).map(i =>
       sum(element_at(col("__q"), i + 1)).as(s"s$i"))
     assigned.join(e, assigned(idCol) === e("__id"))
-      .groupBy(col("cluster")).agg(sums.head, sums.tail: _*)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
       .collect()
-      .map(r => (r.getLong(0),
-        Array.tabulate(dim)(i => r.getLong(i + 1)).toSeq))
+      .map(r => (r.getLong(0), r.getLong(1),
+        Array.tabulate(dim)(i => r.getLong(i + 2)).toSeq))
       .sortBy(_._1).toSeq
   }
 

@@ -463,10 +463,12 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     Files.write(f, gz(warcinfo) ++
       gz(resp("http://example.com/plain", chunked = false)) ++
       gz(resp("http://example.com/chunk", chunked = true)) ++
-      gz(revisit))
-    val rows = WarcExtract.payloadRows(spark, Seq(f.toString))
-      .collect().sortBy(_.original_url)
+      gz(revisit) ++
+      Array.fill[Byte](24)(0x2b)) // corrupt tail, soft-skipped + counted
+    val ex = WarcExtract.payloadRows(spark, Seq(f.toString), soft = true)
+    val rows = ex.rows.collect().sortBy(_.original_url)
     assert(rows.length == 2, "warcinfo and revisit skipped by type")
+    assert(ex.badMembers.value == 1L, "--skip-bad count observable")
     assert(rows.forall(_.mimetype == "image/bmp"))
     assert(rows(0).payload.sameElements(entity), "chunked de-chunks exactly")
     assert(rows(1).payload.sameElements(entity), "plain body exact")
