@@ -366,10 +366,17 @@ object ScaleRehearsal {
       f"encode=$encodeWall%.2f s (k=${pqCbs.head.length} codes/subspace)")
     val pq = AnnOps.pqTopKFromCodes(pqCodes, "vec_id", "codes",
       big.where(queries), "vec_id", "embedding", pqCbs, dim, 10)
+    // the production recall fix: 16x over-scanned ADC shortlist,
+    // exact re-rank of that shortlist only
+    val pqRerank = AnnOps.exactRerank(
+      AnnOps.pqTopKFromCodes(pqCodes, "vec_id", "codes",
+        big.where(queries), "vec_id", "embedding", pqCbs, dim, 10 * 16),
+      big, "vec_id", "embedding", queries, 10)
     timed("brute")(brute)
     timed(s"hyperplane(p=$numPlanes,probes=0)")(single)
     timed(s"hyperplane(p=$numPlanes,probes=$numPlanes)")(multi)
     timed("pq-adc-search(m=4,trained)")(pq)
+    timed("pq-rerank(overscan=16)")(pqRerank)
 
     // recall vs the exact top-10 (untimed diagnostic): the production
     // quality metric for the scale path — multi-probe exists because
@@ -386,7 +393,8 @@ object ScaleRehearsal {
       else (pairs(df) intersect truth).size.toDouble / truth.size
     println(f"[rehearsal-ann] recall@10 single=${recall(single)}%.3f " +
       f"multi(probes=$numPlanes)=${recall(multi)}%.3f " +
-      f"pq(trained)=${recall(pq)}%.3f")
+      f"pq(trained)=${recall(pq)}%.3f " +
+      f"pq+rerank(16x)=${recall(pqRerank)}%.3f")
     pqCodes.unpersist(blocking = false)
     big.unpersist(blocking = false)
   }

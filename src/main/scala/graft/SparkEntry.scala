@@ -666,6 +666,20 @@ object SparkEntry {
         dim = 64, k = 3)
     }),
 
+    // PQ propose + EXACT re-rank under the oracle gate — the standard
+    // recall fix behind any approximate proposer: the ADC scan
+    // proposes 4x over-scanned candidates from codes alone, then only
+    // that shortlist's true vectors are fetched and exactly re-scored
+    // (broadcast shortlist against the corpus scan — nothing
+    // corpus-sized shuffles). The oracle replays q122's shortlist at
+    // rn <= 20 and the exact-dot re-rank at rn <= 5.
+    "q124_ann_pq_rerank" -> ((s, dir) =>
+      graft.operators.llm.AnnOps.pqTopKReranked(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") % 101 === 0,
+        cbs = graft.operators.llm.AnnOps.pqCodebooks(4, 16, 64),
+        dim = 64, k = 5, overscan = 4)),
+
     // Text analysis: per-(lang, source) doc/char/token stats. The token
     // count is PROJECTED once per row before the aggregation — sum() and
     // max() each evaluate their own expression tree, so referencing the
@@ -3355,6 +3369,53 @@ object SparkEntry {
         |SELECT * FROM (SELECT query_id, cand_id, dot,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM d)
+        |WHERE rn <= 5""".stripMargin,
+
+    // Replays PQ-then-exact-rerank: q122's CTEs produce the ADC
+    // shortlist (rn <= k*overscan = 20), the re-rank recomputes true
+    // integer dots for the shortlist only.
+    "q124_ann_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cb AS (SELECT m, c, list(
+        |      16 * (strpos('0123456789abcdef', substring(md5(
+        |        'pq|' || CAST(m AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+        |        || '|' || CAST(j AS VARCHAR)), 1, 1)) - 1)
+        |      + (strpos('0123456789abcdef', substring(md5(
+        |        'pq|' || CAST(m AS VARCHAR) || '|' || CAST(c AS VARCHAR)
+        |        || '|' || CAST(j AS VARCHAR)), 2, 1)) - 1) - 128
+        |    ORDER BY j) AS cv
+        |  FROM range(0, 4) tm(m), range(0, 16) tc(c), range(0, 16) tj(j)
+        |  GROUP BY m, c),
+        |dist AS (SELECT e.vec_id, cb.m, cb.c,
+        |    CAST(list_sum(list_transform(cb.cv, x -> x * x)) AS BIGINT)
+        |      - 2 * CAST(list_sum(list_transform(range(1, 17),
+        |          i -> e.q[cb.m * 16 + i] * cb.cv[i])) AS BIGINT) AS d
+        |  FROM e CROSS JOIN cb),
+        |enc AS (SELECT vec_id, m, c FROM (SELECT vec_id, m, c,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, q AS qv FROM e
+        |  WHERE vec_id % 101 = 0),
+        |sc AS (SELECT qs.query_id, enc.vec_id AS cand_id,
+        |    CAST(SUM(CAST(list_sum(list_transform(range(1, 17),
+        |      i -> qs.qv[enc.m * 16 + i] * cb.cv[i])) AS BIGINT))
+        |      AS BIGINT) AS adc
+        |  FROM enc JOIN cb ON cb.m = enc.m AND cb.c = enc.c
+        |  CROSS JOIN qs WHERE enc.vec_id <> qs.query_id
+        |  GROUP BY qs.query_id, enc.vec_id),
+        |short AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc DESC, cand_id) AS rn FROM sc) WHERE rn <= 20),
+        |rr AS (SELECT s.query_id, s.cand_id,
+        |    CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+        |      i -> qs.qv[i] * e.q[i])) AS BIGINT) AS dot
+        |  FROM short s JOIN e ON e.vec_id = s.cand_id
+        |  JOIN qs ON qs.query_id = s.query_id)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM rr)
         |WHERE rn <= 5""".stripMargin,
 
     // Replays IVF-PQ: q43's seed-assignment CTEs + q122's

@@ -534,6 +534,42 @@ object AnnOps {
     topK(scored, k)
   }
 
+  /** Exact re-rank of a candidate SHORTLIST — the standard recall fix
+    * behind any approximate proposer (PQ / IVF / LSH): the shortlist
+    * (queries × a few dozen ids) BROADCASTS against the corpus scan,
+    * so only shortlisted vectors are ever scored exactly and nothing
+    * corpus-sized shuffles; the final top-k window carries (query,
+    * cand, dot) pairs only. */
+  def exactRerank(shortlist: DataFrame, emb: DataFrame, idCol: String,
+                  vecCol: String, queryPred: Column, k: Int): DataFrame = {
+    val vecs = emb.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("__cq"))
+    val qs = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
+    val scored = vecs
+      .join(broadcast(shortlist.select(col("query_id"), col("cand_id"))),
+        Seq("cand_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        dot(col("__qv"), col("__cq")).as("dot"))
+    topK(scored, k)
+  }
+
+  /** PQ propose + exact re-rank: the ADC scan proposes `k·overscan`
+    * candidates per query (cheap, code-table only), [[exactRerank]]
+    * re-scores that shortlist with true dots — recall approaches the
+    * shortlist's coverage while the exact work stays
+    * O(queries·k·overscan), never O(corpus). */
+  def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, cbs: Seq[Seq[Seq[Long]]],
+                     dim: Int, k: Int, overscan: Int = 4): DataFrame = {
+    require(overscan >= 1, s"overscan must be >= 1, got $overscan")
+    exactRerank(
+      pqTopKWithCodebooks(emb, idCol, vecCol, queryPred, cbs, dim,
+        k * overscan),
+      emb, idCol, vecCol, queryPred, k)
+  }
+
   /** Bucketed top-k: probe only candidates sharing the query's bucket. */
   def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String,
                    bucketCol: String, queryPred: Column, k: Int): DataFrame = {
