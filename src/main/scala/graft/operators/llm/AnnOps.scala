@@ -340,26 +340,16 @@ object AnnOps {
       (0 until kCodes).map(c => pqCentroid(m, c, dim / mSub)))
   }
 
-  /** Code of subspace m: argmin_c ‖x_m − cent_c‖² — expanded as
-    * argmin_c (Σcent² − 2·dot(x_m, cent)) since Σx² is constant across
-    * c; ties → smallest c (array_min on struct(dist, c)). Map-side
-    * literal fold like [[ivfTopKWithCodebook]]'s argmax. */
-  private def pqCodeCol(q: Column, m: Int, cents: Seq[Seq[Long]],
-                        subDim: Int): Column = {
-    val sub = slice(q, m * subDim + 1, subDim)
-    val scored = cents.zipWithIndex.map { case (cv, c) =>
-      val cent2 = cv.map(v => v * v).sum
-      struct((lit(cent2) - lit(2L) * dot(sub, typedLit(cv))).as("dist"),
-        lit(c).as("c"))
-    }
-    array_min(array(scored.toIndexedSeq: _*)).getField("c")
-  }
-
-  /** All mSub code columns as one array — the shared candidate-side
-    * projection of [[pqEncodeWithCodebooks]] and [[ivfPqTopK]]. */
+  /** All mSub codes (argmin_c ‖x_m − cent_c‖², ties → smallest c) as
+    * one array — the shared candidate-side projection of
+    * [[pqEncodeWithCodebooks]] and [[ivfPqTopK]]. A native expression
+    * (codebooks as ONE reference object): the literal-fold
+    * formulation — mSub×kCodes struct(dist, c) sub-expressions over
+    * slices — outgrew JIT-able generated code at the q122 shape and
+    * ran interpreter-bound (~200 µs/row; the native loop is ~1 µs). */
   private def pqCodesCol(q: Column, cbs: Seq[Seq[Seq[Long]]],
                          subDim: Int): Column =
-    array(cbs.indices.map(m => pqCodeCol(q, m, cbs(m), subDim)): _*)
+    graft.functions.VectorFunctions.pqEncode(q, cbs)
 
   /** Per-subspace LUT offsets into the flattened query LUT — cumulative
     * codebook sizes, so RAGGED codebooks (uneven dead-cluster drops
@@ -485,16 +475,22 @@ object AnnOps {
 
   /** [[pqTopK]] with explicit codebooks — the trained-codebook
     * production shape (per-subspace k-means output, [[pqTrain]]).
-    * Encode-then-search in one plan; when the same corpus serves many
-    * query batches, materialize [[pqEncodeWithCodebooks]] once and use
-    * [[pqTopKFromCodes]] instead. The query side filters BEFORE the
-    * quantize+LUT projection (the broadcast build otherwise runs
-    * mSub·kCodes corpus-wide dots to keep 1/queryRate rows). */
+    * Encode-then-search: the code table is MATERIALIZED
+    * (localCheckpoint) before the search joins it — without the
+    * barrier, codegen inlines the per-row encode through the join and
+    * re-evaluates it per (candidate, query) PAIR, once per ADC lookup
+    * (measured: 1.4 s vs 0.46 s at the q122 shape). That is also PQ's
+    * own semantics: codes are computed once at ingest; when the same
+    * corpus serves many query batches, persist
+    * [[pqEncodeWithCodebooks]] yourself and call [[pqTopKFromCodes]].
+    * The query side filters BEFORE the quantize+LUT projection (the
+    * broadcast build otherwise runs mSub·kCodes corpus-wide dots to
+    * keep 1/queryRate rows). */
   def pqTopKWithCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, cbs: Seq[Seq[Seq[Long]]],
                           dim: Int, k: Int): DataFrame =
     pqTopKFromCodes(
-      pqEncodeWithCodebooks(emb, idCol, vecCol, cbs, dim),
+      pqEncodeWithCodebooks(emb, idCol, vecCol, cbs, dim).localCheckpoint(),
       idCol, "codes",
       emb.where(queryPred), idCol, vecCol, cbs, dim, k)
 
@@ -518,10 +514,14 @@ object AnnOps {
       s"dim=$dim must split evenly into ${mSub} codebooks")
     require(cbs.forall(_.nonEmpty), "a subspace codebook is empty")
     val subDim = dim / mSub
+    // materialized for the same reason as pqTopKWithCodebooks: the
+    // assignment + encode must run once per ROW, not once per joined
+    // pair (codegen would inline them through the broadcast join)
     val cand = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
       .select(col(idCol),
         coarseAssignCol(col("__q"), coarse).as("__sid"),
         pqCodesCol(col("__q"), cbs, subDim).as("__codes"))
+      .localCheckpoint()
     val qs = emb.where(queryPred)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
       .select(col("query_id"),
