@@ -123,6 +123,25 @@ object MultimodalOps {
     val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { m =>
       md.reset()
+      try decodeOne(m, md)
+      catch { case scala.util.control.NonFatal(_) =>
+        // DAMAGED media: a payload that sniffs as a known container but
+        // fails its decode (truncated entropy stream, lying tables — a
+        // certainty somewhere in 100 TB of crawl) degrades to the same
+        // deterministic fallback an unsniffed format takes, instead of
+        // killing the task — the WARC walk's --skip-bad philosophy.
+        // Codec BUGS still surface in the specs, which call the codecs
+        // directly; ContainerFuzzSpec pins this never-throws contract.
+        md.reset()
+        DecodedMedia(m.doc_id, m.format, m.payload.length.toLong,
+          hexLower(md.digest(m.payload)))
+      }
+    }
+  }
+
+  private def decodeOne(m: MediaRecord,
+                        md: java.security.MessageDigest): DecodedMedia = {
+    {
       if (MediaCodecs.sniffBmp(m.payload)) {
         val img = MediaCodecs.decodeBmp(m.payload)
         val feat = s"bmp ${img.width}x${img.height} " +
@@ -217,7 +236,29 @@ object MultimodalOps {
       (math.max(1L, w.toLong * maxDim / longest).toInt,
         math.max(1L, h.toLong * maxDim / longest).toInt)
     }
+    def declaredFit(m: MediaRecord): ResizedMedia = {
+      val longest = math.max(m.width, m.height)
+      if (longest <= maxDim)
+        ResizedMedia(m.doc_id, m.format, m.width, m.height, m.payload)
+      else {
+        val (w, h) = fit(m.width, m.height)
+        ResizedMedia(m.doc_id, m.format, w, h, m.payload)
+      }
+    }
     ds.mapPartitions(_.map { m =>
+      try resizeOne(m, maxDim, fit, declaredFit)
+      catch { case scala.util.control.NonFatal(_) =>
+        // damaged media degrades to the declared-dimension pass-through
+        // (see decodeBatch) instead of killing the task
+        declaredFit(m)
+      }
+    })
+  }
+
+  private def resizeOne(m: MediaRecord, maxDim: Int,
+                        fit: (Int, Int) => (Int, Int),
+                        declaredFit: MediaRecord => ResizedMedia): ResizedMedia = {
+    {
       val raster: Option[(MediaCodecs.Raster, String)] =
         if (MediaCodecs.sniffBmp(m.payload))
           Some((MediaCodecs.decodeBmpPixels(m.payload), "bmp"))
@@ -233,14 +274,7 @@ object MultimodalOps {
           Some((GifCodec.decodeGifPixels(m.payload), "png"))
         else None
       raster match {
-        case None =>
-          val longest = math.max(m.width, m.height)
-          if (longest <= maxDim)
-            ResizedMedia(m.doc_id, m.format, m.width, m.height, m.payload)
-          else {
-            val (w, h) = fit(m.width, m.height)
-            ResizedMedia(m.doc_id, m.format, w, h, m.payload)
-          }
+        case None => declaredFit(m)
         case Some((r, container)) =>
           // decoded dimensions are the truth, not the declared metadata
           if (math.max(r.width, r.height) <= maxDim)
@@ -270,7 +304,7 @@ object MultimodalOps {
             ResizedMedia(m.doc_id, container, w, h, payload)
           }
       }
-    })
+    }
   }
 
   /** One sampled frame: index within the source + its feature hash. */
@@ -299,52 +333,73 @@ object MultimodalOps {
     import ds.sparkSession.implicits._
     require(frameSize > 0 && stride > 0,
       s"frameSize and stride must be positive, got $frameSize/$stride")
-    ds.mapPartitions { batch =>
+    ds.mapPartitions(frameSampleBatch(_, frameSize, stride))
+  }
+
+  /** Per-partition body of [[frameSample]] — public for the same
+    * reason [[decodeBatch]] is: direct batch-level exercise (fuzz,
+    * tools) without a session. */
+  def frameSampleBatch(batch: Iterator[MediaRecord], frameSize: Int,
+                       stride: Int): Iterator[SampledFrame] = {
+    {
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.flatMap { m =>
-        if (AviCodec.sniffAvi(m.payload)) {
-          sampleContainer(m, md, "avi-frame",
-            AviCodec.parseAvi(m.payload).frames, stride)
-        } else if (GifCodec.sniffGif(m.payload)) {
-          // animated (or single-frame) GIF: one container walk, only
-          // kept frames pay LZW decode, each consumed standalone
-          GifCodec.sampleFrames(m.payload, stride).iterator.map {
-            case (i, r) =>
+        // container branches materialize STRICTLY inside the try: the
+        // kept-frame rows are bounded (frames/stride), and a lazy
+        // iterator would throw outside the damage guard
+        val real: Option[Seq[SampledFrame]] =
+          try {
+            if (AviCodec.sniffAvi(m.payload)) {
+              Some(sampleContainer(m, md, "avi-frame",
+                AviCodec.parseAvi(m.payload).frames, stride).toVector)
+            } else if (GifCodec.sniffGif(m.payload)) {
+              // animated (or single-frame) GIF: one container walk, only
+              // kept frames pay LZW decode, each consumed standalone
+              Some(GifCodec.sampleFrames(m.payload, stride).map {
+                case (i, r) =>
+                  md.reset()
+                  var sum = 0L
+                  var max = 0
+                  var k = 0
+                  while (k < r.samples.length) {
+                    sum += r.samples(k)
+                    if (r.samples(k) > max) max = r.samples(k)
+                    k += 1
+                  }
+                  val kind = if (r.channels == 3) "rgb" else "rgba"
+                  val feat = s"gif-frame $kind ${r.width}x${r.height} $sum $max"
+                  SampledFrame(m.doc_id, i,
+                    r.width.toLong * r.height * r.channels,
+                    hexLower(md.digest(feat.getBytes("UTF-8"))))
+              })
+            } else if (Mp4Codec.sniffMp4(m.payload)) {
+              // ISO-BMFF video: extents come from the moov sample tables,
+              // so skipped samples are never even INDEXED past linearly —
+              // on a seekable store the walk is O(moov), not O(file)
+              Some(sampleContainer(m, md, "mp4-frame",
+                Mp4Codec.parseMp4(m.payload).frames, stride).toVector)
+            } else if (MkvCodec.sniffMkv(m.payload)) {
+              // Matroska/WebM: one EBML walk collects the video track's
+              // block extents (interleaved audio skipped by track-number
+              // dispatch); only kept frames pay entropy decode
+              Some(sampleContainer(m, md, "mkv-frame",
+                MkvCodec.parseMkv(m.payload).frames, stride).toVector)
+            } else None
+          } catch { case scala.util.control.NonFatal(_) =>
+            // DAMAGED container: degrade to the chunking stub below
+            // instead of killing the task (see decodeBatch)
+            None
+          }
+        real match {
+          case Some(rows) => rows.iterator
+          case None =>
+            val nFrames = m.payload.length / frameSize // partial tail dropped
+            (0 until nFrames by stride).iterator.map { i =>
               md.reset()
-              var sum = 0L
-              var max = 0
-              var k = 0
-              while (k < r.samples.length) {
-                sum += r.samples(k)
-                if (r.samples(k) > max) max = r.samples(k)
-                k += 1
-              }
-              val kind = if (r.channels == 3) "rgb" else "rgba"
-              val feat = s"gif-frame $kind ${r.width}x${r.height} $sum $max"
-              SampledFrame(m.doc_id, i,
-                r.width.toLong * r.height * r.channels,
-                hexLower(md.digest(feat.getBytes("UTF-8"))))
-          }
-        } else if (Mp4Codec.sniffMp4(m.payload)) {
-          // ISO-BMFF video: extents come from the moov sample tables,
-          // so skipped samples are never even INDEXED past linearly —
-          // on a seekable store the walk is O(moov), not O(file)
-          sampleContainer(m, md, "mp4-frame",
-            Mp4Codec.parseMp4(m.payload).frames, stride)
-        } else if (MkvCodec.sniffMkv(m.payload)) {
-          // Matroska/WebM: one EBML walk collects the video track's
-          // block extents (interleaved audio skipped by track-number
-          // dispatch); only kept frames pay entropy decode
-          sampleContainer(m, md, "mkv-frame",
-            MkvCodec.parseMkv(m.payload).frames, stride)
-        } else {
-          val nFrames = m.payload.length / frameSize // trailing partial dropped
-          (0 until nFrames by stride).iterator.map { i =>
-            md.reset()
-            md.update(m.payload, i * frameSize, frameSize)
-            SampledFrame(m.doc_id, i, frameSize.toLong,
-              hexLower(md.digest()))
-          }
+              md.update(m.payload, i * frameSize, frameSize)
+              SampledFrame(m.doc_id, i, frameSize.toLong,
+                hexLower(md.digest()))
+            }
         }
       }
     }
