@@ -2405,6 +2405,44 @@ object SparkEntry {
           col("thumb_hash"))
     }),
 
+    // Video DECODE under the oracle gate — q117/q119/q120 gate the
+    // SAMPLING path; this gates decodeBatch's container branches (the
+    // eager whole-video feature pass): every doc is a 2-6-frame
+    // DC-only MJPEG video in AVI, MP4 or MKV by id % 3, and the
+    // container-level feature sums EVERY frame's decoded stats — the
+    // q117 per-frame closed form without the stride filter. One wrong
+    // extent in any of the three walks, or a feature fed through the
+    // damage fallback, fails the hash.
+    "q125_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.llm.{AviCodec, JpegCodec, MkvCodec,
+        Mp4Codec, MultimodalOps}
+      val media = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val nf = 2 + (id % 5).toInt
+          val nComp = if (id % 2 == 0) 3 else 1
+          val cb = 128 + 4 * (id % 7).toInt
+          val cr = 128 + 6 * (id % 5).toInt
+          val frames = (0 until nf).map { fi =>
+            val yv = 16 + 8 * ((id + 5 * fi) % 24).toInt
+            JpegCodec.encodeJpeg(8, 8, nComp, 1, JpegCodec.flatQuant,
+              JpegCodec.flatQuant, 0, (_, _) => (yv, cb, cr))
+          }
+          val (fmt, payload) = (id % 3) match {
+            case 0 => ("avi", AviCodec.encodeAviMjpeg(8, 8, 10, frames))
+            case 1 => ("mp4", Mp4Codec.encodeMp4Mjpeg(8, 8, 10, frames,
+              samplesPerChunk = 1 + (id % 3).toInt))
+            case _ => ("mkv", MkvCodec.encodeMkvMjpeg(8, 8, frames,
+              clusterSize = 1 + (id % 4).toInt))
+          }
+          MultimodalOps.MediaRecord(id, payload, fmt, 8, 8)
+        }
+      MultimodalOps.decode(media)
+        .select(col("doc_id"), col("format"), col("decoded_bytes"),
+          col("thumb_hash"))
+    }),
+
     // REAL GIF decode under the oracle gate — the palette format a
     // 20-year crawl carries alongside JPEG/PNG. Each doc synthesizes
     // a valid GIF89a of 4x4-px tiles over a 4-color id-derived
@@ -5137,6 +5175,34 @@ object SparkEntry {
         |      || GREATEST(pr, pg, pb))
         |  END AS thumb_hash
         |FROM c""".stripMargin,
+
+    // Replays q125 in closed form: the q117 per-frame DC-only replay
+    // without the stride filter, summed per doc into the
+    // container-level feature (format by id % 3).
+    "q125_video_decode" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |g AS (SELECT id, 2 + id % 5 AS nf, id % 3 AS m3,
+        |    CASE WHEN id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+        |    128 + 4 * (id % 7) AS cb, 128 + 6 * (id % 5) AS cr FROM p),
+        |fr AS (SELECT id, m3, ch, cb, cr, fi,
+        |    16 + 8 * ((id + 5 * fi) % 24) AS yv
+        |  FROM g, range(0, 6) r0(fi) WHERE fi < nf),
+        |c AS (SELECT id, m3, ch, fi, yv,
+        |    LEAST(255, GREATEST(0, yv + (91881 * (cr - 128) + 32768) // 65536)) AS r,
+        |    LEAST(255, GREATEST(0, yv - (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) // 65536)) AS gg,
+        |    LEAST(255, GREATEST(0, yv + (116130 * (cb - 128) + 32768) // 65536)) AS bb
+        |  FROM fr),
+        |f AS (SELECT id, m3, ch, COUNT(*) AS nf,
+        |    SUM(64 * (CASE WHEN ch = 1 THEN yv ELSE r + gg + bb END)) AS s,
+        |    MAX(CASE WHEN ch = 1 THEN yv ELSE GREATEST(r, gg, bb) END) AS mx
+        |  FROM c GROUP BY id, m3, ch)
+        |SELECT id AS doc_id,
+        |  CASE m3 WHEN 0 THEN 'avi' WHEN 1 THEN 'mp4' ELSE 'mkv' END
+        |    AS format,
+        |  CAST(nf * 64 * ch AS BIGINT) AS decoded_bytes,
+        |  md5(CASE m3 WHEN 0 THEN 'avi' WHEN 1 THEN 'mp4' ELSE 'mkv' END
+        |    || ' 8x8 ' || nf || ' ' || s || ' ' || mx) AS thumb_hash
+        |FROM f""".stripMargin,
 
     // Replays the q118 fixture arithmetically: 64 pixels per palette
     // color; transparent docs drop color 2 and add 255 alpha per
