@@ -120,8 +120,6 @@ case class WordGramsExpression(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** Static entry points shared by interpreted eval and generated code
-  * (deliberately not a companion object — see [[SurtCodegen]]). */
 /** Product-quantization encode: argmin-distance code per subspace, the
   * whole codebook bundle folded in as ONE reference object. The
   * literal-fold formulation (mSub×kCodes struct/dot/slice
@@ -159,6 +157,8 @@ case class PqEncodeExpression(child: Expression,
     copy(child = newChild)
 }
 
+/** Static entry points shared by interpreted eval and generated code
+  * (deliberately not a companion object — see [[SurtCodegen]]). */
 object VectorCodegen {
 
   /** Tight-loop PQ encode (see [[PqEncodeExpression]]); ragged

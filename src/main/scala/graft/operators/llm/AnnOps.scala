@@ -347,8 +347,7 @@ object AnnOps {
     * formulation — mSub×kCodes struct(dist, c) sub-expressions over
     * slices — outgrew JIT-able generated code at the q122 shape and
     * ran interpreter-bound (~200 µs/row; the native loop is ~1 µs). */
-  private def pqCodesCol(q: Column, cbs: Seq[Seq[Seq[Long]]],
-                         subDim: Int): Column =
+  private def pqCodesCol(q: Column, cbs: Seq[Seq[Seq[Long]]]): Column =
     graft.functions.VectorFunctions.pqEncode(q, cbs)
 
   /** Per-subspace LUT offsets into the flattened query LUT — cumulative
@@ -395,9 +394,13 @@ object AnnOps {
     val mSub = cbs.length
     require(mSub >= 1 && dim % mSub == 0,
       s"dim=$dim must split evenly into ${mSub} codebooks")
-    val subDim = dim / mSub
+    // validated HERE, not only in the search: the eager checkpoint in
+    // pqTopKWithCodebooks runs this encode before the search's own
+    // require would fire, and an empty book must raise cleanly, not
+    // AIOOBE inside an executor
+    require(cbs.forall(_.nonEmpty), "a subspace codebook is empty")
     emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
-      .select(col(idCol), pqCodesCol(col("__q"), cbs, subDim).as("codes"))
+      .select(col(idCol), pqCodesCol(col("__q"), cbs).as("codes"))
   }
 
   /** ADC search over a PRECOMPUTED code table — the production shape:
@@ -520,7 +523,7 @@ object AnnOps {
     val cand = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
       .select(col(idCol),
         coarseAssignCol(col("__q"), coarse).as("__sid"),
-        pqCodesCol(col("__q"), cbs, subDim).as("__codes"))
+        pqCodesCol(col("__q"), cbs).as("__codes"))
       .localCheckpoint()
     val qs = emb.where(queryPred)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))

@@ -127,17 +127,25 @@ object MultimodalOps {
       catch { case scala.util.control.NonFatal(_) =>
         // DAMAGED media: a payload that sniffs as a known container but
         // fails its decode (truncated entropy stream, lying tables — a
-        // certainty somewhere in 100 TB of crawl) degrades to the same
-        // deterministic fallback an unsniffed format takes, instead of
-        // killing the task — the WARC walk's --skip-bad philosophy.
-        // Codec BUGS still surface in the specs, which call the codecs
-        // directly; ContainerFuzzSpec pins this never-throws contract.
+        // certainty somewhere in 100 TB of crawl) degrades to the SAME
+        // deterministic fallback an unsniffed format takes (shared
+        // helper — the identity is a hash contract, not a convention),
+        // instead of killing the task — the WARC walk's --skip-bad
+        // philosophy. Codec BUGS still surface in the specs, which
+        // call the codecs directly; ContainerFuzzSpec pins this
+        // never-throws contract.
         md.reset()
-        DecodedMedia(m.doc_id, m.format, m.payload.length.toLong,
-          hexLower(md.digest(m.payload)))
+        rawFallback(m, md)
       }
     }
   }
+
+  /** The deterministic no-decode feature row — taken by unsniffed
+    * formats AND by damaged payloads (the two must hash identically). */
+  private def rawFallback(m: MediaRecord,
+                          md: java.security.MessageDigest): DecodedMedia =
+    DecodedMedia(m.doc_id, m.format, m.payload.length.toLong,
+      hexLower(md.digest(m.payload)))
 
   private def decodeOne(m: MediaRecord,
                         md: java.security.MessageDigest): DecodedMedia = {
@@ -196,8 +204,7 @@ object MultimodalOps {
         containerDecode(m, md, "mkv", vid.width, vid.height, vid.frames)
       } else {
         // fallback for containers with no dependency-free decode
-        DecodedMedia(m.doc_id, m.format, m.payload.length.toLong,
-          hexLower(md.digest(m.payload)))
+        rawFallback(m, md)
       }
     }
   }
@@ -227,6 +234,15 @@ object MultimodalOps {
   def resize(ds: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedMedia] = {
     import ds.sparkSession.implicits._
     require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    ds.mapPartitions(resizeBatch(_, maxDim))
+  }
+
+  /** Per-partition body of [[resize]] — public for the same reason
+    * [[decodeBatch]] is: direct batch-level exercise (fuzz, tools)
+    * without a session. */
+  def resizeBatch(batch: Iterator[MediaRecord],
+                  maxDim: Int): Iterator[ResizedMedia] = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
     // floor-scale, min 1px: integer math keeps it engine-portable;
     // scale in Long — width * maxDim overflows Int for declared
     // dimensions past ~2^31/maxDim (the result itself always fits:
@@ -245,14 +261,14 @@ object MultimodalOps {
         ResizedMedia(m.doc_id, m.format, w, h, m.payload)
       }
     }
-    ds.mapPartitions(_.map { m =>
+    batch.map { m =>
       try resizeOne(m, maxDim, fit, declaredFit)
       catch { case scala.util.control.NonFatal(_) =>
         // damaged media degrades to the declared-dimension pass-through
         // (see decodeBatch) instead of killing the task
         declaredFit(m)
       }
-    })
+    }
   }
 
   private def resizeOne(m: MediaRecord, maxDim: Int,
@@ -331,17 +347,20 @@ object MultimodalOps {
   def frameSample(ds: Dataset[MediaRecord], frameSize: Int,
                   stride: Int): Dataset[SampledFrame] = {
     import ds.sparkSession.implicits._
-    require(frameSize > 0 && stride > 0,
+    require(frameSize > 0 && stride > 0, // fail at BUILD time, not first task
       s"frameSize and stride must be positive, got $frameSize/$stride")
     ds.mapPartitions(frameSampleBatch(_, frameSize, stride))
   }
 
   /** Per-partition body of [[frameSample]] — public for the same
     * reason [[decodeBatch]] is: direct batch-level exercise (fuzz,
-    * tools) without a session. */
+    * tools) without a session. The argument validation lives HERE so
+    * the direct entry point cannot throw raw arithmetic errors. */
   def frameSampleBatch(batch: Iterator[MediaRecord], frameSize: Int,
                        stride: Int): Iterator[SampledFrame] = {
-    {
+    require(frameSize > 0 && stride > 0,
+      s"frameSize and stride must be positive, got $frameSize/$stride")
+    locally {
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.flatMap { m =>
         // container branches materialize STRICTLY inside the try: the

@@ -36,22 +36,8 @@ class ContainerFuzzSpec extends AnyFunSuite {
       "gif" -> GifCodec.encodeGif(16, 16, Array(10, 20, 30, 200, 90, 50,
         40, 0, 120, 255, 255, 9), (x, y) => ((x / 4) + (y / 4)) % 4,
         interlaced = true, transparentIndex = 2),
-      "wav" -> {
-        // sine-free deterministic PCM16 mono via MediaCodecs' encoder if
-        // present; otherwise a minimal hand-built RIFF/WAVE
-        val n = 64
-        val out = new java.io.ByteArrayOutputStream()
-        def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
-          out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
-        def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-        def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
-        tag("RIFF"); le32(36 + 2 * n); tag("WAVE")
-        tag("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
-        le16(2); le16(16)
-        tag("data"); le32(2 * n)
-        (0 until n).foreach(i => le16((i * 321 - 5000) & 0xffff))
-        out.toByteArray
-      },
+      "wav" -> MediaCodecs.encodeWav(8000,
+        Array.tabulate(64)(i => (i * 321 - 5000).toShort)),
       "avi" -> AviCodec.encodeAviMjpeg(8, 8, 10, frames),
       "mp4" -> Mp4Codec.encodeMp4Mjpeg(8, 8, 10, frames, samplesPerChunk = 2,
         syncEvery = 2),
@@ -92,5 +78,11 @@ class ContainerFuzzSpec extends AnyFunSuite {
     while (it.hasNext) { it.next(); frameRows += 1 }
     assert(frameRows > records.size / 2,
       "every record contributes stub or real frames")
+    // resize: one output per record; damage degrades to the
+    // declared-dimension pass-through
+    val resized = MultimodalOps.resizeBatch(records.iterator, 4).toVector
+    assert(resized.size == records.size, "one resized row per record")
+    assert(resized.forall(r => r.width >= 1 && r.height >= 1 &&
+      r.payload != null))
   }
 }
