@@ -167,14 +167,31 @@ object Bench {
     // errors entry) AND fail the process: a bench with any broken query
     // must never be recorded as a clean run (round-10 lesson — rc:0 with
     // AnalysisExceptions in the tail stamped a broken run as success).
-    // The report line is printed BEFORE the nonzero exit so the driver
-    // still collects the partial timings for diagnosis.
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":"$sfDir"$duckField}""")
-    spark.stop()
-    if (errors.nonEmpty) {
+    if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries failed: " +
         errors.keys.mkString(", "))
-      sys.exit(1)
-    }
+    // Teardown happens BEFORE the report line, and the report line is the
+    // very last output of the process (round-15 lesson: BENCH_r15.json was
+    // unparseable because the harness keeps only the output TAIL, and a
+    // post-report StateStore-maintenance thread racing the RpcEnv shutdown
+    // dumped a stack trace after the JSON line). Three layers:
+    //  1. stop any still-active streaming query (the streaming gates stop
+    //     their own, this is belt-and-braces) and the StateStore
+    //     maintenance pool — the thread whose logError raced the teardown;
+    //  2. log level OFF so any residual teardown message is suppressed;
+    //  3. print the JSON line AFTER spark.stop() and exit the (forked)
+    //     JVM immediately so no lingering non-daemon thread can print.
+    import scala.util.control.NonFatal
+    try spark.streams.active.foreach { q =>
+      try { q.stop(); q.awaitTermination(10000) } catch { case NonFatal(_) => () }
+    } catch { case NonFatal(_) => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case NonFatal(_) => () }
+    try spark.sparkContext.setLogLevel("OFF") catch { case NonFatal(_) => () }
+    try spark.stop() catch { case NonFatal(_) => () }
+    System.err.flush()
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":"$sfDir"$duckField}""")
+    System.out.flush()
+    sys.exit(if (errors.nonEmpty) 1 else 0)
   }
 }
