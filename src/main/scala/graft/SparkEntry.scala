@@ -510,6 +510,29 @@ object SparkEntry {
         queryPred = col("vec_id") % 101 === 0,
         mSub = 4, kCodes = 16, dim = 64, k = 5)),
 
+    // TRAINED-PQ end-to-end — the production codebook path under the
+    // oracle gate (q122 searches seeded md5 codebooks so the oracle
+    // can derive them; here the codebooks are LEARNED): per-subspace
+    // k-means ([[AnnOps.pqTrain]] — Lloyd on sliced subvectors, exact
+    // integer floor-mean centroids, dense re-index in cluster-id
+    // order) feeds the same encode→ADC search as q122. Training is a
+    // one-time offline step whose per-round collect is K×subDim longs
+    // (q80's topology); search-side scale shape is identical to q122
+    // (candidates carry only codes, LUT broadcasts). The oracle
+    // replays the 2 Lloyd rounds per subspace exactly as q80 replays
+    // them on the full vector, then floor-means the final clusters,
+    // then the argmin encode (ties → smallest cluster id = smallest
+    // code) and LUT sum as q122.
+    "q126_ann_pq_trained" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cbs = graft.operators.llm.AnnOps.pqTrain(
+        emb, "vec_id", "embedding",
+        seedPred = col("vec_id") < 8, mSub = 2, dim = 64, iters = 2)
+      graft.operators.llm.AnnOps.pqTopKWithCodebooks(
+        emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % 101 === 0, cbs, dim = 64, k = 5)
+    }),
+
     // Revisit resolution (as-of join): each warc/revisit capture resolves
     // to the newest prior original of the same (urlkey, digest); originals
     // resolve to themselves; dangling revisits stay NULL. Synthesized
@@ -3542,6 +3565,68 @@ object SparkEntry {
         |SELECT * FROM (SELECT query_id, cand_id, dot,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM sc)
+        |WHERE rn <= 5""".stripMargin,
+
+    // Replays trained PQ: per-subspace Lloyd (q80's replay, over the
+    // 32-component slices, both subspaces in one CTE chain keyed by
+    // m), floor-mean centroids of the final assignment, then q122's
+    // argmin encode + ADC LUT sum. floor() on an exact double matches
+    // Math.floorDiv (sums ≤ ~4M are double-exact); encode/score ties
+    // order by cid ≡ code (codes are positions in cid order).
+    "q126_ann_pq_trained" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |sub AS (SELECT m, vec_id,
+        |    list_transform(range(1, 33), i -> q[m * 32 + i]) AS v
+        |  FROM e CROSS JOIN range(0, 2) tm(m)),
+        |dims AS (SELECT unnest(range(1, 33)) AS i),
+        |c0 AS (SELECT m, vec_id AS cid, v AS s FROM sub WHERE vec_id < 8),
+        |a1 AS (SELECT m, vec_id, v, cid FROM (
+        |    SELECT s.m, s.vec_id, s.v, c.cid,
+        |      row_number() OVER (PARTITION BY s.m, s.vec_id
+        |        ORDER BY CAST(list_sum(list_transform(range(1, 33),
+        |            i -> s.v[i] * c.s[i])) AS DOUBLE)
+        |          / sqrt(CAST(list_sum(list_transform(range(1, 33),
+        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+        |    FROM sub s JOIN c0 c ON c.m = s.m) WHERE rk = 1),
+        |c1 AS (SELECT m, cid, list(sc ORDER BY i) AS s FROM (
+        |    SELECT m, cid, i, CAST(sum(v[i]) AS BIGINT) AS sc
+        |    FROM a1 CROSS JOIN dims GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |a2 AS (SELECT m, vec_id, v, cid FROM (
+        |    SELECT s.m, s.vec_id, s.v, c.cid,
+        |      row_number() OVER (PARTITION BY s.m, s.vec_id
+        |        ORDER BY CAST(list_sum(list_transform(range(1, 33),
+        |            i -> s.v[i] * c.s[i])) AS DOUBLE)
+        |          / sqrt(CAST(list_sum(list_transform(range(1, 33),
+        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+        |    FROM sub s JOIN c1 c ON c.m = s.m) WHERE rk = 1),
+        |cs AS (SELECT m, cid, i, CAST(sum(v[i]) AS BIGINT) AS sc,
+        |    count(*) AS n
+        |  FROM a2 CROSS JOIN dims GROUP BY 1, 2, 3),
+        |cmean AS (SELECT m, cid, list(CAST(floor(CAST(sc AS DOUBLE) / n)
+        |      AS BIGINT) ORDER BY i) AS cv
+        |  FROM cs GROUP BY 1, 2),
+        |dist AS (SELECT s.vec_id, c.m, c.cid,
+        |    CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT)
+        |      - 2 * CAST(list_sum(list_transform(range(1, 33),
+        |          i -> s.v[i] * c.cv[i])) AS BIGINT) AS d
+        |  FROM sub s JOIN cmean c ON c.m = s.m),
+        |enc AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, q AS qv FROM e
+        |  WHERE vec_id % 101 = 0),
+        |sc2 AS (SELECT qs.query_id, enc.vec_id AS cand_id,
+        |    CAST(SUM(CAST(list_sum(list_transform(range(1, 33),
+        |      i -> qs.qv[enc.m * 32 + i] * c.cv[i])) AS BIGINT))
+        |      AS BIGINT) AS dot
+        |  FROM enc JOIN cmean c ON c.m = enc.m AND c.cid = enc.cid
+        |  CROSS JOIN qs WHERE enc.vec_id <> qs.query_id
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (SELECT query_id, cand_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM sc2)
         |WHERE rn <= 5""".stripMargin,
 
     "q73_ann_multiprobe" ->
