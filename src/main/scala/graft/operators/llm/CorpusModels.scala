@@ -425,6 +425,19 @@ object CorpusModels {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1Num >= 0 && k1Den > 0 && bNum >= 0 && bDen > 0 &&
       bNum <= bDen, s"bad BM25 params k1=$k1Num/$k1Den b=$bNum/$bDen")
+    // the one collect in this file whose bound is CALLER-supplied: the
+    // limit(N+1) regime probe below materializes up to
+    // driverPairLimit+1 (query, term) pairs on the driver, so an
+    // unbounded value would turn the probe itself into a silent driver
+    // OOM. 65536 pairs is already far past where the distributed
+    // regime wins — big query sets need a SMALLER limit (or the
+    // default), never a bigger one: they take the broadcast-join
+    // regime automatically once the probe overflows the limit.
+    require(driverPairLimit >= 0 && driverPairLimit <= 65536,
+      s"driverPairLimit=$driverPairLimit out of [0, 65536]: the driver " +
+        "fold is for benchmark-sized query sets; larger sets are served " +
+        "by the distributed regime automatically, so raising the limit " +
+        "past 65536 only risks a driver OOM")
     import org.apache.spark.sql.expressions.Window
     import queries.sparkSession.implicits._
     val tf = index.tf

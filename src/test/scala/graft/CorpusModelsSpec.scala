@@ -302,6 +302,13 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     val distributed = run(1)   // forces the distributed pair table
     assert(local.nonEmpty)
     assert(distributed == local)
+    // the caller-supplied driver-fold bound is clamped LOUDLY: past
+    // 65536 the right move is the distributed regime, not a bigger
+    // driver collect — the guard must name that
+    val e = intercept[IllegalArgumentException](run(65537))
+    assert(e.getMessage.contains("distributed regime"))
+    assert(e.getMessage.contains("65536"))
+    intercept[IllegalArgumentException](run(-1))
   }
 
   test("bm25: DECIMAL fallback branch (coefficients past int64) matches " +
