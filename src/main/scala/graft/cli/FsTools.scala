@@ -1,0 +1,146 @@
+package graft.cli
+
+import java.io.{OutputStream, PrintWriter}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/**
+ * Filesystem utility verbs mirroring the reference JobDriver's
+ * hdfs-shell sugar (/root/reference/src/main/java/org/archive/hadoop/
+ * jobs/JobDriver.java:50-86): hdfs-fseeko + range-dumper (both are
+ * byte-range dumps — one verb here), hdfs-lsr, hdfs-mv, hdfs-sync.
+ * Driver-side single-process tools over the Hadoop FileSystem API —
+ * no Spark session; they work against any registered FS scheme
+ * (file://, hdfs://, ...), which is strictly more general than the
+ * originals' hdfs-or-local split. Logic lives here (streams in,
+ * writers out) so CliSpec exercises it without spawning a JVM.
+ */
+object FsTools {
+
+  /** hdfs-lsr (HDFSLSR.java:26-37): recursive descent, one
+    * `BASENAME<tab>PATH` line per FILE found — the exact output
+    * format downstream scripts of the old stack parse. */
+  def lsr(conf: Configuration, root: String, out: PrintWriter): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    def walk(st: FileStatus): Unit =
+      if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk)
+      else out.println(
+        s"${st.getPath.getName}\t${st.getPath.toUri.toASCIIString}")
+    walk(fs.getFileStatus(p))
+    out.flush()
+  }
+
+  /** hdfs-mv (HDFSMove.java:39-63): one path per input line, each
+    * renamed into `targetDir` keeping its basename. `Moved` lines to
+    * `out`, `FAILED-MOVE` to `err`; returns the failure count (the
+    * original kept going and exited 0 — failures here drive a nonzero
+    * exit so scripted moves can't half-succeed silently). */
+  def mv(conf: Configuration, targetDir: String,
+         lines: Iterator[String], out: PrintWriter,
+         err: PrintWriter): Int = {
+    val tgt = new Path(targetDir)
+    val fs = tgt.getFileSystem(conf)
+    var failures = 0
+    lines.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val from = new Path(line)
+      val to = new Path(tgt, from.getName)
+      // FS impls disagree on a missing source: HDFS returns false,
+      // RawLocalFileSystem throws — both are FAILED-MOVE here
+      val ok = try fs.rename(from, to)
+               catch { case _: java.io.IOException => false }
+      if (ok)
+        out.println(s"Moved\t${from.toUri.toASCIIString}\t${to.toUri.toASCIIString}")
+      else {
+        failures += 1
+        err.println(s"FAILED-MOVE\t${from.toUri.toASCIIString}\t${to.toUri.toASCIIString}")
+      }
+    }
+    out.flush(); err.flush()
+    failures
+  }
+
+  /** hdfs-sync (HDFSSync.java:48-118): `SRC TGT` tuples, one per
+    * line; copy only when TGT does not exist (the original's
+    * semi-restartable contract — no checksums, no length compare),
+    * via TGT.TMP then rename so a killed copy never leaves a
+    * partial target. Existing targets report `Target-Exists` on
+    * `err` and are skipped. Both sides go through the FS API (the
+    * original demanded exactly one hdfs:// side). */
+  def sync(conf: Configuration, lines: Iterator[String],
+           out: PrintWriter, err: PrintWriter): Int = {
+    var bad = 0
+    lines.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      line.split("\\s+") match {
+        case Array(src, tgt) =>
+          val srcP = new Path(src)
+          val tgtP = new Path(tgt)
+          val srcFs = srcP.getFileSystem(conf)
+          val tgtFs = tgtP.getFileSystem(conf)
+          if (tgtFs.exists(tgtP))
+            err.println(s"Target-Exists\t$src\t$tgt")
+          else {
+            val tmp = new Path(tgt + ".TMP")
+            val in = srcFs.open(srcP)
+            try {
+              val o = tgtFs.create(tmp, true)
+              try {
+                val buf = new Array[Byte](1 << 16)
+                var n = in.read(buf)
+                while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
+              } finally o.close()
+            } finally in.close()
+            require(tgtFs.rename(tmp, tgtP), s"commit rename failed: $tgt")
+            out.println(s"Copied\t$src\t$tgt")
+          }
+        case _ =>
+          bad += 1
+          err.println(s"Bad input line($line)")
+      }
+    }
+    out.flush(); err.flush()
+    bad
+  }
+
+  /** hdfs-fseeko / range-dumper (HDFSeeko.java:63-120,
+    * HDFSRangeDumper.java:31-48 — the same byte-range dump registered
+    * twice in the reference; one verb here): each spec is
+    * `URI [OFFSET [LENGTH]]` — whole file, offset→EOF, or exactly
+    * LENGTH bytes (short reads are an error, matching the
+    * range-dumper's short-copy check). */
+  def catRange(conf: Configuration, spec: Seq[String],
+               out: OutputStream): Unit = {
+    require(spec.nonEmpty && spec.length <= 3, s"bad range spec: $spec")
+    val p = new Path(spec.head)
+    val offset = if (spec.length > 1) spec(1).toLong else 0L
+    val length = if (spec.length > 2) spec(2).toLong else -1L
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      in.seek(offset)
+      val buf = new Array[Byte](1 << 16)
+      var remaining = length
+      var done = false
+      while (!done) {
+        val want =
+          if (remaining < 0) buf.length
+          else math.min(remaining, buf.length.toLong).toInt
+        if (want == 0) done = true
+        else {
+          val n = in.read(buf, 0, want)
+          if (n < 0) {
+            if (remaining > 0) throw new java.io.IOException(
+              s"Short copy(${spec.head})($offset)($length): " +
+                s"missing $remaining")
+            done = true
+          } else {
+            out.write(buf, 0, n)
+            if (remaining > 0) remaining -= n
+          }
+        }
+      }
+    } finally in.close()
+    out.flush()
+  }
+}

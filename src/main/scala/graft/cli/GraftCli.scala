@@ -35,6 +35,21 @@ object GraftCli {
       .toDF(graft.model.Cdx.columnNames: _*)
   }
 
+  /** http-import input line → task: `URL` (name = URL basename) or
+    * `NAME URL` (HTTPImportMapper.java:66-84). */
+  private[graft] def importTask(line: String,
+                              target: String): graft.sources.HttpSources.ImportTask = {
+    val t = line.trim
+    val i = t.indexOf(' ')
+    val (name, url) =
+      if (i < 0) {
+        val path = Option(java.net.URI.create(t).getPath).getOrElse("")
+        (path.substring(path.lastIndexOf('/') + 1), t)
+      } else (t.substring(0, i), t.substring(i + 1).trim)
+    require(name.nonEmpty, s"no file name derivable from: $line")
+    graft.sources.HttpSources.ImportTask(url, s"$target/$name")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val tool = args.head
@@ -308,6 +323,94 @@ object GraftCli {
         println(s"bm25 top-$k (gram=$gram) -> ${rest(2)}: " +
           s"${spark.read.parquet(rest(2)).count()} rows")
         spark.stop()
+      case "http-import" =>
+        // http-import <input> <targetDir> — parallel idempotent
+        // HTTP→FS ingest (K13: HTTPImportJob.java:49-97). Input lines
+        // are `URL` (name = URL basename) or `NAME URL`
+        // (HTTPImportMapper.java:66-84); per-file results print as
+        // ACTION<tab>URL<tab>DEST<tab>BYTES (the job's report output).
+        if (rest.length != 2) { usage(); sys.exit(2) }
+        val spark = session("http-import")
+        import spark.implicits._
+        val target = rest(1).stripSuffix("/")
+        val tasks = spark.read.option("lineSep", "\n").textFile(rest(0))
+          .filter((l: String) => l.trim.nonEmpty)
+          .map(line => importTask(line, target))
+        // the report is one row per task — the collect is bounded by
+        // the manifest the operator wrote, not by any corpus
+        val res = graft.sources.HttpSources.httpImport(spark, tasks)
+          .collect()
+        res.foreach(r => println(s"${r.action}\t${r.url}\t${r.dest}\t${r.bytes}"))
+        println(s"http-import: ${res.count(_.action == "copied")} copied, " +
+          s"${res.count(_.action == "skipped")} skipped -> $target")
+        spark.stop()
+      case "gz-range-server" =>
+        // gz-range-server <rootDir> [port] — serve raw byte ranges of
+        // archive files under rootDir (K12: GZRangeServer.java:42-51;
+        // default port 8009 as the original, 0 = ephemeral). Blocks
+        // until killed.
+        if (rest.isEmpty) { usage(); sys.exit(2) }
+        val port = rest.lift(1).flatMap(_.toIntOption).getOrElse(8009)
+        val server = graft.server.GzRangeServer.start(rest(0), port)
+        println(s"gz-range-server serving ${rest(0)} on port " +
+          s"${server.getAddress.getPort}")
+        Thread.currentThread().join()
+      case "gz-range-client" =>
+        // gz-range-client <serverBase> <tgtDir> <prefix> <manifest>
+        // [maxMB] — fetch members and repackage into rotating archives
+        // (K12: GZRangeClientTool.java:30-52; 1 GB WARC rotation
+        // default). Manifest lines are `FILE OFFSET LENGTH` — the
+        // server's fetch triple (the original's `OFFSET URL...` named
+        // the server per-line; ours names it once).
+        if (rest.length < 4) { usage(); sys.exit(2) }
+        val maxBytes = rest.lift(4).flatMap(_.toLongOption)
+          .getOrElse(1024L) * 1024 * 1024
+        new java.io.File(rest(1)).mkdirs()
+        val client = new graft.server.GzRangeClient(rest(1), rest(2), maxBytes)
+        val src = scala.io.Source.fromFile(rest(3), "UTF-8")
+        try src.getLines().map(_.trim).filter(_.nonEmpty).foreach { l =>
+          val parts = l.split("\\s+")
+          require(parts.length == 3, s"bad manifest line: $l")
+          client.fetchAndAppend(rest(0), parts(0), parts(1).toLong,
+            parts(2).toLong)
+        } finally src.close()
+        val files = client.close()
+        files.foreach(println)
+        println(s"gz-range-client: ${files.length} archive files -> ${rest(1)}")
+      case "fs-lsr" =>
+        // fs-lsr <uri> — recursive file listing, BASENAME<tab>PATH
+        if (rest.length != 1) { usage(); sys.exit(2) }
+        FsTools.lsr(new org.apache.hadoop.conf.Configuration(), rest(0),
+          new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(System.out, "UTF-8")))
+      case "fs-mv" =>
+        // fs-mv <targetDir> — move stdin-listed paths into targetDir
+        if (rest.length != 1) { usage(); sys.exit(2) }
+        val failures = FsTools.mv(
+          new org.apache.hadoop.conf.Configuration(), rest(0),
+          scala.io.Source.stdin.getLines(),
+          new java.io.PrintWriter(System.out),
+          new java.io.PrintWriter(System.err))
+        if (failures > 0) sys.exit(1)
+      case "fs-sync" =>
+        // fs-sync — copy stdin-listed `SRC TGT` tuples when TGT is absent
+        if (rest.nonEmpty) { usage(); sys.exit(2) }
+        val bad = FsTools.sync(
+          new org.apache.hadoop.conf.Configuration(),
+          scala.io.Source.stdin.getLines(),
+          new java.io.PrintWriter(System.out),
+          new java.io.PrintWriter(System.err))
+        if (bad > 0) sys.exit(1)
+      case "fs-cat" =>
+        // fs-cat <uri> [offset] [length] | fs-cat -  (specs on stdin)
+        if (rest.isEmpty) { usage(); sys.exit(2) }
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val outS = new java.io.BufferedOutputStream(System.out)
+        if (rest(0) == "-")
+          scala.io.Source.stdin.getLines().map(_.trim).filter(_.nonEmpty)
+            .foreach(l => FsTools.catRange(conf, l.split("\\s+").toSeq, outS))
+        else FsTools.catRange(conf, rest.toSeq, outS)
+        outS.flush()
       case other =>
         System.err.println(s"unknown tool: $other"); usage(); sys.exit(2)
     }
@@ -332,5 +435,12 @@ object GraftCli {
       |                                         localBelow>0 finishes small graphs in one union-find task)
       |  decontaminate <corpus> <eval> <out> [k] [dropAt]  hit counts, or clean corpus + quarantine at >= dropAt hits
       |  bm25 <corpus> <queries> <out> [k] [gram]  top-k BM25 retrieval per query (gram>1: n-gram terms)
+      |  http-import <input> <targetDir>        idempotent HTTP->FS ingest (lines: URL | NAME URL)
+      |  gz-range-server <rootDir> [port]       serve archive byte ranges (default port 8009)
+      |  gz-range-client <server> <tgt> <prefix> <manifest> [maxMB]  repackage fetched members into rotating archives
+      |  fs-lsr <uri>                           recursive listing: BASENAME<tab>PATH per file
+      |  fs-mv <targetDir>                      move stdin-listed paths into targetDir
+      |  fs-sync                                copy stdin-listed SRC TGT tuples when TGT absent
+      |  fs-cat <uri> [off] [len] | fs-cat -    dump (a byte range of) files to stdout
       |""".stripMargin)
 }

@@ -1,0 +1,111 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintWriter, StringWriter}
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.{FsTools, GraftCli}
+
+/** The JobDriver-parity utility verbs (fs-lsr/mv/sync/cat, the
+  * http-import line grammar) — logic-level tests; the HTTP/range
+  * library ops behind http-import and gz-range-* have their own
+  * suites (HttpSourcesSpec, GzRangeAndHttpFsSpec). */
+class CliSpec extends AnyFunSuite {
+
+  private val conf = new Configuration()
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(Paths.get("/root/repo/target"), prefix)
+
+  test("fs-lsr recurses and emits BASENAME<tab>PATH per FILE only") {
+    val root = tmpDir("lsr")
+    Files.createDirectories(root.resolve("a/b"))
+    Files.writeString(root.resolve("top.txt"), "x")
+    Files.writeString(root.resolve("a/mid.txt"), "y")
+    Files.writeString(root.resolve("a/b/leaf.txt"), "z")
+    val sw = new StringWriter()
+    FsTools.lsr(conf, root.toString, new PrintWriter(sw))
+    val lines = sw.toString.split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.length == 3) // files only, no directory rows
+    assert(lines.forall(_.contains("\t")))
+    val names = lines.map(_.split("\t")(0)).sorted
+    assert(names == Seq("leaf.txt", "mid.txt", "top.txt"))
+    // the PATH field round-trips to the file
+    lines.foreach { l =>
+      val uri = java.net.URI.create(l.split("\t")(1))
+      assert(Files.exists(Paths.get(uri.getPath)))
+    }
+  }
+
+  test("fs-mv renames into the target dir keeping basenames; a missing " +
+      "source is a FAILED-MOVE and a nonzero failure count") {
+    val src = tmpDir("mvsrc")
+    val dst = tmpDir("mvdst")
+    Files.writeString(src.resolve("one.warc.gz"), "1")
+    Files.writeString(src.resolve("two.warc.gz"), "2")
+    val out = new StringWriter(); val err = new StringWriter()
+    val failures = FsTools.mv(conf, dst.toString,
+      Iterator(s"$src/one.warc.gz", s"$src/two.warc.gz",
+        s"$src/absent.warc.gz"),
+      new PrintWriter(out), new PrintWriter(err))
+    assert(failures == 1)
+    assert(Files.exists(dst.resolve("one.warc.gz")))
+    assert(Files.exists(dst.resolve("two.warc.gz")))
+    assert(!Files.exists(src.resolve("one.warc.gz")))
+    assert(out.toString.linesIterator.count(_.startsWith("Moved\t")) == 2)
+    assert(err.toString.contains("FAILED-MOVE\t"))
+  }
+
+  test("fs-sync copies only when the target is absent (restartable), " +
+      "via .TMP; malformed tuples count as bad") {
+    val src = tmpDir("syncsrc")
+    val dst = tmpDir("syncdst")
+    Files.writeString(src.resolve("f1"), "payload-1")
+    Files.writeString(src.resolve("f2"), "payload-2")
+    Files.writeString(dst.resolve("f2"), "ALREADY")
+    val out = new StringWriter(); val err = new StringWriter()
+    val bad = FsTools.sync(conf,
+      Iterator(s"$src/f1 $dst/f1", s"$src/f2 $dst/f2", "just-one-field"),
+      new PrintWriter(out), new PrintWriter(err))
+    assert(bad == 1)
+    assert(Files.readString(dst.resolve("f1")) == "payload-1")
+    assert(Files.readString(dst.resolve("f2")) == "ALREADY") // untouched
+    assert(!Files.exists(dst.resolve("f1.TMP"))) // committed via rename
+    assert(out.toString.linesIterator.count(_.startsWith("Copied\t")) == 1)
+    assert(err.toString.contains("Target-Exists\t"))
+    assert(err.toString.contains("Bad input line"))
+  }
+
+  test("fs-cat dumps whole file / offset to EOF / exact length; a " +
+      "range past EOF is a loud short-copy error") {
+    val d = tmpDir("cat")
+    val f = d.resolve("data.bin")
+    Files.write(f, "0123456789".getBytes("UTF-8"))
+    def cat(spec: String*): String = {
+      val bos = new ByteArrayOutputStream()
+      FsTools.catRange(conf, spec, bos)
+      bos.toString("UTF-8")
+    }
+    assert(cat(f.toString) == "0123456789")
+    assert(cat(f.toString, "4") == "456789")
+    assert(cat(f.toString, "2", "3") == "234")
+    val e = intercept[java.io.IOException](cat(f.toString, "8", "5"))
+    assert(e.getMessage.contains("Short copy"))
+  }
+
+  test("http-import line grammar: bare URL takes the basename, " +
+      "NAME URL takes the name; unresolvable names fail loudly") {
+    val t1 = GraftCli.importTask(
+      "http://h.example/files/a-00001.warc.gz", "/tgt")
+    assert(t1.url == "http://h.example/files/a-00001.warc.gz")
+    assert(t1.dest == "/tgt/a-00001.warc.gz")
+    val t2 = GraftCli.importTask(
+      "renamed.warc.gz http://h.example/files/a-00001.warc.gz", "/tgt")
+    assert(t2.dest == "/tgt/renamed.warc.gz")
+    assert(t2.url == "http://h.example/files/a-00001.warc.gz")
+    intercept[IllegalArgumentException](
+      GraftCli.importTask("http://h.example/", "/tgt")) // no basename
+  }
+}
