@@ -57,7 +57,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q98_chunk_overlap" -> 0, // pure map-side window projection
       "q99_token_drift" -> 5,   // two token aggs + vocab merge + top-k
       "q101_epoch_plan" -> 2,   // stratum agg + |strata|-row wsum window
-      "q102_editdist_verify" -> 4) // pair-building joins + union sides
+      "q102_editdist_verify" -> 4, // pair-building joins + union sides
+      // round-16 pins for the adjudicated job-floor set (their bench
+      // ratios are structurally noisy, so a plan regression would hide
+      // in the numbers — these fail loudly instead):
+      "q14_topk_group" -> 1,    // ONE exchange; top-k prefilters below it
+      "q43_ann_ivf_assign" -> 1, // map-side assign; only the top-k window
+      "q82_heavy_hitters" -> 1, // one token agg; sketch merge is tiny
+      // the PQ family: candidates carry codes only, the LUT broadcasts
+      // (the BNLJ is the intended broadcast cross-score) — the single
+      // exchange is the final top-k window; rerank adds its shortlist
+      // broadcast join, still only 2 exchanges end to end
+      "q122_ann_pq" -> 1,
+      "q123_ann_ivfpq" -> 1,
+      "q124_ann_pq_rerank" -> 2,
+      "q126_ann_pq_trained" -> 1)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val n = shuffles(plan(name))
       if (n > max) Some(s"$name: $n shuffles > budget $max") else None
@@ -95,6 +109,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       assert(s.contains("BroadcastHashJoin"), s"$name lost its broadcast")
       assert(!s.contains("SortMergeJoin"),
         s"$name plans a sort-merge join — the big side would shuffle")
+    }
+
+    // q14: the rank filter must compile to Spark 4's partial-then-final
+    // WindowGroupLimit (top-k pushdown BELOW the exchange — only <= k
+    // rows per group per partition ship; adjudicated optimal r14/r15).
+    // An edit that re-phrases the filter so the optimizer no longer
+    // recognizes it would silently ship whole groups.
+    locally {
+      val s = plan("q14_topk_group")
+      assert(s.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+        "q14 lost the partial WindowGroupLimit below the exchange")
+    }
+    // the ANN probe joins must stay BROADCAST (the corpus/candidate
+    // side at 100 TB must never ship): q43/q123's bucket-pruned probe
+    // and q124's shortlist+vector joins
+    for (name <- Seq("q43_ann_ivf_assign", "q123_ann_ivfpq",
+        "q124_ann_pq_rerank")) {
+      val s = plan(name)
+      assert(s.contains("BroadcastHashJoin"), s"$name lost its broadcast")
+      assert(!s.contains("SortMergeJoin"),
+        s"$name plans a sort-merge join — the candidate side would shuffle")
     }
   }
 
