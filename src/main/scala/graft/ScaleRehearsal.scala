@@ -28,8 +28,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val (mode, rest) = args.headOption match {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
-          m == "substr" || m == "pagerank" || m == "stream" ||
-          m == "media" =>
+          m == "substr" || m == "chunk" || m == "pagerank" ||
+          m == "stream" || m == "media" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -39,6 +39,7 @@ object ScaleRehearsal {
         case "ann" => 12 // numPlanes
         case "kmeans" => 8 // k (seed count)
         case "substr" => 15 // gram window k
+        case "chunk" => 10 // chunk width, words (q77's setting)
         case "pagerank" => 3 // iters
         case "stream" => 2 // watermark horizon, hours
         case "media" => 8 // frame-sampling stride
@@ -70,6 +71,8 @@ object ScaleRehearsal {
     if (mode == "ann") { annRehearsal(spark, copies, maxBucket, sfDir,
       read, write); spark.stop(); return }
     if (mode == "substr") { substrRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
+    if (mode == "chunk") { chunkRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
     if (mode == "pagerank") { pageRankRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
@@ -196,6 +199,48 @@ object ScaleRehearsal {
     println(f"[rehearsal] substr copies=$copies docs=$nDocs k=$k " +
       f"kept=$kept dropped=$dropped " +
       f"dropFrac=${dropped.toDouble / (kept + dropped)}%.4f " +
+      f"wall=$wall%.1f s shuffleRead=${mib(readB)} MiB " +
+      s"shuffleWrite=${mib(writeB)} MiB")
+  }
+
+  /** Chunk-dedup decades ([[graft.operators.llm.TextAnalysis.chunkDedup]],
+    * the C4-style aligned-chunk rule behind q77): replicate the documents
+    * table N times with disjoint ids — chunking is alignment-stable, so
+    * every chunk of every copy > 0 was already seen in copy 0 and those
+    * documents must VANISH entirely (keep-first is global (doc, pos)
+    * order and copy 0 holds the smallest ids). docsOut/docsIn converging
+    * to 1/copies is the built-in correctness check at every decade; the
+    * scale claim under test is the two map-side-combinable aggs (no
+    * window over every occurrence, no join back), so shuffle should
+    * track the DISTINCT chunk vocabulary (~flat across copies) plus the
+    * surviving docs' reassembly — NOT total occurrence volume. */
+  private def chunkRehearsal(spark: SparkSession, copies: Int, cw: Int,
+                             sfDir: String, read: AtomicLong,
+                             write: AtomicLong): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"),
+        col("text"))
+      .repartition(cpus) // testdata is one row group (SCALE.md caveat)
+    val nDocs = corpus.count()
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (r0, w0) = (read.get, write.get)
+    val t0 = System.nanoTime()
+    val out = graft.operators.llm.TextAnalysis.chunkDedup(
+      corpus, "doc_id", "text", cw)
+    val stats = out.agg(count(lit(1)).as("docsOut"),
+      sum(col("n_kept")).as("chunksKept")).collect()(0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (readB, writeB) = (read.get - r0, write.get - w0)
+    def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+    println(f"[rehearsal] chunk copies=$copies docs=$nDocs cw=$cw " +
+      f"docsOut=${stats.getLong(0)} chunksKept=${stats.getLong(1)} " +
+      f"docsOutFrac=${stats.getLong(0).toDouble / nDocs}%.4f " +
       f"wall=$wall%.1f s shuffleRead=${mib(readB)} MiB " +
       s"shuffleWrite=${mib(writeB)} MiB")
   }
