@@ -527,7 +527,8 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val cbs = graft.operators.llm.AnnOps.pqTrain(
         emb, "vec_id", "embedding",
-        seedPred = col("vec_id") < 8, mSub = 2, dim = 64, iters = 2)
+        seedPred = col("vec_id") < 8, mSub = 2, dim = 64, iters = 2,
+        localBelow = LocalKmeansRows)
       graft.operators.llm.AnnOps.pqTopKWithCodebooks(
         emb, "vec_id", "embedding",
         queryPred = col("vec_id") % 101 === 0, cbs, dim = 64, k = 5)

@@ -457,7 +457,7 @@ object AnnOps {
     * [[ivfTopK]]. Feed the result to [[pqTopKWithCodebooks]]. */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
               seedPred: Column, mSub: Int, dim: Int,
-              iters: Int = 3): Seq[Seq[Seq[Long]]] = {
+              iters: Int = 3, localBelow: Long = 0L): Seq[Seq[Seq[Long]]] = {
     require(mSub >= 1 && dim % mSub == 0,
       s"dim=$dim must split evenly into mSub=$mSub subspaces")
     val subDim = dim / mSub
@@ -465,11 +465,15 @@ object AnnOps {
     // codebook training is a ONE-TIME offline step that amortizes over
     // every later encode/search (the rehearsal reports it separately);
     // if retraining ever becomes hot, the fusion is one Lloyd loop
-    // whose per-round agg groups by (subspace, cluster)
+    // whose per-round agg groups by (subspace, cluster). `localBelow`
+    // is the Lloyd small-input endgame, per subspace: below it each
+    // subspace trains off ONE take(n+1) probe (labels pinned identical
+    // to the distributed rounds — the q126 oracle replays those).
     (0 until mSub).map { m =>
       val sub = emb.select(col(idCol),
         slice(col(vecCol), m * subDim + 1, subDim).as("__sub"))
-      KMeans.codebookWithCounts(sub, idCol, "__sub", seedPred, iters)
+      KMeans.codebookWithCounts(sub, idCol, "__sub", seedPred, iters,
+          localBelow)
         .map { case (_, n, sums) =>
           sums.map(s => Math.floorDiv(s, n)): Seq[Long]
         }

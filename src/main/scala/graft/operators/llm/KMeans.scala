@@ -66,27 +66,7 @@ object KMeans {
     if (localBelow > 0L) {
       val probe = e0.take(localBelow.toInt + 1)
       if (probe.length <= localBelow) {
-        val data = probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        // NULL seedPred (nullable column) must read as false, matching
-        // the distributed path's where(col("__seed")) — getBoolean on a
-        // null cell NPEs
-        var centroids: Seq[(Long, Array[Long])] =
-          probe.filter(r => !r.isNullAt(2) && r.getBoolean(2))
-            .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-            .sortBy(_._1).toSeq
-        require(centroids.nonEmpty, "seedPred matched no rows")
-        val dim = centroids.head._2.length
-        for (_ <- 1 until iters) {
-          centroids = data.groupBy(d => assignLocal(centroids, d._2))
-            .toSeq.sortBy(_._1)
-            .map { case (cid, members) =>
-              val s = new Array[Long](dim)
-              members.foreach(m =>
-                (0 until dim).foreach(i => s(i) += m._2(i)))
-              (cid, s)
-            }
-        }
-        val cents = centroids
+        val (data, cents) = localLloyd(probe, iters)
         import emb.sparkSession.implicits._
         return data.map(d => (d._1, assignLocal(cents, d._2))).toSeq
           .toDF(idCol, "cluster")
@@ -115,6 +95,37 @@ object KMeans {
     e.select(col("__id").as(idCol), assign(centroids).as("cluster"))
   }
 
+  /** Driver-side Lloyd over a probed small input — the shared localBelow
+    * endgame body: `probe` rows are (id, quantized vec, seed flag);
+    * returns (data, centroids after iters-1 updates). Labels from
+    * [[assignLocal]] against these centroids are pinned identical to
+    * the distributed path's. */
+  private def localLloyd(probe: Array[org.apache.spark.sql.Row],
+                         iters: Int): (Array[(Long, Array[Long])],
+                                       Seq[(Long, Array[Long])]) = {
+    val data = probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // NULL seedPred (nullable column) must read as false, matching
+    // the distributed path's where(col("__seed")) — getBoolean on a
+    // null cell NPEs
+    var centroids: Seq[(Long, Array[Long])] =
+      probe.filter(r => !r.isNullAt(2) && r.getBoolean(2))
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq
+    require(centroids.nonEmpty, "seedPred matched no rows")
+    val dim = centroids.head._2.length
+    for (_ <- 1 until iters) {
+      centroids = data.groupBy(d => assignLocal(centroids, d._2))
+        .toSeq.sortBy(_._1)
+        .map { case (cid, members) =>
+          val s = new Array[Long](dim)
+          members.foreach(m =>
+            (0 until dim).foreach(i => s(i) += m._2(i)))
+          (cid, s)
+        }
+    }
+    (data, centroids)
+  }
+
   /** Driver-side twin of [[assign]]: same exact-Long dot, same
     * correctly-rounded double divide/sqrt, same (score, -id) max. */
   private def assignLocal(centroids: Seq[(Long, Array[Long])],
@@ -135,15 +146,39 @@ object KMeans {
   /** Final centroids as a driver-side codebook (id, sum-vector) — the
     * shape [[AnnOps.ivfTopKWithCodebook]] takes. */
   def codebook(emb: DataFrame, idCol: String, vecCol: String,
-               seedPred: Column, iters: Int = 3): Seq[(Long, Seq[Long])] =
-    codebookWithCounts(emb, idCol, vecCol, seedPred, iters)
+               seedPred: Column, iters: Int = 3,
+               localBelow: Long = 0L): Seq[(Long, Seq[Long])] =
+    codebookWithCounts(emb, idCol, vecCol, seedPred, iters, localBelow)
       .map { case (id, _, s) => (id, s) }
 
   /** [[codebook]] plus member counts — (cluster id, count, sum-vector);
-    * count enables exact integer MEAN centroids ([[AnnOps.pqTrain]]). */
+    * count enables exact integer MEAN centroids ([[AnnOps.pqTrain]]).
+    * `localBelow` is [[lloyd]]'s small-input endgame, extended to the
+    * codebook stats: the one take(n+1) probe yields seeds, members AND
+    * final counts/sums in the driver — training collapses to ONE job
+    * (the same labels/sums, pinned by the q80/q126 oracles which replay
+    * the distributed rounds). */
   def codebookWithCounts(emb: DataFrame, idCol: String, vecCol: String,
-                         seedPred: Column,
-                         iters: Int = 3): Seq[(Long, Long, Seq[Long])] = {
+                         seedPred: Column, iters: Int = 3,
+                         localBelow: Long = 0L): Seq[(Long, Long, Seq[Long])] = {
+    require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
+    if (localBelow > 0L) {
+      val probe = emb.select(col(idCol).cast("long").as("__id"),
+          AnnOps.quantize(col(vecCol)).as("__q"), seedPred.as("__seed"))
+        .take(localBelow.toInt + 1)
+      if (probe.length <= localBelow) {
+        val (data, cents) = localLloyd(probe, iters)
+        val dim = cents.head._2.length
+        return data.groupBy(d => assignLocal(cents, d._2))
+          .toSeq.sortBy(_._1)
+          .map { case (cid, members) =>
+            val s = new Array[Long](dim)
+            members.foreach(m =>
+              (0 until dim).foreach(i => s(i) += m._2(i)))
+            (cid, members.length.toLong, s.toSeq)
+          }
+      }
+    }
     val assigned = lloyd(emb, idCol, vecCol, seedPred, iters)
     val e = emb.select(col(idCol).cast("long").as("__id"),
       AnnOps.quantize(col(vecCol)).as("__q"))

@@ -462,6 +462,13 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     // trained centroids separate the clusters, so ADC ranks the
     // query's own cluster (ids 1-9) above every other prototype
     assert(got.forall(_ < 10), s"top-5 leaked other clusters: $got")
+    // the localBelow endgame must train the IDENTICAL codebooks (the
+    // q126 oracle replays the distributed rounds, so any divergence in
+    // the driver path breaks the gate)
+    val cbsLocal = AnnOps.pqTrain(df, "vec_id", "embedding",
+      seedPred = col("vec_id") % 10 === 0, mSub, dim,
+      localBelow = 1000L)
+    assert(cbsLocal == cbs, "localBelow pqTrain diverged from distributed")
   }
 
   test("vocab: df dedups per doc, tf counts occurrences, ties break on token") {
