@@ -174,14 +174,33 @@ object Bench {
     // very last output of the process (round-15 lesson: BENCH_r15.json was
     // unparseable because the harness keeps only the output TAIL, and a
     // post-report StateStore-maintenance thread racing the RpcEnv shutdown
-    // dumped a stack trace after the JSON line). Three layers:
-    //  1. stop any still-active streaming query (the streaming gates stop
+    // dumped a stack trace after the JSON line). Layers:
+    //  1. the report is written to a sidecar FILE before teardown begins,
+    //     so even a killed process leaves recoverable timings;
+    //  2. stop any still-active streaming query (the streaming gates stop
     //     their own, this is belt-and-braces) and the StateStore
     //     maintenance pool — the thread whose logError raced the teardown;
-    //  2. log level OFF so any residual teardown message is suppressed;
-    //  3. print the JSON line AFTER spark.stop() and exit the (forked)
-    //     JVM immediately so no lingering non-daemon thread can print.
+    //  3. log level OFF so any residual teardown message is suppressed;
+    //  4. print the JSON line AFTER spark.stop() and exit the (forked)
+    //     JVM immediately so no lingering non-daemon thread can print;
+    //  5. a daemon WATCHDOG: a wedged spark.stop() is a hang, not an
+    //     exception — no catch fires. If teardown exceeds its budget the
+    //     watchdog prints the report itself and halt()s, so a hang costs
+    //     the dirty tail it used to cost, never the whole report.
     import scala.util.control.NonFatal
+    val report = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":"$sfDir"$duckField}"""
+    val rc = if (errors.nonEmpty) 1 else 0
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "GRAFT_BENCH_REPORT", "/tmp/graft_bench_report.json")), report + "\n")
+    catch { case NonFatal(_) => () }
+    val watchdog = new Thread(() => {
+      try Thread.sleep(60000L) catch { case _: InterruptedException => return }
+      println(report); System.out.flush()
+      Runtime.getRuntime.halt(rc)
+    }, "bench-report-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
     try spark.streams.active.foreach { q =>
       try { q.stop(); q.awaitTermination(10000) } catch { case NonFatal(_) => () }
     } catch { case NonFatal(_) => () }
@@ -189,9 +208,10 @@ object Bench {
     catch { case NonFatal(_) => () }
     try spark.sparkContext.setLogLevel("OFF") catch { case NonFatal(_) => () }
     try spark.stop() catch { case NonFatal(_) => () }
+    watchdog.interrupt()
     System.err.flush()
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":"$sfDir"$duckField}""")
+    println(report)
     System.out.flush()
-    sys.exit(if (errors.nonEmpty) 1 else 0)
+    sys.exit(rc)
   }
 }

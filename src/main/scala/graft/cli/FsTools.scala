@@ -74,25 +74,37 @@ object FsTools {
     lines.map(_.trim).filter(_.nonEmpty).foreach { line =>
       line.split("\\s+") match {
         case Array(src, tgt) =>
-          val srcP = new Path(src)
-          val tgtP = new Path(tgt)
-          val srcFs = srcP.getFileSystem(conf)
-          val tgtFs = tgtP.getFileSystem(conf)
-          if (tgtFs.exists(tgtP))
-            err.println(s"Target-Exists\t$src\t$tgt")
-          else {
-            val tmp = new Path(tgt + ".TMP")
-            val in = srcFs.open(srcP)
-            try {
-              val o = tgtFs.create(tmp, true)
+          // per-tuple isolation, matching mv's contract: one missing /
+          // unreadable SRC or failed commit is a FAILED-SYNC line and a
+          // nonzero count, never an abort that strands the rest of the
+          // batch; a half-written .TMP is removed so the retry is clean
+          try {
+            val srcP = new Path(src)
+            val tgtP = new Path(tgt)
+            val srcFs = srcP.getFileSystem(conf)
+            val tgtFs = tgtP.getFileSystem(conf)
+            if (tgtFs.exists(tgtP))
+              err.println(s"Target-Exists\t$src\t$tgt")
+            else {
+              val tmp = new Path(tgt + ".TMP")
               try {
-                val buf = new Array[Byte](1 << 16)
-                var n = in.read(buf)
-                while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
-              } finally o.close()
-            } finally in.close()
-            require(tgtFs.rename(tmp, tgtP), s"commit rename failed: $tgt")
-            out.println(s"Copied\t$src\t$tgt")
+                val in = srcFs.open(srcP)
+                try {
+                  val o = tgtFs.create(tmp, true)
+                  try graft.util.IoUtil.copy(in, o) finally o.close()
+                } finally in.close()
+                if (!tgtFs.rename(tmp, tgtP))
+                  throw new java.io.IOException(s"commit rename failed: $tgt")
+              } catch { case e: java.io.IOException =>
+                try tgtFs.delete(tmp, false)
+                catch { case _: java.io.IOException => () }
+                throw e
+              }
+              out.println(s"Copied\t$src\t$tgt")
+            }
+          } catch { case e: java.io.IOException =>
+            bad += 1
+            err.println(s"FAILED-SYNC\t$src\t$tgt\t${e.getMessage}")
           }
         case _ =>
           bad += 1
@@ -116,6 +128,13 @@ object FsTools {
     val offset = if (spec.length > 1) spec(1).toLong else 0L
     val length = if (spec.length > 2) spec(2).toLong else -1L
     val fs = p.getFileSystem(conf)
+    // loudness must not depend on the scheme: HDFS throws from a
+    // past-EOF seek while the local FS permits it and would emit zero
+    // bytes with exit 0 — check the bound here so every FS errors
+    val fileLen = fs.getFileStatus(p).getLen
+    if (offset > fileLen) throw new java.io.IOException(
+      s"Short copy(${spec.head})($offset)($length): " +
+        s"offset past EOF ($fileLen)")
     val in = fs.open(p)
     try {
       in.seek(offset)

@@ -350,8 +350,15 @@ object GraftCli {
         // default port 8009 as the original, 0 = ephemeral). Blocks
         // until killed.
         if (rest.isEmpty) { usage(); sys.exit(2) }
-        val port = rest.lift(1).flatMap(_.toIntOption).getOrElse(8009)
-        val server = graft.server.GzRangeServer.start(rest(0), port)
+        // a malformed port must ABORT, not silently serve on 8009
+        val port = rest.lift(1) match {
+          case None => 8009
+          case Some(v) => v.toIntOption.getOrElse { usage(); sys.exit(2) }
+        }
+        // the tool serves a fleet — bind all interfaces (the library
+        // default stays loopback for the in-process test shape)
+        val server = graft.server.GzRangeServer.start(rest(0), port,
+          bindHost = "0.0.0.0")
         println(s"gz-range-server serving ${rest(0)} on port " +
           s"${server.getAddress.getPort}")
         Thread.currentThread().join()
@@ -363,10 +370,19 @@ object GraftCli {
         // server's fetch triple (the original's `OFFSET URL...` named
         // the server per-line; ours names it once).
         if (rest.length < 4) { usage(); sys.exit(2) }
-        val maxBytes = rest.lift(4).flatMap(_.toLongOption)
-          .getOrElse(1024L) * 1024 * 1024
+        // "512MB" (units appended) must ABORT, not silently rotate at
+        // the 1 GiB default
+        val maxBytes = (rest.lift(4) match {
+          case None => 1024L
+          case Some(v) => v.toLongOption.getOrElse { usage(); sys.exit(2) }
+        }) * 1024 * 1024
         new java.io.File(rest(1)).mkdirs()
-        val client = new graft.server.GzRangeClient(rest(1), rest(2), maxBytes)
+        // every rotated file opens with its own synthesized warcinfo
+        // record, as the reference client writes (GZRangeClient.java)
+        val client = new graft.server.GzRangeClient(rest(1), rest(2),
+          maxBytes, headerFor = Some(name =>
+            graft.server.GzRangeClient.warcinfoHeader(name,
+              java.time.Instant.now())))
         val src = scala.io.Source.fromFile(rest(3), "UTF-8")
         try src.getLines().map(_.trim).filter(_.nonEmpty).foreach { l =>
           val parts = l.split("\\s+")

@@ -461,22 +461,49 @@ object AnnOps {
     require(mSub >= 1 && dim % mSub == 0,
       s"dim=$dim must split evenly into mSub=$mSub subspaces")
     val subDim = dim / mSub
+    def floorMeans(cb: Seq[(Long, Long, Seq[Long])]): Seq[Seq[Long]] =
+      cb.map { case (_, n, sums) =>
+        sums.map(s => Math.floorDiv(s, n)): Seq[Long]
+      }
+    // `localBelow` is the Lloyd small-input endgame: below it ALL
+    // subspaces train off ONE take(n+1) probe of the full quantized
+    // vectors, sliced driver-side (quantize is element-wise, so
+    // quantize-then-slice ≡ slice-then-quantize) — training really is
+    // one job, not one per subspace. Labels pinned identical to the
+    // distributed rounds (the q126 oracle replays those).
+    if (localBelow > 0L) {
+      require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
+      val probe = emb.select(col(idCol).cast("long").as("__id"),
+          quantize(col(vecCol)).as("__q"), seedPred.as("__seed"))
+        .take(localBelow.toInt + 1)
+      if (probe.length <= localBelow) {
+        val (data, seeds) = KMeans.probeData(probe)
+        data.headOption.foreach { case (_, q) =>
+          require(q.length >= dim,
+            s"vectors have ${q.length} components, need dim=$dim") }
+        return (0 until mSub).map { m =>
+          floorMeans(KMeans.localCodebookWithCounts(
+            data.map { case (id, q) =>
+              (id, java.util.Arrays.copyOfRange(q, m * subDim,
+                (m + 1) * subDim))
+            },
+            seeds.map { case (id, q) =>
+              (id, java.util.Arrays.copyOfRange(q, m * subDim,
+                (m + 1) * subDim))
+            }, iters))
+        }
+      }
+    }
     // one k-means per subspace, sequential — acceptable because
     // codebook training is a ONE-TIME offline step that amortizes over
     // every later encode/search (the rehearsal reports it separately);
     // if retraining ever becomes hot, the fusion is one Lloyd loop
-    // whose per-round agg groups by (subspace, cluster). `localBelow`
-    // is the Lloyd small-input endgame, per subspace: below it each
-    // subspace trains off ONE take(n+1) probe (labels pinned identical
-    // to the distributed rounds — the q126 oracle replays those).
+    // whose per-round agg groups by (subspace, cluster)
     (0 until mSub).map { m =>
       val sub = emb.select(col(idCol),
         slice(col(vecCol), m * subDim + 1, subDim).as("__sub"))
-      KMeans.codebookWithCounts(sub, idCol, "__sub", seedPred, iters,
-          localBelow)
-        .map { case (_, n, sums) =>
-          sums.map(s => Math.floorDiv(s, n)): Seq[Long]
-        }
+      floorMeans(KMeans.codebookWithCounts(sub, idCol, "__sub", seedPred,
+        iters))
     }
   }
 

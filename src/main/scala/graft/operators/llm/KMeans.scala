@@ -66,7 +66,8 @@ object KMeans {
     if (localBelow > 0L) {
       val probe = e0.take(localBelow.toInt + 1)
       if (probe.length <= localBelow) {
-        val (data, cents) = localLloyd(probe, iters)
+        val (data, seeds) = probeData(probe)
+        val cents = localLloyd(data, seeds, iters)
         import emb.sparkSession.implicits._
         return data.map(d => (d._1, assignLocal(cents, d._2))).toSeq
           .toDF(idCol, "cluster")
@@ -95,22 +96,25 @@ object KMeans {
     e.select(col("__id").as(idCol), assign(centroids).as("cluster"))
   }
 
-  /** Driver-side Lloyd over a probed small input — the shared localBelow
-    * endgame body: `probe` rows are (id, quantized vec, seed flag);
-    * returns (data, centroids after iters-1 updates). Labels from
-    * [[assignLocal]] against these centroids are pinned identical to
-    * the distributed path's. */
-  private def localLloyd(probe: Array[org.apache.spark.sql.Row],
-                         iters: Int): (Array[(Long, Array[Long])],
-                                       Seq[(Long, Array[Long])]) = {
-    val data = probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    // NULL seedPred (nullable column) must read as false, matching
-    // the distributed path's where(col("__seed")) — getBoolean on a
-    // null cell NPEs
-    var centroids: Seq[(Long, Array[Long])] =
+  /** Probe rows → (data, seeds): rows are (id, quantized vec, seed
+    * flag). NULL seedPred (nullable column) must read as false,
+    * matching the distributed path's where(col("__seed")) — getBoolean
+    * on a null cell NPEs. */
+  private[llm] def probeData(probe: Array[org.apache.spark.sql.Row])
+      : (Array[(Long, Array[Long])], Seq[(Long, Array[Long])]) =
+    (probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray)),
       probe.filter(r => !r.isNullAt(2) && r.getBoolean(2))
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1).toSeq
+        .sortBy(_._1).toSeq)
+
+  /** Driver-side Lloyd over a probed small input — the shared localBelow
+    * endgame body: returns centroids after iters-1 updates. Labels from
+    * [[assignLocal]] against these centroids are pinned identical to
+    * the distributed path's. */
+  private def localLloyd(data: Array[(Long, Array[Long])],
+                         seeds: Seq[(Long, Array[Long])],
+                         iters: Int): Seq[(Long, Array[Long])] = {
+    var centroids = seeds
     require(centroids.nonEmpty, "seedPred matched no rows")
     val dim = centroids.head._2.length
     for (_ <- 1 until iters) {
@@ -123,7 +127,27 @@ object KMeans {
           (cid, s)
         }
     }
-    (data, centroids)
+    centroids
+  }
+
+  /** Driver-side [[codebookWithCounts]] over already-probed data — the
+    * endgame body shared with [[AnnOps.pqTrain]]'s one-probe path
+    * (which slices each subspace's subvectors from ONE full-vector
+    * probe): Lloyd rounds, then counts + exact integer sums per FINAL
+    * cluster, sorted by cluster id. */
+  private[llm] def localCodebookWithCounts(
+      data: Array[(Long, Array[Long])], seeds: Seq[(Long, Array[Long])],
+      iters: Int): Seq[(Long, Long, Seq[Long])] = {
+    val cents = localLloyd(data, seeds, iters)
+    val dim = cents.head._2.length
+    data.groupBy(d => assignLocal(cents, d._2))
+      .toSeq.sortBy(_._1)
+      .map { case (cid, members) =>
+        val s = new Array[Long](dim)
+        members.foreach(m =>
+          (0 until dim).foreach(i => s(i) += m._2(i)))
+        (cid, members.length.toLong, s.toSeq)
+      }
   }
 
   /** Driver-side twin of [[assign]]: same exact-Long dot, same
@@ -167,16 +191,8 @@ object KMeans {
           AnnOps.quantize(col(vecCol)).as("__q"), seedPred.as("__seed"))
         .take(localBelow.toInt + 1)
       if (probe.length <= localBelow) {
-        val (data, cents) = localLloyd(probe, iters)
-        val dim = cents.head._2.length
-        return data.groupBy(d => assignLocal(cents, d._2))
-          .toSeq.sortBy(_._1)
-          .map { case (cid, members) =>
-            val s = new Array[Long](dim)
-            members.foreach(m =>
-              (0 until dim).foreach(i => s(i) += m._2(i)))
-            (cid, members.length.toLong, s.toSeq)
-          }
+        val (data, seeds) = probeData(probe)
+        return localCodebookWithCounts(data, seeds, iters)
       }
     }
     val assigned = lloyd(emb, idCol, vecCol, seedPred, iters)

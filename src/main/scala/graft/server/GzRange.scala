@@ -16,9 +16,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 object GzRangeServer {
 
   /** Serve `GET /fetch?file=rel/path&offset=N&length=M` from rootDir.
-    * Returns the started server (port via `getAddress.getPort`). */
-  def start(rootDir: String, port: Int = 0): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    * Returns the started server (port via `getAddress.getPort`).
+    * `bindHost` defaults to loopback (the in-process test shape); the
+    * CLI verb binds 0.0.0.0 so fleet clients can actually reach it. */
+  def start(rootDir: String, port: Int = 0,
+            bindHost: String = "127.0.0.1"): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
     server.createContext("/fetch", (x: HttpExchange) => {
       var headersSent = false
       try {
@@ -61,11 +64,16 @@ object GzRangeServer {
 /**
  * Client: fetch members by (file, offset, length) and append into rotating
  * local archives. A synthesized leading record (filedesc/warcinfo
- * analogue, pre-gzipped) opens every rotated file.
+ * analogue, pre-gzipped) opens every rotated file: fixed bytes via
+ * `header`, or per-file via `headerFor` (the reference stamps each
+ * rotated file's own name into its warcinfo — GZRangeClient.java:72-123;
+ * [[GzRangeClient.warcinfoHeader]] is that synthesis). `headerFor`
+ * wins when both are set.
  */
 final class GzRangeClient(outDir: String, prefix: String,
                           maxFileBytes: Long,
-                          header: Option[Array[Byte]] = None) {
+                          header: Option[Array[Byte]] = None,
+                          headerFor: Option[String => Array[Byte]] = None) {
 
   private var fileIdx = -1
   private var out: java.io.FileOutputStream = _
@@ -80,7 +88,8 @@ final class GzRangeClient(outDir: String, prefix: String,
     files += f.getPath
     out = new java.io.FileOutputStream(f)
     written = 0L
-    header.foreach { h => out.write(h); written += h.length }
+    headerFor.map(_(name)).orElse(header)
+      .foreach { h => out.write(h); written += h.length }
   }
 
   /** Fetch one member from the server and append; rotates beforehand when
@@ -104,5 +113,37 @@ final class GzRangeClient(outDir: String, prefix: String,
   def close(): Seq[String] = {
     if (out != null) out.close()
     files.result()
+  }
+}
+
+object GzRangeClient {
+
+  /** Synthesized WARC warcinfo leading record for a rotated file, as
+    * one pre-gzipped member (the reference's per-file template,
+    * GZRangeClient.java:78-123: WARC-Filename carries the rotated
+    * file's own name). Record-ID derives deterministically from the
+    * file name (type-3 UUID), and `date` is caller-supplied — both so
+    * repackaging the same manifest twice produces identical bytes. */
+  def warcinfoHeader(filename: String,
+                     date: java.time.Instant): Array[Byte] = {
+    val body = "software: graft GZRangeClient\r\n" +
+      "format: WARC File Format 1.0\r\n"
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"graft-gzrange|$filename".getBytes("UTF-8"))
+    val ts = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(date.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+    val rec = "WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      s"WARC-Date: $ts\r\n" +
+      s"WARC-Filename: $filename\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$uuid>\r\n" +
+      "Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n" +
+      body + "\r\n\r\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec.getBytes("UTF-8"))
+    gz.finish()
+    bos.toByteArray
   }
 }

@@ -46,11 +46,7 @@ object HttpSources {
           val in = conn.getInputStream
           try {
             val out = fs.create(tmp, true)
-            try {
-              val buf = new Array[Byte](1 << 16)
-              var n = in.read(buf)
-              while (n >= 0) { out.write(buf, 0, n); total += n; n = in.read(buf) }
-            } finally out.close()
+            try total = IoUtil.copy(in, out) finally out.close()
           } finally { in.close(); conn.disconnect() }
           require(remoteLen < 0 || total == remoteLen,
             s"length mismatch for ${t.url}: got $total, expected $remoteLen")

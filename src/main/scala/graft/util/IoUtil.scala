@@ -6,6 +6,17 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** Stream plumbing shared by the scan operators. */
 object IoUtil {
 
+  /** Copy `in` to `out` until EOF (closes neither); returns bytes
+    * copied. The one buffered copy loop — callers that need a length
+    * check compare the return value. */
+  def copy(in: InputStream, out: java.io.OutputStream): Long = {
+    val buf = new Array[Byte](1 << 16)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); total += n; n = in.read(buf) }
+    total
+  }
+
   /** Reads at most `limit` bytes from `in` (does not close it). */
   final class BoundedInputStream(in: InputStream, limit: Long)
       extends InputStream {

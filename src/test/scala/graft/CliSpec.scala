@@ -65,16 +65,23 @@ class CliSpec extends AnyFunSuite {
     Files.writeString(src.resolve("f1"), "payload-1")
     Files.writeString(src.resolve("f2"), "payload-2")
     Files.writeString(dst.resolve("f2"), "ALREADY")
+    Files.writeString(src.resolve("f4"), "payload-4")
     val out = new StringWriter(); val err = new StringWriter()
     val bad = FsTools.sync(conf,
-      Iterator(s"$src/f1 $dst/f1", s"$src/f2 $dst/f2", "just-one-field"),
+      Iterator(s"$src/f1 $dst/f1", s"$src/f2 $dst/f2",
+        s"$src/absent $dst/f3",        // missing SRC: FAILED-SYNC, go on
+        s"$src/f4 $dst/f4",            // ... and later tuples still copy
+        "just-one-field"),
       new PrintWriter(out), new PrintWriter(err))
-    assert(bad == 1)
+    assert(bad == 2) // the missing source + the malformed tuple
     assert(Files.readString(dst.resolve("f1")) == "payload-1")
     assert(Files.readString(dst.resolve("f2")) == "ALREADY") // untouched
+    assert(Files.readString(dst.resolve("f4")) == "payload-4")
     assert(!Files.exists(dst.resolve("f1.TMP"))) // committed via rename
-    assert(out.toString.linesIterator.count(_.startsWith("Copied\t")) == 1)
+    assert(!Files.exists(dst.resolve("f3.TMP"))) // failure leaves no orphan
+    assert(out.toString.linesIterator.count(_.startsWith("Copied\t")) == 2)
     assert(err.toString.contains("Target-Exists\t"))
+    assert(err.toString.contains("FAILED-SYNC\t"))
     assert(err.toString.contains("Bad input line"))
   }
 
@@ -93,6 +100,11 @@ class CliSpec extends AnyFunSuite {
     assert(cat(f.toString, "2", "3") == "234")
     val e = intercept[java.io.IOException](cat(f.toString, "8", "5"))
     assert(e.getMessage.contains("Short copy"))
+    // offset past EOF is loud on EVERY scheme (the local FS would
+    // otherwise permit the seek and emit zero bytes with exit 0,
+    // while HDFS throws — same user error, opposite outcomes)
+    val e2 = intercept[java.io.IOException](cat(f.toString, "99"))
+    assert(e2.getMessage.contains("past EOF"))
   }
 
   test("http-import line grammar: bare URL takes the basename, " +

@@ -65,6 +65,55 @@ class GzRangeAndHttpFsSpec extends AnyFunSuite with SparkTestSession
     } finally server.stop(0)
   }
 
+  test("K12: per-file warcinfo header opens every rotated file with its " +
+      "OWN name, and the member stream after it is intact") {
+    val root = Files.createTempDirectory(Paths.get("/root/repo/target"), "gzrw")
+    val m = (0 until 3).map(i => gz(s"member-$i\n"))
+    Files.write(root.resolve("src.warc.gz"), m.flatten.toArray)
+    val server = GzRangeServer.start(root.toString)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val outDir = Files.createTempDirectory(
+        Paths.get("/root/repo/target"), "gzrwout")
+      val date = java.time.Instant.parse("2012-01-01T00:00:00Z")
+      // rotate per member: budget = one header + one member, so the
+      // second fetch always overflows (header sizes are name-length
+      // dependent but constant here — wi-0000N names)
+      val hdrLen = GzRangeClient.warcinfoHeader("wi-00000.warc.gz", date).length
+      val client = new GzRangeClient(outDir.toString, "wi",
+        maxFileBytes = hdrLen.toLong + m.head.length + 1,
+        headerFor = Some(n => GzRangeClient.warcinfoHeader(n, date)))
+      var off = 0L
+      m.foreach { mem =>
+        client.fetchAndAppend(base, "src.warc.gz", off, mem.length.toLong)
+        off += mem.length
+      }
+      val files = client.close()
+      assert(files.size >= 2, s"expected rotation, got $files")
+      files.foreach { f =>
+        val members = GzipMembers.iterate(new java.io.FileInputStream(f))
+          .map(mm => new String(mm.payload, "UTF-8")).toSeq
+        // leading member is a warcinfo record naming THIS file
+        val head = members.head
+        assert(head.startsWith("WARC/1.0\r\nWARC-Type: warcinfo\r\n"), head)
+        val name = new java.io.File(f).getName
+        assert(head.contains(s"WARC-Filename: $name"), s"$name not in $head")
+        assert(head.contains("Content-Type: application/warc-fields"))
+        // determinism: same name + date → identical bytes
+        assert(GzRangeClient.warcinfoHeader(name, date).toSeq ==
+          GzRangeClient.warcinfoHeader(name, date).toSeq)
+        // the fetched members follow, unharmed
+        assert(members.tail.forall(_.startsWith("member-")))
+      }
+      val payloads = files.flatMap { f =>
+        GzipMembers.iterate(new java.io.FileInputStream(f))
+          .map(mm => new String(mm.payload, "UTF-8")).toSeq
+          .filterNot(_.startsWith("WARC/1.0"))
+      }
+      assert(payloads == (0 until 3).map(i => s"member-$i\n"))
+    } finally server.stop(0)
+  }
+
   test("S18 shape: spark reads grafthttp:// through the seekable HTTP FS") {
     val content = (0 until 1000).map(i => s"row-$i").mkString("", "\n", "\n")
     val bytes = content.getBytes("UTF-8")
