@@ -534,6 +534,25 @@ object SparkEntry {
         queryPred = col("vec_id") % 101 === 0, cbs, dim = 64, k = 5)
     }),
 
+    // FUZZY decontamination — near-verbatim eval leakage that exact
+    // 8-grams miss: corpus docs flagged by how many of their MinHash-LSH
+    // bands collide with ANY eval doc's buckets (q21's exact md5 hash
+    // family, so the oracle replays signature+bands for BOTH sides).
+    // The synthetic eval set is every 41st doc's text with an appended
+    // tail — near-verbatim by construction: trailing shingles change,
+    // the min-hashes mostly survive. Asymmetric scale shape: only the
+    // eval side's distinct bucket keys broadcast; the corpus pays one
+    // signature shuffle, no pair expansion, no self-join.
+    "q127_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.llm.TextAnalysis.fuzzyContamination(
+        docs, "doc_id", "text",
+        docs.where(col("doc_id") % 41 === 0)
+          .select(concat(col("text"), lit(" benchmark answer key"))
+            .as("etext")),
+        "etext", shingleK = 3, numHashes = 6, rowsPerBand = 2)
+    }),
+
     // Revisit resolution (as-of join): each warc/revisit capture resolves
     // to the newest prior original of the same (urlkey, digest); originals
     // resolve to themselves; dangling revisits stay NULL. Synthesized
@@ -3629,6 +3648,45 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM sc2)
         |WHERE rn <= 5""".stripMargin,
+
+    // Replays q21's signature+bands pipeline on BOTH sides (corpus as
+    // is; eval = every 41st doc + appended tail), then the band-bucket
+    // membership count per corpus doc.
+    "q127_fuzzy_decontaminate" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |ev AS (SELECT doc_id AS eid, text || ' benchmark answer key' AS text
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM w WHERE len(w) >= 3),
+        |pool AS (SELECT doc_id, md5('0|' || s) || md5('1|' || s) AS p FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(substring(p,  1, 10)) AS h0, min(substring(p, 11, 10)) AS h1,
+        |  min(substring(p, 21, 10)) AS h2, min(substring(p, 31, 10)) AS h3,
+        |  min(substring(p, 41, 10)) AS h4, min(substring(p, 51, 10)) AS h5
+        |FROM pool GROUP BY 1),
+        |bands AS (SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig),
+        |ew AS (SELECT eid, string_split(text, ' ') AS w FROM ev),
+        |esh AS (SELECT eid, unnest(list_transform(range(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM ew WHERE len(w) >= 3),
+        |epool AS (SELECT eid, md5('0|' || s) || md5('1|' || s) AS p FROM esh),
+        |esig AS (SELECT eid,
+        |  min(substring(p,  1, 10)) AS h0, min(substring(p, 11, 10)) AS h1,
+        |  min(substring(p, 21, 10)) AS h2, min(substring(p, 31, 10)) AS h3,
+        |  min(substring(p, 41, 10)) AS h4, min(substring(p, 51, 10)) AS h5
+        |FROM epool GROUP BY 1),
+        |ebands AS (SELECT DISTINCT band, bh FROM (
+        |  SELECT 0 AS band, md5(h0 || h1) AS bh FROM esig
+        |  UNION ALL SELECT 1, md5(h2 || h3) FROM esig
+        |  UNION ALL SELECT 2, md5(h4 || h5) FROM esig))
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bands_hit
+        |FROM bands b JOIN ebands e
+        |  ON b.band = e.band AND b.bh = e.bh
+        |GROUP BY 1""".stripMargin,
 
     "q73_ann_multiprobe" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding,

@@ -419,6 +419,52 @@ object TextAnalysis {
       .agg(countDistinct(col("shingle")).as("n_hits"))
   }
 
+  /** FUZZY decontamination — the near-verbatim leak detector next to
+    * [[contaminationHits]]'s exact grams: an eval answer that drifted a
+    * few words (casing fixes, appended attribution, trimmed boilerplate)
+    * shares no exact 8-gram but still collides in MinHash-LSH bucket
+    * space. Each corpus doc is flagged with how many of its LSH bands
+    * land in a bucket ANY eval doc occupies — (idCol, n_bands_hit),
+    * hit docs only; n_bands_hit ≤ numHashes/rowsPerBand is a
+    * similarity-confidence signal (more shared bands ≈ higher Jaccard).
+    *
+    * Same asymmetric shape as the exact path: the eval side is
+    * benchmark-sized, so only its DISTINCT bucket keys broadcast
+    * (≤ |eval|·nBands rows of (band, md5) — KBs); the corpus pays the
+    * q21 signature pipeline (map-side shingle+minhash, ONE groupBy-doc
+    * shuffle) and then a broadcast join + per-doc count. No pair
+    * expansion, no corpus self-join — strictly cheaper than the dedup
+    * LSH at the same settings. Uses [[MinHashLsh]]'s exact md5-derived
+    * hash family, so the whole pipeline replays in the oracle (q127). */
+  def fuzzyContamination(corpus: DataFrame, idCol: String, textCol: String,
+                         evalDocs: DataFrame, evalTextCol: String,
+                         shingleK: Int = 3, numHashes: Int = 6,
+                         rowsPerBand: Int = 2): DataFrame = {
+    val corpusBands = MinHashLsh.bands(
+      MinHashLsh.signature(
+        Shingles.explodeShingles(corpus, idCol, textCol, shingleK),
+        idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+    // the eval id only scopes the per-doc min-hash; the SET of bucket
+    // keys that leaves this side is id-invariant, so a synthetic id is
+    // fine and the eval frame needs no id column of its own
+    val evalBands = MinHashLsh.bands(
+      MinHashLsh.signature(
+        Shingles.explodeShingles(
+          evalDocs.select(monotonically_increasing_id().as("__eid"),
+            col(evalTextCol)),
+          "__eid", evalTextCol, shingleK),
+        "__eid", numHashes),
+      "__eid", numHashes, rowsPerBand)
+    val evalBuckets = evalBands.select(col("band"), col("bh")).distinct()
+    corpusBands
+      .join(broadcast(evalBuckets), Seq("band", "bh"))
+      .groupBy(col(idCol))
+      // a doc contributes each of its bands at most once, so the row
+      // count IS the distinct-band hit count
+      .agg(count(lit(1)).as("n_bands_hit"))
+  }
+
   /** Winnowing-style fingerprint: distinct word-k-gram md5s sampled where
     * the hash's first hex char is '0' (1/16 of grams, content-defined —
     * robust to local edits), sorted and re-hashed.

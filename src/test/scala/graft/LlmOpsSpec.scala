@@ -31,6 +31,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("fuzzy decontamination: identical and near-verbatim eval leaks hit " +
+      "all bands, disjoint docs are absent, hits bounded by band count") {
+    import graft.operators.llm.TextAnalysis
+    val evalSet = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("eid", "etext")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      // near-verbatim: appended tail — NO exact long-gram span match
+      // needed; min-hashes over the shared shingles survive
+      (2L, "the quick brown fox jumps over the lazy dog again and again " +
+        "says the benchmark"),
+      (3L, "completely different words entirely here nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fuzzyContamination(
+      corpus, "doc_id", "text", evalSet, "etext",
+      shingleK = 3, numHashes = 6, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(1L) && got(1L) == 3L) // identical: every band
+    assert(got.contains(2L) && got(2L) >= 1L) // near-verbatim still flags
+    assert(!got.contains(3L))                 // disjoint: absent
+    assert(got.values.forall(v => v >= 1L && v <= 3L))
+  }
+
   test("minhash-lsh: identical docs always pair; disjoint docs never do") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

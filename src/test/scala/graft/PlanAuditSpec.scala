@@ -71,7 +71,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q122_ann_pq" -> 1,
       "q123_ann_ivfpq" -> 1,
       "q124_ann_pq_rerank" -> 2,
-      "q126_ann_pq_trained" -> 1)
+      "q126_ann_pq_trained" -> 1,
+      // two signature aggs (corpus-doc + eval-doc keyed) + the hit
+      // count; the eval side's buckets reach the corpus by BROADCAST
+      // (pinned below), never a corpus-side shuffle join
+      "q127_fuzzy_decontaminate" -> 3)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val n = shuffles(plan(name))
       if (n > max) Some(s"$name: $n shuffles > budget $max") else None
@@ -104,7 +108,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // absent; what this pin protects is the SMALL-side plan never
     // regressing to SMJ at the scale where broadcast is free.
     for (name <- Seq("q72_decontaminate", "q60_tfidf",
-        "q90_substring_dedup")) {
+        "q90_substring_dedup", "q127_fuzzy_decontaminate")) {
       val s = plan(name)
       assert(s.contains("BroadcastHashJoin"), s"$name lost its broadcast")
       assert(!s.contains("SortMergeJoin"),
