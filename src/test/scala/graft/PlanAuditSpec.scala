@@ -75,7 +75,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       // two signature aggs (corpus-doc + eval-doc keyed) + the hit
       // count; the eval side's buckets reach the corpus by BROADCAST
       // (pinned below), never a corpus-side shuffle join
-      "q127_fuzzy_decontaminate" -> 3)
+      "q127_fuzzy_decontaminate" -> 3,
+      // round-16 second sweep: the e2e pipelines and map-side claims.
+      // NOTE these are AUDIT-SCALE budgets — q69/q76/q86 take the
+      // localBelow/CC endgames at sf0.001 (distributed shapes are
+      // pinned by their own rehearsal decades in SCALE.md)
+      "q20_doc_dedup" -> 1,     // one digest keep-min agg
+      "q22_ngram_jaccard" -> 2, // shingle scan + pair agg
+      "q23_simhash" -> 1,       // map-side bits, one doc agg
+      "q47_pii_scrub" -> 0,     // fused native expression, pure map
+      "q69_dedup_keep" -> 0,    // LSH bands feed CC endgame; keeps join
+                                // by BROADCAST anti (pinned below)
+      "q75_budget_mixture" -> 2, // count agg + keep agg; rates broadcast
+      "q76_sequence_pack" -> 1, // exact prefix-sum shape at audit scale
+      "q84_dup_fraction" -> 2,  // gram occurrence agg + per-doc fold
+      "q85_dsir" -> 1,          // bounded md5-bucket features, one agg
+      "q86_curation_pipeline" -> 1, // quality gate map-side; ONE digest
+                                // agg; mixture broadcast; packing endgame
+      "q87_bloom_dedup" -> 0,   // historical side folds to a broadcast
+                                // bitset; the batch probes pure map-side
+      "q108_dsir_select" -> 1,
+      "q114_bm25" -> 2,         // tf/df index aggs; idf + pairs broadcast
+      "q121_warc_media" -> 0)   // per-file member walk + decode, no wire
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, max) =>
       val n = shuffles(plan(name))
       if (n > max) Some(s"$name: $n shuffles > budget $max") else None
