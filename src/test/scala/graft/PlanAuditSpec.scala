@@ -72,6 +72,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q123_ann_ivfpq" -> 1,
       "q124_ann_pq_rerank" -> 2,
       "q126_ann_pq_trained" -> 1,
+      "q128_ann_ivfpq_trained" -> 1,
       // two signature aggs (corpus-doc + eval-doc keyed) + the hit
       // count; the eval side's buckets reach the corpus by BROADCAST
       // (pinned below), never a corpus-side shuffle join
@@ -150,7 +151,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // side at 100 TB must never ship): q43/q123's bucket-pruned probe
     // and q124's shortlist+vector joins
     for (name <- Seq("q43_ann_ivf_assign", "q123_ann_ivfpq",
-        "q124_ann_pq_rerank")) {
+        "q124_ann_pq_rerank", "q128_ann_ivfpq_trained")) {
       val s = plan(name)
       assert(s.contains("BroadcastHashJoin"), s"$name lost its broadcast")
       assert(!s.contains("SortMergeJoin"),
