@@ -557,6 +557,51 @@ object SparkEntry {
         queryPred = col("vec_id") % 101 === 0, cbs, dim = 64, k = 5)
     }),
 
+    // ANN RECALL under the oracle — the approximate paths' QUALITY as a
+    // gated quantity, not just a rehearsal printout: for each query and
+    // method, how many of the exact brute-force top-5 were recovered
+    // (n_recovered ∈ 0..5, integer-exact — recall in fifths). Two
+    // methods pin the QUALITY LADDER the SCALE.md rehearsal measures:
+    // 'ivfpq' (trained IVF-PQ, the raw ADC scan — near-zero on this
+    // deliberately near-isotropic corpus, the documented adversarial
+    // case for any coarse quantizer) and 'pq_rerank' (16× over-scanned
+    // ADC shortlist + exact re-rank — the production recall fix).
+    // Composes proven replays (q24 brute, q128 trainings, q124 rerank);
+    // the exact side drives the join so zero-recall rows still appear.
+    // Scale shape: every joined side is a top-k output (queries × k or
+    // queries × k·overscan rows), so the recall joins broadcast; the
+    // heavy plans are the already-pinned q24/q126/q128 shapes.
+    "q129_ann_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qp = col("vec_id") % 101 === 0
+      val coarse = graft.operators.llm.KMeans.codebook(
+        emb, "vec_id", "embedding", seedPred = col("vec_id") < 8,
+        iters = 2, localBelow = LocalKmeansRows)
+      val cbs = graft.operators.llm.AnnOps.pqTrain(
+        emb, "vec_id", "embedding", seedPred = col("vec_id") < 8,
+        mSub = 2, dim = 64, iters = 2, localBelow = LocalKmeansRows)
+      val exact = graft.operators.llm.AnnOps.bruteTopK(
+          emb, "vec_id", "embedding", qp, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      def recallOf(method: String,
+                   approx: org.apache.spark.sql.DataFrame) =
+        exact.join(
+            broadcast(approx.select(col("query_id"), col("cand_id"),
+              lit(1L).as("__hit"))),
+            Seq("query_id", "cand_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_recovered"),
+            count(lit(1)).as("k"))
+          .select(lit(method).as("method"), col("query_id"),
+            col("n_recovered"), col("k"))
+      recallOf("ivfpq", graft.operators.llm.AnnOps.ivfPqTopK(
+          emb, "vec_id", "embedding", coarse, qp, cbs, dim = 64, k = 5))
+        .unionByName(recallOf("pq_rerank",
+          graft.operators.llm.AnnOps.pqTopKReranked(
+            emb, "vec_id", "embedding", qp, cbs, dim = 64, k = 5,
+            overscan = 16)))
+    }),
+
     // FUZZY decontamination — near-verbatim eval leakage that exact
     // 8-grams miss: corpus docs flagged by how many of their MinHash-LSH
     // bands collide with ANY eval doc's buckets (q21's exact md5 hash
@@ -3679,92 +3724,64 @@ object SparkEntry {
     // (coarseAssignCol's search-time rule) and the bucket-restricted
     // ADC sum.
     "q128_ann_ivfpq_trained" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |fdims AS (SELECT unnest(range(1, 65)) AS i),
-        |fc0 AS (SELECT vec_id AS cid, q AS s FROM e WHERE vec_id < 8),
-        |fa1 AS (SELECT vec_id, q, cid FROM (
-        |    SELECT e.vec_id, e.q, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
-        |            i -> e.q[i] * c.s[i])) AS DOUBLE)
-        |          / sqrt(CAST(list_sum(list_transform(range(1, 65),
-        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
-        |    FROM e CROSS JOIN fc0 c) WHERE rk = 1),
-        |fc1 AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
-        |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
-        |    FROM fa1 CROSS JOIN fdims GROUP BY 1, 2) GROUP BY 1),
-        |fa2 AS (SELECT vec_id, q, cid FROM (
-        |    SELECT e.vec_id, e.q, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
-        |            i -> e.q[i] * c.s[i])) AS DOUBLE)
-        |          / sqrt(CAST(list_sum(list_transform(range(1, 65),
-        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
-        |    FROM e CROSS JOIN fc1 c) WHERE rk = 1),
-        |fcb AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
-        |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
-        |    FROM fa2 CROSS JOIN fdims GROUP BY 1, 2) GROUP BY 1),
-        |bk AS (SELECT vec_id, cid AS bcid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
-        |          i -> e.q[i] * c.s[i])) AS BIGINT) DESC, c.cid) AS rk
-        |    FROM e CROSS JOIN fcb c) WHERE rk = 1),
-        |sub AS (SELECT m, vec_id,
-        |    list_transform(range(1, 33), i -> q[m * 32 + i]) AS v
-        |  FROM e CROSS JOIN range(0, 2) tm(m)),
-        |dims AS (SELECT unnest(range(1, 33)) AS i),
-        |c0 AS (SELECT m, vec_id AS cid, v AS s FROM sub WHERE vec_id < 8),
-        |a1 AS (SELECT m, vec_id, v, cid FROM (
-        |    SELECT s.m, s.vec_id, s.v, c.cid,
-        |      row_number() OVER (PARTITION BY s.m, s.vec_id
-        |        ORDER BY CAST(list_sum(list_transform(range(1, 33),
-        |            i -> s.v[i] * c.s[i])) AS DOUBLE)
-        |          / sqrt(CAST(list_sum(list_transform(range(1, 33),
-        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
-        |    FROM sub s JOIN c0 c ON c.m = s.m) WHERE rk = 1),
-        |c1 AS (SELECT m, cid, list(sc ORDER BY i) AS s FROM (
-        |    SELECT m, cid, i, CAST(sum(v[i]) AS BIGINT) AS sc
-        |    FROM a1 CROSS JOIN dims GROUP BY 1, 2, 3) GROUP BY 1, 2),
-        |a2 AS (SELECT m, vec_id, v, cid FROM (
-        |    SELECT s.m, s.vec_id, s.v, c.cid,
-        |      row_number() OVER (PARTITION BY s.m, s.vec_id
-        |        ORDER BY CAST(list_sum(list_transform(range(1, 33),
-        |            i -> s.v[i] * c.s[i])) AS DOUBLE)
-        |          / sqrt(CAST(list_sum(list_transform(range(1, 33),
-        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
-        |    FROM sub s JOIN c1 c ON c.m = s.m) WHERE rk = 1),
-        |cs AS (SELECT m, cid, i, CAST(sum(v[i]) AS BIGINT) AS sc,
-        |    count(*) AS n
-        |  FROM a2 CROSS JOIN dims GROUP BY 1, 2, 3),
-        |cmean AS (SELECT m, cid, list(CAST(floor(CAST(sc AS DOUBLE) / n)
-        |      AS BIGINT) ORDER BY i) AS cv
-        |  FROM cs GROUP BY 1, 2),
-        |dist AS (SELECT s.vec_id, c.m, c.cid,
-        |    CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT)
-        |      - 2 * CAST(list_sum(list_transform(range(1, 33),
-        |          i -> s.v[i] * c.cv[i])) AS BIGINT) AS d
-        |  FROM sub s JOIN cmean c ON c.m = s.m),
-        |enc AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
-        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-        |  FROM dist) WHERE rn = 1),
-        |qs AS (SELECT vec_id AS query_id, q AS qv FROM e
-        |  WHERE vec_id % 101 = 0),
-        |sc2 AS (SELECT qs.query_id, enc.vec_id AS cand_id,
-        |    CAST(SUM(CAST(list_sum(list_transform(range(1, 33),
-        |      i -> qs.qv[enc.m * 32 + i] * c.cv[i])) AS BIGINT))
-        |      AS BIGINT) AS dot
-        |  FROM enc JOIN cmean c ON c.m = enc.m AND c.cid = enc.cid
-        |  JOIN bk cb ON cb.vec_id = enc.vec_id
-        |  CROSS JOIN qs JOIN bk qb ON qb.vec_id = qs.query_id
-        |  WHERE cb.bcid = qb.bcid AND enc.vec_id <> qs.query_id
-        |  GROUP BY 1, 2)
-        |SELECT * FROM (SELECT query_id, cand_id, dot,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM sc2)
-        |WHERE rn <= 5""".stripMargin,
+      (s"WITH $trainedIvfPqCtesSql\n" +
+        """SELECT * FROM (SELECT query_id, cand_id, dot,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM sc2)
+          |WHERE rn <= 5""".stripMargin),
+
+    // Composes the q128 replay with q24's brute replay and q124's
+    // rerank rule: per query and method, how many exact top-5 rows the
+    // approximate path recovered.
+    "q129_ann_recall" ->
+      (s"WITH $trainedIvfPqCtesSql,\n" +
+        """pq AS (SELECT query_id, cand_id FROM (
+          |    SELECT query_id, cand_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY dot DESC, cand_id) AS rn FROM sc2)
+          |  WHERE rn <= 5),
+          |bd AS (SELECT qs.query_id, e.vec_id AS cand_id,
+          |    CAST(list_sum(list_transform(range(1, 65),
+          |      i -> qs.qv[i] * e.q[i])) AS BIGINT) AS dot
+          |  FROM e CROSS JOIN qs WHERE e.vec_id <> qs.query_id),
+          |bt AS (SELECT query_id, cand_id FROM (
+          |    SELECT query_id, cand_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY dot DESC, cand_id) AS rn FROM bd)
+          |  WHERE rn <= 5),
+          |sc3 AS (SELECT qs.query_id, enc.vec_id AS cand_id,
+          |    CAST(SUM(CAST(list_sum(list_transform(range(1, 33),
+          |      i -> qs.qv[enc.m * 32 + i] * c.cv[i])) AS BIGINT))
+          |      AS BIGINT) AS dot
+          |  FROM enc JOIN cmean c ON c.m = enc.m AND c.cid = enc.cid
+          |  CROSS JOIN qs WHERE enc.vec_id <> qs.query_id
+          |  GROUP BY 1, 2),
+          |short AS (SELECT query_id, cand_id FROM (
+          |    SELECT query_id, cand_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY dot DESC, cand_id) AS rn FROM sc3)
+          |  WHERE rn <= 80),
+          |rer AS (SELECT query_id, cand_id FROM (
+          |    SELECT s.query_id, s.cand_id,
+          |      row_number() OVER (PARTITION BY s.query_id
+          |        ORDER BY b.dot DESC, s.cand_id) AS rn
+          |    FROM short s JOIN bd b ON b.query_id = s.query_id
+          |      AND b.cand_id = s.cand_id) WHERE rn <= 5)
+          |SELECT 'ivfpq' AS method, b.query_id,
+          |  CAST(SUM(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_recovered,
+          |  CAST(count(*) AS BIGINT) AS k
+          |FROM bt b LEFT JOIN pq p
+          |  ON p.query_id = b.query_id AND p.cand_id = b.cand_id
+          |GROUP BY 1, 2
+          |UNION ALL
+          |SELECT 'pq_rerank', b.query_id,
+          |  CAST(SUM(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT),
+          |  CAST(count(*) AS BIGINT)
+          |FROM bt b LEFT JOIN rer r
+          |  ON r.query_id = b.query_id AND r.cand_id = b.cand_id
+          |GROUP BY 1, 2""".stripMargin),
 
     // Replays q21's signature+bands pipeline on BOTH sides (corpus as
     // is; eval = every 41st doc + appended tail), then the band-bucket
@@ -5529,6 +5546,98 @@ object SparkEntry {
         |    PARTITION BY q ORDER BY score DESC, d) AS rank FROM agg)
         |WHERE rank <= 5""".stripMargin
   )
+
+  /** Shared CTE chain for the fully-trained IVF-PQ replay (q128, and
+    * q129's recall gate on top of it): quantize → full-vector coarse
+    * Lloyd through the final-assignment sums (`fcb` = what
+    * `KMeans.codebook` returns) → raw-dot search buckets (`bk`) →
+    * q126's per-subspace PQ training chain (`cmean`, `enc`) → the
+    * bucket-restricted ADC scores (`sc2`). Terminates after `sc2` so
+    * consumers append their own final SELECT (and, for q129, the brute
+    * CTEs over the same `e`/`qs`). */
+  private val trainedIvfPqCtesSql: String =
+    """e AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |fdims AS (SELECT unnest(range(1, 65)) AS i),
+      |fc0 AS (SELECT vec_id AS cid, q AS s FROM e WHERE vec_id < 8),
+      |fa1 AS (SELECT vec_id, q, cid FROM (
+      |    SELECT e.vec_id, e.q, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
+      |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+      |          / sqrt(CAST(list_sum(list_transform(range(1, 65),
+      |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+      |    FROM e CROSS JOIN fc0 c) WHERE rk = 1),
+      |fc1 AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
+      |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
+      |    FROM fa1 CROSS JOIN fdims GROUP BY 1, 2) GROUP BY 1),
+      |fa2 AS (SELECT vec_id, q, cid FROM (
+      |    SELECT e.vec_id, e.q, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
+      |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+      |          / sqrt(CAST(list_sum(list_transform(range(1, 65),
+      |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+      |    FROM e CROSS JOIN fc1 c) WHERE rk = 1),
+      |fcb AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
+      |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
+      |    FROM fa2 CROSS JOIN fdims GROUP BY 1, 2) GROUP BY 1),
+      |bk AS (SELECT vec_id, cid AS bcid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
+      |          i -> e.q[i] * c.s[i])) AS BIGINT) DESC, c.cid) AS rk
+      |    FROM e CROSS JOIN fcb c) WHERE rk = 1),
+      |sub AS (SELECT m, vec_id,
+      |    list_transform(range(1, 33), i -> q[m * 32 + i]) AS v
+      |  FROM e CROSS JOIN range(0, 2) tm(m)),
+      |dims AS (SELECT unnest(range(1, 33)) AS i),
+      |c0 AS (SELECT m, vec_id AS cid, v AS s FROM sub WHERE vec_id < 8),
+      |a1 AS (SELECT m, vec_id, v, cid FROM (
+      |    SELECT s.m, s.vec_id, s.v, c.cid,
+      |      row_number() OVER (PARTITION BY s.m, s.vec_id
+      |        ORDER BY CAST(list_sum(list_transform(range(1, 33),
+      |            i -> s.v[i] * c.s[i])) AS DOUBLE)
+      |          / sqrt(CAST(list_sum(list_transform(range(1, 33),
+      |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+      |    FROM sub s JOIN c0 c ON c.m = s.m) WHERE rk = 1),
+      |c1 AS (SELECT m, cid, list(sc ORDER BY i) AS s FROM (
+      |    SELECT m, cid, i, CAST(sum(v[i]) AS BIGINT) AS sc
+      |    FROM a1 CROSS JOIN dims GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      |a2 AS (SELECT m, vec_id, v, cid FROM (
+      |    SELECT s.m, s.vec_id, s.v, c.cid,
+      |      row_number() OVER (PARTITION BY s.m, s.vec_id
+      |        ORDER BY CAST(list_sum(list_transform(range(1, 33),
+      |            i -> s.v[i] * c.s[i])) AS DOUBLE)
+      |          / sqrt(CAST(list_sum(list_transform(range(1, 33),
+      |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+      |    FROM sub s JOIN c1 c ON c.m = s.m) WHERE rk = 1),
+      |cs AS (SELECT m, cid, i, CAST(sum(v[i]) AS BIGINT) AS sc,
+      |    count(*) AS n
+      |  FROM a2 CROSS JOIN dims GROUP BY 1, 2, 3),
+      |cmean AS (SELECT m, cid, list(CAST(floor(CAST(sc AS DOUBLE) / n)
+      |      AS BIGINT) ORDER BY i) AS cv
+      |  FROM cs GROUP BY 1, 2),
+      |dist AS (SELECT s.vec_id, c.m, c.cid,
+      |    CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT)
+      |      - 2 * CAST(list_sum(list_transform(range(1, 33),
+      |          i -> s.v[i] * c.cv[i])) AS BIGINT) AS d
+      |  FROM sub s JOIN cmean c ON c.m = s.m),
+      |enc AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+      |  FROM dist) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS query_id, q AS qv FROM e
+      |  WHERE vec_id % 101 = 0),
+      |sc2 AS (SELECT qs.query_id, enc.vec_id AS cand_id,
+      |    CAST(SUM(CAST(list_sum(list_transform(range(1, 33),
+      |      i -> qs.qv[enc.m * 32 + i] * c.cv[i])) AS BIGINT))
+      |      AS BIGINT) AS dot
+      |  FROM enc JOIN cmean c ON c.m = enc.m AND c.cid = enc.cid
+      |  JOIN bk cb ON cb.vec_id = enc.vec_id
+      |  CROSS JOIN qs JOIN bk qb ON qb.vec_id = qs.query_id
+      |  WHERE cb.bcid = qb.bcid AND enc.vec_id <> qs.query_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB rendering of [[nearDupCorpus]] (kept textually parallel). */
   private val nearDupCorpusSql: String =

@@ -73,6 +73,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q124_ann_pq_rerank" -> 2,
       "q126_ann_pq_trained" -> 1,
       "q128_ann_ivfpq_trained" -> 1,
+      // two method branches × (top-k window + recall agg) + brute's
+      // top-k; every join side is queries × k(·overscan), broadcast
+      "q129_ann_recall" -> 5,
       // two signature aggs (corpus-doc + eval-doc keyed) + the hit
       // count; the eval side's buckets reach the corpus by BROADCAST
       // (pinned below), never a corpus-side shuffle join
