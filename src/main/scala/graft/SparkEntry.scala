@@ -3662,60 +3662,18 @@ object SparkEntry {
     // Math.floorDiv (sums ≤ ~4M are double-exact); encode/score ties
     // order by cid ≡ code (codes are positions in cid order).
     "q126_ann_pq_trained" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |sub AS (SELECT m, vec_id,
-        |    list_transform(range(1, 33), i -> q[m * 32 + i]) AS v
-        |  FROM e CROSS JOIN range(0, 2) tm(m)),
-        |dims AS (SELECT unnest(range(1, 33)) AS i),
-        |c0 AS (SELECT m, vec_id AS cid, v AS s FROM sub WHERE vec_id < 8),
-        |a1 AS (SELECT m, vec_id, v, cid FROM (
-        |    SELECT s.m, s.vec_id, s.v, c.cid,
-        |      row_number() OVER (PARTITION BY s.m, s.vec_id
-        |        ORDER BY CAST(list_sum(list_transform(range(1, 33),
-        |            i -> s.v[i] * c.s[i])) AS DOUBLE)
-        |          / sqrt(CAST(list_sum(list_transform(range(1, 33),
-        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
-        |    FROM sub s JOIN c0 c ON c.m = s.m) WHERE rk = 1),
-        |c1 AS (SELECT m, cid, list(sc ORDER BY i) AS s FROM (
-        |    SELECT m, cid, i, CAST(sum(v[i]) AS BIGINT) AS sc
-        |    FROM a1 CROSS JOIN dims GROUP BY 1, 2, 3) GROUP BY 1, 2),
-        |a2 AS (SELECT m, vec_id, v, cid FROM (
-        |    SELECT s.m, s.vec_id, s.v, c.cid,
-        |      row_number() OVER (PARTITION BY s.m, s.vec_id
-        |        ORDER BY CAST(list_sum(list_transform(range(1, 33),
-        |            i -> s.v[i] * c.s[i])) AS DOUBLE)
-        |          / sqrt(CAST(list_sum(list_transform(range(1, 33),
-        |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
-        |    FROM sub s JOIN c1 c ON c.m = s.m) WHERE rk = 1),
-        |cs AS (SELECT m, cid, i, CAST(sum(v[i]) AS BIGINT) AS sc,
-        |    count(*) AS n
-        |  FROM a2 CROSS JOIN dims GROUP BY 1, 2, 3),
-        |cmean AS (SELECT m, cid, list(CAST(floor(CAST(sc AS DOUBLE) / n)
-        |      AS BIGINT) ORDER BY i) AS cv
-        |  FROM cs GROUP BY 1, 2),
-        |dist AS (SELECT s.vec_id, c.m, c.cid,
-        |    CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT)
-        |      - 2 * CAST(list_sum(list_transform(range(1, 33),
-        |          i -> s.v[i] * c.cv[i])) AS BIGINT) AS d
-        |  FROM sub s JOIN cmean c ON c.m = s.m),
-        |enc AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid,
-        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-        |  FROM dist) WHERE rn = 1),
-        |qs AS (SELECT vec_id AS query_id, q AS qv FROM e
-        |  WHERE vec_id % 101 = 0),
-        |sc2 AS (SELECT qs.query_id, enc.vec_id AS cand_id,
-        |    CAST(SUM(CAST(list_sum(list_transform(range(1, 33),
-        |      i -> qs.qv[enc.m * 32 + i] * c.cv[i])) AS BIGINT))
-        |      AS BIGINT) AS dot
-        |  FROM enc JOIN cmean c ON c.m = enc.m AND c.cid = enc.cid
-        |  CROSS JOIN qs WHERE enc.vec_id <> qs.query_id
-        |  GROUP BY 1, 2)
-        |SELECT * FROM (SELECT query_id, cand_id, dot,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM sc2)
-        |WHERE rn <= 5""".stripMargin,
+      (s"WITH $trainedPqCtesSql,\n" +
+        """sc2 AS (SELECT qs.query_id, enc.vec_id AS cand_id,
+          |    CAST(SUM(CAST(list_sum(list_transform(range(1, 33),
+          |      i -> qs.qv[enc.m * 32 + i] * c.cv[i])) AS BIGINT))
+          |      AS BIGINT) AS dot
+          |  FROM enc JOIN cmean c ON c.m = enc.m AND c.cid = enc.cid
+          |  CROSS JOIN qs WHERE enc.vec_id <> qs.query_id
+          |  GROUP BY 1, 2)
+          |SELECT * FROM (SELECT query_id, cand_id, dot,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY dot DESC, cand_id) AS INTEGER) AS rn FROM sc2)
+          |WHERE rn <= 5""".stripMargin),
 
     // Replays BOTH trainings + the search: q80's full-vector Lloyd chain
     // (cosine, through the FINAL-assignment sums fcb = what
@@ -5547,48 +5505,18 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin
   )
 
-  /** Shared CTE chain for the fully-trained IVF-PQ replay (q128, and
-    * q129's recall gate on top of it): quantize → full-vector coarse
-    * Lloyd through the final-assignment sums (`fcb` = what
-    * `KMeans.codebook` returns) → raw-dot search buckets (`bk`) →
-    * q126's per-subspace PQ training chain (`cmean`, `enc`) → the
-    * bucket-restricted ADC scores (`sc2`). Terminates after `sc2` so
-    * consumers append their own final SELECT (and, for q129, the brute
-    * CTEs over the same `e`/`qs`). */
-  private val trainedIvfPqCtesSql: String =
+  /** Shared CTE chain for the TRAINED-PQ replay (q126, and via
+    * [[trainedIvfPqCtesSql]] also q128/q129): quantize (`e`) → the
+    * per-subspace Lloyd training chain (`c0`→`a1`→`c1`→`a2`), final
+    * counts+sums (`cs`), floor-mean codebooks (`cmean`), argmin encode
+    * (`enc`), and the query set (`qs`). Terminates after `qs` so each
+    * consumer appends its own scoring (q126: unrestricted ADC; q128:
+    * bucket-restricted via the coarse chain). ONE copy — a training
+    * replay fix here moves all three gates together. */
+  private val trainedPqCtesSql: String =
     """e AS (SELECT vec_id, list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
       |  FROM embeddings),
-      |fdims AS (SELECT unnest(range(1, 65)) AS i),
-      |fc0 AS (SELECT vec_id AS cid, q AS s FROM e WHERE vec_id < 8),
-      |fa1 AS (SELECT vec_id, q, cid FROM (
-      |    SELECT e.vec_id, e.q, c.cid,
-      |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
-      |            i -> e.q[i] * c.s[i])) AS DOUBLE)
-      |          / sqrt(CAST(list_sum(list_transform(range(1, 65),
-      |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
-      |    FROM e CROSS JOIN fc0 c) WHERE rk = 1),
-      |fc1 AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
-      |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
-      |    FROM fa1 CROSS JOIN fdims GROUP BY 1, 2) GROUP BY 1),
-      |fa2 AS (SELECT vec_id, q, cid FROM (
-      |    SELECT e.vec_id, e.q, c.cid,
-      |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
-      |            i -> e.q[i] * c.s[i])) AS DOUBLE)
-      |          / sqrt(CAST(list_sum(list_transform(range(1, 65),
-      |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
-      |    FROM e CROSS JOIN fc1 c) WHERE rk = 1),
-      |fcb AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
-      |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
-      |    FROM fa2 CROSS JOIN fdims GROUP BY 1, 2) GROUP BY 1),
-      |bk AS (SELECT vec_id, cid AS bcid FROM (
-      |    SELECT e.vec_id, c.cid,
-      |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
-      |          i -> e.q[i] * c.s[i])) AS BIGINT) DESC, c.cid) AS rk
-      |    FROM e CROSS JOIN fcb c) WHERE rk = 1),
       |sub AS (SELECT m, vec_id,
       |    list_transform(range(1, 33), i -> q[m * 32 + i]) AS v
       |  FROM e CROSS JOIN range(0, 2) tm(m)),
@@ -5628,7 +5556,47 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
       |  FROM dist) WHERE rn = 1),
       |qs AS (SELECT vec_id AS query_id, q AS qv FROM e
-      |  WHERE vec_id % 101 = 0),
+      |  WHERE vec_id % 101 = 0)""".stripMargin
+
+  /** [[trainedPqCtesSql]] extended with the fully-trained IVF-PQ parts
+    * (q128, and q129's recall gate on top of it): full-vector coarse
+    * Lloyd through the final-assignment sums (`fcb` = what
+    * `KMeans.codebook` returns), raw-dot search buckets (`bk`), and the
+    * bucket-restricted ADC scores (`sc2`). Terminates after `sc2` so
+    * consumers append their own final SELECT (and, for q129, the brute
+    * CTEs over the same `e`/`qs`). */
+  private val trainedIvfPqCtesSql: String =
+    s"$trainedPqCtesSql,\n" +
+    """fdims AS (SELECT unnest(range(1, 65)) AS i),
+      |fc0 AS (SELECT vec_id AS cid, q AS s FROM e WHERE vec_id < 8),
+      |fa1 AS (SELECT vec_id, q, cid FROM (
+      |    SELECT e.vec_id, e.q, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
+      |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+      |          / sqrt(CAST(list_sum(list_transform(range(1, 65),
+      |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+      |    FROM e CROSS JOIN fc0 c) WHERE rk = 1),
+      |fc1 AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
+      |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
+      |    FROM fa1 CROSS JOIN fdims GROUP BY 1, 2) GROUP BY 1),
+      |fa2 AS (SELECT vec_id, q, cid FROM (
+      |    SELECT e.vec_id, e.q, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
+      |            i -> e.q[i] * c.s[i])) AS DOUBLE)
+      |          / sqrt(CAST(list_sum(list_transform(range(1, 65),
+      |            i -> c.s[i] * c.s[i])) AS DOUBLE)) DESC, c.cid) AS rk
+      |    FROM e CROSS JOIN fc1 c) WHERE rk = 1),
+      |fcb AS (SELECT cid, list(sc ORDER BY i) AS s FROM (
+      |    SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS sc
+      |    FROM fa2 CROSS JOIN fdims GROUP BY 1, 2) GROUP BY 1),
+      |bk AS (SELECT vec_id, cid AS bcid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(list_sum(list_transform(range(1, 65),
+      |          i -> e.q[i] * c.s[i])) AS BIGINT) DESC, c.cid) AS rk
+      |    FROM e CROSS JOIN fcb c) WHERE rk = 1),
       |sc2 AS (SELECT qs.query_id, enc.vec_id AS cand_id,
       |    CAST(SUM(CAST(list_sum(list_transform(range(1, 33),
       |      i -> qs.qv[enc.m * 32 + i] * c.cv[i])) AS BIGINT))
