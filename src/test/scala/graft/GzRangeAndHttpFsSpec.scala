@@ -65,6 +65,35 @@ class GzRangeAndHttpFsSpec extends AnyFunSuite with SparkTestSession
     } finally server.stop(0)
   }
 
+  test("K12: the server refuses path escapes — ../ traversal AND the " +
+      "bare-prefix sibling trick both 500, in-root stays 200") {
+    val base0 = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "gzesc")
+    val root = Files.createDirectory(base0.resolve("root"))
+    // a sibling whose name has the root as a PREFIX: startsWith on the
+    // bare canonical path (no separator) would wrongly allow it
+    val sibling = Files.createDirectory(base0.resolve("rootx"))
+    Files.write(root.resolve("in.bin"), "inside".getBytes("UTF-8"))
+    Files.write(base0.resolve("secret.bin"), "outside".getBytes("UTF-8"))
+    Files.write(sibling.resolve("s.bin"), "sibling".getBytes("UTF-8"))
+    val server = GzRangeServer.start(root.toString)
+    try {
+      val port = server.getAddress.getPort
+      def code(file: String, len: Int): Int = {
+        val enc = java.net.URLEncoder.encode(file, "UTF-8")
+        val conn = java.net.URI.create(
+            s"http://127.0.0.1:$port/fetch?file=$enc&offset=0&length=$len")
+          .toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try conn.getResponseCode finally conn.disconnect()
+      }
+      assert(code("in.bin", 6) == 200)
+      assert(code("../secret.bin", 7) == 500)
+      assert(code("../rootx/s.bin", 7) == 500)
+      assert(code("/etc/hostname", 1) == 500) // absolute path
+    } finally server.stop(0)
+  }
+
   test("K12: per-file warcinfo header opens every rotated file with its " +
       "OWN name, and the member stream after it is intact") {
     val root = Files.createTempDirectory(Paths.get("/root/repo/target"), "gzrw")
