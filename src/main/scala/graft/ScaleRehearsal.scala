@@ -28,8 +28,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val (mode, rest) = args.headOption match {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
-          m == "substr" || m == "chunk" || m == "pagerank" ||
-          m == "stream" || m == "media" =>
+          m == "substr" || m == "chunk" || m == "fuzzydecon" ||
+          m == "pagerank" || m == "stream" || m == "media" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -40,6 +40,7 @@ object ScaleRehearsal {
         case "kmeans" => 8 // k (seed count)
         case "substr" => 15 // gram window k
         case "chunk" => 10 // chunk width, words (q77's setting)
+        case "fuzzydecon" => 41 // eval modulus (every 41st doc, q127)
         case "pagerank" => 3 // iters
         case "stream" => 2 // watermark horizon, hours
         case "media" => 8 // frame-sampling stride
@@ -74,6 +75,8 @@ object ScaleRehearsal {
       sfDir, read, write); spark.stop(); return }
     if (mode == "chunk") { chunkRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
+    if (mode == "fuzzydecon") { fuzzyDeconRehearsal(spark, copies,
+      maxBucket, sfDir, read, write); spark.stop(); return }
     if (mode == "pagerank") { pageRankRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
     if (mode == "kmeans") { kmeansRehearsal(spark, copies, maxBucket,
@@ -243,6 +246,53 @@ object ScaleRehearsal {
       f"docsOutFrac=${stats.getLong(0).toDouble / nDocs}%.4f " +
       f"wall=$wall%.1f s shuffleRead=${mib(readB)} MiB " +
       s"shuffleWrite=${mib(writeB)} MiB")
+  }
+
+  /** Fuzzy-decontamination decades (q127's
+    * [[graft.operators.llm.TextAnalysis.fuzzyContamination]]): the
+    * CORPUS replicates N× with disjoint ids while the EVAL SET stays
+    * FIXED (the base table's every-`evalMod`-th doc + appended tail) —
+    * the production asymmetry, where benchmarks don't grow with the
+    * crawl. Claims under test: wall tracks the corpus linearly (the
+    * signature pipeline is map-side + one groupBy-doc agg), the
+    * broadcast eval bucket set is constant across decades, and the HIT
+    * COUNT grows exactly linearly in copies (every copy of a flagged
+    * base doc flags identically — alignment is id-independent), which
+    * is the built-in correctness check. */
+  private def fuzzyDeconRehearsal(spark: SparkSession, copies: Int,
+                                  evalMod: Int, sfDir: String,
+                                  read: AtomicLong,
+                                  write: AtomicLong): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"),
+        col("text"))
+      .repartition(cpus) // testdata is one row group (SCALE.md caveat)
+    val evalDf = docs.where(col("doc_id") % evalMod === 0)
+      .select(concat(col("text"), lit(" benchmark answer key"))
+        .as("etext"))
+    val nDocs = corpus.count()
+    val nEval = evalDf.count()
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (r0, w0) = (read.get, write.get)
+    val t0 = System.nanoTime()
+    val out = graft.operators.llm.TextAnalysis.fuzzyContamination(
+      corpus, "doc_id", "text", evalDf, "etext")
+    val stats = out.agg(count(lit(1)).as("flagged"),
+      sum(col("n_bands_hit")).as("bandHits")).collect()(0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (readB, writeB) = (read.get - r0, write.get - w0)
+    def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+    println(f"[rehearsal] fuzzydecon copies=$copies docs=$nDocs " +
+      f"evalDocs=$nEval flagged=${stats.getLong(0)} " +
+      f"flaggedPerCopy=${stats.getLong(0).toDouble / copies}%.1f " +
+      f"bandHits=${stats.getLong(1)} wall=$wall%.1f s " +
+      f"shuffleRead=${mib(readB)} MiB shuffleWrite=${mib(writeB)} MiB")
   }
 
   /** Media frame-sampling decades — measures the LAZINESS claim with a
