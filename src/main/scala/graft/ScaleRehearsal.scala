@@ -408,7 +408,7 @@ object ScaleRehearsal {
   private def annRehearsal(spark: SparkSession, copies: Int, numPlanes: Int,
                            sfDir: String, read: AtomicLong,
                            write: AtomicLong): Unit = {
-    import graft.operators.llm.AnnOps
+    import graft.operators.llm.{AnnOps, KMeans}
     val dim = 64
     val big = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
@@ -467,11 +467,22 @@ object ScaleRehearsal {
       AnnOps.pqTopKFromCodes(pqCodes, "vec_id", "codes",
         big.where(queries), "vec_id", "embedding", pqCbs, dim, 10 * 16),
       big, "vec_id", "embedding", queries, 10)
+    // the composed billion-scale architecture (q128's shape): trained
+    // coarse buckets prune candidates, trained PQ codes price the scan
+    val tC = System.nanoTime()
+    val coarseCb = KMeans.codebook(big, "vec_id", "embedding",
+      seedPred = col("vec_id") < 16, iters = 3)
+    val coarseWall = (System.nanoTime() - tC) / 1e9
+    println(f"[rehearsal-ann] ivfpq one-time: coarse train=$coarseWall%.2f s " +
+      s"(${coarseCb.length} buckets)")
+    val ivfPq = AnnOps.ivfPqTopK(big, "vec_id", "embedding", coarseCb,
+      queries, pqCbs, dim, 10)
     timed("brute")(brute)
     timed(s"hyperplane(p=$numPlanes,probes=0)")(single)
     timed(s"hyperplane(p=$numPlanes,probes=$numPlanes)")(multi)
     timed("pq-adc-search(m=4,trained)")(pq)
     timed("pq-rerank(overscan=16)")(pqRerank)
+    timed("ivfpq(trained coarse+pq)")(ivfPq)
 
     // recall vs the exact top-10 (untimed diagnostic): the production
     // quality metric for the scale path — multi-probe exists because
@@ -489,7 +500,8 @@ object ScaleRehearsal {
     println(f"[rehearsal-ann] recall@10 single=${recall(single)}%.3f " +
       f"multi(probes=$numPlanes)=${recall(multi)}%.3f " +
       f"pq(trained)=${recall(pq)}%.3f " +
-      f"pq+rerank(16x)=${recall(pqRerank)}%.3f")
+      f"pq+rerank(16x)=${recall(pqRerank)}%.3f " +
+      f"ivfpq=${recall(ivfPq)}%.3f")
     pqCodes.unpersist(blocking = false)
     big.unpersist(blocking = false)
   }
