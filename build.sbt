@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward sbt's stdin to the forked JVM: the stdin-fed CLI verbs
+// (fs-mv, fs-sync, fs-cat -, cluster-build -) are unusable via
+// `sbt runMain` without this
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -125,9 +125,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    // The report must stay ONE SHORT line: the driver keeps only the tail of
-    // the run's output, so a multi-KB line gets its head truncated and fails
-    // to parse. 3-decimal times (ms precision) keep 44 queries under ~1 KB.
+    // Output contract (round-17 fix — all 16 prior committed BENCH artifacts
+    // were parsed:null): the driver keeps only a ~2000-char TAIL of the run's
+    // output, and a 129-query report line is ~2.9 KB, so its head was ALWAYS
+    // cut no matter how clean the teardown. The line printed to stdout is
+    // therefore a SHORT summary (<500 chars: total, streaming subtotal,
+    // query/error counts, duck total, ratio, detail pointer); the FULL
+    // per-query report goes only to the sidecar file, which tools/validate.sh
+    // commits into the repo as BENCH_DETAIL.json at close.
     // Locale.ROOT: f"%.3f" localizes the decimal separator (a comma on
     // de/fr JVMs would corrupt the JSON this exists to keep parseable)
     def jnum(v: Double): String =
@@ -189,14 +194,31 @@ object Bench {
     //     the dirty tail it used to cost, never the whole report.
     import scala.util.control.NonFatal
     val report = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":"$sfDir"$duckField}"""
+    // Short stdout line: everything an auditor of the committed tail needs —
+    // totals, counts, the duck denominator, the ratio, and where the full
+    // per-query map lives. Must stay well under the driver's 2000-char tail.
+    val duckTotal = duck.flatMap(d =>
+      "\"total_sec\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1)))
+    val ratioField = duckTotal.flatMap(_.toDoubleOption).filter(_ > 0)
+      .map(t => s""","duckdb_total_sec":$t,"ratio":${jnum(total / t)}""")
+      .getOrElse("")
+    val errNames = if (errors.isEmpty) ""
+      else s""","error_names":${jstr(errors.keys.mkString(",").take(300))}"""
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}$errNames,"streaming_sec":${jnum(streamTotal)},"ex_streaming_sec":${jnum(total - streamTotal)}$ratioField,"detail":"BENCH_DETAIL.json"}"""
     val rc = if (errors.nonEmpty) 1 else 0
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "GRAFT_BENCH_REPORT", "/tmp/graft_bench_report.json")), report + "\n")
     catch { case NonFatal(_) => () }
+    // Exactly one printer wins (watchdog vs main): compareAndSet guards the
+    // println so a teardown finishing right at the 60 s budget can't produce
+    // a duplicated or interleaved tail line.
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitSummary(): Unit =
+      if (printed.compareAndSet(false, true)) { println(summary); System.out.flush() }
     val watchdog = new Thread(() => {
       try Thread.sleep(60000L) catch { case _: InterruptedException => return }
-      println(report); System.out.flush()
+      emitSummary()
       Runtime.getRuntime.halt(rc)
     }, "bench-report-watchdog")
     watchdog.setDaemon(true)
@@ -210,8 +232,7 @@ object Bench {
     try spark.stop() catch { case NonFatal(_) => () }
     watchdog.interrupt()
     System.err.flush()
-    println(report)
-    System.out.flush()
+    emitSummary()
     sys.exit(rc)
   }
 }

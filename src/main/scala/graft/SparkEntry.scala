@@ -580,26 +580,38 @@ object SparkEntry {
       val cbs = graft.operators.llm.AnnOps.pqTrain(
         emb, "vec_id", "embedding", seedPred = col("vec_id") < 8,
         mSub = 2, dim = 64, iters = 2, localBelow = LocalKmeansRows)
+      // The exact brute side appears ONCE in the plan (r16 verdict #3:
+      // the old per-method recallOf joined `exact` in two union
+      // branches, so each branch re-ran the brute corpus scan + top-k —
+      // a full redundant corpus pass at 100 TB). Fix is declarative,
+      // not a checkpoint: explode the exact rows by method (a pure
+      // map-side ×2 on queries×k rows), union the two approx top-k
+      // outputs under their method tag (both broadcast-sized), and do
+      // ONE left join. A/B'd against localCheckpoint(eager=false):
+      // the checkpoint's materialization job COSTS at gate scale
+      // (Diag 1.76 → 2.16 s, 17 → 19 jobs) and still leaves the blocks
+      // to write; this shape is one corpus pass with zero extra jobs.
+      val methods = Seq("ivfpq", "pq_rerank")
       val exact = graft.operators.llm.AnnOps.bruteTopK(
           emb, "vec_id", "embedding", qp, k = 5)
-        .select(col("query_id"), col("cand_id"))
-      def recallOf(method: String,
-                   approx: org.apache.spark.sql.DataFrame) =
-        exact.join(
-            broadcast(approx.select(col("query_id"), col("cand_id"),
-              lit(1L).as("__hit"))),
-            Seq("query_id", "cand_id"), "left")
-          .groupBy(col("query_id"))
-          .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_recovered"),
-            count(lit(1)).as("k"))
-          .select(lit(method).as("method"), col("query_id"),
-            col("n_recovered"), col("k"))
-      recallOf("ivfpq", graft.operators.llm.AnnOps.ivfPqTopK(
-          emb, "vec_id", "embedding", coarse, qp, cbs, dim = 64, k = 5))
-        .unionByName(recallOf("pq_rerank",
-          graft.operators.llm.AnnOps.pqTopKReranked(
+        .select(col("query_id"), col("cand_id"),
+          explode(array(methods.map(lit): _*)).as("method"))
+      val approxAll = graft.operators.llm.AnnOps.ivfPqTopK(
+          emb, "vec_id", "embedding", coarse, qp, cbs, dim = 64, k = 5)
+        .select(lit(methods(0)).as("method"), col("query_id"), col("cand_id"))
+        .unionByName(graft.operators.llm.AnnOps.pqTopKReranked(
             emb, "vec_id", "embedding", qp, cbs, dim = 64, k = 5,
-            overscan = 16)))
+            overscan = 16)
+          .select(lit(methods(1)).as("method"), col("query_id"),
+            col("cand_id")))
+      exact.join(
+          broadcast(approxAll.withColumn("__hit", lit(1L))),
+          Seq("method", "query_id", "cand_id"), "left")
+        .groupBy(col("method"), col("query_id"))
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_recovered"),
+          count(lit(1)).as("k"))
+        .select(col("method"), col("query_id"),
+          col("n_recovered"), col("k"))
     }),
 
     // FUZZY decontamination — near-verbatim eval leakage that exact

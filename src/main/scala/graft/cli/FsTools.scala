@@ -44,17 +44,26 @@ object FsTools {
     val fs = tgt.getFileSystem(conf)
     var failures = 0
     lines.map(_.trim).filter(_.nonEmpty).foreach { line =>
-      val from = new Path(line)
-      val to = new Path(tgt, from.getName)
-      // FS impls disagree on a missing source: HDFS returns false,
-      // RawLocalFileSystem throws — both are FAILED-MOVE here
-      val ok = try fs.rename(from, to)
-               catch { case _: java.io.IOException => false }
-      if (ok)
-        out.println(s"Moved\t${from.toUri.toASCIIString}\t${to.toUri.toASCIIString}")
-      else {
+      try {
+        val from = new Path(line)
+        val to = new Path(tgt, from.getName)
+        // FS impls disagree on a missing source: HDFS returns false,
+        // RawLocalFileSystem throws — both are FAILED-MOVE here
+        val ok = try fs.rename(from, to)
+                 catch { case _: java.io.IOException => false }
+        if (ok)
+          out.println(s"Moved\t${from.toUri.toASCIIString}\t${to.toUri.toASCIIString}")
+        else {
+          failures += 1
+          err.println(s"FAILED-MOVE\t${from.toUri.toASCIIString}\t${to.toUri.toASCIIString}")
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // `new Path(line)` throws IllegalArgumentException on a malformed
+        // URI (a stray `foo:bar` token) — per-line isolation covers
+        // CONSTRUCTION too, so one bad token is a FAILED-MOVE line and a
+        // counted failure, never a mid-batch abort
         failures += 1
-        err.println(s"FAILED-MOVE\t${from.toUri.toASCIIString}\t${to.toUri.toASCIIString}")
+        err.println(s"FAILED-MOVE\t$line\t${e.getMessage}")
       }
     }
     out.flush(); err.flush()
@@ -102,7 +111,10 @@ object FsTools {
               }
               out.println(s"Copied\t$src\t$tgt")
             }
-          } catch { case e: java.io.IOException =>
+          } catch { case scala.util.control.NonFatal(e) =>
+            // NonFatal, not just IOException: Path construction throws
+            // IllegalArgumentException on a malformed URI, and the
+            // per-tuple contract must hold for that too
             bad += 1
             err.println(s"FAILED-SYNC\t$src\t$tgt\t${e.getMessage}")
           }

@@ -383,16 +383,27 @@ object GraftCli {
           maxBytes, headerFor = Some(name =>
             graft.server.GzRangeClient.warcinfoHeader(name,
               java.time.Instant.now())))
-        val src = scala.io.Source.fromFile(rest(3), "UTF-8")
-        try src.getLines().map(_.trim).filter(_.nonEmpty).foreach { l =>
-          val parts = l.split("\\s+")
-          require(parts.length == 3, s"bad manifest line: $l")
-          client.fetchAndAppend(rest(0), parts(0), parts(1).toLong,
-            parts(2).toLong)
-        } finally src.close()
-        val files = client.close()
-        files.foreach(println)
-        println(s"gz-range-client: ${files.length} archive files -> ${rest(1)}")
+        try {
+          val src = scala.io.Source.fromFile(rest(3), "UTF-8")
+          try src.getLines().map(_.trim).filter(_.nonEmpty).foreach { l =>
+            val parts = l.split("\\s+")
+            // numeric fields validated via toLongOption INSIDE the
+            // require: a non-numeric OFFSET/LENGTH must abort with the
+            // manifest-line message, not a bare NumberFormatException
+            val range = if (parts.length == 3)
+              parts(1).toLongOption.zip(parts(2).toLongOption) else None
+            require(range.isDefined, s"bad manifest line: $l")
+            val (off, len) = range.get
+            client.fetchAndAppend(rest(0), parts(0), off, len)
+          } finally src.close()
+        } finally {
+          // close in a finally: a mid-manifest abort still rotates out
+          // and REPORTS the archives written so far, so a partial
+          // repackage is distinguishable from no output
+          val files = client.close()
+          files.foreach(println)
+          println(s"gz-range-client: ${files.length} archive files -> ${rest(1)}")
+        }
       case "fs-lsr" =>
         // fs-lsr <uri> — recursive file listing, BASENAME<tab>PATH
         if (rest.length != 1) { usage(); sys.exit(2) }

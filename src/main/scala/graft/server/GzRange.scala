@@ -39,18 +39,41 @@ object GzRangeServer {
         require(f.getCanonicalPath.startsWith(rootPrefix),
           "path escapes root") // bare prefix would allow ../root-sibling
         val offset = params("offset").toLong
-        val length = params("length").toInt
-        val buf = new Array[Byte](length)
+        val length = params("length").toLong
+        // validate BEFORE committing a 200: the range must lie inside the
+        // file (a missing file has length 0, so any nonempty range fails
+        // here too), and lengths are never trusted with an allocation —
+        // the body streams in fixed 64 KiB chunks, so a hostile
+        // length=Int.MaxValue costs one chunk buffer, not a 2 GiB array
+        // (the reference server streams as well — GZRangeServer.java)
+        require(offset >= 0 && length >= 0, "negative range")
+        require(f.isFile && offset <= f.length() &&
+          length <= f.length() - offset, "range beyond file")
         val raf = new RandomAccessFile(f, "r")
-        try { raf.seek(offset); raf.readFully(buf) } finally raf.close()
-        x.sendResponseHeaders(200, length)
-        headersSent = true
-        x.getResponseBody.write(buf)
+        try {
+          raf.seek(offset)
+          x.sendResponseHeaders(200, length)
+          headersSent = true
+          val os = x.getResponseBody
+          val chunk = new Array[Byte](64 * 1024)
+          var remaining = length
+          while (remaining > 0) {
+            val n = raf.read(chunk, 0,
+              math.min(chunk.length.toLong, remaining).toInt)
+            require(n > 0, "EOF inside validated range")
+            os.write(chunk, 0, n)
+            remaining -= n
+          }
+        } finally raf.close()
       } catch {
         case e: Exception if !headersSent =>
           // after a 200 is committed (e.g. client disconnect mid-body)
-          // a 500 can no longer be sent — just close
-          val msg = e.toString.getBytes("UTF-8")
+          // a 500 can no longer be sent — just close. The body is a
+          // CONSTANT: e.toString would echo absolute server paths to
+          // any network peer (the verb binds 0.0.0.0); the detail goes
+          // to the server's own stderr instead.
+          System.err.println(s"[gz-range-server] request failed: $e")
+          val msg = "fetch failed".getBytes("UTF-8")
           x.sendResponseHeaders(500, msg.length)
           x.getResponseBody.write(msg)
         case _: Exception => ()

@@ -38,15 +38,29 @@ print("median run:", json.load(open("DUCK_BENCH.json"))["total_sec"], "s")
 EOF
 
 echo "== Bench"
+# stdout line is the SHORT summary (fits the driver's 2000-char tail);
+# the FULL per-query report lands in the sidecar, which this script
+# checks against the last committed detail and then copies into the
+# repo as BENCH_DETAIL.json (committed at close) so every round's
+# per-query timings are auditable from the tree, not from /tmp.
 SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"' | sed 's/.*\({"metric".*\)/\1/' > /tmp/graft_bench.json
 python3 - <<'EOF'
 import json
-b = json.load(open("/tmp/graft_bench.json"))
+b = json.load(open("/tmp/graft_bench_report.json"))
+s = json.load(open("/tmp/graft_bench.json"))
 d = json.load(open("DUCK_BENCH.json"))
 ratio = b["value"] / d["total_sec"]
 print(f'spark {b["value"]} s  duck {d["total_sec"]} s  ratio {ratio:.3f}  '
       f'errors {b["errors"]}')
 assert not b["errors"], "bench reported per-query errors"
+assert abs(s["value"] - b["value"]) < 1e-6, "summary/sidecar total mismatch"
+assert len(json.dumps(s)) < 1500, "stdout summary line must fit the tail window"
 EOF
+
+echo "== Per-query regression check vs last committed BENCH_DETAIL.json"
+python3 tools/regress_check.py /tmp/graft_bench_report.json
+
+cp /tmp/graft_bench_report.json BENCH_DETAIL.json
+echo "BENCH_DETAIL.json updated - commit it with the round close"
 echo "== ALL STAGES GREEN"
