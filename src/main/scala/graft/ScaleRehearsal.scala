@@ -29,7 +29,8 @@ object ScaleRehearsal {
     val (mode, rest) = args.headOption match {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
           m == "substr" || m == "chunk" || m == "fuzzydecon" ||
-          m == "pagerank" || m == "stream" || m == "media" =>
+          m == "pagerank" || m == "stream" || m == "media" ||
+          m == "semdedup" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -44,6 +45,7 @@ object ScaleRehearsal {
         case "pagerank" => 3 // iters
         case "stream" => 2 // watermark horizon, hours
         case "media" => 8 // frame-sampling stride
+        case "semdedup" => 64 // k (seed count; q81 uses 8 at oracle scale)
         case _ => 400
       })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
@@ -84,6 +86,8 @@ object ScaleRehearsal {
     if (mode == "stream") { streamRehearsal(spark, copies, maxBucket,
       sfDir); spark.stop(); return }
     if (mode == "media") { mediaRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
+    if (mode == "semdedup") { semDedupRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
 
     // the q69 corpus rule (base + appended-text variants), replicated
@@ -356,6 +360,68 @@ object ScaleRehearsal {
         f"shuffleRead=${mib(readB)} MiB shuffleWrite=${mib(writeB)} MiB")
     }
     media.unpersist()
+  }
+
+  /** SemDeDup decades (q81's shape: trained k-means clusters as prune
+    * buckets, cosine near-dup keep-min-id within clusters): replicate
+    * the embeddings table EXACTLY N times with disjoint ids. Exact
+    * replication makes the invariant closed-form: centroid training is
+    * replication-invariant (every vector's weight scales uniformly and
+    * the seeds are the copy-0 rows, so the trained centroids are
+    * IDENTICAL at every decade), every copy of a base vector therefore
+    * lands in the same cluster, every non-copy-0 instance is dropped by
+    * its identical copy-0 twin (cos = 1, smaller id), and a copy-0
+    * instance survives iff it survived at 1× — so KEPT is a CONSTANT
+    * across decades and every survivor id is below the copy stride
+    * (both printed; either drifting falsifies the pipeline). The cost
+    * under test is the within-cluster pair expansion Σ cluster²:
+    * cluster COUNT is fixed (k seeds) while cluster SIZE grows ~copies,
+    * so pair count grows ~copies² — the quadratic a production SemDeDup
+    * bounds by scaling K with the corpus (cluster size held constant);
+    * the decades measure that quadratic honestly rather than hiding it.
+    * localBelow=0 keeps Lloyd on the distributed path (the 100 TB
+    * regime), and train/prune walls are reported separately since
+    * training amortizes over reruns at different thresholds. */
+  private def semDedupRehearsal(spark: SparkSession, copies: Int, k: Int,
+                                sfDir: String, read: AtomicLong,
+                                write: AtomicLong): Unit = {
+    import graft.operators.llm.{AnnOps, KMeans}
+    val cpus = spark.sparkContext.defaultParallelism
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("vec_id"), col("embedding"))
+      .select((col("vec_id") + col("__c") * 10000000L).as("vec_id"),
+        col("embedding"))
+      .repartition(cpus) // testdata is one row group (SCALE.md caveat)
+      .persist()
+    val n = corpus.count()
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (r0, w0) = (read.get, write.get)
+    val t0 = System.nanoTime()
+    // seeds are copy-0 rows only (replica ids start at the 1e7 stride)
+    val clusters = KMeans.lloyd(corpus, "vec_id", "embedding",
+      seedPred = col("vec_id") < k, iters = 3, localBelow = 0L)
+    val sizes = clusters.groupBy(col("cluster")).count()
+      .agg(count(lit(1)).as("k"), max(col("count")).as("mx")).collect()(0)
+    val trainWall = (System.nanoTime() - t0) / 1e9
+    val tP = System.nanoTime()
+    val drops = AnnOps.withinBucketCosinePairs(
+      corpus.join(clusters, "vec_id"), "vec_id", "embedding", "cluster",
+      minCos2Bp = 500L)
+      .select(col("vec_b").as("vec_id"))
+    val stats = clusters.join(drops, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("kept"), max(col("vec_id")).as("maxId"))
+      .collect()(0)
+    val pruneWall = (System.nanoTime() - tP) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (readB, writeB) = (read.get - r0, write.get - w0)
+    def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+    println(f"[rehearsal] semdedup copies=$copies vectors=$n k=$k " +
+      f"clusters=${sizes.getLong(0)} maxCluster=${sizes.getLong(1)} " +
+      f"kept=${stats.getLong(0)} keptAllCopy0=${stats.getLong(1) < 10000000L} " +
+      f"trainWall=$trainWall%.1f s pruneWall=$pruneWall%.1f s " +
+      f"shuffleRead=${mib(readB)} MiB shuffleWrite=${mib(writeB)} MiB")
+    corpus.unpersist(blocking = false)
   }
 
   /** PageRank decades — the DISTRIBUTED power-iteration path

@@ -127,6 +127,44 @@ object FsTools {
     bad
   }
 
+  /** hdfs-touch (HDFSTouch.java:71-117 — present in the reference tree
+    * though never registered in JobDriver): set a FILE's mtime+atime;
+    * `updateDir` additionally bumps the PARENT directory's mtime by
+    * creating and deleting a temp file inside it (HDFS updates a dir's
+    * mtime on child create/delete — the original's trick, kept).
+    * Directories themselves are refused, like the original. */
+  def touch(conf: Configuration, pathStr: String, mtime: Long,
+            updateDir: Boolean): Unit = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    require(!fs.getFileStatus(path).isDirectory,
+      s"can't touch directories: $path")
+    fs.setTimes(path, mtime, mtime)
+    if (updateDir) {
+      val tmp = new Path(path.getParent, ".tmp_touch_latest")
+      fs.create(tmp, true).close()
+      fs.delete(tmp, false)
+    }
+  }
+
+  /** The two timestamp grammars HDFSTouch.java:20-21 accepts:
+    * `yyyy-MM-dd HH:mm:ss` (read as UTC — the repo-wide session
+    * convention; the original used the JVM default zone) and the
+    * HTTP date (`EEE, dd MMM yyyy HH:mm:ss zzz`). None = unparseable;
+    * the CALLER decides loudness — the verb aborts, where the original
+    * silently fell back to "now" after printing a complaint (a footgun
+    * this port does not keep). */
+  def parseTouchTimestamp(s: String): Option[Long] = {
+    val simple = scala.util.Try(java.time.LocalDateTime
+        .parse(s, java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).toOption
+    def http = scala.util.Try(java.time.ZonedDateTime
+        .parse(s, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+        .toInstant.toEpochMilli).toOption
+    simple.orElse(http)
+  }
+
   /** hdfs-fseeko / range-dumper (HDFSeeko.java:63-120,
     * HDFSRangeDumper.java:31-48 — the same byte-range dump registered
     * twice in the reference; one verb here): each spec is

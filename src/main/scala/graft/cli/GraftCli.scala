@@ -410,6 +410,27 @@ object GraftCli {
         FsTools.lsr(new org.apache.hadoop.conf.Configuration(), rest(0),
           new java.io.PrintWriter(
             new java.io.OutputStreamWriter(System.out, "UTF-8")))
+      case "fs-touch" =>
+        // fs-touch [-d] <uri> [TIMESTAMP] — set a file's mtime/atime to
+        // now or TIMESTAMP ("yyyy-MM-dd HH:mm:ss" UTC, or HTTP date);
+        // -d also bumps the parent dir's mtime (HDFSTouch.java:71-117).
+        // An unparseable TIMESTAMP aborts loudly — the original printed
+        // a complaint and then touched with "now" anyway.
+        val (touchDir, ta) =
+          if (rest.headOption.contains("-d")) (true, rest.drop(1))
+          else (false, rest)
+        if (ta.isEmpty || ta.length > 2) { usage(); sys.exit(2) }
+        val mtime = ta.lift(1) match {
+          case None => System.currentTimeMillis()
+          case Some(ts) => FsTools.parseTouchTimestamp(ts).getOrElse {
+            System.err.println(s"bad timestamp: $ts (want " +
+              "'yyyy-MM-dd HH:mm:ss' or 'EEE, dd MMM yyyy HH:mm:ss zzz')")
+            sys.exit(2)
+          }
+        }
+        FsTools.touch(new org.apache.hadoop.conf.Configuration(),
+          ta(0), mtime, touchDir)
+        println(s"Touched\t${ta(0)}\t$mtime")
       case "fs-mv" =>
         // fs-mv <targetDir> — move stdin-listed paths into targetDir
         if (rest.length != 1) { usage(); sys.exit(2) }
@@ -466,6 +487,7 @@ object GraftCli {
       |  gz-range-server <rootDir> [port]       serve archive byte ranges (default port 8009)
       |  gz-range-client <server> <tgt> <prefix> <manifest> [maxMB]  repackage fetched members into rotating archives
       |  fs-lsr <uri>                           recursive listing: BASENAME<tab>PATH per file
+      |  fs-touch [-d] <uri> [TIMESTAMP]        set file mtime/atime (-d: bump parent dir mtime too)
       |  fs-mv <targetDir>                      move stdin-listed paths into targetDir
       |  fs-sync                                copy stdin-listed SRC TGT tuples when TGT absent
       |  fs-cat <uri> [off] [len] | fs-cat -    dump (a byte range of) files to stdout

@@ -39,6 +39,31 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("fs-touch sets mtime (both timestamp grammars), refuses " +
+      "directories, and -d bumps the parent dir via tmp create+delete") {
+    val root = tmpDir("touch")
+    val f = root.resolve("data.txt")
+    Files.writeString(f, "x")
+    // grammar 1: "yyyy-MM-dd HH:mm:ss" read as UTC
+    val t1 = FsTools.parseTouchTimestamp("2012-01-15 10:30:00").get
+    assert(t1 == 1326623400000L)
+    // grammar 2: the HTTP date
+    val t2 = FsTools.parseTouchTimestamp("Sun, 15 Jan 2012 10:30:00 GMT").get
+    assert(t2 == t1)
+    assert(FsTools.parseTouchTimestamp("2012-13-45 99:99:99").isEmpty)
+    assert(FsTools.parseTouchTimestamp("not a date").isEmpty)
+    FsTools.touch(conf, f.toString, t1, updateDir = false)
+    assert(Files.getLastModifiedTime(f).toMillis == t1)
+    // -d: the parent's mtime moves forward and no tmp file survives
+    FsTools.touch(conf, f.toString, t1, updateDir = true)
+    assert(!Files.exists(root.resolve(".tmp_touch_latest")))
+    assert(Files.getLastModifiedTime(root).toMillis > t1)
+    // directories are refused, as the original refuses them
+    intercept[IllegalArgumentException] {
+      FsTools.touch(conf, root.toString, t1, updateDir = false)
+    }
+  }
+
   test("fs-mv renames into the target dir keeping basenames; a missing " +
       "source is a FAILED-MOVE and a nonzero failure count") {
     val src = tmpDir("mvsrc")
