@@ -614,6 +614,30 @@ object SparkEntry {
           col("n_recovered"), col("k"))
     }),
 
+    // Count-Min sketch — the per-key FREQUENCY companion to the
+    // distinct/quantile/top-k sketch family: d=4 hash rows × w=256
+    // buckets built in ONE bounded hash-agg (map-side partials cap the
+    // wire at d·w cells per partition at any corpus size), probed by
+    // min-over-rows against the broadcast <=1024-cell sketch. w is
+    // deliberately far below the ~1.5k distinct keys so collisions are
+    // real and the min actually discriminates; est >= cnt_true on
+    // every row is the in-data invariant both engines replay.
+    "q130_countmin" -> ((s, dir) =>
+      graft.operators.Sketches.countMinEstimates(
+        tbl(s, dir, "orders"), "o_custkey", d = 4, w = 256,
+        probePred = col("o_custkey") % 97 === 0)),
+
+    // HyperLogLog — the FIXED-SIZE mergeable distinct sketch (KMV's
+    // q57 carries k hash values; HLL carries m <=6-bit registers that
+    // merge by max): register build is one bounded groupBy(bucket)
+    // agg, and the raw estimator is ALL-INTEGER (truncation order
+    // pinned in Sketches.hllDistinct's contract) so the oracle replays
+    // it bit-for-bit — including length(bin(suffix)) as the
+    // leading-zeros rank, an idiom both engines share.
+    "q131_hll_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinct(
+        tbl(s, dir, "orders"), "o_custkey", bucketBits = 6)),
+
     // FUZZY decontamination — near-verbatim eval leakage that exact
     // 8-grams miss: corpus docs flagged by how many of their MinHash-LSH
     // bands collide with ANY eval doc's buckets (q21's exact md5 hash
@@ -3872,6 +3896,45 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS term_freq
         |FROM per_doc GROUP BY 1
         |ORDER BY doc_freq DESC, term_freq DESC, token LIMIT 50""".stripMargin,
+
+    "q130_countmin" ->
+      """WITH v AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders
+        |  WHERE o_custkey IS NOT NULL),
+        |cells AS (SELECT t.i AS row_i,
+        |    CAST(concat('0x', substring(md5(t.i || ':' || v.v), 1, 12))
+        |      AS BIGINT) % 256 AS bucket,
+        |    count(*) AS c
+        |  FROM v CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2),
+        |probes AS (SELECT v, count(*) AS cnt_true FROM v
+        |  WHERE CAST(v AS BIGINT) % 97 = 0 GROUP BY v),
+        |pb AS (SELECT p.v, p.cnt_true, t.i AS row_i,
+        |    CAST(concat('0x', substring(md5(t.i || ':' || p.v), 1, 12))
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM probes p CROSS JOIN range(0, 4) t(i))
+        |SELECT pb.v AS value, pb.cnt_true,
+        |  CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+        |FROM pb LEFT JOIN cells c USING (row_i, bucket)
+        |GROUP BY pb.v, pb.cnt_true""".stripMargin,
+
+    "q131_hll_distinct" ->
+      """WITH hv AS (SELECT CAST(concat('0x',
+        |    substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+        |    AS hv FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT hv // 4398046511104 AS bucket,
+        |    hv % 4398046511104 AS suffix FROM hv),
+        |regs AS (SELECT bucket, max(CASE WHEN suffix = 0 THEN 43
+        |    ELSE 43 - length(bin(suffix)) END) AS mj
+        |  FROM r GROUP BY bucket),
+        |one AS (SELECT count(*) AS filled,
+        |    CAST(sum(CAST(1 AS BIGINT) << (43 - mj)) AS BIGINT) AS sobs
+        |  FROM regs)
+        |SELECT CAST(64 AS BIGINT) AS m, filled,
+        |  CAST(sobs + (64 - filled) * (CAST(1 AS BIGINT) << 43)
+        |    AS BIGINT) AS s,
+        |  CAST((709 * ((4096 * (CAST(1 AS BIGINT) << 43))
+        |    // (sobs + (64 - filled) * (CAST(1 AS BIGINT) << 43))))
+        |    // 1000 AS BIGINT) AS est_distinct
+        |FROM one""".stripMargin,
 
     "q57_kmv_distinct" ->
       """WITH hv AS (SELECT DISTINCT CAST(concat('0x',

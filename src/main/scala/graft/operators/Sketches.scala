@@ -308,6 +308,100 @@ object Sketches {
       .withColumn("maybe_member", col("bloom_hits") === seeds)
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan '05), built and probed
+    * in one query: `d` hash rows × `w` buckets, each cell the count of
+    * values hashing into it; a value's frequency estimate is the MIN of
+    * its d cells — always >= the true count, since collisions only ADD
+    * (an in-data invariant the oracle replays). Scale shape: the build
+    * is ONE hash aggregation whose map-side partials bound the wire at
+    * d·w cells per partition REGARDLESS of corpus size, and the
+    * finished sketch (<= d·w rows) broadcasts to the probe side — the
+    * classic mergeable summary (sketches over disjoint corpora add
+    * cell-wise, the same contract as the KMV family). Hashing is the
+    * engine-replayable 48-bit md5 prefix of "i:value" mod w.
+    *
+    * `probePred` selects which values to report and must be a
+    * deterministic function of `valueCol` (it filters the corpus rows
+    * whose values are probed; a row-dependent predicate would make
+    * cnt_true a subset count). Output: one row per distinct probe
+    * value — (value, cnt_true, est). */
+  def countMinEstimates(df: DataFrame, valueCol: String, d: Int, w: Int,
+                        probePred: org.apache.spark.sql.Column): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be in [1, 8], got $d")
+    require(w >= 2 && w <= (1 << 20), s"w must be in [2, 2^20], got $w")
+    def bucketOf(i: Int, v: org.apache.spark.sql.Column) =
+      graft.functions.Md5Functions.md5Prefix48(
+        concat(lit(s"$i:"), v)) % lit(w.toLong)
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("v"))
+    val cells = vals
+      .select(posexplode(array(
+        (0 until d).map(i => bucketOf(i, col("v"))): _*))
+        .as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = df.where(col(valueCol).isNotNull).where(probePred)
+      .groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("cnt_true"))
+    probes
+      .select(col("v"), col("cnt_true"), posexplode(array(
+        (0 until d).map(i => bucketOf(i, col("v"))): _*))
+        .as(Seq("row_i", "bucket")))
+      // left join: a probe value absent from the corpus may hit
+      // untouched cells — estimate 0, not a dropped row
+      .join(broadcast(cells), Seq("row_i", "bucket"), "left")
+      .groupBy(col("v"), col("cnt_true"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .select(col("v").as("value"), col("cnt_true"), col("est"))
+  }
+
+  /** HyperLogLog registers + the RAW estimator, all-integer (Flajolet
+    * et al. '07): the 48-bit value hash splits into a 2^bucketBits-way
+    * register index (top bits) and a suffix whose leading-zeros rank
+    * (zeros+1 = suffixBits+1 - length(bin(suffix)), an integer both
+    * engines compute identically) each register MAXes over — bounded
+    * mergeable state (m registers, <= 6 bits each; sketches over
+    * disjoint corpora merge register-wise by max, the HLL contract KMV
+    * lacks a fixed-size analogue of). The harmonic denominator
+    * S = Σ_j 2^(suffixBits+1 − M_j) is EXACT in a long (M_j = 0 for
+    * never-touched registers), and the raw estimate α·m²/Σ2^(−M_j) is
+    * the integer (709 · ((m²·2^(suffixBits+1)) DIV S)) DIV 1000
+    * (α₆₄ ≈ 0.709 in per-mille; truncation order fixed so any 64-bit
+    * engine replays it bit-for-bit — m²·2^(suffixBits+1) <= 2^57 at the
+    * max bucketBits, and the first quotient <= 2^49, so nothing wraps).
+    * The paper's small/large-range corrections are documented out: they
+    * need float ln, and the gated quantity is the mergeable production
+    * state + its raw estimator. Output one row:
+    * (m, filled, s, est_distinct). */
+  def hllDistinct(df: DataFrame, valueCol: String,
+                  bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 2 && bucketBits <= 8,
+      s"bucketBits must be in [2, 8], got $bucketBits")
+    val m = 1L << bucketBits
+    val suffixBits = HashBits - bucketBits
+    val sb1 = suffixBits + 1
+    val twoSuf = 1L << suffixBits
+    val hv = graft.functions.Md5Functions.md5Prefix48(
+      col(valueCol).cast("string"))
+    val regs = df.where(col(valueCol).isNotNull)
+      .select(shiftrightunsigned(hv, suffixBits).as("bucket"),
+        (hv % lit(twoSuf)).as("suffix"))
+      .select(col("bucket"),
+        when(col("suffix") === 0, lit(sb1))
+          .otherwise(lit(sb1) - length(bin(col("suffix")))).as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("mj"))
+    regs
+      .agg(count(lit(1)).as("filled"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($sb1 - mj AS INT))"))
+          .as("sobs"))
+      .select(lit(m).as("m"), col("filled"),
+        (coalesce(col("sobs"), lit(0L)) +
+          (lit(m) - col("filled")) * lit(1L << sb1)).as("s"))
+      .select(col("m"), col("filled"), col("s"),
+        expr(s"(709 * ((${m * m} * CAST(${1L << sb1} AS BIGINT)) DIV s)) " +
+          "DIV 1000").as("est_distinct"))
+  }
+
   /** Misra-Gries frequent-items summary with k-1 counters: counted
     * values increment; a novel value either takes a free counter or
     * decrements ALL counters (dropping zeros). Each decrement round

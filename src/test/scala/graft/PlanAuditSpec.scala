@@ -37,6 +37,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q56_vocab" -> 2,         // (token,doc) agg + vocab-sized second
       "q21_minhash_lsh" -> 3,   // signature agg, bucket groupBy, distinct
       "q57_kmv_distinct" -> 1,  // only the <= k·partitions sketch merge
+      // build agg (wire <= d·w/partition) + probe-group agg; the
+      // <= d·w-cell sketch joins BROADCAST (pinned below)
+      "q130_countmin" -> 2,
+      // <= m-register groupBy + the one-row summary agg (its exchange
+      // carries one partial row per partition)
+      "q131_hll_distinct" -> 2,
       "q72_decontaminate" -> 3, // eval-side prep + final per-doc count
       "q60_tfidf" -> 4,         // tf agg, df agg, N, per-doc sum
       // every q74 exchange carries <= k (or k·partitions) rows: the
@@ -159,6 +165,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       assert(s.contains("BroadcastHashJoin"), s"$name lost its broadcast")
       assert(!s.contains("SortMergeJoin"),
         s"$name plans a sort-merge join — the candidate side would shuffle")
+    }
+    // q130: the <= d·w-cell sketch must BROADCAST to the probe side —
+    // an SMJ here would shuffle the probe stream against a 1024-row
+    // table
+    locally {
+      val s = plan("q130_countmin")
+      assert(s.contains("BroadcastHashJoin"), "q130 lost its broadcast")
+      assert(!s.contains("SortMergeJoin"),
+        "q130 plans a sort-merge join against the 1024-cell sketch")
     }
   }
 

@@ -294,4 +294,62 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       hist.repartition(7), "k").as[(String, Long, Boolean)].collect().toSet
     assert(a == b)
   }
+
+  test("count-min: est >= true count always, exact when w has no " +
+      "collisions, partition-invariant") {
+    import spark.implicits._
+    // zipf-ish multiset: value i appears (60/i) times
+    val rows = (1 to 60).flatMap(i => Seq.fill(60 / i)(i.toLong))
+    val truth = rows.groupBy(identity).map { case (v, g) =>
+      (v.toString, g.size.toLong) }
+    for (parts <- Seq(1, 7)) {
+      // w=8: heavy collisions — the upper-bias invariant must hold
+      val tight = Sketches.countMinEstimates(
+        rows.toDF("v").repartition(parts), "v", d = 4, w = 8,
+        probePred = col("v") % 3 === 0)
+        .as[(String, Long, Long)].collect()
+      assert(tight.nonEmpty)
+      tight.foreach { case (v, cnt, est) =>
+        assert(cnt == truth(v), s"v=$v")
+        assert(est >= cnt, s"v=$v: est $est < true $cnt")
+      }
+      // w far above the distinct count: no collisions survive the
+      // 4-row min at this size, so the sketch is exact
+      val wide = Sketches.countMinEstimates(
+        rows.toDF("v").repartition(parts), "v", d = 4, w = 1 << 16,
+        probePred = col("v") % 3 === 0)
+        .as[(String, Long, Long)].collect()
+      wide.foreach { case (v, cnt, est) =>
+        assert(est == cnt, s"v=$v: est $est != true $cnt at wide w") }
+    }
+    // absent probe values estimate colliding mass, never error
+    val absent = Sketches.countMinEstimates(
+      Seq(1L, 2L, 3L).toDF("v"), "v", d = 4, w = 1 << 16,
+      probePred = col("v") >= 0)
+    assert(absent.count() == 3)
+  }
+
+  test("hll: raw estimate within the m=64 error envelope, " +
+      "partition-invariant, and the register math is closed-form") {
+    import spark.implicits._
+    val n = 3000
+    val df = (1 to n).map(i => s"val-$i").toDF("v")
+    val rows = for (parts <- Seq(1, 9)) yield
+      Sketches.hllDistinct(df.repartition(parts), "v", bucketBits = 6)
+        .as[(Long, Long, Long, Long)].collect()(0)
+    // partitioning-invariant (the register max is order-free)
+    assert(rows.toSet.size == 1)
+    val (m, filled, s, est) = rows.head
+    assert(m == 64 && filled <= 64 && filled > 0)
+    // raw HLL std error is ~1.04/sqrt(m) = 13%; 3 sigma = ~40%
+    assert(est > n * 6 / 10 && est < n * 14 / 10,
+      s"est $est outside the envelope for true $n")
+    // the estimator is exactly the documented integer formula
+    assert(est == 709L * ((64L * 64L * (1L << 43)) / s) / 1000L)
+    // duplicates don't move a distinct sketch
+    val dup = Sketches.hllDistinct(
+      df.union(df).union(df), "v", bucketBits = 6)
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(dup == rows.head)
+  }
 }
