@@ -147,10 +147,11 @@ object Bench {
       java.nio.file.Files.readString(java.nio.file.Paths.get(
         sys.env.getOrElse("GRAFT_DUCK_BENCH", "/root/repo/DUCK_BENCH.json"))).trim)
       .toOption.filter(_.nonEmpty)
+    val duckTotal = duck.flatMap(d =>
+      "\"total_sec\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1)))
     val duckField = duck.flatMap { d =>
-      val tot = "\"total_sec\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1))
       val eng = "\"engine\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(d).map(_.group(1))
-      tot.map(t => s""","duckdb_baseline":{"total_sec":$t${eng.map(e => s""","engine":${jstr(e)}""").getOrElse("")},"detail":"DUCK_BENCH.json"}""")
+      duckTotal.map(t => s""","duckdb_baseline":{"total_sec":$t${eng.map(e => s""","engine":${jstr(e)}""").getOrElse("")},"detail":"DUCK_BENCH.json"}""")
     }.getOrElse("")
     // Ratio policy, stated in-band: the streaming surfaces measure real
     // Structured Streaming micro-batch MACHINERY (trigger + state store
@@ -193,18 +194,16 @@ object Bench {
     //     watchdog prints the report itself and halt()s, so a hang costs
     //     the dirty tail it used to cost, never the whole report.
     import scala.util.control.NonFatal
-    val report = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":"$sfDir"$duckField}"""
+    val report = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":${jstr(sfDir)}$duckField}"""
     // Short stdout line: everything an auditor of the committed tail needs —
     // totals, counts, the duck denominator, the ratio, and where the full
     // per-query map lives. Must stay well under the driver's 2000-char tail.
-    val duckTotal = duck.flatMap(d =>
-      "\"total_sec\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1)))
     val ratioField = duckTotal.flatMap(_.toDoubleOption).filter(_ > 0)
       .map(t => s""","duckdb_total_sec":$t,"ratio":${jnum(total / t)}""")
       .getOrElse("")
     val errNames = if (errors.isEmpty) ""
       else s""","error_names":${jstr(errors.keys.mkString(",").take(300))}"""
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}$errNames,"streaming_sec":${jnum(streamTotal)},"ex_streaming_sec":${jnum(total - streamTotal)}$ratioField,"detail":"BENCH_DETAIL.json"}"""
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size}$errNames,"streaming_sec":${jnum(streamTotal)},"ex_streaming_sec":${jnum(total - streamTotal)}$ratioField,"detail":"BENCH_DETAIL.json"}"""
     val rc = if (errors.nonEmpty) 1 else 0
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(

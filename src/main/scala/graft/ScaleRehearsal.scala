@@ -398,9 +398,15 @@ object ScaleRehearsal {
     graftshim.ListenerShim.drain(spark.sparkContext)
     val (r0, w0) = (read.get, write.get)
     val t0 = System.nanoTime()
-    // seeds are copy-0 rows only (replica ids start at the 1e7 stride)
+    // seeds are copy-0 rows only (replica ids start at the 1e7 stride).
+    // The assignment is PERSISTED and materialized by the sizes agg
+    // inside the train window: the prune query consumes `clusters`
+    // twice (the join side and the keep-side anti-join), and without
+    // the cache each consumer re-derives the full-corpus argmax scan —
+    // pruneWall would charge ~2 redundant assignment passes to the
+    // quantity the decades claim to measure
     val clusters = KMeans.lloyd(corpus, "vec_id", "embedding",
-      seedPred = col("vec_id") < k, iters = 3, localBelow = 0L)
+      seedPred = col("vec_id") < k, iters = 3, localBelow = 0L).persist()
     val sizes = clusters.groupBy(col("cluster")).count()
       .agg(count(lit(1)).as("k"), max(col("count")).as("mx")).collect()(0)
     val trainWall = (System.nanoTime() - t0) / 1e9
@@ -421,6 +427,7 @@ object ScaleRehearsal {
       f"kept=${stats.getLong(0)} keptAllCopy0=${stats.getLong(1) < 10000000L} " +
       f"trainWall=$trainWall%.1f s pruneWall=$pruneWall%.1f s " +
       f"shuffleRead=${mib(readB)} MiB shuffleWrite=${mib(writeB)} MiB")
+    clusters.unpersist(blocking = false)
     corpus.unpersist(blocking = false)
   }
 

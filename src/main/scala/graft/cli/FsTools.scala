@@ -142,7 +142,12 @@ object FsTools {
     fs.setTimes(path, mtime, mtime)
     if (updateDir) {
       val tmp = new Path(path.getParent, ".tmp_touch_latest")
-      fs.create(tmp, true).close()
+      // NEVER create-over an existing file: the original truncated and
+      // deleted any real file (including the one just touched) that
+      // happened to carry the marker name — silent data loss; refusing
+      // loudly is the only safe behavior for a name collision
+      require(!fs.exists(tmp), s"refusing dir-mtime bump: $tmp exists")
+      fs.create(tmp, false).close()
       fs.delete(tmp, false)
     }
   }

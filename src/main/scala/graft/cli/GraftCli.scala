@@ -383,6 +383,7 @@ object GraftCli {
           maxBytes, headerFor = Some(name =>
             graft.server.GzRangeClient.warcinfoHeader(name,
               java.time.Instant.now())))
+        var manifestOk = false
         try {
           val src = scala.io.Source.fromFile(rest(3), "UTF-8")
           try src.getLines().map(_.trim).filter(_.nonEmpty).foreach { l =>
@@ -396,13 +397,21 @@ object GraftCli {
             val (off, len) = range.get
             client.fetchAndAppend(rest(0), parts(0), off, len)
           } finally src.close()
+          manifestOk = true
         } finally {
           // close in a finally: a mid-manifest abort still rotates out
           // and REPORTS the archives written so far, so a partial
-          // repackage is distinguishable from no output
-          val files = client.close()
-          files.foreach(println)
-          println(s"gz-range-client: ${files.length} archive files -> ${rest(1)}")
+          // repackage is distinguishable from no output. A close failure
+          // must not MASK the original abort diagnostic — it only
+          // propagates when the manifest itself succeeded.
+          try {
+            val files = client.close()
+            files.foreach(println)
+            println(s"gz-range-client: ${files.length} archive files -> ${rest(1)}")
+          } catch { case scala.util.control.NonFatal(e) =>
+            if (manifestOk) throw e
+            System.err.println(s"gz-range-client: close also failed: ${e.getMessage}")
+          }
         }
       case "fs-lsr" =>
         // fs-lsr <uri> — recursive file listing, BASENAME<tab>PATH

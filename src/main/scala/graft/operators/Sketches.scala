@@ -330,8 +330,7 @@ object Sketches {
     require(d >= 1 && d <= 8, s"d must be in [1, 8], got $d")
     require(w >= 2 && w <= (1 << 20), s"w must be in [2, 2^20], got $w")
     def bucketOf(i: Int, v: org.apache.spark.sql.Column) =
-      graft.functions.Md5Functions.md5Prefix48(
-        concat(lit(s"$i:"), v)) % lit(w.toLong)
+      hash48(concat(lit(s"$i:"), v)) % lit(w.toLong)
     val vals = df.where(col(valueCol).isNotNull)
       .select(col(valueCol).cast("string").as("v"))
     val cells = vals
@@ -381,8 +380,7 @@ object Sketches {
     val suffixBits = HashBits - bucketBits
     val sb1 = suffixBits + 1
     val twoSuf = 1L << suffixBits
-    val hv = graft.functions.Md5Functions.md5Prefix48(
-      col(valueCol).cast("string"))
+    val hv = hash48(col(valueCol))
     val regs = df.where(col(valueCol).isNotNull)
       .select(shiftrightunsigned(hv, suffixBits).as("bucket"),
         (hv % lit(twoSuf)).as("suffix"))

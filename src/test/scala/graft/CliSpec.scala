@@ -54,10 +54,22 @@ class CliSpec extends AnyFunSuite {
     assert(FsTools.parseTouchTimestamp("not a date").isEmpty)
     FsTools.touch(conf, f.toString, t1, updateDir = false)
     assert(Files.getLastModifiedTime(f).toMillis == t1)
-    // -d: the parent's mtime moves forward and no tmp file survives
+    // -d: the parent's mtime moves forward and no tmp file survives.
+    // Age the dir FIRST — a freshly-created dir's mtime is already
+    // "now", which would make the > t1 assertion vacuous
+    Files.setLastModifiedTime(root,
+      java.nio.file.attribute.FileTime.fromMillis(t1))
     FsTools.touch(conf, f.toString, t1, updateDir = true)
     assert(!Files.exists(root.resolve(".tmp_touch_latest")))
     assert(Files.getLastModifiedTime(root).toMillis > t1)
+    // a REAL file carrying the marker name is never truncated/deleted:
+    // the bump refuses loudly instead (data-loss guard)
+    Files.writeString(root.resolve(".tmp_touch_latest"), "precious")
+    intercept[IllegalArgumentException] {
+      FsTools.touch(conf, f.toString, t1, updateDir = true)
+    }
+    assert(Files.readString(root.resolve(".tmp_touch_latest")) == "precious")
+    Files.delete(root.resolve(".tmp_touch_latest"))
     // directories are refused, as the original refuses them
     intercept[IllegalArgumentException] {
       FsTools.touch(conf, root.toString, t1, updateDir = false)

@@ -52,6 +52,10 @@ def main():
     ratios = []
     for q in common:
         c, pv = cur[q], prev[q]
+        if c < 0 <= pv:
+            # pass-to-fail is the worst regression there is
+            fails.append(f"  FAIL {q}: {pv:.3f}s -> NOW FAILING (-1)")
+            continue
         if c < 0 or pv <= 0:
             continue
         ratios.append(c / pv)
