@@ -627,6 +627,27 @@ object SparkEntry {
         tbl(s, dir, "orders"), "o_custkey", d = 4, w = 256,
         probePred = col("o_custkey") % 97 === 0)),
 
+    // Per-group HLL — the tier where the fixed-size register state
+    // actually earns its place (q103's KMV carries up to k hash values
+    // PER GROUP; this carries exactly m bytes per group through the
+    // hash-agg at any group count): per-source distinct-token
+    // estimates, fed the RAW occurrence stream (no pre-distinct — a
+    // distinct sketch must be duplicate-insensitive by construction,
+    // which the oracle exploits by replaying over DISTINCT pairs).
+    "q132_hll_per_group" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.operators.llm.Shingles.words(col("text")))
+            .as("tok"))
+        .where(col("tok") =!= "")
+        .select(col("source"),
+          graft.operators.Sketches.hash48Col(col("tok")).as("hv"))
+      val sk = udaf(graft.operators.Sketches.hllGroupAgg(6))
+      toks.groupBy(col("source")).agg(sk(col("hv")).as("h"))
+        .select(col("source"), col("h._1").as("filled"),
+          col("h._2").as("s"), col("h._3").as("est_distinct"))
+    }),
+
     // HyperLogLog — the FIXED-SIZE mergeable distinct sketch (KMV's
     // q57 carries k hash values; HLL carries m <=6-bit registers that
     // merge by max): register build is one bounded groupBy(bucket)
@@ -3915,6 +3936,28 @@ object SparkEntry {
         |  CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
         |FROM pb LEFT JOIN cells c USING (row_i, bucket)
         |GROUP BY pb.v, pb.cnt_true""".stripMargin,
+
+    "q132_hll_per_group" ->
+      """WITH t AS (SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |h AS (SELECT DISTINCT source, CAST(concat('0x',
+        |    substring(md5(tok), 1, 12)) AS BIGINT) AS hv FROM t),
+        |r AS (SELECT source, hv // 4398046511104 AS bucket,
+        |    hv % 4398046511104 AS suffix FROM h),
+        |regs AS (SELECT source, bucket, max(CASE WHEN suffix = 0 THEN 43
+        |    ELSE 43 - length(bin(suffix)) END) AS mj
+        |  FROM r GROUP BY 1, 2),
+        |one AS (SELECT source, count(*) AS filled,
+        |    CAST(sum(CAST(1 AS BIGINT) << (43 - mj)) AS BIGINT) AS sobs
+        |  FROM regs GROUP BY 1)
+        |SELECT source, filled,
+        |  CAST(sobs + (64 - filled) * (CAST(1 AS BIGINT) << 43)
+        |    AS BIGINT) AS s,
+        |  CAST((709 * ((4096 * (CAST(1 AS BIGINT) << 43))
+        |    // (sobs + (64 - filled) * (CAST(1 AS BIGINT) << 43))))
+        |    // 1000 AS BIGINT) AS est_distinct
+        |FROM one""".stripMargin,
 
     "q131_hll_distinct" ->
       """WITH hv AS (SELECT CAST(concat('0x',

@@ -400,6 +400,69 @@ object Sketches {
           "DIV 1000").as("est_distinct"))
   }
 
+  /** Fixed-size HLL register buffer for the per-group tier: m bytes,
+    * period — unlike [[KmvBuffer]] it never grows with the data, so a
+    * billion-group aggregation carries exactly m bytes per group
+    * through the hash-agg. */
+  final case class HllBuffer(regs: Array[Byte])
+
+  /** Per-group [[hllDistinct]] as a typed Aggregator over pre-hashed
+    * 48-bit values ([[hash48Col]] — same input convention as
+    * [[kmvGroupAgg]]): registers max in place, partials merge
+    * register-wise (the HLL merge), and finish computes the IDENTICAL
+    * all-integer raw estimator as the one-shot form (same truncation
+    * order, so the two tiers and any external replay agree exactly).
+    * Output per group: (filled, s, est_distinct). */
+  def hllGroupAgg(bucketBits: Int): org.apache.spark.sql.expressions
+      .Aggregator[java.lang.Long, HllBuffer, (Long, Long, Long)] = {
+    require(bucketBits >= 2 && bucketBits <= 8,
+      s"bucketBits must be in [2, 8], got $bucketBits")
+    val m = 1 << bucketBits
+    val suffixBits = HashBits - bucketBits
+    val sb1 = suffixBits + 1
+    val mask = (1L << suffixBits) - 1
+    new org.apache.spark.sql.expressions
+        .Aggregator[java.lang.Long, HllBuffer, (Long, Long, Long)] {
+      override def zero: HllBuffer = HllBuffer(new Array[Byte](m))
+      override def reduce(b: HllBuffer, hv: java.lang.Long): HllBuffer = {
+        if (hv == null) return b
+        val h = hv.longValue()
+        val bucket = (h >>> suffixBits).toInt
+        val suffix = h & mask
+        // rank = leading zeros of the suffix + 1 = sb1 - bitLength;
+        // 64 - numberOfLeadingZeros IS bitLength (0 for suffix = 0)
+        val rank =
+          (sb1 - (64 - java.lang.Long.numberOfLeadingZeros(suffix))).toByte
+        if (rank > b.regs(bucket)) b.regs(bucket) = rank
+        b
+      }
+      override def merge(x: HllBuffer, y: HllBuffer): HllBuffer = {
+        var i = 0
+        while (i < m) {
+          if (y.regs(i) > x.regs(i)) x.regs(i) = y.regs(i)
+          i += 1
+        }
+        x
+      }
+      override def finish(b: HllBuffer): (Long, Long, Long) = {
+        var filled = 0L; var s = 0L; var i = 0
+        while (i < m) {
+          val mj = b.regs(i)
+          if (mj > 0) filled += 1
+          s += 1L << (sb1 - mj)
+          i += 1
+        }
+        (filled, s, 709L * ((m.toLong * m * (1L << sb1)) / s) / 1000L)
+      }
+      override def bufferEncoder: org.apache.spark.sql.Encoder[HllBuffer] =
+        org.apache.spark.sql.Encoders.product[HllBuffer]
+      override def outputEncoder
+          : org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong)
+    }
+  }
+
   /** Misra-Gries frequent-items summary with k-1 counters: counted
     * values increment; a novel value either takes a free counter or
     * decrements ALL counters (dropping zeros). Each decrement round

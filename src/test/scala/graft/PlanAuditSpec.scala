@@ -43,6 +43,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       // <= m-register groupBy + the one-row summary agg (its exchange
       // carries one partial row per partition)
       "q131_hll_distinct" -> 2,
+      // ONE group agg; partials carry exactly m bytes per group
+      "q132_hll_per_group" -> 1,
       "q72_decontaminate" -> 3, // eval-side prep + final per-doc count
       "q60_tfidf" -> 4,         // tf agg, df agg, N, per-doc sum
       // every q74 exchange carries <= k (or k·partitions) rows: the

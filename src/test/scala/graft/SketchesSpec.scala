@@ -352,4 +352,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long, Long, Long)].collect()(0)
     assert(dup == rows.head)
   }
+
+  test("hllGroupAgg: per-group tier agrees EXACTLY with the one-shot " +
+      "form, partition-invariant, duplicate-insensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val rows = (1L to 900L).map(i => (s"g${i % 3}", s"v${i % (50 * (1 + (i % 3)))}"))
+    // duplicate the stream: a distinct sketch must not move
+    val df = (rows ++ rows).toDF("g", "v")
+      .select(col("g"), Sketches.hash48Col(col("v")).as("hv"))
+    val expected = rows.map(_._1).distinct.sorted.map { g =>
+      val one = Sketches.hllDistinct(
+        rows.filter(_._1 == g).map(_._2).toDF("v"), "v", bucketBits = 6)
+        .as[(Long, Long, Long, Long)].collect()(0)
+      g -> (one._2, one._3, one._4) // (filled, s, est)
+    }.toMap
+    for (parts <- Seq(1, 8)) {
+      val sk = udaf(Sketches.hllGroupAgg(6))
+      val got = df.repartition(parts).groupBy(col("g"))
+        .agg(sk(col("hv")).as("h"))
+        .as[(String, (Long, Long, Long))].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
