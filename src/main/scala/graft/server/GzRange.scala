@@ -79,6 +79,16 @@ object GzRangeServer {
         case _: Exception => ()
       } finally x.close()
     })
+    // bounded worker pool: without an executor the JDK server runs every
+    // handler on its single dispatch thread, serializing the whole fleet
+    // behind one slow disk read; daemon threads so a CLI ^C still exits
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      8,
+      (r: Runnable) => {
+        val t = new Thread(r, "gz-range-worker")
+        t.setDaemon(true)
+        t
+      }))
     server.start()
     server
   }
