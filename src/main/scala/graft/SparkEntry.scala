@@ -349,6 +349,25 @@ object SparkEntry {
         col("compressed_size"), col("offset"), col("filename"))
     }),
 
+    // CDXJ round-trip (beyond-reference: pywb's JSON CDX, the index
+    // format the reference's ecosystem runs today): parsed CDX-11 →
+    // CDXJ lines (to_json, nulls omitted per pywb) → parsed back
+    // (limit-3 split + get_json_object, so the redirect field's
+    // embedded space — the exact value class CDX-11's 11-slot split
+    // corrupts — survives losslessly). The serialized LINE is itself
+    // an output column, so the byte format is cross-engine-pinned,
+    // not just the round-trip identity.
+    "q133_cdxj_roundtrip" -> ((s, dir) => {
+      val p = parsedCdx(s, dir)
+      val line = graft.model.CdxJ.formatLine(col("urlkey"),
+        col("timestamp"), col("original_url"), col("mimetype"),
+        col("statuscode"), col("digest"), col("redirect_url"),
+        col("meta_flags"), col("compressed_size"), col("offset"),
+        col("filename"))
+      p.select(line.as("line"))
+        .select(col("line") +: graft.model.CdxJ.parseCols(col("line")): _*)
+    }),
+
     // S5/Q1/Q2/K1/K2 — THE spine: build a real ZipNum cluster from the
     // synthesized CDX (fixed sampled boundaries → sorted block-gzip shards
     // + ALL.summary), then answer a key-range query through the zipnum
@@ -3454,6 +3473,33 @@ object SparkEntry {
         |  redirect_url, meta_flags, compressed_size, "offset", filename
         |""".stripMargin + s"FROM ($cdxParsedSql)\n" +
         "WHERE urlkey >= 'org,site1' AND urlkey < 'org,site2'"),
+
+    "q133_cdxj_roundtrip" ->
+      (s"WITH p AS ($cdxParsedSql),\n" +
+        """j AS (SELECT *, '{' || concat_ws(',',
+          |    CASE WHEN original_url IS NOT NULL
+          |      THEN '"url":"' || original_url || '"' END,
+          |    CASE WHEN mimetype IS NOT NULL
+          |      THEN '"mime":"' || mimetype || '"' END,
+          |    CASE WHEN statuscode IS NOT NULL
+          |      THEN '"status":"' || statuscode || '"' END,
+          |    CASE WHEN digest IS NOT NULL
+          |      THEN '"digest":"' || digest || '"' END,
+          |    CASE WHEN redirect_url IS NOT NULL
+          |      THEN '"redirect":"' || redirect_url || '"' END,
+          |    CASE WHEN meta_flags IS NOT NULL
+          |      THEN '"flags":"' || meta_flags || '"' END,
+          |    CASE WHEN compressed_size IS NOT NULL
+          |      THEN '"length":"' || compressed_size || '"' END,
+          |    CASE WHEN "offset" IS NOT NULL
+          |      THEN '"offset":"' || "offset" || '"' END,
+          |    CASE WHEN filename IS NOT NULL
+          |      THEN '"filename":"' || filename || '"' END) || '}' AS js
+          |  FROM p)
+          |SELECT urlkey || ' ' || timestamp || ' ' || js AS line,
+          |  urlkey, timestamp, original_url, mimetype, statuscode, digest,
+          |  redirect_url, meta_flags, compressed_size, "offset", filename
+          |FROM j""".stripMargin),
 
     "q20_doc_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "q131_hll_distinct" -> 2,
       // ONE group agg; partials carry exactly m bytes per group
       "q132_hll_per_group" -> 1,
+      "q133_cdxj_roundtrip" -> 0, // pure map: format+parse, no exchange
       "q72_decontaminate" -> 3, // eval-side prep + final per-doc count
       "q60_tfidf" -> 4,         // tf agg, df agg, N, per-doc sum
       // every q74 exchange carries <= k (or k·partitions) rows: the
