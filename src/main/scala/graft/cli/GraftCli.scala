@@ -64,6 +64,54 @@ object GraftCli {
       case "surt" =>
         // surt <url> — canonicalize one URL (smoke/debug)
         println(graft.functions.Surt.surtLenient(rest(0)))
+      case "cdxj-convert" =>
+        // cdxj-convert to|from <input> <outDir> — CDX-11 ↔ CDXJ text
+        // (pywb's JSON CDX; model/CdxJ.scala). Sort order is carried
+        // by (urlkey, timestamp) identically in both formats, so
+        // converted files remain cluster-buildable.
+        if (rest.length != 3 || !Set("to", "from")(rest(0))) {
+          usage(); sys.exit(2)
+        }
+        val spark = session("cdxj-convert")
+        val out = rest(0) match {
+          case "to" =>
+            readCdx(spark, rest(1)).select(
+              graft.model.CdxJ.formatLine(
+                org.apache.spark.sql.functions.col("urlkey"),
+                org.apache.spark.sql.functions.col("timestamp"),
+                org.apache.spark.sql.functions.col("original_url"),
+                org.apache.spark.sql.functions.col("mimetype"),
+                org.apache.spark.sql.functions.col("statuscode"),
+                org.apache.spark.sql.functions.col("digest"),
+                org.apache.spark.sql.functions.col("redirect_url"),
+                org.apache.spark.sql.functions.col("meta_flags"),
+                org.apache.spark.sql.functions.col("compressed_size"),
+                org.apache.spark.sql.functions.col("offset"),
+                org.apache.spark.sql.functions.col("filename")).as("line"))
+          case _ =>
+            import graft.model.{Cdx, CdxRecord}
+            val parsed = spark.read.option("lineSep", "\n")
+              .textFile(rest(1)).toDF("line")
+              .where(org.apache.spark.sql.functions.col("line") =!= "")
+              .select(graft.model.CdxJ.parseCols(
+                org.apache.spark.sql.functions.col("line")): _*)
+            import spark.implicits._
+            // render back through the shared CDX-11 formatter so "-"
+            // null-encoding matches the reference's byte format
+            parsed.map { r =>
+              Cdx.formatLine(CdxRecord(r.getString(0), r.getString(1),
+                r.getString(2), r.getString(3),
+                if (r.isNullAt(4)) None else Some(r.getInt(4)),
+                r.getString(5), Option(r.getString(6)),
+                Option(r.getString(7)),
+                if (r.isNullAt(8)) None else Some(r.getLong(8)),
+                if (r.isNullAt(9)) None else Some(r.getLong(9)),
+                r.getString(10)))
+            }.toDF("line")
+        }
+        out.write.mode("overwrite").text(rest(2))
+        println(s"cdxj-convert ${rest(0)}: ${rest(1)} -> ${rest(2)}")
+        spark.stop()
       case "cluster-build" =>
         val spark = session("cluster-build")
         graft.operators.ClusterOps.buildFromArgs(spark, rest)
@@ -497,6 +545,7 @@ object GraftCli {
       |  gz-range-client <server> <tgt> <prefix> <manifest> [maxMB]  repackage fetched members into rotating archives
       |  fs-lsr <uri>                           recursive listing: BASENAME<tab>PATH per file
       |  fs-touch [-d] <uri> [TIMESTAMP]        set file mtime/atime (-d: bump parent dir mtime too)
+      |  cdxj-convert to|from <input> <outDir>  CDX-11 <-> CDXJ (pywb JSON CDX) text conversion
       |  fs-mv <targetDir>                      move stdin-listed paths into targetDir
       |  fs-sync                                copy stdin-listed SRC TGT tuples when TGT absent
       |  fs-cat <uri> [off] [len] | fs-cat -    dump (a byte range of) files to stdout
