@@ -161,7 +161,8 @@ object Bench {
     // ex-streaming decomposition stated in-band rather than footnoted
     // out (STATUS.md §bench).
     val streamingQs = Set("q51_stream_daycap", "q92_stream_dedup",
-      "q104_stream_windows", "q110_stream_sessions", "q113_stream_zipnum")
+      "q104_stream_windows", "q110_stream_sessions", "q113_stream_zipnum",
+      "q134_stream_hll")
     val streamTotal = results
       .collect { case (n, v) if streamingQs(n) && v >= 0 => v }.sum
     val notes = s"the ${streamingQs.size} streaming surfaces " +

@@ -1479,6 +1479,26 @@ object SparkEntry {
             col("offset"))
       }),
 
+    // SKETCH STATE in Structured Streaming (the sixth streaming
+    // surface): per-(host, day) distinct-digest HLL whose register
+    // buffer lives in GroupState and folds micro-batches in with the
+    // SAME reduce the batch aggregator runs — the emitted summary must
+    // be bit-equal to the batch q131/q132 math over the same rows no
+    // matter how the engine batched them, which is exactly what the
+    // oracle checks (it replays the registers per cell from the
+    // fixture). Groups emit once on event-time timeout (q51's eviction
+    // shape); the q104 sentinel pushes the watermark past every real
+    // day end; the sentinel's own group never times out and is dropped
+    // unemitted at stream end.
+    "q134_stream_hll" -> ((s, dir) =>
+      runStreamQuery(s, dir, fixtureKey = "q104",
+        sink = "q134_stream_hll_sink", outputMode = "append",
+        fixture = streamCdxLinesWithSentinel(s, dir),
+        fixtureVersion = "v2", noDataBatch = true) { lines =>
+        graft.streaming.CdxStream.hllHostDayDistinct(
+          graft.streaming.CdxStream.parse(lines))
+      }),
+
     // Repetition scoring: word-bigram distinct/total ratio, entirely
     // map-side (staged array projections, no explode); looped text scores
     // high.
@@ -4531,6 +4551,31 @@ object SparkEntry {
         |SELECT urlkey, timestamp, digest, "offset" FROM c
         |QUALIFY row_number() OVER (PARTITION BY urlkey, substr(timestamp, 1, 8)
         |  ORDER BY timestamp, "offset") <= 4""".stripMargin,
+
+    "q134_stream_hll" ->
+      """WITH c AS (SELECT
+        |    'org,s' || (CAST(doc_id AS BIGINT) % 50) || ')/' AS urlkey,
+        |    '2012010' || (CAST(doc_id AS BIGINT) % 2 + 1) AS day,
+        |    md5(text) AS digest
+        |  FROM documents),
+        |h AS (SELECT DISTINCT urlkey, day, CAST(concat('0x',
+        |    substring(md5(digest), 1, 12)) AS BIGINT) AS hv FROM c),
+        |r AS (SELECT urlkey, day, hv // 4398046511104 AS bucket,
+        |    hv % 4398046511104 AS suffix FROM h),
+        |regs AS (SELECT urlkey, day, bucket,
+        |    max(CASE WHEN suffix = 0 THEN 43
+        |      ELSE 43 - length(bin(suffix)) END) AS mj
+        |  FROM r GROUP BY 1, 2, 3),
+        |one AS (SELECT urlkey, day, count(*) AS filled,
+        |    CAST(sum(CAST(1 AS BIGINT) << (43 - mj)) AS BIGINT) AS sobs
+        |  FROM regs GROUP BY 1, 2)
+        |SELECT urlkey, day, filled,
+        |  CAST(sobs + (64 - filled) * (CAST(1 AS BIGINT) << 43)
+        |    AS BIGINT) AS s,
+        |  CAST((709 * ((4096 * (CAST(1 AS BIGINT) << 43))
+        |    // (sobs + (64 - filled) * (CAST(1 AS BIGINT) << 43))))
+        |    // 1000 AS BIGINT) AS est_distinct
+        |FROM one""".stripMargin,
 
     "q60_tfidf" ->
       """WITH toks AS (SELECT doc_id,

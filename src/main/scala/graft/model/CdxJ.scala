@@ -54,11 +54,14 @@ object CdxJ {
     * (the redirect class) never shift fields. */
   def parseCols(line: Column): Seq[Column] = {
     val sp = split(line, " ", 3)
-    val js = sp.getItem(2)
+    // get(), not getItem(): under Spark 4's ANSI default getItem ABORTS
+    // the whole job when a line has fewer than 3 tokens — one malformed
+    // line must degrade to nulls, never kill a corpus-scale scan
+    val js = get(sp, lit(2))
     def f(k: String) = get_json_object(js, s"$$.$k")
     Seq(
-      sp.getItem(0).as("urlkey"),
-      sp.getItem(1).as("timestamp"),
+      get(sp, lit(0)).as("urlkey"),
+      get(sp, lit(1)).as("timestamp"),
       f("url").as("original_url"),
       f("mime").as("mimetype"),
       f("status").try_cast("int").as("statuscode"),

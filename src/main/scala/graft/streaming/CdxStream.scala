@@ -205,4 +205,63 @@ object CdxStream {
           }
       }
   }
+
+  /** Per-(host, day) distinct-digest estimate as CUSTOM SKETCH STATE:
+    * the HLL register buffer ([[graft.operators.Sketches.HllBuffer]],
+    * exactly m bytes) lives in GroupState and folds each micro-batch's
+    * rows in — the same reduce the batch aggregator runs, so the
+    * summary a group emits is BIT-EQUAL to the batch q131/q132
+    * computation over the same rows REGARDLESS of how the stream was
+    * batched (the mergeability contract, proven against the streaming
+    * engine itself rather than a repartition). A group emits ONCE,
+    * when the event-time watermark passes its day end (q51's eviction
+    * shape — EventTimeTimeout with a watermark-floor guard), so the
+    * output is append-mode exact and state is bounded at m bytes per
+    * LIVE (host, day), not per host ever seen. */
+  def hllHostDayDistinct(cdx: Dataset[CdxRecord],
+                         bucketBits: Int = 6,
+                         watermarkDelay: String = "1 hour"): DataFrame = {
+    val spark = cdx.sparkSession
+    import spark.implicits._
+    val agg = graft.operators.Sketches.hllGroupAgg(bucketBits)
+    cdx
+      .filter((r: CdxRecord) => r.timestamp != null &&
+        r.timestamp.length >= 8 && r.digest != null &&
+        scala.util.Try(java.time.LocalDate.parse(r.timestamp.take(8),
+          java.time.format.DateTimeFormatter.BASIC_ISO_DATE)).isSuccess)
+      .toDF()
+      .withColumn("__event_ts",
+        to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[CdxRecord]
+      .groupByKey(r => (r.urlkey, r.timestamp.take(8)))
+      .flatMapGroupsWithState[graft.operators.Sketches.HllBuffer,
+        (String, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows,
+            state: GroupState[graft.operators.Sketches.HllBuffer]) =>
+          if (state.hasTimedOut) {
+            val (filled, s, est) = agg.finish(
+              state.getOption.getOrElse(agg.zero))
+            state.remove()
+            Iterator.single((key._1, key._2, filled, s, est))
+          } else {
+            val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+              (b, r) => agg.reduce(b,
+                graft.functions.Md5Codegen.md5Prefix48(
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(r.digest)))
+            }
+            state.update(buf)
+            val dayEndMs = java.time.LocalDate.parse(key._2,
+              java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+              .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.toEpochMilli
+            state.setTimeoutTimestamp(math.max(dayEndMs,
+              state.getCurrentWatermarkMs() + 60000L))
+            Iterator.empty
+          }
+      }
+      .toDF("urlkey", "day", "filled", "s", "est_distinct")
+  }
 }

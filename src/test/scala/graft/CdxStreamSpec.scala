@@ -198,6 +198,47 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     q.stop()
   }
 
+  test("hllHostDayDistinct: sketch state folds ACROSS micro-batches and " +
+      "the emitted summary is bit-equal to the batch aggregator fold") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def dline(key: String, ts: String, digest: String, off: Long): String =
+      s"$key $ts http://x.org/ text/html 200 $digest - - 10 $off f.warc.gz"
+    val ms = MemoryStream[String]
+    val out = CdxStream.hllHostDayDistinct(
+      CdxStream.parse(ms.toDS()), watermarkDelay = "1 second")
+    val q = out.writeStream
+      .format("memory").queryName("hllcells").outputMode("append").start()
+    // host a, day 01: digests split across TWO batches, with a repeat
+    ms.addData(
+      dline("org,a)/", "20120101000100", "D1", 0),
+      dline("org,a)/", "20120101000200", "D2", 1))
+    q.processAllAvailable()
+    ms.addData(
+      dline("org,a)/", "20120101000300", "D2", 2), // dup across batches
+      dline("org,a)/", "20120101000400", "D3", 3),
+      dline("org,b)/", "20120101000500", "D9", 4))
+    q.processAllAvailable()
+    assert(spark.table("hllcells").count() == 0) // nothing timed out yet
+    // sentinel far past day 01's end: watermark passes, groups emit
+    ms.addData(dline("org,zz)/", "20120105000000", "SENT", 5))
+    q.processAllAvailable()
+    ms.addData(dline("org,zz)/", "20120105000001", "SENT2", 6))
+    q.processAllAvailable()
+    val got = spark.table("hllcells")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val agg = graft.operators.Sketches.hllGroupAgg(6)
+    def expect(digests: Seq[String]) = agg.finish(digests.foldLeft(agg.zero) {
+      (b, d) => agg.reduce(b, graft.functions.Md5Codegen.md5Prefix48(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+    })
+    val ea = expect(Seq("D1", "D2", "D2", "D3"))
+    val eb = expect(Seq("D9"))
+    assert(got == Set(("org,a)/", "20120101", ea._1, ea._2, ea._3),
+      ("org,b)/", "20120101", eb._1, eb._2, eb._3)))
+    q.stop()
+  }
+
   test("dayCapStream with dayLimit=0 passes rows through (cap disabled)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
