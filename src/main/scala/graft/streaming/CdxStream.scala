@@ -148,6 +148,63 @@ object CdxStream {
     }
   }
 
+  /** Shared keying scaffold for the day-keyed stateful operators
+    * ([[dayCapStream]], [[hllHostDayDistinct]]): validate the FULL
+    * 14-digit timestamp — a date-only prefix check would admit an
+    * 8-digit or bad-time value that then blows up `to_timestamp` under
+    * Spark 4's ANSI default (the checkpoint-replay poison pill: the
+    * query re-crashes on every restart), while a non-ANSI session
+    * would instead null the event time, let the row dodge the late
+    * filter, and RESURRECT a timed-out group — breaking emits-once.
+    * The operators compute day ends at UTC midnight, so the session
+    * must be UTC (every entrypoint in this repo pins it) — enforced
+    * loudly here instead of silently emitting duplicate or partial
+    * day cells under a westward session zone. */
+  private def withDayEventTime(cdx: Dataset[CdxRecord],
+                               watermarkDelay: String,
+                               extraValid: CdxRecord => Boolean = _ => true)
+      : Dataset[CdxRecord] = {
+    val spark = cdx.sparkSession
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "day-keyed streaming state computes day ends at UTC midnight; " +
+        "set spark.sql.session.timeZone=UTC")
+    import spark.implicits._
+    cdx
+      .filter((r: CdxRecord) => r.timestamp != null &&
+        r.timestamp.length == 14 && extraValid(r) &&
+        scala.util.Try(java.time.LocalDateTime.parse(r.timestamp,
+          Ts14Format)).isSuccess)
+      .toDF()
+      .withColumn("__event_ts",
+        to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
+      .withWatermark("__event_ts", watermarkDelay)
+      .as[CdxRecord]
+  }
+
+  private val Ts14Format =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+
+  /** Set a day-keyed group's event-time timeout at its UTC day end,
+    * with two guards: the watermark FLOOR keeps young groups alive
+    * while the watermark is still at its initial zero, and the future
+    * CAP bounds the state held by absurdly future-dated junk days (a
+    * real crawl-data class — a 2036 timestamp would otherwise pin its
+    * group's state for the stream's lifetime, since the watermark
+    * never reaches it): once the watermark is initialized, a day end
+    * more than `maxFutureMs` past it times out early, flushing the
+    * junk cell instead of holding it forever. */
+  private def setDayEndTimeout(state: GroupState[_], day: String,
+                               maxFutureMs: Long = 7L * 86400000L): Unit = {
+    val dayEndMs = java.time.LocalDate.parse(day,
+      java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+      .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+    val wm = state.getCurrentWatermarkMs()
+    val capped =
+      if (wm > 0) math.min(dayEndMs, wm + maxFutureMs) else dayEndMs
+    state.setTimeoutTimestamp(math.max(capped, wm + 60000L))
+  }
+
   /** O4e as custom streaming state: cap captures per (urlkey, day) ACROSS
     * micro-batches — admitting `dayLimit` + 1 rows per group, matching the
     * batch form's reference-faithful off-by-one (see GlobalCdxCleanup);
@@ -165,19 +222,12 @@ object CdxStream {
     if (dayLimit == 0) return cdx
     val spark = cdx.sparkSession
     import spark.implicits._
-    cdx
-      // drop rows whose timestamp can't key a (urlkey, day) group — the
-      // reference's parse-or-skip; without this one '-'-timestamp line is
-      // a poison pill that re-crashes the query on every checkpoint replay
-      .filter((r: CdxRecord) => r.timestamp != null &&
-        r.timestamp.length >= 8 &&
-        scala.util.Try(java.time.LocalDate.parse(r.timestamp.take(8),
-          java.time.format.DateTimeFormatter.BASIC_ISO_DATE)).isSuccess)
-      .toDF()
-      .withColumn("__event_ts",
-        to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
-      .withWatermark("__event_ts", s"${math.max(1L, stateTtlMs / 1000)} seconds")
-      .as[CdxRecord]
+    // withDayEventTime drops rows whose timestamp can't key a
+    // (urlkey, day) group — the reference's parse-or-skip; without it
+    // one '-'-timestamp line is a poison pill that re-crashes the
+    // query on every checkpoint replay
+    withDayEventTime(cdx,
+        s"${math.max(1L, stateTtlMs / 1000)} seconds")
       .groupByKey(r => (r.urlkey, r.timestamp.take(8)))
       .flatMapGroupsWithState[Int, CdxRecord](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -192,15 +242,8 @@ object CdxStream {
             state.update(seen)
             // evict once the WATERMARK (already newest - stateTtl)
             // passes the group's day end — adding the TTL again here
-            // would retain state for 2x the documented bound; the
-            // watermark-floor guard keeps young groups alive while the
-            // watermark is still at its initial zero
-            val dayEndMs = java.time.LocalDate.parse(key._2,
-              java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-              .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
-              .toInstant.toEpochMilli
-            state.setTimeoutTimestamp(math.max(dayEndMs,
-              state.getCurrentWatermarkMs() + 60000L))
+            // would retain state for 2x the documented bound
+            setDayEndTimeout(state, key._2)
             admitted.iterator
           }
       }
@@ -224,16 +267,7 @@ object CdxStream {
     val spark = cdx.sparkSession
     import spark.implicits._
     val agg = graft.operators.Sketches.hllGroupAgg(bucketBits)
-    cdx
-      .filter((r: CdxRecord) => r.timestamp != null &&
-        r.timestamp.length >= 8 && r.digest != null &&
-        scala.util.Try(java.time.LocalDate.parse(r.timestamp.take(8),
-          java.time.format.DateTimeFormatter.BASIC_ISO_DATE)).isSuccess)
-      .toDF()
-      .withColumn("__event_ts",
-        to_timestamp(col("timestamp"), "yyyyMMddHHmmss"))
-      .withWatermark("__event_ts", watermarkDelay)
-      .as[CdxRecord]
+    withDayEventTime(cdx, watermarkDelay, extraValid = _.digest != null)
       .groupByKey(r => (r.urlkey, r.timestamp.take(8)))
       .flatMapGroupsWithState[graft.operators.Sketches.HllBuffer,
         (String, String, Long, Long, Long)](
@@ -253,12 +287,7 @@ object CdxStream {
                     .fromString(r.digest)))
             }
             state.update(buf)
-            val dayEndMs = java.time.LocalDate.parse(key._2,
-              java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
-              .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
-              .toInstant.toEpochMilli
-            state.setTimeoutTimestamp(math.max(dayEndMs,
-              state.getCurrentWatermarkMs() + 60000L))
+            setDayEndTimeout(state, key._2)
             Iterator.empty
           }
       }
