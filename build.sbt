@@ -15,6 +15,15 @@ run / fork := true
 // (fs-mv, fs-sync, fs-cat -, cluster-build -) are unusable via
 // `sbt runMain` without this
 run / connectInput := true
+// The bench driver parses the LAST raw stdout line of `sbt runMain
+// graft.Bench` as the summary JSON. Two pieces of sbt framing defeat
+// that: the logger's "[info] " prefix on forked-process stdout, and the
+// trailing "[success] Total time: ..." line. StdoutOutput passes the
+// forked JVM's stdout/stderr through unprefixed; showSuccess drops the
+// trailer — so graft.Bench's summary println is the process's final
+// raw stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -216,10 +216,19 @@ object Bench {
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emitSummary(): Unit =
       if (printed.compareAndSet(false, true)) { println(summary); System.out.flush() }
+    // No `return` in the runnable: inside a lambda it throws
+    // NonLocalReturnControl, which escapes the Runnable and makes the dying
+    // thread print "Exception in thread bench-report-watchdog ..." to stderr
+    // (seen in the r17 tail) — exactly the post-teardown noise this teardown
+    // exists to prevent.
     val watchdog = new Thread(() => {
-      try Thread.sleep(60000L) catch { case _: InterruptedException => return }
-      emitSummary()
-      Runtime.getRuntime.halt(rc)
+      val interrupted =
+        try { Thread.sleep(60000L); false }
+        catch { case _: InterruptedException => true }
+      if (!interrupted) {
+        emitSummary()
+        Runtime.getRuntime.halt(rc)
+      }
     }, "bench-report-watchdog")
     watchdog.setDaemon(true)
     watchdog.start()
