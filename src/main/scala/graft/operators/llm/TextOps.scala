@@ -900,7 +900,22 @@ object TextAnalysis {
     * and the LM side is not broadcastable in general), and the single
     * reused exchange serves both the count agg and the join. The +31%
     * battery read was host-phase drift, uniform across untouched
-    * queries that session. */
+    * queries that session.
+    *
+    * RE-ADJUDICATED (r18, after the r17 battery read 0.539 — the only
+    * >25% round-over-round mover): same Diag protocol, code untouched
+    * since the r15 pin.
+    *   shape                                    q88      anchor q74
+    *   repartition(__gh), no checkpoint (THIS)  0.596 s  0.696/0.590
+    *   no repartition, pure AQE                 0.599 s  0.781/0.629
+    *   no repartition + lcp(bigramCnt)          0.693 s  0.737/0.641
+    * Ranking unchanged (lcp still worst; AQE ties within noise); the
+    * pinned shape keeps the deterministic reused-exchange argument, so
+    * it stays. The absolute level moved 0.486 -> ~0.60 while the AQE
+    * variant moved 0.618 -> 0.599 and lcp 0.586 -> 0.693 — i.e. the
+    * variants wander +-15-20% across sessions in BOTH directions on an
+    * 8-job/15-stage query; the r17 battery's 0.539 sits inside that
+    * envelope. Phase, not regression. */
   def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // bigram and prefix keys are ENGINE-INTERNAL (output = per-doc
     // integer scores), so every exchange carries xxhash64 longs, never
