@@ -2,6 +2,7 @@
 """Round-over-round per-query bench regression check.
 
 Usage: regress_check.py CURRENT_REPORT.json [PREVIOUS_REPORT.json]
+       regress_check.py --selftest
 
 CURRENT_REPORT is the full bench report (the sidecar Bench.scala writes:
 {"queries": {name: sec, ...}, ...}).  PREVIOUS defaults to the last
@@ -9,15 +10,30 @@ committed BENCH_DETAIL.json (via `git show HEAD:BENCH_DETAIL.json`), so
 the comparison is always against the tree a judge can see, not a /tmp
 file from a dead session.
 
-Policy (calibrated to the measured phase variance — same-code pairings
-span +/-15%, worst observed single-query phase swing +17%):
-  * FAIL  : any query slower by >25% AND >0.4s absolute (the same floor
-            the per-round perf audit uses).  Exit 1.
+Phase normalization: same-code batteries span +/-15% host phase, so raw
+second-to-second comparison can mass-WARN on a hot host or mask a real
+plan regression on a cool one.  Each current time is divided by the
+battery's MEDIAN per-query ratio vs the previous report before the
+thresholds apply — the median is the phase estimate (robust up to 50%
+of queries genuinely regressing), and it is self-contained: it does not
+depend on the DuckDB denominator, whose own phase is drawn independently
+and whose query set changes whenever a round adds gates.  A real global
+regression cannot hide inside the normalizer: median ratio > 1.30 (past
+any observed phase swing) is itself a FAIL.
+
+Policy (thresholds unchanged from the unnormalized version):
+  * FAIL  : any query slower (phase-normalized) by >25% AND >0.4s
+            absolute (the same floor the per-round perf audit uses).
+            Exit 1.  Pass-to-fail (time == -1) is always FAIL.
   * WARN  : slower by >25% AND >0.15s.  Printed, exit stays 0.
   * new / removed queries are reported informationally (new gates are
     normal round output, not regressions).
 A missing previous report (first round with a committed detail file) is
 a clean skip, not an error.
+
+--selftest proves the phase invariance: verdicts on a synthetic report
+must be IDENTICAL under global x0.85 / x1.00 / x1.15 scaling of every
+current time.
 """
 import json
 import subprocess
@@ -25,6 +41,7 @@ import sys
 
 FAIL_PCT, FAIL_ABS = 0.25, 0.40
 WARN_PCT, WARN_ABS = 0.25, 0.15
+GLOBAL_FAIL_MED = 1.30   # median ratio beyond any observed phase swing
 
 
 def load_queries(path):
@@ -32,7 +49,85 @@ def load_queries(path):
         return json.load(f)["queries"]
 
 
+def check(cur, prev):
+    """Return (fails, warns, improved, median_raw_ratio, n_common, new, gone).
+
+    fails/warns are lists of (query, prev_sec, cur_raw_sec, norm_pct)
+    tuples; pass-to-fail rows carry cur_raw_sec == -1.
+    """
+    common = sorted(set(cur) & set(prev))
+    ratios = sorted(cur[q] / prev[q] for q in common
+                    if cur[q] > 0 and prev[q] > 0)
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    # The phase estimate only makes sense as a phase estimate: clamp to
+    # the plausible envelope so a degenerate report (2 queries, one
+    # broken) can't normalize by garbage.
+    scale = med if 0.5 < med < 2.0 else 1.0
+    fails, warns, improved = [], [], 0
+    for q in common:
+        c, pv = cur[q], prev[q]
+        if c < 0 <= pv:
+            fails.append((q, pv, -1.0, 0.0))   # pass-to-fail: worst case
+            continue
+        if c < 0 or pv <= 0:
+            continue
+        cn = c / scale
+        delta, pct = cn - pv, (cn - pv) / pv
+        if pct > FAIL_PCT and delta > FAIL_ABS:
+            fails.append((q, pv, c, pct))
+        elif pct > WARN_PCT and delta > WARN_ABS:
+            warns.append((q, pv, c, pct))
+        elif pct < -WARN_PCT and -delta > WARN_ABS:
+            improved += 1
+    if med > GLOBAL_FAIL_MED:
+        fails.append(("__global__", 1.0, med, med - 1.0))
+    new = sorted(set(cur) - set(prev))
+    gone = sorted(set(prev) - set(cur))
+    return fails, warns, improved, med, len(common), new, gone
+
+
+def selftest():
+    """Verdicts must be invariant under a global phase scale of the
+    current report (x0.85 / x1.00 / x1.15), and clean on unchanged data."""
+    prev = {f"q{i:02d}": 0.2 + 0.01 * i for i in range(50)}
+    # one real regression (clears both pct and abs floors at any phase)
+    cur_base = dict(prev)
+    cur_base["q40"] = prev["q40"] * 2.5            # 0.60 -> 1.50 s
+    cur_base["q41"] = prev["q41"] + 0.20           # warn-band: +33%, +0.20s
+    verdicts = []
+    for k in (0.85, 1.00, 1.15):
+        cur = {q: t * k for q, t in cur_base.items()}
+        fails, warns, _, med, n, _, _ = check(cur, prev)
+        verdicts.append((sorted(f[0] for f in fails),
+                         sorted(w[0] for w in warns)))
+        assert n == 50, n
+    assert verdicts[0] == verdicts[1] == verdicts[2], \
+        f"verdicts not phase-invariant: {verdicts}"
+    assert verdicts[0][0] == ["q40"], verdicts[0]
+    assert verdicts[0][1] == ["q41"], verdicts[0]
+    # unchanged data at any phase: no fails, no warns
+    for k in (0.85, 1.00, 1.15):
+        fails, warns, _, _, _, _, _ = check(
+            {q: t * k for q, t in prev.items()}, prev)
+        assert not fails and not warns, (k, fails, warns)
+    # pass-to-fail is FAIL regardless of phase
+    cur = {q: t * 0.85 for q, t in prev.items()}
+    cur["q07"] = -1.0
+    fails, _, _, _, _, _, _ = check(cur, prev)
+    assert [f[0] for f in fails] == ["q07"], fails
+    # a global slowdown past the phase envelope cannot hide in the
+    # normalizer: every query x1.5 -> __global__ FAIL
+    fails, _, _, _, _, _, _ = check(
+        {q: t * 1.5 for q, t in prev.items()}, prev)
+    assert ("__global__" in [f[0] for f in fails]), fails
+    print("regress-check selftest: OK (phase-invariant verdicts, "
+          "global-slowdown guard, pass-to-fail)")
+    return 0
+
+
 def main():
+    if sys.argv[1] == "--selftest":
+        return selftest()
     cur_path = sys.argv[1]
     cur = load_queries(cur_path)
     if len(sys.argv) > 2:
@@ -47,35 +142,25 @@ def main():
         prev = json.loads(p.stdout)["queries"]
         prev_src = "HEAD:BENCH_DETAIL.json"
 
-    fails, warns, improved = [], [], 0
-    common = sorted(set(cur) & set(prev))
-    ratios = []
-    for q in common:
-        c, pv = cur[q], prev[q]
-        if c < 0 <= pv:
-            # pass-to-fail is the worst regression there is
-            fails.append(f"  FAIL {q}: {pv:.3f}s -> NOW FAILING (-1)")
-            continue
-        if c < 0 or pv <= 0:
-            continue
-        ratios.append(c / pv)
-        delta, pct = c - pv, (c - pv) / pv
-        if pct > FAIL_PCT and delta > FAIL_ABS:
-            fails.append(f"  FAIL {q}: {pv:.3f} -> {c:.3f}s (+{pct:.0%})")
-        elif pct > WARN_PCT and delta > WARN_ABS:
-            warns.append(f"  warn {q}: {pv:.3f} -> {c:.3f}s (+{pct:.0%})")
-        elif pct < -WARN_PCT and -delta > WARN_ABS:
-            improved += 1
-    new = sorted(set(cur) - set(prev))
-    gone = sorted(set(prev) - set(cur))
-    med = sorted(ratios)[len(ratios) // 2] if ratios else float("nan")
-    print(f"regress-check vs {prev_src}: {len(common)} common queries, "
-          f"median ratio {med:.3f}, {len(fails)} fail, {len(warns)} warn, "
-          f"{improved} improved >25%"
+    fails, warns, improved, med, n_common, new, gone = check(cur, prev)
+    print(f"regress-check vs {prev_src}: {n_common} common queries, "
+          f"median ratio {med:.3f} (phase-normalized thresholds), "
+          f"{len(fails)} fail, {len(warns)} warn, "
+          f"{improved} improved >25% raw"
           + (f", new: {','.join(new)}" if new else "")
           + (f", removed: {','.join(gone)}" if gone else ""))
-    for line in fails + warns:
-        print(line)
+    for q, pv, c, pct in fails:
+        if q == "__global__":
+            print(f"  FAIL global: median ratio {c:.3f} exceeds "
+                  f"{GLOBAL_FAIL_MED} — whole-battery slowdown, not phase")
+        elif c < 0:
+            print(f"  FAIL {q}: {pv:.3f}s -> NOW FAILING (-1)")
+        else:
+            print(f"  FAIL {q}: {pv:.3f} -> {c:.3f}s raw "
+                  f"(+{pct:.0%} phase-normalized)")
+    for q, pv, c, pct in warns:
+        print(f"  warn {q}: {pv:.3f} -> {c:.3f}s raw "
+              f"(+{pct:.0%} phase-normalized)")
     return 1 if fails else 0
 
 

@@ -12,6 +12,9 @@ SF_BENCH="${2:-/root/testdata/sf0.1}"
 OUT_SMALL=$(mktemp -d /tmp/graft_verify_small.XXXX)
 OUT_BENCH=$(mktemp -d /tmp/graft_verify_bench.XXXX)
 
+echo "== regress-check selftest (phase-invariance proof)"
+python3 tools/regress_check.py --selftest
+
 echo "== sbt test"
 sbt -batch test 2>&1 | tail -3
 
