@@ -118,6 +118,30 @@ object SparkEntry {
       |  CASE WHEN doc_id % 3 = 0 THEN 'live-20120101-c/live.arc.gz' ELSE 'crawl/w.warc.gz' END AS filename
       |FROM documents""".stripMargin
 
+  /** CDXJ line construction in DuckDB SQL, shared by q133/q135. The
+    * JSON block is `json_merge_patch('{}', to_json(struct_pack(...)))`
+    * — RFC 7386 merge drops null-valued keys (pywb's omit-null
+    * convention, and what Spark's `to_json` does natively) while
+    * keeping declaration-order keys and PROPER string escaping: a
+    * quote or backslash in any CDX field round-trips byte-identically
+    * on both engines, which the earlier raw string concatenation could
+    * not guarantee (it worked only because the fixture is clean). */
+  private def cdxjLinesSql(where: String = ""): String =
+    s"WITH p AS ($cdxParsedSql),\n" +
+      """j AS (SELECT *, CAST(json_merge_patch('{}', to_json(struct_pack(
+        |    url := original_url, mime := mimetype,
+        |    status := CAST(statuscode AS VARCHAR), digest := digest,
+        |    redirect := redirect_url, flags := meta_flags,
+        |    length := CAST(compressed_size AS VARCHAR),
+        |    "offset" := CAST("offset" AS VARCHAR),
+        |    filename := filename))) AS VARCHAR) AS js
+        |  FROM p)
+        |SELECT urlkey || ' ' || timestamp || ' ' || js AS line,
+        |  urlkey, timestamp, original_url, mimetype, statuscode, digest,
+        |  redirect_url, meta_flags, compressed_size, "offset", filename
+        |FROM j
+        |""".stripMargin + where
+
   private def parsedCdx(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lines = cdxLines(s, dir).as[String]
@@ -393,6 +417,34 @@ object SparkEntry {
           col("mimetype"), col("statuscode"), col("digest"),
           col("redirect_url"), col("meta_flags"), col("compressed_size"),
           col("offset"), col("filename"))
+    }),
+
+    // q133 × q19 composed — pywb's actual production layout for `zipnum`
+    // indexes: a ZipNum cluster whose LINES are CDXJ. The cluster format
+    // is format-agnostic (sorted lines + block index — the reference's
+    // own design note, hadoop/cdx/notes.txt:1-36: bounds are raw-line
+    // string compares), so the q19 writer and the summary-pruned range
+    // serve take CDXJ lines unchanged; only the per-line codec differs.
+    // Serving path: driver-side summary prune → one task per block
+    // slice → limit-3 split + JSON extract (all codegen'd builtins).
+    "q135_cdxj_zipnum" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpDir("q135", dir)
+      val out = s"$base/cluster"
+      fixtureOnce(base, "v1", dir, "documents") {
+        val p = parsedCdx(s, dir)
+        val lines = p.select(graft.model.CdxJ.formatLine(col("urlkey"),
+          col("timestamp"), col("original_url"), col("mimetype"),
+          col("statuscode"), col("digest"), col("redirect_url"),
+          col("meta_flags"), col("compressed_size"), col("offset"),
+          col("filename")).as("line")).as[String].rdd
+        graft.operators.ClusterOps.build(s, lines, out,
+          graft.operators.Boundaries.sample(lines, 8),
+          linesPerBlock = 500, overwrite = true)
+      }
+      val served = s.createDataset(graft.sources.zipnum.ZipNumReader
+        .lines(s, out, Some("org,site1"), Some("org,site2"))).toDF("line")
+      served.select(col("line") +: graft.model.CdxJ.parseCols(col("line")): _*)
     }),
 
     // ------------------------------------------------------------------
@@ -3494,32 +3546,10 @@ object SparkEntry {
         |""".stripMargin + s"FROM ($cdxParsedSql)\n" +
         "WHERE urlkey >= 'org,site1' AND urlkey < 'org,site2'"),
 
-    "q133_cdxj_roundtrip" ->
-      (s"WITH p AS ($cdxParsedSql),\n" +
-        """j AS (SELECT *, '{' || concat_ws(',',
-          |    CASE WHEN original_url IS NOT NULL
-          |      THEN '"url":"' || original_url || '"' END,
-          |    CASE WHEN mimetype IS NOT NULL
-          |      THEN '"mime":"' || mimetype || '"' END,
-          |    CASE WHEN statuscode IS NOT NULL
-          |      THEN '"status":"' || statuscode || '"' END,
-          |    CASE WHEN digest IS NOT NULL
-          |      THEN '"digest":"' || digest || '"' END,
-          |    CASE WHEN redirect_url IS NOT NULL
-          |      THEN '"redirect":"' || redirect_url || '"' END,
-          |    CASE WHEN meta_flags IS NOT NULL
-          |      THEN '"flags":"' || meta_flags || '"' END,
-          |    CASE WHEN compressed_size IS NOT NULL
-          |      THEN '"length":"' || compressed_size || '"' END,
-          |    CASE WHEN "offset" IS NOT NULL
-          |      THEN '"offset":"' || "offset" || '"' END,
-          |    CASE WHEN filename IS NOT NULL
-          |      THEN '"filename":"' || filename || '"' END) || '}' AS js
-          |  FROM p)
-          |SELECT urlkey || ' ' || timestamp || ' ' || js AS line,
-          |  urlkey, timestamp, original_url, mimetype, statuscode, digest,
-          |  redirect_url, meta_flags, compressed_size, "offset", filename
-          |FROM j""".stripMargin),
+    "q135_cdxj_zipnum" -> cdxjLinesSql(
+      "WHERE urlkey >= 'org,site1' AND urlkey < 'org,site2'"),
+
+    "q133_cdxj_roundtrip" -> cdxjLinesSql(),
 
     "q20_doc_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
