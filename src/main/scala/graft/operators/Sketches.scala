@@ -346,8 +346,12 @@ object Sketches {
       .select(col("v"), col("cnt_true"), posexplode(array(
         (0 until d).map(i => bucketOf(i, col("v"))): _*))
         .as(Seq("row_i", "bucket")))
-      // left join: a probe value absent from the corpus may hit
-      // untouched cells — estimate 0, not a dropped row
+      // left join: DEFENSIVE only — probes are derived from df itself,
+      // so every probed value exists in the corpus (cnt_true >= 1) and
+      // its d cells were all touched; the null branch is unreachable
+      // today. It is kept so a future external probe list (values not
+      // drawn from df) degrades to est=0 on untouched cells instead of
+      // silently dropping the row.
       .join(broadcast(cells), Seq("row_i", "bucket"), "left")
       .groupBy(col("v"), col("cnt_true"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
@@ -368,10 +372,18 @@ object Sketches {
     * (α₆₄ ≈ 0.709 in per-mille; truncation order fixed so any 64-bit
     * engine replays it bit-for-bit — m²·2^(suffixBits+1) <= 2^57 at the
     * max bucketBits, and the first quotient <= 2^49, so nothing wraps).
-    * The paper's small/large-range corrections are documented out: they
-    * need float ln, and the gated quantity is the mergeable production
-    * state + its raw estimator. Output one row:
-    * (m, filled, s, est_distinct). */
+    * The paper's small/large-range corrections are documented out
+    * (ADJUDICATED r18, kept): they need float ln, which no integer
+    * truncation order pins across engines, and the regime where they
+    * matter is far from the gated one — linear counting applies below
+    * n ≈ 2.5·m = 160 at m = 64, while the gate cardinalities sit in
+    * the thousands (raw-estimator calibrated range; bias there is the
+    * paper's ±1.04/√m ≈ ±13% σ, which the oracle replays exactly
+    * anyway since both engines run the SAME integer estimator). A
+    * consumer needing LC has everything in the output row: est_LC =
+    * m·ln(m/(m−filled)) is a pure function of (m, filled). Large-range
+    * correction is moot at 48-bit hashes below ~2^45 distincts.
+    * Output one row: (m, filled, s, est_distinct). */
   def hllDistinct(df: DataFrame, valueCol: String,
                   bucketBits: Int = 6): DataFrame = {
     require(bucketBits >= 2 && bucketBits <= 8,

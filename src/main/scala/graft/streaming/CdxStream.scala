@@ -192,7 +192,21 @@ object CdxStream {
     * group's state for the stream's lifetime, since the watermark
     * never reaches it): once the watermark is initialized, a day end
     * more than `maxFutureMs` past it times out early, flushing the
-    * junk cell instead of holding it forever. */
+    * junk cell instead of holding it forever.
+    *
+    * DOCUMENTED TRADE (adjudicated r18): for the far-future junk class
+    * ONLY, an early flush is not final — rows for the same (key, day)
+    * arriving after the flush are not "late" by the watermark (their
+    * event time is ahead of it), so they re-create state: the day may
+    * emit a second partial cell (hllHostDayDistinct) or re-admit
+    * another budget (dayCapStream). This is inherent, not an oversight:
+    * a tombstone that made the flush final would have to live until the
+    * watermark passes the junk day's real end — for a 2036 timestamp,
+    * the stream's whole lifetime — which is exactly the unbounded state
+    * this cap exists to remove, and a TTL'd tombstone merely moves the
+    * re-admission boundary. Bounded state wins; the emits-once /
+    * exact-budget contracts hold for every day within `maxFutureMs` of
+    * the watermark, i.e. all real data. */
   private def setDayEndTimeout(state: GroupState[_], day: String,
                                maxFutureMs: Long = 7L * 86400000L): Unit = {
     val dayEndMs = java.time.LocalDate.parse(day,
@@ -249,7 +263,7 @@ object CdxStream {
       }
   }
 
-  /** Per-(host, day) distinct-digest estimate as CUSTOM SKETCH STATE:
+  /** Per-(urlkey, day) distinct-digest estimate as CUSTOM SKETCH STATE:
     * the HLL register buffer ([[graft.operators.Sketches.HllBuffer]],
     * exactly m bytes) lives in GroupState and folds each micro-batch's
     * rows in — the same reduce the batch aggregator runs, so the
@@ -260,7 +274,9 @@ object CdxStream {
     * when the event-time watermark passes its day end (q51's eviction
     * shape — EventTimeTimeout with a watermark-floor guard), so the
     * output is append-mode exact and state is bounded at m bytes per
-    * LIVE (host, day), not per host ever seen. */
+    * LIVE (urlkey, day), not per key ever seen. (Far-future junk days
+    * are the one exception to emits-once — see [[setDayEndTimeout]]'s
+    * documented trade.) */
   def hllHostDayDistinct(cdx: Dataset[CdxRecord],
                          bucketBits: Int = 6,
                          watermarkDelay: String = "1 hour"): DataFrame = {
