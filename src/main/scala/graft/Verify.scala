@@ -26,6 +26,10 @@ object Verify {
     // exit green (the silent-vacuous-green failure mode the round-10
     // hardening exists to prevent)
     only.foreach { names =>
+      // set-but-empty (a typo'd `GRAFT_VERIFY_ONLY=$UNSET_VAR`) would
+      // otherwise verify ZERO queries and exit green
+      require(names.nonEmpty,
+        "GRAFT_VERIFY_ONLY is set but names no queries — refusing a vacuous green")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
