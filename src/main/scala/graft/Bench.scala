@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
  *    whose computation is being measured;
  *  - one untimed warmup query absorbs JVM/session/codegen startup, so the
  *    first timed query isn't charged for it;
- *  - each query runs GRAFT_BENCH_REPS times (default 2) and the MIN is
+ *  - each query runs GRAFT_BENCH_REPS times (default 5) and the MIN is
  *    reported: single-shot timings at small SF are dominated by GC/JIT
  *    noise (observed: the same query 5.8s in one run, 0.95s steady-state),
  *    and min-of-reps measures the steady-state plan cost — the quantity
@@ -97,6 +97,16 @@ object Bench {
     // runs (suite-order-effect experiments); unset = the official full set.
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // same guard as Verify's GRAFT_VERIFY_ONLY: a set-but-empty or typo'd
+    // filter must abort loudly, not bench zero queries and emit a clean
+    // {"value":0.000,"n_queries":0} summary
+    only.foreach { o =>
+      require(o.nonEmpty,
+        "GRAFT_BENCH_ONLY is set but names no queries — refusing a vacuous green bench")
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val names = selected.map(_._1)
@@ -199,7 +209,12 @@ object Bench {
     // Short stdout line: everything an auditor of the committed tail needs —
     // totals, counts, the duck denominator, the ratio, and where the full
     // per-query map lives. Must stay well under the driver's 2000-char tail.
+    // ratio only on a COMPLETE run: with failed queries excluded from the
+    // spark total (-1) but still inside the duck denominator, the quotient
+    // would flatter a partial run — rc/n_errors disclose the failure, and
+    // the ratio must never look better because of it
     val ratioField = duckTotal.flatMap(_.toDoubleOption).filter(_ > 0)
+      .filter(_ => errors.isEmpty)
       .map(t => s""","duckdb_total_sec":$t,"ratio":${jnum(total / t)}""")
       .getOrElse("")
     val errNames = if (errors.isEmpty) ""
@@ -209,7 +224,11 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "GRAFT_BENCH_REPORT", "/tmp/graft_bench_report.json")), report + "\n")
-    catch { case NonFatal(_) => () }
+    catch { case NonFatal(e) =>
+      // still pre-teardown, stderr is safe — a silent skip would leave a
+      // STALE sidecar for validate.sh / regress_check to read as current
+      System.err.println(s"[bench] sidecar report write FAILED: $e")
+    }
     // Exactly one printer wins (watchdog vs main): compareAndSet guards the
     // println so a teardown finishing right at the 60 s budget can't produce
     // a duplicated or interleaved tail line.
@@ -242,6 +261,12 @@ object Bench {
     watchdog.interrupt()
     System.err.flush()
     emitSummary()
-    sys.exit(rc)
+    // halt, not sys.exit: exit runs JVM shutdown hooks (Spark temp-dir
+    // cleanup etc.) with the watchdog already interrupted — a wedged hook
+    // would hang the process with no guard, and a hook writing to stdout
+    // would land AFTER the summary line, corrupting the tail this whole
+    // teardown protects. The sidecar is written and stdout flushed; the
+    // watchdog path already halts for exactly these reasons.
+    Runtime.getRuntime.halt(rc)
   }
 }
