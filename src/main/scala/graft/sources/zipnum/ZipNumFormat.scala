@@ -12,7 +12,11 @@ import java.util.zip.{CRC32, Deflater, DeflaterOutputStream, GZIPInputStream}
  *                         `linesPerBlock` lines each
  *     part-a-00000-idx    one line per member: firstKey \t part \t offset \t len
  *     ALL.summary         concatenation of -idx files in shard order
- *     manifest.txt        sorted source basenames
+ *     manifest.txt        the cluster's own shard basenames in shard order
+ *                         (a content listing; the reference's
+ *                         ManifestAggregator instead merges INPUT-source
+ *                         manifests — per-source provenance is not
+ *                         tracked through this writer)
  *
  * Each gzip member is built by hand — raw Deflater + CRC32 and a GZIP header
  * carrying an 'SL' FEXTRA subfield with the member's total compressed length,
@@ -45,10 +49,17 @@ object ZipNumFormat {
     s"${b.firstKey}\t${b.part}\t${b.offset}\t${b.length}"
 
   def parseSummaryLine(line: String): Block = {
-    // key may contain escaped tabs only; real fields are the last three
+    // Real fields are the LAST three — parse from the end and rejoin the
+    // front as the key. Our writer escapes tabs in the key (%09), but the
+    // reference's ALL writer does NOT (ZipNumAllShardRecordWriter.writeLine
+    // emits the key verbatim), so a reference-built cluster whose key
+    // carries a literal tab must still load: taking fields from the front
+    // made parts(2).toLong throw on exactly that class.
     val parts = line.split('\t')
     require(parts.length >= 4, s"bad summary line: $line")
-    Block(parts(0), parts(1), parts(2).toLong, parts(3).toLong)
+    val n = parts.length
+    Block(parts.take(n - 3).mkString("\t"), parts(n - 3),
+      parts(n - 2).toLong, parts(n - 1).toLong)
   }
 
   /**
@@ -57,23 +68,26 @@ object ZipNumFormat {
    */
   def gzipMember(payload: Array[Byte]): Array[Byte] = {
     val deflater = new Deflater(Deflater.BEST_COMPRESSION, /*nowrap=*/ true)
-    val body = new ByteArrayOutputStream(math.max(64, payload.length / 4))
-    val out = new DeflaterOutputStream(body, deflater)
-    out.write(payload)
-    out.finish()
-    val crc = new CRC32
-    crc.update(payload, 0, payload.length)
-    val deflated = body.toByteArray
+    try {
+      val body = new ByteArrayOutputStream(math.max(64, payload.length / 4))
+      // 64 KiB buffer: the default 512 bytes would push a ~300 KB block
+      // through hundreds of JNI deflate hops on the per-block hot path
+      val out = new DeflaterOutputStream(body, deflater, 64 * 1024)
+      out.write(payload)
+      out.finish()
+      val crc = new CRC32
+      crc.update(payload, 0, payload.length)
+      val deflated = body.toByteArray
 
-    val header = slHeader(deflated.length + GzipFooterBytes)
-    val member = new ByteArrayOutputStream(header.length + deflated.length + GzipFooterBytes)
-    member.write(header)
-    member.write(deflated)
-    // footer: CRC32 + ISIZE, little endian
-    writeIntLE(member, crc.getValue.toInt)
-    writeIntLE(member, payload.length)
-    deflater.`end`()
-    member.toByteArray
+      val header = slHeader(deflated.length + GzipFooterBytes)
+      val member = new ByteArrayOutputStream(header.length + deflated.length + GzipFooterBytes)
+      member.write(header)
+      member.write(deflated)
+      // footer: CRC32 + ISIZE, little endian
+      writeIntLE(member, crc.getValue.toInt)
+      writeIntLE(member, payload.length)
+      member.toByteArray
+    } finally deflater.`end`() // native zlib memory — not GC'd promptly
   }
 
   /** GZIP header with FEXTRA 'SL' subfield: 4-byte LE length of
@@ -102,9 +116,7 @@ object ZipNumFormat {
   def gunzipLines(member: Array[Byte]): Iterator[String] = {
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(member), 64 * 1024)
     val buf = new ByteArrayOutputStream(member.length * 4)
-    val tmp = new Array[Byte](64 * 1024)
-    var n = in.read(tmp)
-    while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+    graft.util.IoUtil.copy(in, buf)
     in.close()
     val text = new String(buf.toByteArray, UTF_8)
     // LF-only splitting: interior CR is data

@@ -13,7 +13,8 @@ import graft.sources.zipnum.ZipNumFormat.Block
  *
  * Pruning semantics match the reference's serving path
  * (/root/reference/src/main/java/org/archive/hadoop/cdx/CDXCluster.java:31-35:
- * binary search to the LAST summary entry <= start, then iterate;
+ * getRecordIterator(start, lessThan=true) — binary search to the LAST
+ * summary entry strictly BELOW start, then iterate;
  * /root/reference/src/main/java/org/archive/hadoop/cdx/ClusterRange.java:49-66:
  * stop once a block's first key is >= end — inclusive start, exclusive end).
  * The summary is tiny relative to the data (1 line per 3000-record block:
@@ -38,14 +39,28 @@ object ZipNumIndex {
       val from = start match {
         case None => 0
         case Some(s) =>
-          // last block with firstKey <= s (the record could be mid-block)
+          // last block with firstKey STRICTLY BELOW s. `<=` here was a
+          // data-loss bug (r18 review): a run of records sharing one
+          // summary key can span a block boundary, so when s equals a
+          // block's firstKey, (a) the PREVIOUS block's tail may hold
+          // in-range records under that same key, and (b) with TIED
+          // firstKeys ("last <= s" lands on the last tie) the earlier
+          // tied blocks — whose contents are entirely >= s — were
+          // skipped wholesale. Both matter systematically in the merge
+          // path, whose partition boundaries ARE summary firstKeys.
+          // The reference serves through SortedTextFile
+          // .getRecordIterator(start, /*lessThan=*/true) — position at
+          // the last summary entry < start — for exactly this reason
+          // (CDXCluster.java:31-35). Cost of the conservative bound: at
+          // most one extra block read per query; readSlice's [start, end)
+          // trim discards its out-of-range lines.
           var lo = 0; var hi = blocks.length - 1; var ans = 0
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            if (graft.util.KeyOrder.lteq(blocks(mid).firstKey, s)) { ans = mid; lo = mid + 1 }
+            if (graft.util.KeyOrder.lt(blocks(mid).firstKey, s)) { ans = mid; lo = mid + 1 }
             else hi = mid - 1
           }
-          // if even blocks(0).firstKey > s, still start at 0
+          // if even blocks(0).firstKey >= s, still start at 0
           ans
       }
       val until = end match {
@@ -97,9 +112,7 @@ object ZipNumIndex {
     val in = fs.open(p)
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream(1 << 16)
-      val tmp = new Array[Byte](1 << 16)
-      var n = in.read(tmp)
-      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      graft.util.IoUtil.copy(in, buf)
       buf.toByteArray
     } finally in.close()
     val blocks = new String(bytes, UTF_8)

@@ -42,10 +42,15 @@ private[zipnum] final class ShardStream(fs: FileSystem, tmpDir: String,
   /** Flush + close; returns the line count. */
   def finish(): Long = { flushBlock(); gzOut.close(); idxOut.close(); nLines }
 
+  /** Best-effort cleanup: every step guarded so a close() throwing on an
+    * already-broken stream can neither skip the deletes nor mask the
+    * original task failure. */
   def abort(): Unit = {
-    gzOut.close(); idxOut.close()
-    fs.delete(new Path(s"$tmpDir/$tmpName.gz"), false)
-    fs.delete(new Path(s"$tmpDir/$tmpName-idx"), false)
+    def quietly(f: => Unit): Unit =
+      try f catch { case scala.util.control.NonFatal(_) => () }
+    quietly(gzOut.close()); quietly(idxOut.close())
+    quietly(fs.delete(new Path(s"$tmpDir/$tmpName.gz"), false))
+    quietly(fs.delete(new Path(s"$tmpDir/$tmpName-idx"), false))
   }
 }
 
@@ -65,9 +70,7 @@ private[zipnum] object ZipNumShardIO {
         new Path(out, s"$part.gz")), s"commit: rename of $part.gz failed")
       val idxTmp = new Path(s"$outDir/_tmp/$tmpName-idx")
       val in = fs.open(idxTmp)
-      val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { summary.write(buf, 0, n); n = in.read(buf) }
+      graft.util.IoUtil.copy(in, summary)
       in.close()
       require(fs.rename(idxTmp, new Path(out, s"$part-idx")),
         s"commit: rename of $part-idx failed")

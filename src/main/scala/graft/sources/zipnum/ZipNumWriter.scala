@@ -1,9 +1,6 @@
 package graft.sources.zipnum
 
-import java.nio.charset.StandardCharsets.UTF_8
-
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.Dataset
 import org.apache.spark.util.SerializableConfiguration
 
@@ -45,11 +42,15 @@ object ZipNumWriter {
       spark.sparkContext.hadoopConfiguration)
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf.value)
-    if (fs.exists(out)) {
-      require(overwrite, s"ZipNumWriter: target $outDir exists; " +
-        "pass overwrite=true to replace it")
-      fs.delete(out, true)
-    }
+    val preExisting = fs.exists(out)
+    require(!preExisting || overwrite, s"ZipNumWriter: target $outDir " +
+      "exists; pass overwrite=true to replace it")
+    // overwrite does NOT delete up front: the old cluster must survive a
+    // failed job (an up-front delete turned any task failure into data
+    // loss with only _tmp garbage left behind). The job writes under
+    // out/_tmp; the old content is cleared only AFTER every task
+    // succeeded, just before the rename fold — shrinking the
+    // no-old-no-new window from the whole job to the driver-side commit.
     fs.mkdirs(new Path(out, "_tmp"))
 
     // Each partition → one shard, written executor-side.
@@ -64,11 +65,22 @@ object ZipNumWriter {
         val fs = new Path(outDir).getFileSystem(conf.value)
         val shard = new ShardStream(fs, s"$outDir/_tmp", part, tmpName,
           linesPerBlock)
-        iter.foreach(shard.add)
-        Iterator.single((pid, part, tmpName, shard.finish()))
+        // abort on ANY failure: without it a task that dies mid-iteration
+        // leaks the shard's two open HDFS output streams (handles/leases
+        // held for the job's lifetime) and leaves orphaned _tmp files —
+        // the DSv2 path has always aborted; this path had drifted
+        try {
+          iter.foreach(shard.add)
+          Iterator.single((pid, part, tmpName, shard.finish()))
+        } catch { case e: Throwable => shard.abort(); throw e }
       }
     }.collect().sortBy(_._1)
 
+    // All tasks succeeded — NOW clear a pre-existing cluster (everything
+    // except the _tmp the winners live in), then rename into place.
+    if (preExisting)
+      fs.listStatus(out).filter(_.getPath.getName != "_tmp")
+        .foreach(st => fs.delete(st.getPath, true))
     // Commit: rename shards into place, concatenate -idx → ALL.summary.
     ZipNumShardIO.commitShards(fs, outDir,
       shardInfos.map { case (_, part, tmpName, _) => (part, tmpName) })

@@ -89,8 +89,12 @@ class ZipNumFormatSpec extends AnyFunSuite {
   test("prune: inclusive start, exclusive end on block boundaries") {
     val c = idx("a 1", "d 1", "g 1", "k 1")
     assert(c.prune(Some("d"), Some("g")).map(_.firstKey) == Seq("a 1", "d 1"))
+    // start EXACTLY on a firstKey: the previous block stays selected —
+    // a run of records sharing key "d 1" may span the block boundary, so
+    // "a 1"'s tail can hold in-range records (r18 data-loss fix; the
+    // reference positions at the last summary entry strictly below start)
     assert(c.prune(Some("d 1"), Some("k 1")).map(_.firstKey) ==
-      Seq("d 1", "g 1"))
+      Seq("a 1", "d 1", "g 1"))
   }
 
   test("prune: unbounded sides and empty range") {

@@ -119,4 +119,47 @@ class ZipNumRoundtripSpec extends AnyFunSuite with SparkTestSession {
     assert(perPart.flatten.toSeq.sorted == lines)
     perPart.foreach(p => assert(p.toSeq == p.toSeq.sorted))
   }
+
+  test("prune lower bound is strictly-below: tied firstKeys and the " +
+      "previous block stay selected (r18 data-loss regression)") {
+    import graft.sources.zipnum.ZipNumFormat.Block
+    val idx = ZipNumIndex.ClusterIndex("d", IndexedSeq(
+      Block("a", "p", 0, 10), Block("b", "p", 10, 10),
+      Block("b", "p", 20, 10), Block("c", "p", 30, 10)))
+    // start == a tied firstKey: the block BEFORE the first tie may hold
+    // same-key tail records, and the earlier tied block is all in-range —
+    // "last <= start" (the old bound) selected only offsets 30 here
+    assert(idx.prune(Some("b"), None).map(_.offset) ==
+      IndexedSeq(0L, 10L, 20L, 30L))
+    assert(idx.prune(Some("b"), Some("c")).map(_.offset) ==
+      IndexedSeq(0L, 10L, 20L))
+    // a start strictly between firstKeys steps back exactly one block
+    assert(idx.prune(Some("bb"), None).map(_.offset) == IndexedSeq(20L, 30L))
+    assert(idx.prune(Some("a"), None).map(_.offset).head == 0L)
+  }
+
+  test("range serve with start == a block firstKey returns the key run's " +
+      "head from the previous block (end-to-end prune regression)") {
+    // key B = "org,b)/x 20120101000000" runs for 4 lines; linesPerBlock=2
+    // puts block boundaries INSIDE the run: block0 [a, B] (firstKey a),
+    // block1 [B, B] (firstKey B), block2 [B, c] (firstKey B — a tie)
+    val ls = Seq(
+      "org,a)/x 20120101000000 r0",
+      "org,b)/x 20120101000000 r1",
+      "org,b)/x 20120101000000 r2",
+      "org,b)/x 20120101000000 r3",
+      "org,b)/x 20120101000000 r4",
+      "org,c)/x 20120101000000 r5")
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "zipnum-keyrun").toString
+    import spark.implicits._
+    val ds = spark.createDataset(ls)(implicitly)
+      .repartitionByRange(1, org.apache.spark.sql.functions.col("value"))
+      .sortWithinPartitions("value")
+    ZipNumWriter.write(ds, s"$d/cluster", linesPerBlock = 2, overwrite = true)
+    val got = ZipNumReader.lines(spark, s"$d/cluster",
+      Some("org,b)/x 20120101000000"), Some("org,c")).collect().toSeq.sorted
+    assert(got == ls.slice(1, 5), // r1..r4 — r1 lives in block0's tail
+      "the previous block's same-key tail must be served")
+  }
 }
