@@ -3475,8 +3475,13 @@ object SparkEntry {
         |FROM cdx
         |WHERE NOT (meta_flags IS NOT NULL AND meta_flags LIKE '%A%')
         |  AND NOT (NOT (mimetype IS NOT NULL AND mimetype LIKE '%warc/%') AND statuscode IS NULL)
-        |  -- null-safe: a NULL status (warc/ carve-out row) is NOT 502/504
-        |  AND NOT (coalesce(statuscode IN (502, 504), false) AND filename LIKE 'live-20%' AND filename LIKE '%.arc.gz')
+        |  -- warc/ rows ride unconditionally (the reference nests the 502/504
+        |  -- live-web discard in the ELSE of its warc branch); null status or
+        |  -- filename coalesces to NOT-liveError
+        |  AND NOT (NOT (mimetype IS NOT NULL AND mimetype LIKE '%warc/%')
+        |           AND coalesce(statuscode IN (502, 504)
+        |                        AND filename LIKE 'live-20%'
+        |                        AND filename LIKE '%.arc.gz', false))
         |  AND "offset" IS NOT NULL
         |-- dayLimit 2 ADMITS 3: the reference guard runs before its
         |-- increment (GlobalWaybackCDXReducer.java:76,134)
@@ -4502,9 +4507,10 @@ object SparkEntry {
           |  WHERE NOT (meta_flags IS NOT NULL AND meta_flags LIKE '%A%')
           |    AND NOT (NOT (mimetype IS NOT NULL AND mimetype LIKE '%warc/%')
           |             AND statuscode IS NULL)
-          |    AND NOT (coalesce(statuscode IN (502, 504), false)
-          |             AND filename LIKE 'live-20%'
-          |             AND filename LIKE '%.arc.gz')
+          |    AND NOT (NOT (mimetype IS NOT NULL AND mimetype LIKE '%warc/%')
+          |             AND coalesce(statuscode IN (502, 504)
+          |                          AND filename LIKE 'live-20%'
+          |                          AND filename LIKE '%.arc.gz', false))
           |    AND "offset" IS NOT NULL)
           |SELECT urlkey, timestamp, statuscode, digest, filename
           |FROM f CROSS JOIN (VALUES (1), (2)) t(i) WHERE t.i <= f.m""".stripMargin),

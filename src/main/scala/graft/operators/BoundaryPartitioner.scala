@@ -52,34 +52,63 @@ final class BoundaryPartitioner(interior: IndexedSeq[String]) extends Partitione
 object Boundaries {
 
   /** Split-file loader. Two accepted formats:
-    *  - AlphaPartitioner: one boundary string per line, sorted (a leading
-    *    empty line — the conventional first-shard boundary — is dropped);
+    *  - AlphaPartitioner: one boundary string per line, sorted; line i is
+    *    the START key of shard i, so the FIRST line is always dropped —
+    *    keys below it clamp into shard 0 (AlphaPartitioner.java:34-38). An
+    *    n-line file yields n partitions, matching the reference layout it
+    *    exists to reproduce (dropping only an EMPTY first line used to
+    *    yield n+1 when the file led with a real key);
     *  - SplitFile (Q6): `NAME START END` per line → boundaries are the
-    *    non-minimal STARTs. */
+    *    non-minimal STARTs.
+    * Format is sniffed over EVERY line (first-line-only sniffing silently
+    * mis-parsed an alpha file whose first key happened to contain two
+    * separators); a mixed file aborts loudly. An alpha file where every
+    * boundary key itself has exactly two separators is still ambiguous —
+    * callers with such keys should pass boundaries programmatically
+    * (BulkKvSink does exactly that, see BulkKvSink.scala:95). Lines are
+    * CR-stripped: a CRLF split file used to yield boundaries with a
+    * trailing \r that silently skewed shard ranges ('\r' < ' '). */
   def fromSplitFile(path: String, conf: Configuration): IndexedSeq[String] = {
     val p = new Path(path)
     val in = p.getFileSystem(conf).open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val lines = text.split("\n").toIndexedSeq.filter(_.nonEmpty)
-    val threeField = lines.headOption.exists(_.split("\t| ", -1).length == 3)
-    if (threeField)
+    val raw = text.split("\n", -1).toIndexedSeq.map(_.stripSuffix("\r"))
+    val lines = if (raw.nonEmpty && raw.last.isEmpty) raw.dropRight(1) else raw
+    require(lines.nonEmpty, s"split file $path is empty")
+    val fieldCounts = lines.map(_.split("\t| ", -1).length).distinct
+    if (fieldCounts == IndexedSeq(3))
       graft.sources.SplitFile.interiorBoundaries(
         graft.sources.SplitFile.parse(lines))
     else {
+      require(!fieldCounts.contains(3) || fieldCounts.size == 1,
+        s"split file $path mixes NAME START END lines with plain boundaries")
       require(lines == lines.sorted(graft.util.KeyOrder),
         s"split file $path must be sorted (byte-wise)")
-      lines
+      lines.tail // line 0 = shard 0's start; getPartition clamps below it
     }
   }
 
   /** Interior boundaries as every (total/n)-th key of the concatenated
     * summaries of existing clusters — n output partitions shaped like the
-    * clusters' own key distribution. */
+    * clusters' own key distribution.
+    *
+    * Boundaries are TRUNCATED to the bare urlkey (the summary key's first
+    * token): a bare-urlkey boundary sorts before every line of that
+    * urlkey, so each partition starts at a urlkey start and no
+    * (urlkey, day) group ever straddles a partition — which is what makes
+    * [[GlobalCdxCleanup.streamingLine]]'s per-partition day counter EXACT
+    * in the zero-shuffle merge. The reference's ZipNumPartitioner used the
+    * full "urlkey ts" summary key, could split a urlkey across reducers,
+    * and its reducer's per-reducer count then over-admitted — a fidelity
+    * divergence in our favor, documented here. Cost: a single enormous
+    * urlkey caps how evenly quantiles can split — the same skew the
+    * reference's urlkey-keyed reducers had. */
   def fromClusterSummaries(dirs: Seq[String], n: Int,
                            conf: Configuration): IndexedSeq[String] = {
     require(n >= 1, "need at least one partition")
     val keys = dirs.flatMap(d =>
-      graft.sources.zipnum.ZipNumIndex.load(d, conf).blocks.map(_.firstKey))
+      graft.sources.zipnum.ZipNumIndex.load(d, conf).blocks
+        .map(b => b.firstKey.takeWhile(_ != ' ')))
       .sorted(graft.util.KeyOrder).toIndexedSeq
     quantiles(keys, n)
   }

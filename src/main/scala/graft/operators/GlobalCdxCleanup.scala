@@ -38,12 +38,18 @@ object GlobalCdxCleanup {
     val noArchive = col("meta_flags").isNotNull && col("meta_flags").contains("A")
     val warc = col("mimetype").isNotNull && col("mimetype").contains("warc/")
     val badStatus = !warc && col("statuscode").isNull
-    // null-safe: a NULL statuscode (warc/ row exempted by (b)'s carve-out)
-    // is NOT 502/504 — bare isin would make !liveError NULL and silently
-    // drop the row, diverging from the streaming form and the reference
-    // (a non-numeric status simply fails the 502/504 comparison there)
-    val liveError = coalesce(col("statuscode").isin(502, 504), lit(false)) &&
-      col("filename").startsWith("live-20") && col("filename").endsWith(".arc.gz")
+    // (c) applies only OUTSIDE the warc/ carve-out — the reference nests
+    // the 502/504 live-web discard in the ELSE of its warc branch
+    // (GlobalWaybackMergeMapper.java:107-119), so a warc/ row always
+    // rides. The whole conjunction is null-coalesced: a NULL statuscode
+    // OR a NULL filename ('-') must read NOT-liveError, never NULL —
+    // coalescing only the isin left startsWith(NULL) making the predicate
+    // NULL and where() silently dropped 502-rows-with-null-filename,
+    // diverging from streamingLine and the reference (r18 review).
+    val liveError = !warc && coalesce(
+      col("statuscode").isin(502, 504) &&
+        col("filename").startsWith("live-20") &&
+        col("filename").endsWith(".arc.gz"), lit(false))
     val badOffset = col("offset").isNull
     df.where(!noArchive && !badStatus && !liveError && !badOffset)
   }
@@ -66,6 +72,10 @@ object GlobalCdxCleanup {
     * most partitions×dayLimit rows per hot key instead of all of them.
     * Phase 1 is a local sort (no shuffle); phase 2 is the exact window. */
   def dayCap(dayLimit: Int = DefaultDayLimit)(df: DataFrame): DataFrame = {
+    // negative would silently drop EVERY row here (rn <= 0) while the
+    // streaming form treats it as disabled — a loud abort beats two forms
+    // giving opposite total-data-loss/no-op answers for the same flag
+    require(dayLimit >= 0, s"dayLimit must be >= 0 (0 disables), got $dayLimit")
     if (dayLimit == 0) return df // 0 disables, as in the reference
     val admit = dayLimit + 1
     val schema = df.schema
@@ -87,7 +97,11 @@ object GlobalCdxCleanup {
       var count = 0
       rows.filter { r =>
         val key = r.getString(keyIdx)
-        val day = r.getString(tsIdx).take(8)
+        // '-' timestamps parse to null (despite the schema's nullable=false
+        // claim); the reference days them under the raw token, so they
+        // bucket as "-" instead of NPE-ing the whole job on one bad line
+        val ts = r.getString(tsIdx)
+        val day = if (ts == null) "-" else ts.take(8)
         if (key == curKey && day == curDay) count += 1
         else { curKey = key; curDay = day; count = 1 }
         count <= admit
@@ -112,8 +126,18 @@ object GlobalCdxCleanup {
    * assumed sorted input, here the ZipNum merge guarantees it by
    * construction (partitions are key-aligned and heap-merged). Malformed
    * lines are dropped, matching the mapper's parse-or-skip behavior.
+   *
+   * EXACTNESS CONTRACT: the counter is per-partition, so the cap is exact
+   * only when no (urlkey, day) group straddles a partition boundary.
+   * [[Boundaries.fromClusterSummaries]] guarantees that by truncating
+   * boundaries to the bare urlkey (every partition starts at a urlkey
+   * start); a caller passing explicit finer-grained boundaries to
+   * [[ClusterOps.merge]] re-opens the reference's own over-admission
+   * (its ZipNumPartitioner split urlkeys across reducers the same way,
+   * and its reducer counted per-reducer).
    */
   def streamingLine(dayLimit: Int = DefaultDayLimit): Iterator[String] => Iterator[String] = { in =>
+    require(dayLimit >= 0, s"dayLimit must be >= 0 (0 disables), got $dayLimit")
     var curKey: String = null
     var curDay: String = null
     var count = 0
@@ -124,12 +148,16 @@ object GlobalCdxCleanup {
           val noArchive = r.metaFlags.exists(_.contains("A"))
           val warc = Option(r.mimetype).exists(_.contains("warc/"))
           val badStatus = !warc && r.statuscode.isEmpty
-          val liveError = r.statuscode.exists(s => s == 502 || s == 504) &&
+          // warc/ rows ride unconditionally — see filters() (c)
+          val liveError = !warc &&
+            r.statuscode.exists(s => s == 502 || s == 504) &&
             r.filename != null && r.filename.startsWith("live-20") &&
             r.filename.endsWith(".arc.gz")
           if (noArchive || badStatus || liveError || r.offset.isEmpty) None
           else {
-            val day = r.timestamp.take(8)
+            // '-' timestamp parses to null: day it "-" like the reference's
+            // raw-token substring, never NPE the merge on one bad line
+            val day = Option(r.timestamp).getOrElse("-").take(8)
             if (r.urlkey == curKey && day == curDay) count += 1
             else { curKey = r.urlkey; curDay = day; count = 1 }
             if (dayLimit > 0 && count > dayLimit + 1) None

@@ -142,7 +142,12 @@ object CdxStream {
       val tmp = new org.apache.hadoop.fs.Path(outDir,
         s"._gen_boundaries.tmp")
       val out = fs.create(tmp, true)
-      try out.write(b.mkString("\n").getBytes("UTF-8")) finally out.close()
+      // leading empty line = shard 0's conventional minimal START, so the
+      // file IS AlphaPartitioner format (line i = start of shard i) and
+      // Boundaries.fromSplitFile — which drops the first line — loads the
+      // same interiors this function's own read() does
+      try out.write((("" +: b).mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
       if (fs.rename(tmp, pin)) b
       else { fs.delete(tmp, false); read() }
     }

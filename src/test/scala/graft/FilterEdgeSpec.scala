@@ -52,4 +52,58 @@ class FilterEdgeSpec extends AnyFunSuite with SparkTestSession {
       .streamingLine(dayLimit = 0)(Iterator(line)).toSeq
     assert(streamed.size == 1)
   }
+
+  private def cdxDf(line: String) = {
+    import graft.model.Cdx
+    Seq(line).toDF("line")
+      .flatMap(r => Cdx.parseLine(r.getString(0)))(
+        org.apache.spark.sql.Encoders.product[graft.model.CdxRecord])
+      .toDF(Cdx.columnNames: _*)
+  }
+
+  test("cleanup: a warc/ row with numeric 502 on a live-* file RIDES " +
+      "(the reference nests liveError in the ELSE of its warc branch)") {
+    val line = "org,x)/p 20120101000000 http://x.org/p warc/revisit 502 " +
+      "DIGEST - - 10 100 live-20120101-c/live.arc.gz"
+    assert(graft.operators.GlobalCdxCleanup.filters(cdxDf(line)).count() == 1)
+    assert(graft.operators.GlobalCdxCleanup
+      .streamingLine(dayLimit = 0)(Iterator(line)).size == 1)
+    // ... while the same row WITHOUT the warc mime is discarded
+    val nonWarc = line.replace("warc/revisit", "text/html")
+    assert(graft.operators.GlobalCdxCleanup.filters(cdxDf(nonWarc)).count() == 0)
+    assert(graft.operators.GlobalCdxCleanup
+      .streamingLine(dayLimit = 0)(Iterator(nonWarc)).isEmpty)
+  }
+
+  test("cleanup keeps a 502 row whose filename is NULL ('-') — the " +
+      "liveError predicate must coalesce, not NULL-drop") {
+    val line = "org,x)/p 20120101000000 http://x.org/p text/html 502 " +
+      "DIGEST - - 10 100 -"
+    assert(graft.operators.GlobalCdxCleanup.filters(cdxDf(line)).count() == 1)
+    assert(graft.operators.GlobalCdxCleanup
+      .streamingLine(dayLimit = 0)(Iterator(line)).size == 1)
+  }
+
+  test("cleanup survives a '-' timestamp (parses to null): day bucket '-', " +
+      "no NPE, both surfaces") {
+    val line = "org,x)/p - http://x.org/p text/html 200 " +
+      "DIGEST - - 10 100 crawl/w.warc.gz"
+    // full pipeline incl. the pre-cap mapPartitions and the window
+    assert(graft.operators.GlobalCdxCleanup(cdxDf(line), dayLimit = 2)
+      .count() == 1)
+    val streamed = graft.operators.GlobalCdxCleanup
+      .streamingLine(dayLimit = 2)(Iterator(line, line, line, line)).toSeq
+    assert(streamed.size == 3) // dayLimit 2 admits 3, under the '-' day
+  }
+
+  test("negative dayLimit aborts loudly on both surfaces (it used to mean " +
+      "drop-everything in batch but disabled in streaming)") {
+    intercept[IllegalArgumentException] {
+      graft.operators.GlobalCdxCleanup.dayCap(-1)(cdxDf(
+        "org,x)/p 20120101000000 u text/html 200 D - - 10 100 f"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.GlobalCdxCleanup.streamingLine(-1)(Iterator.empty)
+    }
+  }
 }

@@ -54,4 +54,44 @@ class SortedTextFileSpec extends AnyFunSuite {
       SplitFile.SplitRange("shard2", "m", "")))
     assert(SplitFile.interiorBoundaries(ranges) == IndexedSeq("d", "m"))
   }
+
+  private def writeSplit(content: String): String = {
+    val f = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get("/root/repo/target"), "split", ".txt")
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+
+  test("fromSplitFile alpha format: line i = shard i's START, so an " +
+      "n-line file yields n partitions (first line dropped, empty or not)") {
+    import graft.operators.Boundaries
+    // real first key: the reference clamps keys below 'a' into shard 0
+    // (AlphaPartitioner.java:34-38) — interiors are lines 2..n
+    assert(Boundaries.fromSplitFile(writeSplit("a\nm\nt\n"), conf) ==
+      IndexedSeq("m", "t"))
+    // conventional empty first line: same interiors
+    assert(Boundaries.fromSplitFile(writeSplit("\nm\nt\n"), conf) ==
+      IndexedSeq("m", "t"))
+    // one line = one shard, no interior boundaries
+    assert(Boundaries.fromSplitFile(writeSplit("a\n"), conf).isEmpty)
+  }
+
+  test("fromSplitFile strips CR (a CRLF split file used to yield \\r-" +
+      "tainted boundaries that silently skewed shard ranges)") {
+    import graft.operators.Boundaries
+    assert(Boundaries.fromSplitFile(writeSplit("a\r\nm\r\nt\r\n"), conf) ==
+      IndexedSeq("m", "t"))
+  }
+
+  test("fromSplitFile sniffs the format over EVERY line and aborts on a mix") {
+    import graft.operators.Boundaries
+    // all-3-field = NAME START END (unchanged)
+    assert(Boundaries.fromSplitFile(
+      writeSplit("shard0  d\nshard1 d m\nshard2 m \n"), conf) ==
+      IndexedSeq("d", "m"))
+    // mixed 3-field and plain lines must fail loudly, not misparse
+    intercept[IllegalArgumentException] {
+      Boundaries.fromSplitFile(writeSplit("a b c\nm\nt\n"), conf)
+    }
+  }
 }

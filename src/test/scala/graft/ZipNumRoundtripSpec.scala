@@ -120,6 +120,17 @@ class ZipNumRoundtripSpec extends AnyFunSuite with SparkTestSession {
     perPart.foreach(p => assert(p.toSeq == p.toSeq.sorted))
   }
 
+  test("fromClusterSummaries truncates boundaries to the bare urlkey, so " +
+      "merge partitions start at urlkey starts (day-cap exactness)") {
+    val bs = graft.operators.Boundaries.fromClusterSummaries(
+      Seq(dir), 4, spark.sparkContext.hadoopConfiguration)
+    assert(bs.nonEmpty && bs.forall(!_.contains(' ')),
+      s"boundaries must be bare urlkeys, got $bs")
+    // still usable as range bounds: aligned reads cover everything once
+    val rdd = ZipNumReader.rangesRdd(spark, dir, bs)
+    assert(rdd.collect().toSeq.sorted == lines)
+  }
+
   test("prune lower bound is strictly-below: tied firstKeys and the " +
       "previous block stay selected (r18 data-loss regression)") {
     import graft.sources.zipnum.ZipNumFormat.Block
