@@ -18,17 +18,26 @@ object AccessControl {
 
   val BlockedPolicies: Set[String] = Set("block", "block-message")
 
-  /** Effective policy of a key: rules compile to a nested CASE checked
+  /** Effective policy of a key: rules compile to ONE FLAT CaseWhen checked
     * longest-prefix-first — pure codegen'd predicate, so the probe side
-    * NEVER shuffles and there is no per-row eval boundary. (The reference
-    * pre-fetched its whole rule set driver-side too; rule lists beyond
-    * tens of thousands of entries would switch to a broadcast prefix
-    * table + left_semi like PrefixFilter.prefixJoin.) */
+    * NEVER shuffles and there is no per-row eval boundary. Flat, not
+    * nested: a foldRight of when().otherwise() built one CaseWhen PER
+    * RULE nested inside the last, and Catalyst's recursive tree
+    * transforms stack-overflow at nesting depths in the low thousands;
+    * chaining `.when` appends branches to a single node, which survives
+    * far larger lists (codegen splits the generated method; past a few
+    * thousand entries a broadcast prefix table + left_semi like
+    * PrefixFilter.prefixJoin is still the better shape — the reference
+    * pre-fetched its whole rule set driver-side too). */
   def policyCol(key: Column, rules: Seq[Rule]): Column = {
-    val chain = rules.sortBy(r => (-r.prefix.length, r.prefix))
-      .foldRight(lit("allow")) { (r, acc) =>
-        when(key.startsWith(r.prefix), lit(r.policy)).otherwise(acc)
-      }
+    val sorted = rules.sortBy(r => (-r.prefix.length, r.prefix))
+    val chain = sorted match {
+      case Seq() => lit("allow")
+      case head +: tail =>
+        tail.foldLeft(when(key.startsWith(head.prefix), lit(head.policy))) {
+          (acc, r) => acc.when(key.startsWith(r.prefix), lit(r.policy))
+        }.otherwise(lit("allow"))
+    }
     // null keys fail CLOSED (startsWith(null) is null, which would fall
     // through every rule to "allow") — matches the scalar isAllowed
     when(key.isNull, lit("block")).otherwise(chain)

@@ -14,8 +14,12 @@ object CdxFilter {
   val DroppedPrefixes: Seq[String] = Seq("dns:", "filedesc:", "warcinfo:")
 
   def apply(df: DataFrame, keyCol: String = "urlkey"): DataFrame =
+    // coalesce: a NULL key is not one of the dropped pseudo-capture
+    // prefixes — three-valued !startsWith(NULL) would silently discard
+    // the row, masking the upstream null instead of passing it through
     df.where(DroppedPrefixes
-      .map(p => !col(keyCol).startsWith(p)).reduce(_ && _))
+      .map(p => !coalesce(col(keyCol).startsWith(p), lit(false)))
+      .reduce(_ && _))
 
   /** Raw-line form: also drops the " CDX ..." header. */
   def lines(ds: Dataset[String]): Dataset[String] =

@@ -71,7 +71,20 @@ object CdxTransformer {
     val surt = Surt.surtLenient(origUrl)
     val i = surt.indexOf(')')
     if (i < 0) return None
-    val keyHost = surt.take(i).split(':')(0) // strip :port for host split
+    // strip :port for the host split — but only OUTSIDE a bracketed IPv6
+    // address, whose colons are address bytes: split(':')(0) collapsed
+    // every [2001:...] host onto the "[2001" key, merging distinct hosts
+    // (the reference parses the host structurally via URLParser/HandyURL
+    // and never colon-splits, so it does not share this hazard)
+    val hostPort = surt.take(i)
+    val keyHost =
+      if (hostPort.startsWith("[")) {
+        val close = hostPort.indexOf(']')
+        if (close >= 0) hostPort.take(close + 1) else hostPort
+      } else {
+        val c = hostPort.indexOf(':')
+        if (c >= 0) hostPort.take(c) else hostPort
+      }
     val hostLabels = keyHost.split(',').reverse.mkString(".")
     val (prefix, suffix) = splitHost(hostLabels)
     val scheme = {

@@ -36,13 +36,20 @@ object PrefixFilter {
    * instead of a nested-loop scan of the whole list per row. One broadcast,
    * no shuffle of the big side.
    */
-  def prefixJoin(df: DataFrame, column: String, prefixes: Seq[String]): DataFrame = {
+  def prefixJoin(df: DataFrame, column: String, prefixes: Seq[String],
+                 surtList: Boolean = false): DataFrame = {
+    // same surtList transform as predicate(): the class doc sends LARGE
+    // lists here, and a big URL prefix list is exactly the case that
+    // needs the SURT canonicalization most — without parity a caller
+    // following the guidance silently matched zero rows
+    val ps = if (surtList) prefixes.map(graft.functions.Surt.surtLenient)
+             else prefixes
     // "" matches every row (predicate semantics); the first-char equi-key
     // below would instead match nothing for it — short-circuit
-    if (prefixes.exists(_.isEmpty)) return df
+    if (ps.exists(_.isEmpty)) return df
     val spark = df.sparkSession
     import spark.implicits._
-    val p = prefixes.toDF("__prefix").withColumn("__b", substring(col("__prefix"), 1, 1))
+    val p = ps.toDF("__prefix").withColumn("__b", substring(col("__prefix"), 1, 1))
     df.join(broadcast(p),
       substring(col(column), 1, 1) === col("__b") &&
         col(column).startsWith(col("__prefix")),

@@ -30,15 +30,30 @@ object IndirectScans {
       spark.sparkContext.hadoopConfiguration)
     val n = math.max(1, pointers.count().toInt)
     pointers.repartition(n).mapPartitions { it =>
+      // guaranteed cleanup even when the iterator is abandoned mid-way
+      // (limit/take/task failure): the exhaustion-close alone leaked the
+      // file handle and the gzip Inflater's native memory for the
+      // executor's lifetime (same listener pattern as WarcExtract)
+      var current: java.io.InputStream = null
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (current != null)
+          try current.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
       it.flatMap { pathStr =>
         val p = new Path(pathStr)
         val fs = p.getFileSystem(conf.value)
         val raw = fs.open(p)
+        // multi-member .gz (a ZipNum part file is one) reads ALL members:
+        // JDK GZIPInputStream handles concatenation since Java 9
+        // (JDK-7036144) — pinned by IndirectScanSpec's multi-member test
         val in =
           if (pathStr.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024)
           else raw
+        current = in
         new IoUtil.AutoCloseIterator(new IoUtil.LfLineIterator(in),
-          () => in.close())
+          () => { in.close(); if (current eq in) current = null })
       }
     }
   }
@@ -62,9 +77,9 @@ object IndirectScans {
       var openIn: org.apache.hadoop.fs.FSDataInputStream = null
       def streamFor(path: String): org.apache.hadoop.fs.FSDataInputStream = {
         if (openPath != path) {
-          // clear BEFORE reopening: if open() throws (skipBad path), the
-          // stale closed handle must not be served for later ranges of
-          // the previously-open file
+          // clear BEFORE reopening: if open() throws, the stale closed
+          // handle must not be served for later ranges of the
+          // previously-open file
           if (openIn != null) { openIn.close(); openIn = null; openPath = null }
           val p = new Path(path)
           openIn = p.getFileSystem(conf.value).open(p)
@@ -72,18 +87,44 @@ object IndirectScans {
         }
         openIn
       }
+      // abandoned-iterator cleanup (limit/take/task failure) — the
+      // exhaustion-close alone leaked the sticky handle
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (openIn != null)
+          try openIn.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
       val lines = it.flatMap { r =>
+        // open failures stay FATAL even under skipBad — the reference
+        // scopes its tolerance to range-read/decode errors only
+        // (GZIPRangeLineDereferencingRecordReader.java:90-108 keeps
+        // fileSystem.open outside the try); a typo'd path must fail the
+        // job, not count every range of the file as "bad member" and
+        // succeed with silently empty output
+        val in = streamFor(r.path)
         try {
-          val in = streamFor(r.path)
           in.seek(r.offset)
           val gz = new GZIPInputStream(
             new IoUtil.BoundedInputStream(in, r.length), 64 * 1024)
-          // materialize the member's lines so a decode error surfaces here
-          val got = new IoUtil.LfLineIterator(gz).toVector
-          gz.close()
-          got
+          val raw = new IoUtil.LfLineIterator(gz)
+          // STREAM the member's lines (a multi-GB member no longer
+          // buffers on-heap); under skipBad a decode error mid-member
+          // emits the lines read BEFORE it — the reference's partial
+          // emission (:119-135) — and counts the member once. Only
+          // IOException (incl. ZipException/EOFException) is tolerated:
+          // a code bug must never be swallowed as a "corrupt member".
+          val guarded = new Iterator[String] {
+            override def hasNext: Boolean =
+              try raw.hasNext
+              catch { case _: java.io.IOException if skipBad =>
+                bad.add(1); false }
+            override def next(): String = raw.next()
+          }
+          new IoUtil.AutoCloseIterator(guarded, () => gz.close())
         } catch {
-          case e: Exception if skipBad => bad.add(1); Vector.empty
+          case _: java.io.IOException if skipBad =>
+            bad.add(1); Iterator.empty
         }
       }
       new IoUtil.AutoCloseIterator(lines,

@@ -30,6 +30,16 @@ object IoUtil {
       if (n > 0) remaining -= n
       n
     }
+    // Honest available(): the base InputStream default is a constant 0,
+    // which historically made JDK GZIPInputStream truncate multi-member
+    // streams at a member boundary (JDK-7036144). That JDK bug is fixed
+    // since Java 9 — readTrailer now probes the next header with a real
+    // read (verified by IndirectScanSpec's zero-available() regression
+    // test) — so this override is defensive accuracy, not a bug fix:
+    // report at least 1 while the bounded region has bytes, 0 at its end.
+    override def available(): Int =
+      if (remaining <= 0) 0
+      else math.max(1, math.min(in.available().toLong, remaining).toInt)
   }
 
   /** Splits an InputStream's bytes into UTF-8 lines on LF ONLY — interior

@@ -104,5 +104,18 @@ class CdxParserSpec extends AnyFunSuite {
     val ip = CdxTransformer.transformLine(
       "k 20120103084508 http://109.123.78.101/robots.txt text/html 404 SHA - 55 f.arc.gz").get
     assert(ip.suffix_surt == "(101,78,123,109" && ip.public_prefix == "-")
+    // port strip must not fire inside a bracketed IPv6 address (colons
+    // there are address bytes): split(':')(0) used to collapse every
+    // [2001:...] host onto the "[2001" key, merging distinct hosts
+    val v6a = CdxTransformer.transformLine(
+      "k 20120103084508 http://[2001:db8::1]/x text/html 200 SHA - 9 f.arc.gz").get
+    val v6b = CdxTransformer.transformLine(
+      "k 20120103084508 http://[2001:db9::2]/y text/html 200 SHA - 9 f.arc.gz").get
+    assert(v6a.suffix_surt != v6b.suffix_surt,
+      s"distinct IPv6 hosts merged: ${v6a.suffix_surt}")
+    // ... while a plain :port is still stripped
+    val withPort = CdxTransformer.transformLine(
+      "k 20120103084508 http://site.org:8080/p text/html 200 SHA - 9 f.arc.gz").get
+    assert(withPort.suffix_surt == "(org,site")
   }
 }

@@ -96,6 +96,40 @@ class FilterEdgeSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed.size == 3) // dayLimit 2 admits 3, under the '-' day
   }
 
+  test("CdxFilter passes a NULL key through (it is not a dropped " +
+      "pseudo-capture prefix; three-valued logic used to discard it)") {
+    val df = Seq(Some("org,x)/p"), Some("dns:example.org"), None)
+      .toDF("urlkey")
+    val kept = graft.operators.CdxFilter(df)
+      .select("urlkey").as[Option[String]].collect().toSet
+    assert(kept == Set(Some("org,x)/p"), None))
+  }
+
+  test("prefixJoin honors surtList like predicate() (the doc sends large " +
+      "lists — the case that needs SURT canonicalization most — to it)") {
+    val df = Seq("com,example)/a", "org,other)/b").toDF("k")
+    val urls = Seq("http://www.example.com/")
+    val viaPredicate = PrefixFilter(df, "k", urls, surtList = true)
+      .as[String].collect().toSeq
+    val viaJoin = PrefixFilter.prefixJoin(df, "k", urls, surtList = true)
+      .as[String].collect().toSeq
+    assert(viaPredicate == Seq("com,example)/a"))
+    assert(viaJoin == viaPredicate)
+  }
+
+  test("policyCol stays a flat CaseWhen: thousands of rules neither " +
+      "stack-overflow the analyzer nor change longest-prefix-first wins") {
+    val rules = (0 until 3000).map(i =>
+      AccessControl.Rule(f"org,r$i%04d", "block")) :+
+      AccessControl.Rule("org,r0001)/deep", "allow")
+    val df = Seq("org,r0001)/deep/x", "org,r0001)/other", "org,free)/y")
+      .toDF("urlkey")
+    val kept = AccessControl.allowCaptures(df, rules)
+      .select("urlkey").as[String].collect().toSet
+    // longest prefix wins: the deep allow overrides its shorter block
+    assert(kept == Set("org,r0001)/deep/x", "org,free)/y"))
+  }
+
   test("negative dayLimit aborts loudly on both surfaces (it used to mean " +
       "drop-everything in batch but disabled in streaming)") {
     intercept[IllegalArgumentException] {

@@ -64,6 +64,40 @@ class IndirectScanSpec extends AnyFunSuite with SparkTestSession {
     assert(bad.value == 1L)
   }
 
+  test("S8: a multi-member .gz dereferences ALL members (the JDK gzip " +
+      "stream used to silently stop at a boundary when available()==0)") {
+    val dir = tmpDir("derefmm")
+    val f = dir.resolve("multi.gz")
+    Files.write(f, gzBytes("m1a\nm1b\n") ++ gzBytes("m2a\n") ++
+      gzBytes("m3a\nm3b\n"))
+    val got = IndirectScans.dereferenceLines(Seq(f.toString).toDS())
+      .collect().toSet
+    assert(got == Set("m1a", "m1b", "m2a", "m3a", "m3b"))
+  }
+
+  test("gzip member-boundary regression guard: even a zero-available() " +
+      "stream with a 1-byte inflater buffer reads EVERY member (JDK-7036144 " +
+      "is fixed on this JVM; this test screams if a JDK regresses it)") {
+    import graft.util.IoUtil
+    val bytes = gzBytes("a\n") ++ gzBytes("b\n") ++ gzBytes("c\n")
+    // a stream whose available() is the InputStream default (0) — the
+    // shape of many wrapped FS streams; bufSize=1 minimizes the
+    // inflater's post-trailer read-ahead, the historical worst case
+    def zeroAvail() = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      override def read(): Int = in.read()
+      override def read(b: Array[Byte], o: Int, l: Int): Int = in.read(b, o, l)
+    }
+    val raw = new IoUtil.LfLineIterator(
+      new java.util.zip.GZIPInputStream(zeroAvail(), 1)).toSeq
+    assert(raw == Seq("a", "b", "c"))
+    // and through BoundedInputStream (the ZipNum readSlice shape), whose
+    // available() is now honest (>=1 while the bounded region has bytes)
+    val viaBounded = new IoUtil.LfLineIterator(new java.util.zip.GZIPInputStream(
+      new IoUtil.BoundedInputStream(zeroAvail(), bytes.length.toLong), 1)).toSeq
+    assert(viaBounded == Seq("a", "b", "c"))
+  }
+
   test("K11: repackage copies raw members into new archives, TMP committed") {
     val src = tmpDir("rpksrc")
     val out = tmpDir("rpkout")
