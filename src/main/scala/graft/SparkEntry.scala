@@ -447,6 +447,50 @@ object SparkEntry {
       served.select(col("line") +: graft.model.CdxJ.parseCols(col("line")): _*)
     }),
 
+    // P2(c) end-to-end — the reference's THIRD boundary source, a JSON
+    // splits file (ZipNumPartitioner.java:204-233: root array, [0]=line
+    // count ignored, [1]=splits with empty first/last sentinels), drives
+    // the cluster layout. Boundaries are FIXED literals so the layout is
+    // checkable: the fixture asserts every summary block lands in the
+    // exact shard the JSON boundaries dictate (4 shards from 3 splits).
+    // The served range then crosses the org,site18) boundary, so the
+    // oracle-gated read spans two JSON-placed shards.
+    "q136_json_splits_build" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmpDir("q136", dir)
+      val out = s"$base/cluster"
+      fixtureOnce(base, "v1", dir, "documents") {
+        val splitsPath = s"$base/splits.json"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(splitsPath),
+          """[0, ["", "org,site12)", "org,site18)", "org,site4)", ""]]""")
+        val interior = graft.operators.Boundaries.fromAnySplitFile(
+          splitsPath, s.sparkContext.hadoopConfiguration)
+        val lines = cdxLines(s, dir).as[String].rdd
+        graft.operators.ClusterOps.build(s, lines, out, interior,
+          linesPerBlock = 400, overwrite = true)
+        // layout pin: shard-of-block == partition the JSON boundaries
+        // assign its first key (once per fixture build; summary-only)
+        val part = new graft.operators.BoundaryPartitioner(interior)
+        val idx = graft.sources.zipnum.ZipNumIndex.load(
+          out, s.sparkContext.hadoopConfiguration)
+        idx.blocks.foreach { b =>
+          val shard = "\\d+".r.findFirstIn(b.part).get.toInt
+          require(shard == part.getPartition(b.firstKey),
+            s"block ${b.firstKey} in shard ${b.part} violates the JSON split layout")
+        }
+        require(idx.blocks.map(b =>
+          "\\d+".r.findFirstIn(b.part).get.toInt).distinct.size == 4,
+          "JSON splits [3 interior boundaries] must yield 4 populated shards")
+      }
+      s.read.format("zipnum").load(out)
+        .where(col("urlkey") >= "org,site14" && col("urlkey") < "org,site21")
+        .select(col("urlkey"), col("timestamp"), col("original_url"),
+          col("mimetype"), col("statuscode"), col("digest"),
+          col("redirect_url"), col("meta_flags"), col("compressed_size"),
+          col("offset"), col("filename"))
+    }),
+
     // ------------------------------------------------------------------
     // LLM-training-data pipeline operators (beyond-reference surface).
     // Corpus trick: derived duplicates/near-duplicates are injected with
@@ -3553,6 +3597,12 @@ object SparkEntry {
 
     "q135_cdxj_zipnum" -> cdxjLinesSql(
       "WHERE urlkey >= 'org,site1' AND urlkey < 'org,site2'"),
+
+    "q136_json_splits_build" ->
+      ("""SELECT urlkey, timestamp, original_url, mimetype, statuscode, digest,
+        |  redirect_url, meta_flags, compressed_size, "offset", filename
+        |""".stripMargin + s"FROM ($cdxParsedSql)\n" +
+        "WHERE urlkey >= 'org,site14' AND urlkey < 'org,site21'"),
 
     "q133_cdxj_roundtrip" -> cdxjLinesSql(),
 

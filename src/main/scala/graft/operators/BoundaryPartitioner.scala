@@ -88,6 +88,65 @@ object Boundaries {
     }
   }
 
+  /** JSON splits file (P2(c), the reference's third boundary source —
+    * ZipNumPartitioner.java:204-233 `loadJsonSplits`): the root is a JSON
+    * array whose element 0 is the cluster's line count (ignored here, as
+    * there) and element 1 is the splits array; the splits array's first and
+    * last entries are the empty-line sentinels of the producing sort and
+    * are skipped unconditionally (`for (i = 1; i < length - 1; i++)`). A
+    * non-array root, a missing/non-array element 1, or a non-string split
+    * entry aborts loudly (the reference's JSONException, minus its
+    * swallowed printStackTrace); a NON-empty first/last entry warns — the
+    * reference drops it silently, which loses a real boundary if a
+    * producer ever deviates from the convention.
+    *
+    * Tie semantics note: the reference's partitioner sends a key EQUAL to
+    * a split to the earlier partition (`key <= split → index`,
+    * ZipNumPartitioner.java:66-77), while [[BoundaryPartitioner]] starts a
+    * partition AT its boundary. Either way a bare-urlkey split never
+    * splits a urlkey group — the group lands one partition earlier there
+    * than here, a layout shift, not a correctness difference. */
+  def fromJsonSplits(path: String, conf: Configuration): IndexedSeq[String] = {
+    val p = new Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = try mapper.readTree(text) catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"splits file $path is not valid JSON: ${e.getMessage}")
+    }
+    require(root != null && root.isArray && root.size >= 2,
+      s"splits file $path: root must be a JSON array [lineCount, splits]")
+    val splits = root.get(1)
+    require(splits.isArray,
+      s"splits file $path: element 1 must be the splits array")
+    require(splits.size >= 2,
+      s"splits file $path: splits array needs its empty first/last sentinels")
+    Seq(0, splits.size - 1).foreach { i =>
+      val s = splits.get(i)
+      if (!s.isTextual || s.asText.nonEmpty)
+        System.err.println(s"WARN: splits file $path entry $i is " +
+          s"${s.toString.take(40)} — the format's first/last entries are " +
+          "empty sentinels and are always dropped")
+    }
+    val out = (1 until splits.size - 1).map { i =>
+      val s = splits.get(i)
+      require(s.isTextual,
+        s"splits file $path: split entry $i is not a string: ${s.toString.take(40)}")
+      s.asText
+    }
+    require(out == out.sorted(graft.util.KeyOrder),
+      s"splits file $path: split points must be sorted (byte-wise)")
+    out
+  }
+
+  /** Suffix dispatch matching the reference (ZipNumPartitioner.java:164-168):
+    * `.json` → [[fromJsonSplits]], anything else → [[fromSplitFile]]. */
+  def fromAnySplitFile(path: String, conf: Configuration): IndexedSeq[String] =
+    if (path.endsWith(".json")) fromJsonSplits(path, conf)
+    else fromSplitFile(path, conf)
+
   /** Interior boundaries as every (total/n)-th key of the concatenated
     * summaries of existing clusters — n output partitions shaped like the
     * clusters' own key distribution.

@@ -55,8 +55,19 @@ object ClusterOps {
             boundaries: Option[IndexedSeq[String]] = None,
             overwrite: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val interior = boundaries.getOrElse(
+    val given = boundaries.getOrElse(
       Boundaries.fromClusterSummaries(inputs, nShards, conf))
+    // Under global-cdx the per-partition day counter is exact ONLY when
+    // every partition starts at a urlkey start (fromClusterSummaries
+    // guarantees it; see Boundaries.fromClusterSummaries doc). Externally
+    // supplied boundaries (--splits, q113-style callers) may carry a
+    // "urlkey ts" tail — truncate so a (urlkey, day) group never straddles.
+    // Idempotent on already-bare boundaries; only applied when the day
+    // counter is in play, so plain merges honor the given layout exactly.
+    val interior =
+      if (globalCdx)
+        given.map(_.takeWhile(_ != ' ')).distinct.toIndexedSeq
+      else given
     val aligned = inputs.map(d => ZipNumReader.rangesRdd(spark, d, interior))
     val merged = SortedMerge.merge(aligned)
     val cleaned =
@@ -81,7 +92,10 @@ object ClusterOps {
   // ------------------------------------------------------------------ CLI
 
   /** cluster-build <splits|-> <input-text> <out> [--shards N]
-    *   [--zipnum-lines N] [--surt-output] [--overwrite] */
+    *   [--zipnum-lines N] [--surt-output] [--overwrite]
+    * `splits` dispatches on suffix like the reference
+    * (ZipNumPartitioner.java:164-168): `.json` → JSON splits (P2(c)),
+    * else alpha/NAME-START-END text. */
   def buildFromArgs(spark: SparkSession, args: Array[String]): Unit = {
     val (flags, pos) = splitArgs(args, Set("--shards", "--zipnum-lines"))
     require(pos.length == 3,
@@ -93,7 +107,7 @@ object ClusterOps {
       .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
     val interior =
       if (splits == "-") Boundaries.sample(lines, nShards)
-      else Boundaries.fromSplitFile(splits,
+      else Boundaries.fromAnySplitFile(splits,
         spark.sparkContext.hadoopConfiguration)
     build(spark, lines, out, interior,
       linesPerBlock = flagValue(flags, "--zipnum-lines").map(_.toInt)
@@ -104,16 +118,21 @@ object ClusterOps {
   }
 
   /** cluster-merge <out> <in1> <in2...> [--shards N] [--global-cdx]
-    *   [--day-limit N] [--zipnum-lines N] [--overwrite] */
+    *   [--day-limit N] [--zipnum-lines N] [--splits FILE] [--overwrite]
+    * `--splits` takes boundaries from a file instead of the inputs' own
+    * summary quantiles — `.json` → JSON splits (P2(c),
+    * ZipNumPartitioner.java:204-233), else alpha text. */
   def mergeFromArgs(spark: SparkSession, args: Array[String]): Unit = {
     val (flags, pos) = splitArgs(args,
-      Set("--shards", "--day-limit", "--zipnum-lines"))
+      Set("--shards", "--day-limit", "--zipnum-lines", "--splits"))
     require(pos.length >= 2,
       "usage: cluster-merge <out> <in...> [--shards N] [--global-cdx] " +
-        "[--day-limit N] [--zipnum-lines N] [--overwrite]")
+        "[--day-limit N] [--zipnum-lines N] [--splits FILE] [--overwrite]")
     merge(spark, pos.tail.toSeq, pos.head,
       nShards = flagValue(flags, "--shards").map(_.toInt)
         .getOrElse(spark.sparkContext.defaultParallelism),
+      boundaries = flagValue(flags, "--splits").map(
+        Boundaries.fromAnySplitFile(_, spark.sparkContext.hadoopConfiguration)),
       globalCdx = flags.contains("--global-cdx"),
       dayLimit = flagValue(flags, "--day-limit").map(_.toInt)
         .getOrElse(GlobalCdxCleanup.DefaultDayLimit),

@@ -83,6 +83,67 @@ class SortedTextFileSpec extends AnyFunSuite {
       IndexedSeq("m", "t"))
   }
 
+  private def writeJson(content: String): String = {
+    val f = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get("/root/repo/target"), "splits", ".json")
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+
+  test("fromJsonSplits parses the reference layout: [lineCount, [\"\", " +
+      "splits..., \"\"]] — element 0 ignored, sentinels dropped " +
+      "(ZipNumPartitioner.java:204-233)") {
+    import graft.operators.Boundaries
+    assert(Boundaries.fromJsonSplits(
+      writeJson("""[12345, ["", "com,example)/", "org,example)/", ""]]"""),
+      conf) == IndexedSeq("com,example)/", "org,example)/"))
+    // only the two sentinels: zero interior boundaries = one partition
+    assert(Boundaries.fromJsonSplits(
+      writeJson("""[0, ["", ""]]"""), conf).isEmpty)
+  }
+
+  test("fromJsonSplits aborts loudly on malformed roots and non-string " +
+      "splits; unsorted splits are rejected") {
+    import graft.operators.Boundaries
+    // not JSON at all
+    intercept[IllegalArgumentException] {
+      Boundaries.fromJsonSplits(writeJson("not json"), conf)
+    }
+    // root is an object, not the [lineCount, splits] array
+    intercept[IllegalArgumentException] {
+      Boundaries.fromJsonSplits(writeJson("""{"splits": []}"""), conf)
+    }
+    // root array too short / element 1 not an array
+    intercept[IllegalArgumentException] {
+      Boundaries.fromJsonSplits(writeJson("""[5]"""), conf)
+    }
+    intercept[IllegalArgumentException] {
+      Boundaries.fromJsonSplits(writeJson("""[5, "nope"]"""), conf)
+    }
+    // splits array without its sentinels
+    intercept[IllegalArgumentException] {
+      Boundaries.fromJsonSplits(writeJson("""[5, []]"""), conf)
+    }
+    // a non-string interior entry (reference getString JSONException)
+    intercept[IllegalArgumentException] {
+      Boundaries.fromJsonSplits(writeJson("""[5, ["", 42, ""]]"""), conf)
+    }
+    // unsorted split points would silently mis-shard downstream
+    intercept[IllegalArgumentException] {
+      Boundaries.fromJsonSplits(
+        writeJson("""[5, ["", "org,b)/", "com,a)/", ""]]"""), conf)
+    }
+  }
+
+  test("fromAnySplitFile dispatches on the .json suffix like the " +
+      "reference (ZipNumPartitioner.java:164-168)") {
+    import graft.operators.Boundaries
+    assert(Boundaries.fromAnySplitFile(
+      writeJson("""[9, ["", "m", "t", ""]]"""), conf) == IndexedSeq("m", "t"))
+    assert(Boundaries.fromAnySplitFile(writeSplit("a\nm\nt\n"), conf) ==
+      IndexedSeq("m", "t"))
+  }
+
   test("fromSplitFile sniffs the format over EVERY line and aborts on a mix") {
     import graft.operators.Boundaries
     // all-3-field = NAME START END (unchanged)
