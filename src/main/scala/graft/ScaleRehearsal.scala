@@ -30,7 +30,7 @@ object ScaleRehearsal {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
           m == "substr" || m == "chunk" || m == "fuzzydecon" ||
           m == "pagerank" || m == "stream" || m == "media" ||
-          m == "semdedup" =>
+          m == "semdedup" || m == "spine" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -46,6 +46,7 @@ object ScaleRehearsal {
         case "stream" => 2 // watermark horizon, hours
         case "media" => 8 // frame-sampling stride
         case "semdedup" => 64 // k (seed count; q81 uses 8 at oracle scale)
+        case "spine" => 10 // dupEvery (every Nth doc triplicated, q45's rule)
         case _ => 400
       })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
@@ -88,6 +89,8 @@ object ScaleRehearsal {
     if (mode == "media") { mediaRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
     if (mode == "semdedup") { semDedupRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
+    if (mode == "spine") { spineRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
 
     // the q69 corpus rule (base + appended-text variants), replicated
@@ -429,6 +432,125 @@ object ScaleRehearsal {
       f"shuffleRead=${mib(readB)} MiB shuffleWrite=${mib(writeB)} MiB")
     clusters.unpersist(blocking = false)
     corpus.unpersist(blocking = false)
+  }
+
+  /** ZipNum spine decades — the cluster-build → global-cleanup-merge →
+    * range-serve pipeline (the operator family with r18 correctness
+    * churn: prune bound, boundary truncation, day-counter semantics).
+    * Corpus: one well-formed CDX line per (copy, doc) under per-copy
+    * DISJOINT urlkey namespaces (`org,c<copy>)/...`), with every
+    * `dupEvery`-th doc TRIPLICATED across three input clusters (q45's
+    * rule) — so the global-CDX day cap (dayLimit=1 admits 2) has a
+    * CLOSED-FORM output size: mergedRows == copies × (nBase + nSub),
+    * exact at every decade, asserted in-run. Also asserted: the merged
+    * cluster's block layout aligns with the merge boundaries (every
+    * block's firstKey inside its shard's [lo, hi) range — the
+    * zero-shuffle merge's structural contract), and a one-namespace
+    * range serve returns exactly nBase + nSub rows. Phases are timed
+    * and shuffle-metered separately: BUILD pays the one boundary
+    * shuffle, MERGE must stay ZERO-shuffle at every decade (aligned
+    * block-pruned reads + heap merge — a nonzero merge shuffle
+    * falsifies the design), SERVE reads only pruned blocks. */
+  private def spineRehearsal(spark: SparkSession, copies: Int, dupEvery: Int,
+                             sfDir: String, read: AtomicLong,
+                             write: AtomicLong): Unit = {
+    import spark.implicits._
+    val cpus = spark.sparkContext.defaultParallelism
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "spine-rehearsal").toString
+
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"))
+    val nBase = ids.count()
+    val nSub = ids.where(col("id") % dupEvery === 0).count()
+    def lineCol = concat(
+      lit("org,c"), col("__c"), lit(")/s"), col("id") % 23,
+      lit("/p/"), col("id"),
+      lit(" 201201010000"), lpad((col("id") % 60).cast("string"), 2, "0"),
+      lit(" http://c"), col("__c"), lit(".org/p/"), col("id"),
+      lit(" text/html 200 DIGEST"), col("id"), lit(" - - 100 "),
+      col("id") * 1000L, lit(" w.warc.gz"))
+    def corpus(sub: Boolean) = ids
+      .where(if (sub) col("id") % dupEvery === 0 else lit(true))
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("id"))
+      .select(lineCol.as("line")).as[String].rdd
+
+    // ---- BUILD: three input clusters (full + two duplicate subsets)
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    var (r0, w0) = (read.get, write.get)
+    val t0 = System.nanoTime()
+    val all = corpus(sub = false)
+    val bounds = operators.Boundaries.sample(all, cpus)
+    operators.ClusterOps.build(spark, all, s"$base/a", bounds,
+      linesPerBlock = 300, overwrite = true)
+    operators.ClusterOps.build(spark, corpus(sub = true), s"$base/b", bounds,
+      linesPerBlock = 100, overwrite = true)
+    operators.ClusterOps.build(spark, corpus(sub = true), s"$base/c", bounds,
+      linesPerBlock = 150, overwrite = true)
+    val buildWall = (System.nanoTime() - t0) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (buildRead, buildWrite) = (read.get - r0, write.get - w0)
+
+    // ---- MERGE: zero-shuffle aligned heap merge + streaming day cap
+    r0 = read.get; w0 = write.get
+    val t1 = System.nanoTime()
+    val inputs = Seq(s"$base/a", s"$base/b", s"$base/c")
+    operators.ClusterOps.merge(spark, inputs, s"$base/merged", nShards = cpus,
+      globalCdx = true, dayLimit = 1, linesPerBlock = 300,
+      overwrite = true)
+    val mergeWall = (System.nanoTime() - t1) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (mergeRead, mergeWrite) = (read.get - r0, write.get - w0)
+
+    // closed-form output size: non-dup docs admit 1 of 1, triplicated
+    // docs admit 2 of 3 (dayLimit=1 admits dayLimit+1) — per copy
+    // namespace, so linear in copies EXACTLY
+    val expected = copies * (nBase + nSub)
+    val mergedRows = sources.zipnum.ZipNumReader
+      .lines(spark, s"$base/merged").count()
+    require(mergedRows == expected,
+      s"spine invariant violated: merged rows $mergedRows != " +
+        s"copies×(nBase+nSub) = $expected — day cap or merge lost/dup'd rows")
+    // boundary alignment: every merged block's firstKey must sit inside
+    // its shard's [lo, hi) range under the SAME boundaries merge derived
+    // (fromClusterSummaries is deterministic) — the structural contract
+    // that makes the per-partition day counter exact
+    val mergeBounds = operators.Boundaries.fromClusterSummaries(inputs, cpus, conf)
+    val part = new operators.BoundaryPartitioner(mergeBounds)
+    val idx = sources.zipnum.ZipNumIndex.load(s"$base/merged", conf)
+    idx.blocks.foreach { b =>
+      val shard = "\\d+".r.findFirstIn(b.part).get.toInt
+      require(shard == part.getPartition(b.firstKey),
+        s"spine invariant violated: block ${b.firstKey} in ${b.part} is " +
+          "outside its merge-boundary range")
+    }
+
+    // ---- SERVE: one copy-namespace range off the merged cluster
+    val (servStart, servEnd) = ("org,c1)", "org,c1*") // ')'+1 = '*'
+    val prunedBlocks = idx.prune(Some(servStart), Some(servEnd)).size
+    r0 = read.get; w0 = write.get
+    val t2 = System.nanoTime()
+    val served = sources.zipnum.ZipNumReader
+      .lines(spark, s"$base/merged", Some(servStart), Some(servEnd)).count()
+    val serveWall = (System.nanoTime() - t2) / 1e9
+    graftshim.ListenerShim.drain(spark.sparkContext)
+    val (serveRead, serveWrite) = (read.get - r0, write.get - w0)
+    require(copies < 2 || served == nBase + nSub,
+      s"spine invariant violated: served $served != ${nBase + nSub} rows " +
+        "for one copy namespace")
+
+    def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+    println(f"[rehearsal] spine copies=$copies lines=${copies * (nBase + 2 * nSub)} " +
+      f"mergedRows=$mergedRows (exact) " +
+      f"buildWall=$buildWall%.1f s buildShuffleRW=${mib(buildRead)}/" +
+      f"${mib(buildWrite)} MiB " +
+      f"mergeWall=$mergeWall%.1f s mergeShuffleRW=${mib(mergeRead)}/" +
+      f"${mib(mergeWrite)} MiB " +
+      f"serveWall=$serveWall%.2f s served=$served " +
+      f"prunedBlocks=$prunedBlocks/${idx.blocks.size} " +
+      f"serveShuffleRW=${mib(serveRead)}/${mib(serveWrite)} MiB")
   }
 
   /** PageRank decades — the DISTRIBUTED power-iteration path
