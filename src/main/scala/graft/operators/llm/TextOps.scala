@@ -363,7 +363,22 @@ object TextAnalysis {
     * declarative form's broadcast builds overlap — and the rollup
     * variant's fused countDistinct even re-expands the checkpointed tf
     * into a second corpus-scale exchange. Duck's remaining edge is the
-    * fixed multi-job floor (~9 jobs), not a plan defect. */
+    * fixed multi-job floor (~9 jobs), not a plan defect.
+    *
+    * r19 drift adjudication (the r18 battery's only normalized >25%
+    * mover, 0.388 → 0.513 s at the bench; q88 Diag protocol — anchor
+    * q74 FIRST, three Diag invocations, min-of-3 each):
+    *   run            q74 anchor   q60      q60/q74   jobs/stages
+    *   r15 baseline   0.728        0.526    0.72      9/18
+    *   r19 #1         1.036        0.855    0.825     9/18
+    *   r19 #2         1.249        1.011    0.81      9/18
+    *   r19 #3         1.213        0.953    0.786     9/18
+    * The ANCHOR itself reads 1.4-1.7x its r15 band this session —
+    * uniform machine phase, not a q60 regression; anchor-relative q60
+    * sits 9-15% above its r15 ratio, inside the ±15-20% both-direction
+    * wander the q88 table documents, and the job/stage counts are
+    * byte-identical to the pinned shape. Phase; ranking unchanged;
+    * the r15 variant table above stands. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String,
             nDocs: Option[Long] = None): DataFrame = {
     nDocs.foreach(n => require(n > 0, s"nDocs must be positive, got $n"))
