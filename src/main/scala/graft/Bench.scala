@@ -209,12 +209,34 @@ object Bench {
     // Short stdout line: everything an auditor of the committed tail needs —
     // totals, counts, the duck denominator, the ratio, and where the full
     // per-query map lives. Must stay well under the driver's 2000-char tail.
-    // ratio only on a COMPLETE run: with failed queries excluded from the
-    // spark total (-1) but still inside the duck denominator, the quotient
-    // would flatter a partial run — rc/n_errors disclose the failure, and
-    // the ratio must never look better because of it
+    // ratio only on a COMPLETE matched pairing, on BOTH sides:
+    //  - spark errors: failed queries are excluded from the spark total
+    //    (-1) but still inside the duck denominator — the quotient would
+    //    flatter a partial run;
+    //  - duck errors: duck_bench.py likewise EXCLUDES failed oracles from
+    //    its total_sec, so a partial duck denominator would silently skew
+    //    the headline the other way (r18 advice);
+    //  - query-set mismatch: a GRAFT_BENCH_ONLY subset, or a DUCK_BENCH
+    //    .json generated before gates were added, pairs different query
+    //    sets — numerator and denominator measure different work.
+    // An unparseable duck report also suppresses (unknown provenance).
+    // validate.sh regenerates the denominator on the final tree, so the
+    // official pairing always carries the ratio.
+    val duckJson = duck.flatMap(d => scala.util.Try(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(d)).toOption)
+    val duckClean = duckJson.exists { j =>
+      val names = Option(j.get("queries")).map { q =>
+        val it = q.fieldNames(); val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      !j.has("errors") && names.exists(_ == results.map(_._1).toSet)
+    }
+    if (duckTotal.isDefined && !duckClean)
+      System.err.println("[bench] ratio suppressed: duck report has " +
+        "errors, a different query set, or failed to parse")
     val ratioField = duckTotal.flatMap(_.toDoubleOption).filter(_ > 0)
-      .filter(_ => errors.isEmpty)
+      .filter(_ => errors.isEmpty && duckClean)
       .map(t => s""","duckdb_total_sec":$t,"ratio":${jnum(total / t)}""")
       .getOrElse("")
     val errNames = if (errors.isEmpty) ""

@@ -1591,7 +1591,7 @@ object SparkEntry {
         sink = "q134_stream_hll_sink", outputMode = "append",
         fixture = streamCdxLinesWithSentinel(s, dir),
         fixtureVersion = "v2", noDataBatch = true) { lines =>
-        graft.streaming.CdxStream.hllHostDayDistinct(
+        graft.streaming.CdxStream.hllUrlkeyDayDistinct(
           graft.streaming.CdxStream.parse(lines))
       }),
 

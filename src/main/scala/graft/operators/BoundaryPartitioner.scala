@@ -84,6 +84,18 @@ object Boundaries {
         s"split file $path mixes NAME START END lines with plain boundaries")
       require(lines == lines.sorted(graft.util.KeyOrder),
         s"split file $path must be sorted (byte-wise)")
+      // r18 format change: the first line is ALWAYS dropped (line i =
+      // shard i's START, exactly AlphaPartitioner). Split files persisted
+      // by pre-r18 versions of THIS repo under the old keep-non-empty-
+      // first-line convention now yield n instead of n+1 partitions —
+      // warn so stale files get regenerated instead of silently
+      // reinterpreted (a reference-format file with a real first key is
+      // also fine; the warning just makes the dropped key visible).
+      if (lines.head.nonEmpty)
+        System.err.println(s"NOTE: split file $path leads with a real key " +
+          s"('${lines.head.take(40)}') — dropped as shard 0's START " +
+          "(AlphaPartitioner format, since r18); a pre-r18 graft split " +
+          "file intending it as an interior boundary must be regenerated")
       lines.tail // line 0 = shard 0's start; getPartition clamps below it
     }
   }

@@ -88,9 +88,16 @@ object IndirectScans {
         openIn
       }
       // abandoned-iterator cleanup (limit/take/task failure) — the
-      // exhaustion-close alone leaked the sticky handle
+      // exhaustion-close alone leaked the sticky handle AND the current
+      // member's GZIPInputStream (its Inflater's native memory waited on
+      // GC — the same gap dereferenceLines closes with its `current`
+      // tracker)
+      var currentGz: java.io.InputStream = null
       val tc = org.apache.spark.TaskContext.get()
       if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (currentGz != null)
+          try currentGz.close()
+          catch { case scala.util.control.NonFatal(_) => () }
         if (openIn != null)
           try openIn.close()
           catch { case scala.util.control.NonFatal(_) => () }
@@ -107,6 +114,7 @@ object IndirectScans {
           in.seek(r.offset)
           val gz = new GZIPInputStream(
             new IoUtil.BoundedInputStream(in, r.length), 64 * 1024)
+          currentGz = gz
           val raw = new IoUtil.LfLineIterator(gz)
           // STREAM the member's lines (a multi-GB member no longer
           // buffers on-heap); under skipBad a decode error mid-member
@@ -121,7 +129,8 @@ object IndirectScans {
                 bad.add(1); false }
             override def next(): String = raw.next()
           }
-          new IoUtil.AutoCloseIterator(guarded, () => gz.close())
+          new IoUtil.AutoCloseIterator(guarded,
+            () => { gz.close(); if (currentGz eq gz) currentGz = null })
         } catch {
           case _: java.io.IOException if skipBad =>
             bad.add(1); Iterator.empty

@@ -45,13 +45,28 @@ object ZipNumWriter {
     val preExisting = fs.exists(out)
     require(!preExisting || overwrite, s"ZipNumWriter: target $outDir " +
       "exists; pass overwrite=true to replace it")
-    // overwrite does NOT delete up front: the old cluster must survive a
-    // failed job (an up-front delete turned any task failure into data
-    // loss with only _tmp garbage left behind). The job writes under
-    // out/_tmp; the old content is cleared only AFTER every task
-    // succeeded, just before the rename fold — shrinking the
-    // no-old-no-new window from the whole job to the driver-side commit.
-    fs.mkdirs(new Path(out, "_tmp"))
+    // Overwrite never touches the old cluster until the NEW one is
+    // complete: the whole replacement (shards + ALL.summary + manifest)
+    // is staged in a SIBLING directory and swapped in via two directory
+    // renames (old → .__old, stage → out). At no point does the data
+    // exist in fewer than one complete cluster — a crash between the
+    // renames leaves the old cluster intact at .__old (recovered by the
+    // guard below or by hand), unlike the previous delete-then-rename
+    // commit whose mid-commit IO failure could lose both (r18 advice).
+    val oldPath = new Path(outDir + ".__old")
+    if (fs.exists(oldPath)) {
+      // out present → a previous swap completed but its backup delete
+      // didn't; out absent → a previous run crashed BETWEEN renames and
+      // .__old holds the only copy: never delete it silently
+      require(preExisting, s"ZipNumWriter: $oldPath exists but $outDir " +
+        "does not — a previous overwrite crashed mid-swap; recover by " +
+        s"renaming $oldPath back to $outDir")
+      fs.delete(oldPath, true)
+    }
+    val stageDir = if (preExisting) outDir + ".__stage" else outDir
+    val stage = new Path(stageDir)
+    if (preExisting) fs.delete(stage, true) // stale stage from a crashed run
+    fs.mkdirs(new Path(stage, "_tmp"))
 
     // Each partition → one shard, written executor-side.
     val shardInfos = lines.mapPartitionsWithIndex { (pid, iter) =>
@@ -62,8 +77,8 @@ object ZipNumWriter {
         // partition must never write the same file (same discipline as
         // the DSv2 writer's part-tN names)
         val tmpName = s"$part-t${org.apache.spark.TaskContext.get().taskAttemptId()}"
-        val fs = new Path(outDir).getFileSystem(conf.value)
-        val shard = new ShardStream(fs, s"$outDir/_tmp", part, tmpName,
+        val fs = new Path(stageDir).getFileSystem(conf.value)
+        val shard = new ShardStream(fs, s"$stageDir/_tmp", part, tmpName,
           linesPerBlock)
         // abort on ANY failure: without it a task that dies mid-iteration
         // leaks the shard's two open HDFS output streams (handles/leases
@@ -76,13 +91,22 @@ object ZipNumWriter {
       }
     }.collect().sortBy(_._1)
 
-    // All tasks succeeded — NOW clear a pre-existing cluster (everything
-    // except the _tmp the winners live in), then rename into place.
-    if (preExisting)
-      fs.listStatus(out).filter(_.getPath.getName != "_tmp")
-        .foreach(st => fs.delete(st.getPath, true))
     // Commit: rename shards into place, concatenate -idx → ALL.summary.
-    ZipNumShardIO.commitShards(fs, outDir,
+    ZipNumShardIO.commitShards(fs, stageDir,
       shardInfos.map { case (_, part, tmpName, _) => (part, tmpName) })
+    if (preExisting) {
+      // the swap: two renames, old cluster always whole somewhere
+      require(fs.rename(out, oldPath),
+        s"ZipNumWriter: swap rename $outDir -> $oldPath failed " +
+          s"(old cluster untouched; new cluster complete at $stageDir)")
+      if (!fs.rename(stage, out)) {
+        // roll the old cluster back so the target is never left empty
+        fs.rename(oldPath, out)
+        throw new IllegalStateException(
+          s"ZipNumWriter: swap rename $stageDir -> $outDir failed; " +
+            s"old cluster restored, new cluster left at $stageDir")
+      }
+      fs.delete(oldPath, true)
+    }
   }
 }

@@ -154,7 +154,7 @@ object CdxStream {
   }
 
   /** Shared keying scaffold for the day-keyed stateful operators
-    * ([[dayCapStream]], [[hllHostDayDistinct]]): validate the FULL
+    * ([[dayCapStream]], [[hllUrlkeyDayDistinct]]): validate the FULL
     * 14-digit timestamp — a date-only prefix check would admit an
     * 8-digit or bad-time value that then blows up `to_timestamp` under
     * Spark 4's ANSI default (the checkpoint-replay poison pill: the
@@ -203,7 +203,7 @@ object CdxStream {
     * ONLY, an early flush is not final — rows for the same (key, day)
     * arriving after the flush are not "late" by the watermark (their
     * event time is ahead of it), so they re-create state: the day may
-    * emit a second partial cell (hllHostDayDistinct) or re-admit
+    * emit a second partial cell (hllUrlkeyDayDistinct) or re-admit
     * another budget (dayCapStream). This is inherent, not an oversight:
     * a tombstone that made the flush final would have to live until the
     * watermark passes the junk day's real end — for a 2036 timestamp,
@@ -282,9 +282,9 @@ object CdxStream {
     * LIVE (urlkey, day), not per key ever seen. (Far-future junk days
     * are the one exception to emits-once — see [[setDayEndTimeout]]'s
     * documented trade.) */
-  def hllHostDayDistinct(cdx: Dataset[CdxRecord],
-                         bucketBits: Int = 6,
-                         watermarkDelay: String = "1 hour"): DataFrame = {
+  def hllUrlkeyDayDistinct(cdx: Dataset[CdxRecord],
+                           bucketBits: Int = 6,
+                           watermarkDelay: String = "1 hour"): DataFrame = {
     val spark = cdx.sparkSession
     import spark.implicits._
     val agg = graft.operators.Sketches.hllGroupAgg(bucketBits)
@@ -314,4 +314,13 @@ object CdxStream {
       }
       .toDF("urlkey", "day", "filled", "s", "est_distinct")
   }
+
+  /** r19 rename: the key is the URLKEY, not the host (r18 adjudication
+    * fixed the doc; the name now agrees). Alias kept for one round for
+    * any external caller. */
+  @deprecated("use hllUrlkeyDayDistinct — the key is the urlkey", "r19")
+  def hllHostDayDistinct(cdx: Dataset[CdxRecord],
+                         bucketBits: Int = 6,
+                         watermarkDelay: String = "1 hour"): DataFrame =
+    hllUrlkeyDayDistinct(cdx, bucketBits, watermarkDelay)
 }

@@ -198,14 +198,14 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     q.stop()
   }
 
-  test("hllHostDayDistinct: sketch state folds ACROSS micro-batches and " +
+  test("hllUrlkeyDayDistinct: sketch state folds ACROSS micro-batches and " +
       "the emitted summary is bit-equal to the batch aggregator fold") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     def dline(key: String, ts: String, digest: String, off: Long): String =
       s"$key $ts http://x.org/ text/html 200 $digest - - 10 $off f.warc.gz"
     val ms = MemoryStream[String]
-    val out = CdxStream.hllHostDayDistinct(
+    val out = CdxStream.hllUrlkeyDayDistinct(
       CdxStream.parse(ms.toDS()), watermarkDelay = "1 second")
     val q = out.writeStream
       .format("memory").queryName("hllcells").outputMode("append").start()

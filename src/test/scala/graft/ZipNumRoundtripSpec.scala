@@ -149,6 +149,41 @@ class ZipNumRoundtripSpec extends AnyFunSuite with SparkTestSession {
     assert(idx.prune(Some("a"), None).map(_.offset).head == 0L)
   }
 
+  test("overwrite stages a complete sibling cluster and swaps: new content " +
+      "served, no .__stage/.__old leftovers, mid-swap backup is guarded") {
+    val d = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "zipnum-swap").toString
+    val cluster = s"$d/cluster"
+    import spark.implicits._
+    def write(ls: Seq[String]): Unit = {
+      val ds = spark.createDataset(ls)(implicitly)
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("value"))
+        .sortWithinPartitions("value")
+      ZipNumWriter.write(ds, cluster, linesPerBlock = 2, overwrite = true)
+    }
+    write(Seq("a 1 old", "b 1 old", "c 1 old"))
+    write(Seq("a 1 new", "d 1 new"))
+    assert(ZipNumReader.lines(spark, cluster).collect().toSeq.sorted ==
+      Seq("a 1 new", "d 1 new"))
+    val parent = new java.io.File(d).list().toSet
+    assert(!parent.exists(_.contains("__stage")) &&
+      !parent.exists(_.contains("__old")),
+      s"swap must clean its staging dirs, found $parent")
+    // backup guard: .__old WITHOUT the target = a run crashed between the
+    // two swap renames and the backup holds the only copy — loud abort
+    val fs = new org.apache.hadoop.fs.Path(cluster)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(cluster),
+      new org.apache.hadoop.fs.Path(cluster + ".__old"))
+    val e = intercept[IllegalArgumentException] { write(Seq("x 1 z")) }
+    assert(e.getMessage.contains("mid-swap"))
+    // operator recovery (rename back) makes the writer usable again
+    fs.rename(new org.apache.hadoop.fs.Path(cluster + ".__old"),
+      new org.apache.hadoop.fs.Path(cluster))
+    write(Seq("x 1 z"))
+    assert(ZipNumReader.lines(spark, cluster).collect().toSeq == Seq("x 1 z"))
+  }
+
   test("range serve with start == a block firstKey returns the key run's " +
       "head from the previous block (end-to-end prune regression)") {
     // key B = "org,b)/x 20120101000000" runs for 4 lines; linesPerBlock=2
