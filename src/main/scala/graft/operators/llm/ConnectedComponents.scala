@@ -103,7 +103,15 @@ object ConnectedComponents {
       // materialization the first iteration would otherwise perform.
       // the result is eagerly checkpointed BEFORE the finally block
       // releases the edge cache it reads from
-      if (localBelow > 0L && edges.count() <= localBelow)
+      // integral ids only: localUnionFind orders ids NUMERICALLY via a
+      // long cast, the distributed fixpoint orders by the column's own
+      // type — for string ids ("9" vs "10") the two orders disagree and
+      // the paths would label components differently; float/decimal ids
+      // would silently truncate (r19 review finding). Non-integral ids
+      // simply keep the distributed path, which handles any orderable
+      // type.
+      if (localBelow > 0L && integralIdType(edges) &&
+          edges.count() <= localBelow)
         return localUnionFind(edges).localCheckpoint(true)
       var cached: DataFrame = null
       var labels: DataFrame = null
@@ -224,6 +232,16 @@ object ConnectedComponents {
       }
       labels
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** The local endgame relies on a lossless round-trip through long —
+    * true exactly for the integral types (byte/short/int/long). */
+  private def integralIdType(edges: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    edges.schema("a").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
   }
 
   /** Single-task exact CC: union-find with path compression and

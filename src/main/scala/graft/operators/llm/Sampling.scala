@@ -33,6 +33,9 @@ object Sampling {
     bounds.foreach { case (lbl, hi) => requireHexBound(hi, lbl) }
     require(bounds.map(_._2) == bounds.map(_._2).sorted,
       "bounds must be ascending — a later smaller bound is unreachable")
+    require(bounds.map(_._2).distinct.length == bounds.length,
+      "bounds must be strictly ascending — a duplicate bound makes the " +
+        "later label unreachable (its range is empty)")
     val prefix = substring(
       graft.functions.Md5Functions.md5Hex(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 2)
     val label = bounds.foldRight(lit(defaultLabel): Column) {
@@ -201,8 +204,16 @@ object Sampling {
     val nr = bucketTable.iterator.map(_._3).sum
     val weights: Map[Long, Long] = bucketTable.iterator.map {
       case (b, ct, cr) =>
-        b -> ((BigInt(ct + 1) * 10000 * (BigInt(nr) + buckets)) /
-          (BigInt(cr + 1) * (BigInt(nt) + buckets))).toLong
+        val w = (BigInt(ct + 1) * 10000 * (BigInt(nr) + buckets)) /
+          (BigInt(cr + 1) * (BigInt(nt) + buckets))
+        // loud, not wrapped: BigInt.toLong silently truncates past
+        // int64, and a wrapped (possibly negative) weight would corrupt
+        // every downstream score instead of failing (r19 review finding;
+        // reachable only when target/raw sizes are absurdly lopsided)
+        require(w.isValidLong,
+          s"bucket $b weight $w exceeds int64 — target/raw corpus sizes " +
+            s"too lopsided (nt=$nt, nr=$nr) for the bp-integer weight form")
+        b -> w.toLong
     }.toMap
     // literal map for small B only — above TextAnalysis
     // .LiteralMapMaxEntries element_at's per-row linear scan loses to a
@@ -253,7 +264,11 @@ object Sampling {
       .withColumn("__wsum",
         sum(col("weight_bp")).over(Window.partitionBy()))
       .withColumn("target_tokens",
-        expr(s"($budget * weight_bp) div __wsum"))
+        // nullif: a ZERO weight sum must yield NULL like a NULL one —
+        // under ANSI mode (the session default) a bare `div 0` throws
+        // DIVIDE_BY_ZERO instead, turning "no defined allocation" into
+        // a job failure (r19 review finding)
+        expr(s"($budget * weight_bp) div nullif(__wsum, 0)"))
       .select(col(strataCol), col("n_docs"), col("n_tokens"),
         col("weight_bp"), col("target_tokens"),
         // guarded: least() SKIPS nulls, so an undefined allocation

@@ -846,8 +846,14 @@ object TextAnalysis {
     val totalT = targetCnt.valuesIterator.sum
     val weights: Map[Long, Long] = corpusCnt.map { case (b, cc) =>
       val ct = targetCnt.getOrElse(b, 0L)
-      b -> ((BigInt(ct + 1) * BigInt(totalC + buckets) * 10000) /
-        (BigInt(cc + 1) * BigInt(totalT + buckets))).toLong
+      val w = (BigInt(ct + 1) * BigInt(totalC + buckets) * 10000) /
+        (BigInt(cc + 1) * BigInt(totalT + buckets))
+      // loud, not wrapped: BigInt.toLong silently truncates past int64
+      // (r19 review finding, same guard as Sampling.dsirSelect)
+      require(w.isValidLong,
+        s"bucket $b weight $w exceeds int64 — target/corpus sizes too " +
+          s"lopsided (totalT=$totalT, totalC=$totalC) for the bp weights")
+      b -> w.toLong
     }
     // every __b in perDocBucket is a corpusCnt key by construction, so
     // the weight attach never misses (lookup or inner join alike)

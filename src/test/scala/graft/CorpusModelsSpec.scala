@@ -187,6 +187,14 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     assert(got("big") == ((2L, 2000L, 1000L, 50L)))
     // small target = 3000 -> 100*3000/50 = 6000, capped at 400 (4 epochs)
     assert(got("small") == ((1L, 50L, 3000L, 400L)))
+    // ZERO weight sum: no defined allocation — target and epochs must be
+    // NULL, not a DIVIDE_BY_ZERO job failure under ANSI mode, and not a
+    // silently-reported cap (r19 review finding)
+    val zeroed = Sampling.epochPlan(df, "source", "n_tok",
+        weightBp = lit(0L), budget = 4000L)
+      .select("target_tokens", "epochs_x100").collect()
+    assert(zeroed.length == 2 &&
+      zeroed.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
   // ---------------------------------------------------------------- q94

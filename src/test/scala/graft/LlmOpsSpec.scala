@@ -183,6 +183,17 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(t.schema("node").dataType ==
       org.apache.spark.sql.types.IntegerType)
     assert(t.as[(Int, Int)].collect().toMap == Map(1 -> 1, 2 -> 1, 3 -> 1))
+    // STRING ids: the local endgame's long-cast ordering ("9" < "10")
+    // disagrees with the column type's own ordering ("10" < "9"), so
+    // localBelow must decline and keep the distributed path — labels
+    // identical with and without the flag (r19 review finding)
+    val strPairs = Seq(("9", "10"), ("10", "11")).toDF("doc_a", "doc_b")
+    val strDist = ConnectedComponents(strPairs, "doc_a", "doc_b")
+      .as[(String, String)].collect().toMap
+    val strLocal = ConnectedComponents(strPairs, "doc_a", "doc_b",
+      localBelow = 1L << 20).as[(String, String)].collect().toMap
+    assert(strDist == Map("9" -> "10", "10" -> "10", "11" -> "10"))
+    assert(strLocal == strDist)
   }
 
   test("hash split: deterministic, exhaustive, order-insensitive") {
@@ -201,6 +212,11 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(df, "doc_id", "s",
         Seq("a" -> "e6", "b" -> "cc"), "c")
+    }
+    // so must a DUPLICATE bound — the later label's range is empty
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "doc_id", "s",
+        Seq("a" -> "cc", "b" -> "cc"), "c")
     }
   }
 
