@@ -31,10 +31,17 @@ import org.apache.spark.sql.functions._
  * assignment expression (codegen'd [[AnnOps.dot]] against a constant
  * array; no join, no per-row allocation). The input is scanned
  * `iters` times: callers clustering anything bigger than the page
- * cache should persist the projected (id, vec) upstream. Long sums
- * bound the input: |component| ≤ ~2^11 quantized ⇒ safe past 2^40
- * members per cluster; swap the sums to doubles beyond that (and lose
- * hash-exactness, as any float k-means does).
+ * cache should persist the projected (id, vec) upstream. Width bound
+ * (r19 review correction — the old note claimed "safe past 2^40
+ * members per cluster", which only covers the SUM components): the
+ * binding constraint is the squared norm s·s of the sum vector, which
+ * must fit int64 for the assignment's exact arithmetic — at |q| ≤
+ * 2^11 and dim 64 that is ~2^17.5 members per cluster, and the norm
+ * computation now checks it LOUDLY (BigInt + require) instead of
+ * silently wrapping to a negative ss whose sqrt is NaN. Clusters
+ * bigger than that need mean (not sum) centroids — the
+ * [[AnnOps.pqTrain]] floorMeans shape — at the cost of a different
+ * (still deterministic) assignment definition.
  */
 object KMeans {
 
@@ -68,8 +75,10 @@ object KMeans {
       if (probe.length <= localBelow) {
         val (data, seeds) = probeData(probe)
         val cents = localLloyd(data, seeds, iters)
+        val norms = checkedNorms(cents)
         import emb.sparkSession.implicits._
-        return data.map(d => (d._1, assignLocal(cents, d._2))).toSeq
+        return data
+          .map(d => (d._1, assignLocalWithNorms(cents, norms, d._2))).toSeq
           .toDF(idCol, "cluster")
       }
     }
@@ -118,7 +127,9 @@ object KMeans {
     require(centroids.nonEmpty, "seedPred matched no rows")
     val dim = centroids.head._2.length
     for (_ <- 1 until iters) {
-      centroids = data.groupBy(d => assignLocal(centroids, d._2))
+      val norms = checkedNorms(centroids)
+      centroids = data
+        .groupBy(d => assignLocalWithNorms(centroids, norms, d._2))
         .toSeq.sortBy(_._1)
         .map { case (cid, members) =>
           val s = new Array[Long](dim)
@@ -140,7 +151,8 @@ object KMeans {
       iters: Int): Seq[(Long, Long, Seq[Long])] = {
     val cents = localLloyd(data, seeds, iters)
     val dim = cents.head._2.length
-    data.groupBy(d => assignLocal(cents, d._2))
+    val norms = checkedNorms(cents)
+    data.groupBy(d => assignLocalWithNorms(cents, norms, d._2))
       .toSeq.sortBy(_._1)
       .map { case (cid, members) =>
         val s = new Array[Long](dim)
@@ -150,16 +162,40 @@ object KMeans {
       }
   }
 
+  /** Squared norms of the sum vectors, overflow-CHECKED: a plain Long
+    * sum of squares wraps silently once a centroid sum component passes
+    * ~2^31.5 (possible well within the old doc's claimed member bound),
+    * and a wrapped-negative ss makes sqrt NaN — every comparison false,
+    * garbage assignments. BigInt + require turns that into a loud abort
+    * with the offending cluster named (r19 review finding). Values in
+    * the valid range are bit-identical to the old Long path. */
+  private def checkedNorms(centroids: Seq[(Long, Array[Long])]): Array[Double] =
+    centroids.map { case (cid, s) =>
+      val ss = s.foldLeft(BigInt(0))((acc, v) => acc + BigInt(v) * v)
+      require(ss.isValidLong,
+        s"cluster $cid: centroid-sum squared norm $ss exceeds int64 — " +
+          "cluster too large for exact sum-vector cosine; train with " +
+          "mean centroids (pqTrain floorMeans) instead")
+      math.sqrt(ss.toLong.toDouble)
+    }.toArray
+
   /** Driver-side twin of [[assign]]: same exact-Long dot, same
     * correctly-rounded double divide/sqrt, same (score, -id) max. */
   private def assignLocal(centroids: Seq[(Long, Array[Long])],
-                          q: Array[Long]): Long = {
+                          q: Array[Long]): Long =
+    assignLocalWithNorms(centroids, checkedNorms(centroids), q)
+
+  private def assignLocalWithNorms(centroids: Seq[(Long, Array[Long])],
+                                   norms: Array[Double],
+                                   q: Array[Long]): Long = {
     var bestScore = Double.NegativeInfinity
     var bestNid = Long.MinValue
+    var c = 0
     centroids.foreach { case (cid, s) =>
-      var dot = 0L; var ss = 0L; var i = 0
-      while (i < s.length) { dot += q(i) * s(i); ss += s(i) * s(i); i += 1 }
-      val score = dot.toDouble / math.sqrt(ss.toDouble)
+      var dot = 0L; var i = 0
+      while (i < s.length) { dot += q(i) * s(i); i += 1 }
+      val score = dot.toDouble / norms(c)
+      c += 1
       if (score > bestScore || (score == bestScore && -cid > bestNid)) {
         bestScore = score; bestNid = -cid
       }
@@ -214,11 +250,11 @@ object KMeans {
     * struct per centroid (score, -id), array_max picks max score then
     * max(-id) = min id on ties. */
   private def assign(centroids: Seq[(Long, Array[Long])]): Column = {
-    val scored = centroids.map { case (cid, s) =>
-      val norm = math.sqrt(s.map(v => v * v).sum.toDouble)
+    val norms = checkedNorms(centroids)
+    val scored = centroids.zipWithIndex.map { case ((cid, s), c) =>
       struct(
         (AnnOps.dot(col("__q"), typedLit(s.toSeq)).cast("double") /
-          lit(norm)).as("score"),
+          lit(norms(c))).as("score"),
         lit(-cid).as("nid"))
     }
     (array_max(array(scored: _*)).getField("nid") * lit(-1L)).as("cluster")

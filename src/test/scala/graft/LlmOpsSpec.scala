@@ -721,6 +721,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("kmeans: centroid squared norm past int64 aborts loudly, not NaN") {
+    // one seed component of 4e15 quantizes to 4e18; its square (~1.6e37)
+    // overflows int64 — the old Long-sum norm silently wrapped (negative
+    // ss -> sqrt NaN -> garbage labels); now a loud require (r19 review)
+    val rows = Seq((0L, Array(4.0e15f)), (1L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.llm.KMeans.lloyd(rows, "vec_id", "embedding",
+        col("vec_id") === 0L, iters = 1, localBelow = 1L << 16).collect()
+    }
+    assert(e.getMessage.contains("exceeds int64"))
+    // distributed path hits the same guard when it builds the assignment
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.llm.KMeans.lloyd(rows, "vec_id", "embedding",
+        col("vec_id") === 0L, iters = 1).collect()
+    }
+    assert(e2.getMessage.contains("exceeds int64"))
+  }
+
   test("kmeans: NULL-valued seedPred reads as false on both paths") {
     // when() with no otherwise: NULL for non-seeds — getBoolean on the
     // localBelow probe must not NPE, and NULL must mean "not a seed"
