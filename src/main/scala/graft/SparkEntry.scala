@@ -4050,10 +4050,12 @@ object SparkEntry {
         |    'warc/revisit', md5(text), 'rev-b.warc.gz', doc_id * 7 + 3
         |  FROM documents WHERE doc_id % 6 = 0)
         |SELECT urlkey, "timestamp", mimetype,
-        |  last_value(CASE WHEN mimetype <> 'warc/revisit' THEN filename END
-        |    IGNORE NULLS) OVER w AS resolved_filename,
-        |  last_value(CASE WHEN mimetype <> 'warc/revisit' THEN "offset" END
-        |    IGNORE NULLS) OVER w AS resolved_offset
+        |  (last_value(CASE WHEN mimetype <> 'warc/revisit'
+        |      THEN {'f': filename, 'o': "offset"} END
+        |    IGNORE NULLS) OVER w).f AS resolved_filename,
+        |  (last_value(CASE WHEN mimetype <> 'warc/revisit'
+        |      THEN {'f': filename, 'o': "offset"} END
+        |    IGNORE NULLS) OVER w).o AS resolved_offset
         |FROM corpus
         |WINDOW w AS (PARTITION BY urlkey, digest
         |  ORDER BY "timestamp", (mimetype = 'warc/revisit'), filename, "offset"

@@ -56,8 +56,19 @@ object ArchiveRepackage {
         var copied = 0L
         var openPath: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
+        // a mid-copy failure (unexpected EOF, rename refusal) must not
+        // leave the current source/destination streams open until GC —
+        // close both on task completion (r19 review; same discipline as
+        // WarcExtract.openMembers). Normal-path closes null the vars, so
+        // the listener is a no-op there.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            if (out != null) try out.close() catch { case _: Exception => () }
+            if (in != null) try in.close() catch { case _: Exception => () }
+          })
         def commit(): Unit = if (curDst != null) {
           out.close()
+          out = null
           val fin = new Path(outDir, curDst)
           fs.delete(fin, false)
           require(fs.rename(new Path(outDir, s"$curDst.TMP"), fin),
@@ -91,7 +102,7 @@ object ArchiveRepackage {
           }
         }
         commit()
-        if (in != null) in.close()
+        if (in != null) { in.close(); in = null }
         done.iterator
       }.collect()
     (results.length.toLong, results.map(_._2).sum)

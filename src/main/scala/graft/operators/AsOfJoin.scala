@@ -36,6 +36,12 @@ object AsOfJoin {
                   prefix: String = "asof_"): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column is required")
     require(payloadCols.nonEmpty, "at least one payload column is required")
+    // a right row with a NULL timestamp satisfies no `<=` bound, but in
+    // the union-window formulation it would sort FIRST (nulls-first
+    // ascending) and become the "earliest prior" payload for every left
+    // row of its key — drop it up front (r19 review finding; result-
+    // identical for well-formed data)
+    val rightValid = right.where(col(rightTs).isNotNull)
     val lCols = left.columns.toSeq
     def nullAs(df: DataFrame, c: String, as: String): Column =
       lit(null).cast(df.schema(c).dataType).as(as)
@@ -50,7 +56,7 @@ object AsOfJoin {
       (lCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
         rightTieCols.map(c => nullAs(right, c, s"__t_$c")) :+
         lit(null).cast(pType).as("__p"): _*)
-    val r = right.select(
+    val r = rightValid.select(
       (lCols.map(c => if (keyCols.contains(c)) col(c) else nullAs(left, c, c)) :+
         col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
         rightTieCols.map(c => col(c).as(s"__t_$c")) :+

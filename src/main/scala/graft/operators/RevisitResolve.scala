@@ -46,13 +46,20 @@ object RevisitResolve {
       .orderBy(col(tsCol), col(mimeCol) === RevisitMime,
         col(fileCol), col(offsetCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // both window expressions in ONE projection: chained withColumn puts a
-    // Project between them and blocks CollapseWindow — same shuffle either
-    // way, but one Window operator makes a single pass over each frame
+    // ONE struct payload, not two per-column last()s: a real archive's
+    // original can carry a NULL field ('-' CDX fields parse to null),
+    // and independent per-column IGNORE NULLS folds would then resolve
+    // filename and offset from DIFFERENT originals — a torn pointer
+    // (right file, wrong byte offset) worse than either a NULL or the
+    // newest row's own fields (r19 review finding; same rationale as
+    // AsOfJoin's struct payload). The newest original ROW wins whole;
+    // its NULL fields ride through. Still one Window operator, one pass.
     cdx.select(col("*"),
-      last(when(isOriginal, col(fileCol)), ignoreNulls = true).over(w)
-        .as("resolved_filename"),
-      last(when(isOriginal, col(offsetCol)), ignoreNulls = true).over(w)
-        .as("resolved_offset"))
+      last(when(isOriginal,
+          struct(col(fileCol).as("f"), col(offsetCol).as("o"))),
+        ignoreNulls = true).over(w).as("__res"))
+      .withColumn("resolved_filename", col("__res.f"))
+      .withColumn("resolved_offset", col("__res.o"))
+      .drop("__res")
   }
 }

@@ -208,8 +208,14 @@ object WarcExtract {
         val fs = p.getFileSystem(conf.value)
         val fileLen = fs.getFileStatus(p).getLen
         val in = fs.open(p)
+        // gz tracked so the finally can close IT (releasing the
+        // Inflater's native memory immediately), not just the
+        // underlying stream — the same class the r18 advice closed in
+        // IndirectScans.rangedDereference (in.close alone leaves the
+        // Inflater to the GC)
+        var gz: java.util.zip.GZIPInputStream = null
         try {
-          val gz = new java.util.zip.GZIPInputStream(
+          gz = new java.util.zip.GZIPInputStream(
             new java.io.BufferedInputStream(in, 1 << 16))
           val walk = graft.sources.warc.PlainWarc.iterate(gz)
           val softWalk =
@@ -226,7 +232,10 @@ object WarcExtract {
           // (damage stopped the healed scan early)
           if (healed.size >= memberRows.size) healed
           else memberRows.toVector
-        } finally in.close()
+        } finally {
+          if (gz != null) try gz.close() catch { case _: Exception => () }
+          in.close()
+        }
       } catch { case _: Exception => memberRows.toVector }
     }
   }
@@ -357,14 +366,18 @@ object WarcExtract {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bad = spark.sparkContext.longAccumulator("warc.bad.members.meta")
-    spark.createDataset(paths)
-      .repartition(math.max(1, paths.size))
+    // parseAll, not parse: a multi-record gzip member (the r12 tolerance
+    // class extract() already walks) must yield EVERY matching record,
+    // not silently only its first; oneTaskPerFile for the same exact
+    // placement extract() uses (round-robin can stack two files on one
+    // task) — r19 review parity fixes
+    oneTaskPerFile(spark, paths)
       .mapPartitions { pathIter =>
         pathIter.flatMap { pathStr =>
           val p = new Path(pathStr)
           val name = p.getName
           openMembers(p, conf, soft, bad).flatMap { m =>
-              WarcRecords.parse(m.payload).collect {
+              WarcRecords.parseAll(m.payload).collect {
                 case rec if rec.warcType == outputType =>
                   (name, m.offset, m.length, rec.warcType,
                     new String(rec.payload, "UTF-8"))
@@ -393,14 +406,15 @@ object WarcExtract {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bad = spark.sparkContext.longAccumulator("warc.bad.members.wat")
-    val parsed = spark.createDataset(paths)
-      .repartition(math.max(1, paths.size))
+    // parseAll + oneTaskPerFile: same multi-record and exact-placement
+    // parity with extract() as metadataRows (r19 review)
+    val parsed = oneTaskPerFile(spark, paths)
       .mapPartitions { pathIter =>
         pathIter.flatMap { pathStr =>
           val p = new Path(pathStr)
           val name = p.getName
           openMembers(p, conf, soft, bad).flatMap { m =>
-            WarcRecords.parse(m.payload).flatMap { rec =>
+            WarcRecords.parseAll(m.payload).flatMap { rec =>
               for { uri <- rec.targetUri; ts <- rec.timestamp14 } yield {
                 val (status, mime) = rec.httpStatusAndMime
                 (graft.functions.Surt.surtLenient(uri), ts, rec.warcType,

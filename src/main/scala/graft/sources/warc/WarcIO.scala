@@ -34,6 +34,15 @@ object GzipMembers {
       val (payload, deflateLen) = inflateRaw(feeder)
       val footer = new Array[Byte](8)
       feeder.readFully(footer)
+      // verify CRC32, not only ISIZE (r19 review): a bit-flipped LITERAL
+      // deflate block inflates cleanly with the right length, so without
+      // the CRC a silently corrupt payload — and its digest — would flow
+      // through as valid, where the reference's GZIPInputStream-based
+      // stack rejects the member
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      require(le32(footer, 0) == crc.getValue,
+        s"gzip CRC mismatch at offset $start")
       val isize = le32(footer, 4)
       require(isize == (payload.length & 0xffffffffL),
         s"gzip ISIZE mismatch at offset $start")

@@ -138,6 +138,19 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq(None))   // NOT the older 5L
   }
 
+  test("as-of join: NULL-timestamp right rows never match (no prior stays " +
+      "NULL)") {
+    import graft.operators.AsOfJoin
+    // NULL ts satisfies no <= bound, but it would sort FIRST in the
+    // union window and leak its payload as the earliest prior (r19)
+    val l = Seq((1L, 9L, ts("2024-01-01 12:00:00"))).toDF("k", "id", "t")
+    val r = Seq((1L, None: Option[java.sql.Timestamp], 5L))
+      .toDF("k", "pt", "v")
+    val out = AsOfJoin.latestPrior(l, r, Seq("k"), "t", "pt", Seq("v"))
+      .select($"asof_v").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(None))
+  }
+
   test("salted join equals the plain join") {
     import graft.operators.SkewAgg
     val big = (0L until 500L).map(i => (s"k${i % 3}", i)).toDF("bk", "v")

@@ -36,6 +36,32 @@ class RevisitResolveSpec extends AnyFunSuite with SparkTestSession {
     assert(out(("com,a)/", "20120103000000")) == (None, None))
   }
 
+  test("NULL-field original resolves as ONE row — never a torn pointer") {
+    // an original with a NULL offset ('-' CDX field) followed by a
+    // complete original: the revisit must take the NEWEST original's
+    // fields as a ROW. The old per-column IGNORE NULLS folds could pair
+    // one original's filename with another's offset — a corrupted
+    // pointer (r19 review finding)
+    val df = Seq(
+      ("com,n)/", "20120101000000", "text/html", "d", "o1.warc.gz",
+        Some(100L)),
+      // newest original: filename present, offset NULL
+      ("com,n)/", "20120105000000", "text/html", "d", "o2.warc.gz",
+        None: Option[Long]),
+      ("com,n)/", "20120110000000", "warc/revisit", "d", "r.warc.gz",
+        Some(7L)))
+      .toDF(cols: _*)
+    val out = RevisitResolve.resolve(df)
+      .select($"timestamp", $"resolved_filename", $"resolved_offset")
+      .as[(String, Option[String], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // whole-row: o2's own (filename, NULL offset) — NOT o2's filename
+    // paired with o1's offset 100
+    assert(out("20120110000000") == (Some("o2.warc.gz"), None))
+    assert(out("20120105000000") == (Some("o2.warc.gz"), None))
+    assert(out("20120101000000") == (Some("o1.warc.gz"), Some(100L)))
+  }
+
   test("same-second original + revisit: original wins the tie") {
     // 14-digit resolution makes same-timestamp pairs realistic; the
     // deterministic tie-break orders originals first, so the revisit

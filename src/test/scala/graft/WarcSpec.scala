@@ -46,6 +46,28 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     assert(members(2).payload.toSeq == p3.toSeq)
   }
 
+  test("gzip member CRC mismatch is damage, never a silently corrupt " +
+      "payload") {
+    // a flipped byte in a LITERAL deflate block inflates cleanly with the
+    // right length — only the CRC catches it (r19 review); flipping the
+    // stored CRC simulates exactly that detectable-corruption class
+    val good = gz(warcResponse("http://c.org/x", "2012-01-03T08:45:08Z",
+      "body"))
+    val bad = good.clone()
+    bad(bad.length - 8) = (bad(bad.length - 8) ^ 0x01).toByte // CRC byte 0
+    intercept[IllegalArgumentException] {
+      GzipMembers.iterate(new ByteArrayInputStream(bad)).toVector
+    }
+    // the -soft walk counts it as a bad member and stops cleanly
+    var nBad = 0
+    val soft = GzipMembers.iterateSoft(
+      new ByteArrayInputStream(bad), _ => nBad += 1).toVector
+    assert(soft.isEmpty && nBad == 1)
+    // the untouched member still walks
+    assert(GzipMembers.iterate(new ByteArrayInputStream(good))
+      .toVector.length == 1)
+  }
+
   test("warc record parse: headers, uri, date14, http status/mime") {
     val rec = WarcRecords.parse(
       warcResponse("http://example.com/x", "2012-01-03T08:45:08Z", "body")).get
@@ -274,6 +296,12 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
     // but carry their OWN digests
     assert(rows(1).digest == WarcRecords.sha1Base32("aaa".getBytes("UTF-8")))
     assert(rows(2).digest == WarcRecords.sha1Base32("bbb".getBytes("UTF-8")))
+    // WAT generation walks the SAME multi-record members (r19: watRows
+    // used single-record parse and silently dropped the second record)
+    val wat = WarcExtract.watRows(spark, Seq(f.toString)).collect()
+    assert(wat.length == 3)
+    assert(wat.map(_.getString(0)).sorted.toSeq ==
+      Seq("org,m)/a", "org,m)/b", "org,m)/x"))
   }
 
   test("plain .warc walk: extents tile the file, records parse, damage " +
