@@ -51,33 +51,65 @@ private[zipnum] class ZipNumBatchWrite(dir: String,
                                        linesPerBlock: Int,
                                        truncate: Boolean) extends BatchWrite {
 
+  private val out = new Path(dir)
+  // dir when writing fresh; dir + ".__stage" when replacing an existing
+  // cluster — set once driver-side in createBatchWriterFactory, read by
+  // commit/abort on the same instance
+  @volatile private var stageDir: String = dir
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val out = new Path(dir)
     val fs = out.getFileSystem(conf.value)
-    if (fs.exists(out)) {
+    val preExisting = fs.exists(out)
+    if (preExisting) {
       require(truncate,
         s"zipnum: target $dir exists; use mode(overwrite) to replace it")
     }
-    fs.mkdirs(new Path(out, "_tmp"))
-    new ZipNumWriterFactory(dir, conf, linesPerBlock)
+    // Same atomic-replace discipline as ZipNumWriter.writeRdd (the r18
+    // advice fix, ported to the DSv2 path in r19 — this commit() used to
+    // DELETE the old cluster before renaming the new one in, so a
+    // mid-commit IO failure lost both): stage the complete new cluster
+    // in a sibling directory and swap via two renames, with the .__old
+    // guard for a crash between them.
+    val oldPath = new Path(dir + ".__old")
+    if (fs.exists(oldPath)) {
+      require(preExisting, s"zipnum: $oldPath exists but $dir does not — " +
+        "a previous overwrite crashed mid-swap; recover by renaming " +
+        s"$oldPath back to $dir")
+      fs.delete(oldPath, true)
+    }
+    if (preExisting) {
+      stageDir = dir + ".__stage"
+      fs.delete(new Path(stageDir), true) // stale stage from a crashed run
+    }
+    fs.mkdirs(new Path(stageDir, "_tmp"))
+    new ZipNumWriterFactory(stageDir, conf, linesPerBlock)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val out = new Path(dir)
     val fs = out.getFileSystem(conf.value)
-    // clear any previous cluster files (overwrite), keep fresh _tmp
-    if (truncate) fs.listStatus(out).foreach { st =>
-      if (st.getPath.getName != "_tmp") fs.delete(st.getPath, true)
-    }
     val winners = messages.collect { case m: ZipNumCommit => m }
       .sortBy(_.partitionId)
-    ZipNumShardIO.commitShards(fs, dir,
+    ZipNumShardIO.commitShards(fs, stageDir,
       winners.map(m => (m.part, m.tmpName)).toSeq)
+    if (stageDir != dir) {
+      val oldPath = new Path(dir + ".__old")
+      require(fs.rename(out, oldPath),
+        s"zipnum: swap rename $dir -> $oldPath failed " +
+          s"(old cluster untouched; new cluster complete at $stageDir)")
+      if (!fs.rename(new Path(stageDir), out)) {
+        fs.rename(oldPath, out) // never leave the target empty
+        throw new IllegalStateException(
+          s"zipnum: swap rename $stageDir -> $dir failed; " +
+            s"old cluster restored, new cluster left at $stageDir")
+      }
+      fs.delete(oldPath, true)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(dir).getFileSystem(conf.value)
-    fs.delete(new Path(dir, "_tmp"), true)
+    val fs = out.getFileSystem(conf.value)
+    if (stageDir != dir) fs.delete(new Path(stageDir), true)
+    else fs.delete(new Path(dir, "_tmp"), true)
   }
 }
 

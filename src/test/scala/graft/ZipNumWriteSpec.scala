@@ -42,6 +42,24 @@ class ZipNumWriteSpec extends AnyFunSuite with SparkTestSession {
     mkLines(5).toDF("line").coalesce(1).sortWithinPartitions("line")
       .write.format("zipnum").mode("overwrite").save(dir)
     assert(spark.read.format("zipnum").load(dir).count() == 5)
+    // the r19 swap port: no staging leftovers, and the .__old guard
+    // refuses to run while a mid-swap backup is the only copy
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(!parent.exists(_.contains("__stage")) &&
+      !parent.exists(_.contains("__old")),
+      s"DSv2 overwrite must clean its staging dirs, found $parent")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__old"))
+    val e = intercept[Exception] {
+      mkLines(5).toDF("line").coalesce(1).sortWithinPartitions("line")
+        .write.format("zipnum").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("mid-swap") ||
+      Option(e.getCause).exists(_.getMessage.contains("mid-swap")))
+    fs.rename(new org.apache.hadoop.fs.Path(dir + ".__old"),
+      new org.apache.hadoop.fs.Path(dir)) // recover for any later asserts
     intercept[Exception] {
       mkLines(5).toDF("line").coalesce(1)
         .write.format("zipnum").save(dir) // default ErrorIfExists
