@@ -116,8 +116,10 @@ object ZipNumFormat {
   def gunzipLines(member: Array[Byte]): Iterator[String] = {
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(member), 64 * 1024)
     val buf = new ByteArrayOutputStream(member.length * 4)
-    graft.util.IoUtil.copy(in, buf)
-    in.close()
+    // finally, not straight-line: a corrupt member throws out of copy and
+    // the Inflater's native memory must not wait on GC (r19 sweep)
+    try graft.util.IoUtil.copy(in, buf)
+    finally in.close()
     val text = new String(buf.toByteArray, UTF_8)
     // LF-only splitting: interior CR is data
     text.split("\n", -1).iterator.filter(_.nonEmpty)

@@ -235,6 +235,10 @@ object CdxStream {
     * firehose would hold one state entry per key-day forever. */
   def dayCapStream(cdx: Dataset[CdxRecord], dayLimit: Int,
                    stateTtlMs: Long = 2L * 86400000L): Dataset[CdxRecord] = {
+    // same validation as the batch dayCap and streamingLine surfaces
+    // (r18 fix, extended to this third surface in r19): a negative limit
+    // here silently admitted NOTHING (seen < dayLimit+1 is never true)
+    require(dayLimit >= 0, s"dayLimit must be >= 0 (0 disables), got $dayLimit")
     // 0 disables the cap — same semantics as GlobalCdxCleanup.dayCap(0)
     // and the streamingLine form; a stateful pass-through would otherwise
     // admit exactly 1 row per (urlkey, day) here

@@ -254,6 +254,12 @@ class CdxStreamSpec extends AnyFunSuite with SparkTestSession {
     q.processAllAvailable()
     assert(spark.table("uncapped").count() == 3)
     q.stop()
+    // negative dayLimit aborts loudly on this surface too (r19; the
+    // batch and streamingLine surfaces got the require in r18 — here it
+    // silently admitted NOTHING)
+    intercept[IllegalArgumentException] {
+      CdxStream.dayCapStream(CdxStream.parse(ms.toDS()), dayLimit = -1)
+    }
   }
 
   test("dedupStream drops same-(urlkey, digest) re-crawls across batches") {
