@@ -176,7 +176,8 @@ object GzRangeClient {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(rec.getBytes("UTF-8"))
-    gz.finish()
+    gz.close() // finish + Deflater.end — finish() alone leaves the
+               // deflater's native memory to the GC (r19 sweep)
     bos.toByteArray
   }
 }

@@ -75,8 +75,19 @@ object HttpSources {
         val sep = if (baseUrl.contains("?")) "&" else "?"
         val conn = connect(s"$baseUrl$sep$pageParam=$page", "GET", authCookie)
         val in = conn.getInputStream
+        // idempotent close on exhaustion AND task completion: an
+        // abandoned iterator (limit/kill) would otherwise hold the
+        // socket until GC (r19 sweep; the openMembers discipline)
+        var closed = false
+        def closeIn(): Unit = if (!closed) {
+          closed = true
+          try in.close() catch { case _: Exception => () }
+          conn.disconnect()
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
         new IoUtil.AutoCloseIterator(new IoUtil.LfLineIterator(in),
-          () => { in.close(); conn.disconnect() })
+          () => closeIn())
       })
   }
 

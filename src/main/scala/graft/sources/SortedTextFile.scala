@@ -95,7 +95,9 @@ object SplitFile {
     val p = new Path(path)
     val in = p.getFileSystem(conf).open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    parse(text.split("\n").toSeq)
+    // CR-strip like Boundaries.fromSplitFile: a CRLF spec file would
+    // otherwise carry '\r' in every END field and silently skew ranges
+    parse(text.split("\n").toSeq.map(_.stripSuffix("\r")))
   }
 
   /** Interior boundaries for [[graft.operators.BoundaryPartitioner]]: each
