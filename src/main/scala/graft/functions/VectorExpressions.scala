@@ -25,6 +25,13 @@ import org.apache.spark.sql.types._
  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)` —
  * including the null-on-length-mismatch behavior zip_with's null padding
  * produces. Pinned by `VectorExpressionsSpec` property tests.
+ *
+ * One documented divergence (r19 review): past int64 the HOF form under
+ * ANSI mode THROWS (ARITHMETIC_OVERFLOW) while these loops wrap — per-
+ * element overflow checks would double the hot-loop cost for a regime
+ * quantized embeddings never reach (|q| ≈ 10³ ⇒ |dot| ≈ dim·10⁶), and
+ * the one consumer that feeds larger magnitudes (KMeans' centroid sum
+ * vectors) guards its norms loudly (KMeans.checkedNorms).
  */
 case class QuantizeExpression(child: Expression) extends UnaryExpression {
 
