@@ -365,7 +365,8 @@ object JpegCodec {
               pBlockW = comps.map(c => pMcusX * c.h)
               pBlockH = comps.map(c => pMcusY * c.v)
               comps.indices.foreach { i => // same hostile-header stance as decodeScan
-                require(pBlockW(i).toLong * pBlockH(i) * 64 <= Int.MaxValue / 4,
+                require(pBlockW(i).toLong * pBlockH(i) * 64 <=
+                    graft.operators.llm.MediaCodecs.MaxDecodePixels,
                   s"image too large: ${pBlockW(i)}x${pBlockH(i)}-block coefficient plane")
               }
               pCoefs = comps.indices.map(i =>
@@ -403,11 +404,14 @@ object JpegCodec {
     val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     // per-component padded sample planes — bound BEFORE allocating (the
     // decodePng stance): a hostile header must fail loudly, not OOM a
-    // task with a multi-GB plane
+    // task with a multi-GB plane. The cap is MaxDecodePixels (r19: the
+    // old Int.MaxValue/4 bound still allowed ~2 GB planes from a lying
+    // SOF, and OutOfMemoryError kills the executor, not the record)
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)
     comps.indices.foreach { i =>
-      require(planeW(i).toLong * planeH(i) <= Int.MaxValue / 4,
+      require(planeW(i).toLong * planeH(i) <=
+          graft.operators.llm.MediaCodecs.MaxDecodePixels,
         s"image too large: ${planeW(i)}x${planeH(i)} component plane")
     }
     val planes = comps.indices.map(i =>

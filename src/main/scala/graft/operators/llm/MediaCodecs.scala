@@ -26,6 +26,18 @@ package graft.operators.llm
  */
 object MediaCodecs {
 
+  /** Hostile-header memory bound, shared by the PNG and JPEG decoders
+    * (GifCodec carries the same constant): a lying dimension field must
+    * fail the decode LOUDLY (IllegalArgumentException → the
+    * MultimodalOps damage fallback) before any geometry-sized
+    * allocation — the previous Int.MaxValue/4 bounds only prevented
+    * array-size overflow and still allowed a ~200-byte crafted header
+    * to allocate multi-GB planes, and an OutOfMemoryError is NOT
+    * NonFatal: it kills the executor, not the record (r19 review).
+    * 2^26 px = 8192×8192 — beyond any sane crawl thumbnail pipeline;
+    * genuinely larger media takes the deterministic fallback row. */
+  val MaxDecodePixels: Long = 1L << 26
+
   // ---- little-endian primitives -------------------------------------
 
   private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
@@ -683,6 +695,8 @@ object MediaCodecs {
           val filterMethod = bytes(off + 19) & 0xff
           interlace = bytes(off + 20) & 0xff
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          require(width.toLong * height <= MaxDecodePixels,
+            s"image too large: ${width}x$height exceeds $MaxDecodePixels px")
           val okDepth = colorType match {
             case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
             case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16

@@ -32,6 +32,30 @@ class JpegCodecSpec extends AnyFunSuite {
       cl(yv + ((116130 * cb + 32768) >> 16)))
   }
 
+  test("hostile SOF dimensions fail loudly BEFORE any plane allocation") {
+    // take a real tiny JPEG and patch its SOF dims to 60000x60000: the
+    // decode must raise "too large" (-> the damage fallback), never
+    // allocate multi-GB component planes (r19 review; OutOfMemoryError
+    // is not NonFatal and kills the executor, not the record)
+    val bytes = JpegCodec.encodeJpeg(8, 8, 3, 1,
+      Array.fill(64)(1), Array.fill(64)(1), 0, (_, _) => (128, 128, 128))
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i < bytes.length - 1) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0) sof = i
+      i += 1
+    }
+    assert(sof > 0, "SOF0 marker not found")
+    // SOF0 layout: FF C0 len(2) precision(1) height(2) width(2) ...
+    val patched = bytes.clone()
+    patched(sof + 5) = 0xea.toByte; patched(sof + 6) = 0x60.toByte // 60000
+    patched(sof + 7) = 0xea.toByte; patched(sof + 8) = 0x60.toByte
+    val e = intercept[IllegalArgumentException] {
+      JpegCodec.decodeJpeg(patched)
+    }
+    assert(e.getMessage.contains("too large"))
+  }
+
   test("DC-only color mosaics decode byte-exactly (4:4:4 and 4:2:0, " +
       "with and without restart markers)") {
     for {

@@ -14,6 +14,37 @@ class MediaCodecsSpec extends AnyFunSuite {
   private def px(x: Int, y: Int): (Int, Int, Int) =
     ((x * 7 + y) % 256, (x + y * 5) % 256, (x ^ y) % 256)
 
+  test("PNG hostile-header dims fail loudly BEFORE any geometry-sized " +
+      "allocation") {
+    // a ~50-byte payload declaring 50000x50000 must raise the decode's
+    // "too large" require (-> the MultimodalOps damage fallback), never
+    // allocate multi-GB planes: OutOfMemoryError is not NonFatal and
+    // would kill the executor, not the record (r19 review)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = new Array[Byte](13)
+    def be32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+      b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    }
+    be32(ihdr, 0, 50000); be32(ihdr, 4, 50000)
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit RGB
+    val lenAndType = new Array[Byte](8)
+    be32(lenAndType, 0, 13)
+    System.arraycopy("IHDR".getBytes("US-ASCII"), 0, lenAndType, 4, 4)
+    out.write(lenAndType)
+    out.write(ihdr)
+    val crc = new java.util.zip.CRC32
+    crc.update(lenAndType, 4, 4); crc.update(ihdr)
+    val crcB = new Array[Byte](4); be32(crcB, 0, crc.getValue.toInt)
+    out.write(crcB)
+    val e = intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(out.toByteArray)
+    }
+    assert(e.getMessage.contains("too large"))
+  }
+
   test("BMP round-trip: stats equal brute-force over every padding class") {
     // width % 4 ∈ {0,1,2,3} exercises all four row-padding widths
     for (w <- Seq(1, 2, 3, 4, 5, 7, 8, 16, 33); h <- Seq(1, 2, 5, 9)) {
