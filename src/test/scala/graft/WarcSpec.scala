@@ -68,6 +68,32 @@ class WarcSpec extends AnyFunSuite with SparkTestSession {
       .toVector.length == 1)
   }
 
+  test("gzip member walk: ANY single-byte flip either throws or leaves " +
+      "the payload byte-identical — never a silently different payload") {
+    // the invariant the CRC check buys: corruption is loud or harmless
+    // (harmless = the flip hit ignorable header metadata like MTIME/OS,
+    // which doesn't touch payload bytes). A flip that silently changed
+    // the payload would need a CRC32 collision (~2^-32 per flip).
+    val payload = "WARC/1.0\r\nWARC-Type: response\r\n\r\nhello flip"
+      .getBytes("UTF-8")
+    val good = gz(payload)
+    var threw = 0
+    var harmless = 0
+    (0 until good.length).foreach { i =>
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x41).toByte
+      try {
+        val ms = GzipMembers.iterate(new ByteArrayInputStream(bad)).toVector
+        assert(ms.length == 1 &&
+          java.util.Arrays.equals(ms.head.payload, payload),
+          s"flip at byte $i yielded a silently different payload")
+        harmless += 1
+      } catch { case _: Exception => threw += 1 }
+    }
+    // sanity: the deflate+footer region dominates, so most flips throw
+    assert(threw > good.length / 2 && threw + harmless == good.length)
+  }
+
   test("warc record parse: headers, uri, date14, http status/mime") {
     val rec = WarcRecords.parse(
       warcResponse("http://example.com/x", "2012-01-03T08:45:08Z", "body")).get
