@@ -83,7 +83,7 @@ object GifCodec {
     val sh = u16(bytes, 8)
     if (sw <= 0 || sh <= 0) fail(s"bad logical screen ${sw}x$sh")
     val nPx = sw.toLong * sh
-    if (nPx > (1L << 26)) fail(s"logical screen ${sw}x$sh too large")
+    MediaCodecs.checkPixelCap(nPx, s"logical screen ${sw}x$sh")
     val flags = u8(bytes, 10)
     val bgIndex = u8(bytes, 11)
     var off = 13

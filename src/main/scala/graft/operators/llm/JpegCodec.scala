@@ -365,9 +365,9 @@ object JpegCodec {
               pBlockW = comps.map(c => pMcusX * c.h)
               pBlockH = comps.map(c => pMcusY * c.v)
               comps.indices.foreach { i => // same hostile-header stance as decodeScan
-                require(pBlockW(i).toLong * pBlockH(i) * 64 <=
-                    graft.operators.llm.MediaCodecs.MaxDecodePixels,
-                  s"image too large: ${pBlockW(i)}x${pBlockH(i)}-block coefficient plane")
+                graft.operators.llm.MediaCodecs.checkPixelCap(
+                  pBlockW(i).toLong * pBlockH(i) * 64,
+                  s"${pBlockW(i)}x${pBlockH(i)}-block coefficient plane")
               }
               pCoefs = comps.indices.map(i =>
                 new Array[Int](pBlockW(i) * pBlockH(i) * 64)).toArray
@@ -410,9 +410,9 @@ object JpegCodec {
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)
     comps.indices.foreach { i =>
-      require(planeW(i).toLong * planeH(i) <=
-          graft.operators.llm.MediaCodecs.MaxDecodePixels,
-        s"image too large: ${planeW(i)}x${planeH(i)} component plane")
+      graft.operators.llm.MediaCodecs.checkPixelCap(
+        planeW(i).toLong * planeH(i),
+        s"${planeW(i)}x${planeH(i)} component plane")
     }
     val planes = comps.indices.map(i =>
       new Array[Int](planeW(i) * planeH(i))).toArray

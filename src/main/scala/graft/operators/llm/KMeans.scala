@@ -118,8 +118,8 @@ object KMeans {
 
   /** Driver-side Lloyd over a probed small input — the shared localBelow
     * endgame body: returns centroids after iters-1 updates. Labels from
-    * [[assignLocal]] against these centroids are pinned identical to
-    * the distributed path's. */
+    * [[assignLocalWithNorms]] against these centroids are pinned
+    * identical to the distributed path's. */
   private def localLloyd(data: Array[(Long, Array[Long])],
                          seeds: Seq[(Long, Array[Long])],
                          iters: Int): Seq[(Long, Array[Long])] = {
@@ -180,11 +180,9 @@ object KMeans {
     }.toArray
 
   /** Driver-side twin of [[assign]]: same exact-Long dot, same
-    * correctly-rounded double divide/sqrt, same (score, -id) max. */
-  private def assignLocal(centroids: Seq[(Long, Array[Long])],
-                          q: Array[Long]): Long =
-    assignLocalWithNorms(centroids, checkedNorms(centroids), q)
-
+    * correctly-rounded double divide/sqrt, same (score, -id) max.
+    * Norms are precomputed once per centroid set ([[checkedNorms]]) —
+    * never recompute them per row. */
   private def assignLocalWithNorms(centroids: Seq[(Long, Array[Long])],
                                    norms: Array[Double],
                                    q: Array[Long]): Long = {

@@ -35,8 +35,37 @@ object MediaCodecs {
     * to allocate multi-GB planes, and an OutOfMemoryError is NOT
     * NonFatal: it kills the executor, not the record (r19 review).
     * 2^26 px = 8192×8192 — beyond any sane crawl thumbnail pipeline;
-    * genuinely larger media takes the deterministic fallback row. */
-  val MaxDecodePixels: Long = 1L << 26
+    * genuinely larger media takes the deterministic fallback row.
+    *
+    * r20 (advice): the cap is a behavior change for legitimate 67 MP+
+    * media, so it is (a) CONFIGURABLE — `-Dgraft.media.maxDecodePixels=N`
+    * raises it for large-media corpora (set it on the executors via
+    * `spark.executor.extraJavaOptions` too) — and (b) OBSERVABLE:
+    * cap rejections throw the dedicated [[DecodeCapExceeded]] (still an
+    * IllegalArgumentException, so every existing damage contract holds)
+    * which [[MultimodalOps.decodeCounted]] counts in an accumulator
+    * instead of silently folding oversized-but-valid media into the
+    * damage class. */
+  val DefaultMaxDecodePixels: Long = 1L << 26
+  val MaxDecodePixels: Long =
+    sys.props.get("graft.media.maxDecodePixels")
+      .flatMap(_.toLongOption).filter(_ > 0)
+      .getOrElse(DefaultMaxDecodePixels)
+
+  /** Geometry-cap rejection: a subtype so callers can tell "too big to
+    * decode under the configured bound" apart from "corrupt bytes" —
+    * both degrade to the same deterministic fallback row, but only the
+    * former is a tunable policy decision worth counting. */
+  final class DecodeCapExceeded(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** Shared cap guard — every geometry-sized allocation in the PNG /
+    * JPEG / GIF decoders bounds through here BEFORE allocating. */
+  def checkPixelCap(pixels: Long, what: => String): Unit =
+    if (pixels > MaxDecodePixels)
+      throw new DecodeCapExceeded(
+        s"image too large: $what exceeds $MaxDecodePixels px " +
+          "(raise -Dgraft.media.maxDecodePixels to decode larger media)")
 
   // ---- little-endian primitives -------------------------------------
 
@@ -695,8 +724,7 @@ object MediaCodecs {
           val filterMethod = bytes(off + 19) & 0xff
           interlace = bytes(off + 20) & 0xff
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-          require(width.toLong * height <= MaxDecodePixels,
-            s"image too large: ${width}x$height exceeds $MaxDecodePixels px")
+          checkPixelCap(width.toLong * height, s"${width}x$height")
           val okDepth = colorType match {
             case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
             case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16

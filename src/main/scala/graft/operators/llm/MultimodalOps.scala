@@ -119,12 +119,24 @@ object MultimodalOps {
     * digests the decoded statistics. Other formats take the documented
     * fallback (length + payload md5) — the slot a codec-library decoder
     * occupies in a full deployment. */
-  def decodeBatch(batch: Iterator[MediaRecord]): Iterator[DecodedMedia] = {
+  def decodeBatch(batch: Iterator[MediaRecord],
+                  onCapRejected: () => Unit = () => ()): Iterator[DecodedMedia] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { m =>
       md.reset()
       try decodeOne(m, md)
-      catch { case scala.util.control.NonFatal(_) =>
+      catch {
+        case _: MediaCodecs.DecodeCapExceeded =>
+          // OVERSIZED-but-possibly-valid media: same deterministic
+          // fallback row as damage (the hash contract is shared), but
+          // COUNTED separately — the pixel cap is a tunable policy
+          // bound (-Dgraft.media.maxDecodePixels), not corruption, so
+          // it must be observable rather than silently folded into the
+          // damage class (r20 advice).
+          onCapRejected()
+          md.reset()
+          rawFallback(m, md)
+        case scala.util.control.NonFatal(_) =>
         // DAMAGED media: a payload that sniffs as a known container but
         // fails its decode (truncated entropy stream, lying tables — a
         // certainty somewhere in 100 TB of crawl) degrades to the SAME
@@ -211,7 +223,22 @@ object MultimodalOps {
 
   def decode(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(decodeBatch)
+    ds.mapPartitions(decodeBatch(_))
+  }
+
+  /** [[decode]] plus an accumulator counting records that hit the
+    * configurable pixel cap ([[MediaCodecs.MaxDecodePixels]]) — the
+    * same pattern as the WARC walk's `--skip-bad` counter: oversized
+    * media still takes the deterministic fallback row, but its volume
+    * is observable after the action instead of silently merged into
+    * the damage class. */
+  def decodeCounted(ds: Dataset[MediaRecord])
+      : (Dataset[DecodedMedia], org.apache.spark.util.LongAccumulator) = {
+    import ds.sparkSession.implicits._
+    val capRejected =
+      ds.sparkSession.sparkContext.longAccumulator("media-cap-rejected")
+    (ds.mapPartitions(decodeBatch(_, () => capRejected.add(1L))),
+      capRejected)
   }
 
   /** Resized media: target box + the source payload's identity. */

@@ -71,24 +71,33 @@ object HttpSources {
     val n = numPages(baseUrl, authCookie)
     spark.createDataset(0 until n)
       .repartition(math.max(1, n))
-      .mapPartitions(_.flatMap { page =>
-        val sep = if (baseUrl.contains("?")) "&" else "?"
-        val conn = connect(s"$baseUrl$sep$pageParam=$page", "GET", authCookie)
-        val in = conn.getInputStream
-        // idempotent close on exhaustion AND task completion: an
-        // abandoned iterator (limit/kill) would otherwise hold the
-        // socket until GC (r19 sweep; the openMembers discipline)
-        var closed = false
-        def closeIn(): Unit = if (!closed) {
-          closed = true
-          try in.close() catch { case _: Exception => () }
-          conn.disconnect()
-        }
+      .mapPartitions { pages =>
+        // ONE completion listener per task, closing whatever page is
+        // currently open (r20 advice: one listener per PAGE accumulated
+        // for the whole task, each pinning its closed stream refs —
+        // harmless at one-page-per-partition, a leak under long
+        // multi-page pagination)
+        var currentClose: () => Unit = () => ()
         Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
-        new IoUtil.AutoCloseIterator(new IoUtil.LfLineIterator(in),
-          () => closeIn())
-      })
+          .foreach(_.addTaskCompletionListener[Unit](_ => currentClose()))
+        pages.flatMap { page =>
+          val sep = if (baseUrl.contains("?")) "&" else "?"
+          val conn = connect(s"$baseUrl$sep$pageParam=$page", "GET", authCookie)
+          val in = conn.getInputStream
+          // idempotent close on exhaustion AND task completion: an
+          // abandoned iterator (limit/kill) would otherwise hold the
+          // socket until GC (r19 sweep; the openMembers discipline)
+          var closed = false
+          def closeIn(): Unit = if (!closed) {
+            closed = true
+            try in.close() catch { case _: Exception => () }
+            conn.disconnect()
+          }
+          currentClose = () => closeIn()
+          new IoUtil.AutoCloseIterator(new IoUtil.LfLineIterator(in),
+            () => closeIn())
+        }
+      }
   }
 
   /** Page count via `showNumPages=true` — X-CDX-Num-Pages header first,

@@ -56,6 +56,10 @@ private[zipnum] class ZipNumBatchWrite(dir: String,
   // cluster — set once driver-side in createBatchWriterFactory, read by
   // commit/abort on the same instance
   @volatile private var stageDir: String = dir
+  // set when commit() fails AFTER the staged cluster is known complete
+  // (the swap-in rename failed): abort() must then NOT delete stageDir —
+  // it may be the only intact copy of the new data (r20 advice)
+  @volatile private var preserveStageOnAbort: Boolean = false
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = out.getFileSystem(conf.value)
@@ -97,10 +101,17 @@ private[zipnum] class ZipNumBatchWrite(dir: String,
         s"zipnum: swap rename $dir -> $oldPath failed " +
           s"(old cluster untouched; new cluster complete at $stageDir)")
       if (!fs.rename(new Path(stageDir), out)) {
-        fs.rename(oldPath, out) // never leave the target empty
+        // the staged cluster is complete — keep it through the abort()
+        // Spark fires when commit() throws, and report what ACTUALLY
+        // happened: the restore rename can itself fail (r20 advice —
+        // the old message asserted "restored" without checking)
+        preserveStageOnAbort = true
+        val restored = fs.rename(oldPath, out) // never leave the target empty
         throw new IllegalStateException(
           s"zipnum: swap rename $stageDir -> $dir failed; " +
-            s"old cluster restored, new cluster left at $stageDir")
+            (if (restored) s"old cluster restored at $dir"
+             else s"restore rename ALSO failed — old cluster at $oldPath") +
+            s"; new cluster left complete at $stageDir")
       }
       fs.delete(oldPath, true)
     }
@@ -108,7 +119,8 @@ private[zipnum] class ZipNumBatchWrite(dir: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = out.getFileSystem(conf.value)
-    if (stageDir != dir) fs.delete(new Path(stageDir), true)
+    if (preserveStageOnAbort) () // complete staged cluster: sole good copy
+    else if (stageDir != dir) fs.delete(new Path(stageDir), true)
     else fs.delete(new Path(dir, "_tmp"), true)
   }
 }

@@ -319,12 +319,4 @@ object CdxStream {
       .toDF("urlkey", "day", "filled", "s", "est_distinct")
   }
 
-  /** r19 rename: the key is the URLKEY, not the host (r18 adjudication
-    * fixed the doc; the name now agrees). Alias kept for one round for
-    * any external caller. */
-  @deprecated("use hllUrlkeyDayDistinct — the key is the urlkey", "r19")
-  def hllHostDayDistinct(cdx: Dataset[CdxRecord],
-                         bucketBits: Int = 6,
-                         watermarkDelay: String = "1 hour"): DataFrame =
-    hllUrlkeyDayDistinct(cdx, bucketBits, watermarkDelay)
 }

@@ -43,6 +43,36 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodePng(out.toByteArray)
     }
     assert(e.getMessage.contains("too large"))
+    // r20: the cap rejection is its OWN exception class (still an IAE,
+    // so every damage contract above holds) — callers can tell the
+    // tunable policy bound apart from corruption
+    assert(e.isInstanceOf[MediaCodecs.DecodeCapExceeded])
+    oversizedPng = out.toByteArray
+  }
+
+  // stashed by the hostile-header test above for the counting test
+  private var oversizedPng: Array[Byte] = _
+
+  test("decodeBatch counts cap rejections separately from damage " +
+      "(r20 advice: oversized-but-valid media is observable)") {
+    import graft.operators.llm.MultimodalOps
+    import graft.operators.llm.MultimodalOps.MediaRecord
+    assert(oversizedPng != null, "hostile-header test must run first")
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3) // sniffs PNG, truncated = damage
+    var capHits = 0
+    val out = MultimodalOps.decodeBatch(Iterator(
+        MediaRecord(1L, oversizedPng, "png", 50000, 50000),
+        MediaRecord(2L, corrupt, "png", 1, 1)),
+      () => capHits += 1).toVector
+    assert(out.length == 2)          // both degrade to the fallback row
+    assert(capHits == 1)             // only the cap rejection is counted
+    // fallback identity: the cap row hashes the raw payload, exactly
+    // like the damage row (shared hash contract)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(oversizedPng).map("%02x".format(_)).mkString
+    assert(out(0).thumb_hash == expect)
+    assert(out(0).decoded_bytes == oversizedPng.length.toLong)
   }
 
   test("BMP round-trip: stats equal brute-force over every padding class") {
