@@ -755,7 +755,7 @@ object ScaleRehearsal {
 
     def run(label: String)(
         xform: org.apache.spark.sql.Dataset[String] =>
-          org.apache.spark.sql.DataFrame): Unit = {
+          org.apache.spark.sql.DataFrame): (Long, Long) = {
       spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
       val lines = spark.readStream.option("maxFilesPerTrigger", "1")
         .text(inDir.toString).as[String]
@@ -781,6 +781,7 @@ object ScaleRehearsal {
         f"avgBatchMs=${if (durations.isEmpty) 0L
           else durations.sum / durations.length} " +
         f"maxBatchMs=${if (durations.isEmpty) 0L else durations.max}")
+      (outRows, if (states.isEmpty) 0L else states.max)
     }
 
     run("dedup") { lines =>
@@ -793,6 +794,40 @@ object ScaleRehearsal {
         graft.streaming.CdxStream.parse(lines).toDF(),
         windowDur = "1 hour", watermarkDelay = s"$horizonHours hours")
     }
+
+    // dayCapStream decade (r20, VERDICT r19 #6): custom flatMapGroups
+    // state — the per-(urlkey, day) admission budget — with BOTH claims
+    // asserted in-run, not just printed:
+    //  * EXACTNESS across batching: admitted == sum over (urlkey, day)
+    //    of min(rows, dayLimit+1), recomputed from a batch read of the
+    //    same files (a group's rows all arrive before its watermark
+    //    eviction — event times within the day, TTL behind newest — so
+    //    the cross-batch budget must land the exact batch answer);
+    //  * BOUNDED STATE: live groups <= hosts x days-in-(TTL+1-day)
+    //    horizon regardless of stream length — the 100 TB claim.
+    val dayLimit = 3
+    val ttlMs = 6L * 3600000L
+    val (capOut, capMaxState) = run("daycap") { lines =>
+      graft.streaming.CdxStream.dayCapStream(
+        graft.streaming.CdxStream.parse(lines),
+        dayLimit = dayLimit, stateTtlMs = ttlMs).toDF()
+    }
+    val expected = spark.read.textFile(inDir.toString)
+      .flatMap(graft.model.Cdx.parseLine _)
+      .groupByKey(r => (r.urlkey, r.timestamp.take(8)))
+      .count()
+      .map(kv => math.min(kv._2, dayLimit + 1L))
+      .reduce(_ + _)
+    require(capOut == expected,
+      s"daycap decade: admitted $capOut != batch-exact $expected")
+    // horizon bound: TTL (6 h) behind newest keeps at most 2 UTC days
+    // live per key (the day being filled + the one whose end the
+    // watermark hasn't passed); 50 urlkeys in the fixture
+    val stateBound = 2L * 50
+    require(capMaxState <= stateBound,
+      s"daycap decade: maxState $capMaxState exceeds horizon bound $stateBound")
+    println(f"[rehearsal-stream] daycap INVARIANTS OK admitted=$capOut " +
+      f"(batch-exact) maxState=$capMaxState <= $stateBound")
   }
 
   /** k-means decades: distributed Lloyd (localBelow = 0 — the endgame

@@ -190,7 +190,13 @@ object SparkEntry {
     "q04_day_cap" -> ((s, dir) => {
       val day = date_format(col("ts"), "yyyyMMdd")
       val w = Window.partitionBy(col("user_id"), day).orderBy(col("event_id"))
-      tbl(s, dir, "events")
+      // r20 gate-blindness sweep: duplicate a deterministic slice so the
+      // cap's ordering has TIES at the boundary — identical duplicate
+      // rows keep the aggregate deterministic under row_number (any 5
+      // of k identical rows sum the same), but a rank()/dense_rank()
+      // mutant would admit all tied rows and now fails the gate.
+      val e = tbl(s, dir, "events")
+      e.unionByName(e.where(col("event_id") % 97 === 0))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .groupBy(col("user_id"), day.as("day"))
@@ -810,6 +816,20 @@ object SparkEntry {
           concat(lit("201201" + dayLit), hh, lit("0000")).as("timestamp"),
           lit(mime).as("mimetype"), md5(col("text")).as("digest"),
           file.as("filename"), off.as("offset"))
+      // r20 gate-blindness sweep — hostile classes the r19 torn-pointer
+      // fix exposed, previously absent from this fixture:
+      //  * LATE originals with a NULL field ('-' CDX fields parse to
+      //    null): day-22 originals carry either a NULL filename or a
+      //    NULL offset, so the newest original ROW must win whole — the
+      //    per-column IGNORE-NULLS mutant would pair day-10's filename
+      //    with day-22's offset (a torn pointer) and now FAILS the gate;
+      //  * an original at the SAME 14-digit timestamp as rev-a (the tie
+      //    class): originals order before revisits at equal ts, so the
+      //    tied revisit resolves to it, not to day-10.
+      // Originals of one (urlkey, digest) never share a timestamp with
+      // each other (days 10/20/22 are disjoint classes) — that keeps the
+      // LATERAL oracle's ts-only bound exact; original-original ties ride
+      // the brute-force order in GateMutationSpec instead.
       val corpus = gen("10", "text/html",
           concat(lit("orig-"), col("doc_id") % 4, lit(".warc.gz")),
           col("doc_id") * 1000, col("doc_id") % 9 =!= 0)
@@ -817,6 +837,12 @@ object SparkEntry {
           col("doc_id") * 7, col("doc_id") % 3 === 0))
         .unionByName(gen("25", "warc/revisit", lit("rev-b.warc.gz"),
           col("doc_id") * 7 + 3, col("doc_id") % 6 === 0))
+        .unionByName(gen("22", "text/html", lit(null).cast("string"),
+          col("doc_id") * 555, col("doc_id") % 4 === 1))
+        .unionByName(gen("22", "text/html", lit("late-x.warc.gz"),
+          lit(null).cast("long"), col("doc_id") % 4 === 2))
+        .unionByName(gen("20", "text/html", lit("tie.warc.gz"),
+          col("doc_id") * 11, col("doc_id") % 12 === 0))
       graft.operators.RevisitResolve.resolve(corpus)
         .select(col("urlkey"), col("timestamp"), col("mimetype"),
           col("resolved_filename"), col("resolved_offset"))
@@ -1865,9 +1891,27 @@ object SparkEntry {
           "TIMESTAMP'2024-01-01 00:00:00')").as("ws"),
         expr("timestampadd(HOUR, CAST(id * 30 + 6 AS INT), " +
           "TIMESTAMP'2024-01-01 00:00:00')").as("we"))
+      // r20 gate-blindness sweep — boundary + NULL classes the natural
+      // event stream never produces: an event exactly AT window 0's
+      // start (inclusive — must join), one exactly at its end
+      // (exclusive — must NOT join; an `<= end` mutant now fails the
+      // gate), and a NULL timestamp (matches no window).
+      val hostile = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+        lit(123.45).as("value"), lit(0L).as("ebucket"))
+        .unionByName(s.range(1).select(
+          lit(-2L).as("event_id"),
+          lit("2024-01-01 06:00:00").cast("timestamp").as("ts"),
+          lit(67.89).as("value"), lit(0L).as("ebucket")))
+        .unionByName(s.range(1).select(
+          lit(-3L).as("event_id"),
+          lit(null).cast("timestamp").as("ts"),
+          lit(1.0).as("value"), lit(0L).as("ebucket")))
       val ev = tbl(s, dir, "events")
         .select(col("event_id"), col("ts"), col("value"),
           (col("user_id") % 8).as("ebucket"))
+        .unionByName(hostile)
       graft.operators.IntervalJoin.byDay(
         ev, "ebucket", "ts", windows, "bucket", "ws", "we")
         .groupBy(col("win_id"))
@@ -1887,9 +1931,26 @@ object SparkEntry {
     // lag + running counter sharing a single Exchange+Sort; per-session
     // aggregates on integer epoch micros.
     "q64_sessionize" -> ((s, dir) => {
+      // r20 gate-blindness sweep — boundary classes the natural stream
+      // never produces, for a synthetic user -1: a gap of EXACTLY the
+      // 1800 s threshold (same session — a `>=` mutant now fails the
+      // gate), a 1801 s gap (new session), duplicate timestamps
+      // (tie-broken by event_id), and a NULL timestamp (session NULL
+      // per the operator contract, numbering unshifted — the oracle
+      // states that independently by numbering over ts IS NOT NULL).
+      val hostile = s.sql(
+        """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          |FROM VALUES
+          |  (-1L, -10L, '2024-03-01 00:00:00', 10.0D),
+          |  (-1L, -9L,  '2024-03-01 00:30:00', 20.0D),
+          |  (-1L, -8L,  '2024-03-01 01:00:01', 30.0D),
+          |  (-1L, -7L,  '2024-03-01 01:00:01', 40.0D),
+          |  (-1L, -6L,  NULL, 50.0D)
+          |AS t(user_id, event_id, ts, value)""".stripMargin)
       graft.operators.Sessionize(
         tbl(s, dir, "events")
-          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .unionByName(hostile),
         "user_id", "ts", gapSeconds = 1800, tieCol = "event_id")
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"),
@@ -1901,13 +1962,30 @@ object SparkEntry {
     // Generalized as-of join (the RevisitResolve pattern over two
     // arbitrary tables): each purchase resolves to the user's latest
     // signup at or before it — union + one window, no range join.
+    // r20 gate-blindness sweep: the old oracle SQL was a TRANSLATION of
+    // the union-window formulation, so it shared the r19 NULL-timestamp
+    // leak and stayed green for 18 rounds. Now (a) the oracle is
+    // DuckDB's NATIVE ASOF JOIN — an independent engine implementation
+    // of the spec "latest right row with sts <= ts" — and (b) the
+    // fixture carries the hostile classes: NULL right timestamps (match
+    // no bound; the leak class), NULL left timestamps (resolve NULL),
+    // and duplicate-(user, sts) ties (max signup_event wins).
+    // Reintroducing the AsOfJoin.scala NULL leak now FAILS this gate;
+    // mutation-checked locally in GateMutationSpec.
     "q65_asof_join" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       val purchases = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts"))
-      val signups = e.where(col("event_type") === "signup")
-        .select(col("user_id"), col("ts").as("sts"),
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 11 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("ts")).as("ts"))
+      val s0 = e.where(col("event_type") === "signup")
+        .select(col("user_id"),
+          when(col("event_id") % 7 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("ts")).as("sts"),
           col("event_id").as("signup_event"))
+      val signups = s0.unionByName(
+        s0.where(col("signup_event") % 5 === 0)
+          .withColumn("signup_event", col("signup_event") + lit(1000000000L)))
       graft.operators.AsOfJoin.latestPrior(
         purchases, signups, Seq("user_id"), "ts", "sts",
         payloadCols = Seq("signup_event"),
@@ -3477,7 +3555,8 @@ object SparkEntry {
     "q04_day_cap" ->
       """SELECT user_id, strftime(ts, '%Y%m%d') AS day, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
-        |FROM (SELECT * FROM events
+        |FROM (SELECT * FROM (SELECT * FROM events UNION ALL
+        |        SELECT * FROM events WHERE event_id % 97 = 0)
         |      QUALIFY row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
         |                                 ORDER BY event_id) <= 5)
         |GROUP BY 1, 2""".stripMargin,
@@ -4048,18 +4127,45 @@ object SparkEntry {
         |    '20120125' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
         |      || '0000',
         |    'warc/revisit', md5(text), 'rev-b.warc.gz', doc_id * 7 + 3
-        |  FROM documents WHERE doc_id % 6 = 0)
-        |SELECT urlkey, "timestamp", mimetype,
-        |  (last_value(CASE WHEN mimetype <> 'warc/revisit'
-        |      THEN {'f': filename, 'o': "offset"} END
-        |    IGNORE NULLS) OVER w).f AS resolved_filename,
-        |  (last_value(CASE WHEN mimetype <> 'warc/revisit'
-        |      THEN {'f': filename, 'o': "offset"} END
-        |    IGNORE NULLS) OVER w).o AS resolved_offset
-        |FROM corpus
-        |WINDOW w AS (PARTITION BY urlkey, digest
-        |  ORDER BY "timestamp", (mimetype = 'warc/revisit'), filename, "offset"
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT 'org,site' || (doc_id % 23) || ')/r/' || doc_id,
+        |    '20120122' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |      || '0000',
+        |    'text/html', md5(text), CAST(NULL AS VARCHAR), doc_id * 555
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT 'org,site' || (doc_id % 23) || ')/r/' || doc_id,
+        |    '20120122' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |      || '0000',
+        |    'text/html', md5(text), 'late-x.warc.gz', CAST(NULL AS BIGINT)
+        |  FROM documents WHERE doc_id % 4 = 2
+        |  UNION ALL
+        |  SELECT 'org,site' || (doc_id % 23) || ')/r/' || doc_id,
+        |    '20120120' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |      || '0000',
+        |    'text/html', md5(text), 'tie.warc.gz', doc_id * 11
+        |  FROM documents WHERE doc_id % 12 = 0)
+        |-- Independent formulation (r20 gate-blindness sweep): "locate
+        |-- the newest ORIGINAL row at or before each capture" stated
+        |-- directly as a per-row LATERAL lookup — not a translation of
+        |-- the Spark window shape, so a formulation bug (e.g. the r19
+        |-- per-column torn pointer) cannot be shared. Exact because
+        |-- originals of one (urlkey, digest) never tie on timestamp
+        |-- (fixture invariant above) and originals order before revisits
+        |-- at an equal timestamp. DESC NULLS LAST mirrors "null fields
+        |-- sort smallest" for the whole-row winner.
+        |SELECT c.urlkey, c."timestamp", c.mimetype,
+        |  o.filename AS resolved_filename,
+        |  o."offset" AS resolved_offset
+        |FROM corpus c LEFT JOIN LATERAL (
+        |  SELECT filename, "offset" FROM corpus o
+        |  WHERE o.urlkey = c.urlkey AND o.digest = c.digest
+        |    AND o.mimetype <> 'warc/revisit'
+        |    AND o."timestamp" <= c."timestamp"
+        |  ORDER BY o."timestamp" DESC,
+        |    o.filename DESC NULLS LAST, o."offset" DESC NULLS LAST
+        |  LIMIT 1) o ON TRUE""".stripMargin,
 
     "q56_vocab" ->
       """WITH toks AS (SELECT doc_id,
@@ -5020,12 +5126,19 @@ object SparkEntry {
       """WITH w AS (SELECT i AS win_id, i % 8 AS bucket,
         |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i*30) HOUR AS ws,
         |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i*30+6) HOUR AS we
-        |  FROM range(24) t(i))
+        |  FROM range(24) t(i)),
+        |-- hostile boundary/NULL rows (see the Spark fixture): at-start
+        |-- joins, at-end does not, NULL ts matches nothing
+        |ev AS (SELECT event_id, ts, value, user_id % 8 AS ebucket FROM events
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (-1, TIMESTAMP '2024-01-01 00:00:00', 123.45, 0),
+        |    (-2, TIMESTAMP '2024-01-01 06:00:00', 67.89, 0),
+        |    (-3, CAST(NULL AS TIMESTAMP), 1.0, 0)) h(event_id, ts, value, ebucket))
         |SELECT win_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents,
         |  min(event_id) AS min_event
-        |FROM events JOIN w ON events.user_id % 8 = w.bucket
-        |  AND events.ts >= w.ws AND events.ts < w.we
+        |FROM ev JOIN w ON ev.ebucket = w.bucket
+        |  AND ev.ts >= w.ws AND ev.ts < w.we
         |GROUP BY 1""".stripMargin,
 
     "q63_skew_distinct" ->
@@ -5033,10 +5146,20 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q64_sessionize" ->
-      """WITH x AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+      """WITH ev AS (SELECT user_id, event_id, ts, value FROM events
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (-1, -10, TIMESTAMP '2024-03-01 00:00:00', 10.0),
+        |    (-1, -9,  TIMESTAMP '2024-03-01 00:30:00', 20.0),
+        |    (-1, -8,  TIMESTAMP '2024-03-01 01:00:01', 30.0),
+        |    (-1, -7,  TIMESTAMP '2024-03-01 01:00:01', 40.0),
+        |    (-1, -6,  CAST(NULL AS TIMESTAMP), 50.0))
+        |    h(user_id, event_id, ts, value)),
+        |-- numbering runs over timestamped rows ONLY — the null contract
+        |-- stated independently, not via an engine's null sort order
+        |x AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts), event_id) AS prev
-        |  FROM events),
+        |  FROM ev WHERE ts IS NOT NULL),
         |y AS (SELECT user_id, event_id, value, us,
         |    CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
         |          THEN 1 ELSE 0 END)
@@ -5047,22 +5170,43 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents
-        |FROM y GROUP BY 1, 2""".stripMargin,
+        |FROM y GROUP BY 1, 2
+        |UNION ALL
+        |SELECT user_id, CAST(NULL AS BIGINT), count(*),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |FROM ev WHERE ts IS NULL GROUP BY 1""".stripMargin,
 
+    // Independent formulation: DuckDB's native ASOF JOIN implements the
+    // spec directly — NOT a translation of the Spark union-window shape
+    // (the r19 lesson: a translated oracle shares the formulation's
+    // bugs). NULL sts rows are excluded per the spec (they satisfy no
+    // `<=` bound); ties at (user_id, sts) pre-reduce to max(signup_event),
+    // which is exactly the operator's rightTieCols winner.
     "q65_asof_join" ->
-      """WITH u AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS us, 1 AS side,
-        |    CAST(NULL AS BIGINT) AS sev
-        |  FROM events WHERE event_type = 'purchase'
-        |  UNION ALL
-        |  SELECT user_id, NULL, epoch_us(ts), 0, event_id
-        |  FROM events WHERE event_type = 'signup')
-        |SELECT user_id, event_id,
-        |  last_value(sev IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY us, side, sev
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS asof_signup_event
-        |FROM u QUALIFY side = 1""".stripMargin,
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE ts END AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |s0 AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS sts,
+        |    event_id AS signup_event
+        |  FROM events WHERE event_type = 'signup'),
+        |s1 AS (SELECT user_id, sts, signup_event + 1000000000 AS signup_event
+        |       FROM s0 WHERE signup_event % 5 = 0),
+        |s AS (SELECT user_id, sts, max(signup_event) AS signup_event
+        |      FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+        |      WHERE sts IS NOT NULL GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, s.signup_event AS asof_signup_event
+        |FROM (SELECT * FROM p WHERE ts IS NOT NULL) p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.sts
+        |UNION ALL
+        |-- a NULL left timestamp satisfies no <= bound (the spec, stated
+        |-- directly; DuckDB's sort-based ASOF would otherwise treat the
+        |-- NULL probe as +infinity and match the greatest sts)
+        |SELECT user_id, event_id, CAST(NULL AS BIGINT)
+        |FROM p WHERE ts IS NULL""".stripMargin,
 
     "q66_salted_join" ->
       """SELECT etype, count(*) AS n,
