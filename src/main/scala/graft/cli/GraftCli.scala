@@ -57,12 +57,19 @@ object GraftCli {
     tool match {
       case "cdx-parse" =>
         // cdx-parse <input> [limit]  — parse CDX lines, print as a table
+        if (rest.isEmpty) { usage(); sys.exit(2) }
+        // a malformed limit aborts with usage, not a bare
+        // NumberFormatException (the decontaminate/bm25 convention)
+        val n = rest.lift(1) match {
+          case None => 20
+          case Some(v) => v.toIntOption.getOrElse { usage(); sys.exit(2) }
+        }
         val spark = session("cdx-parse")
-        val n = rest.drop(1).headOption.map(_.toInt).getOrElse(20)
         readCdx(spark, rest(0)).show(n, truncate = false)
         spark.stop()
       case "surt" =>
         // surt <url> — canonicalize one URL (smoke/debug)
+        if (rest.isEmpty) { usage(); sys.exit(2) }
         println(graft.functions.Surt.surtLenient(rest(0)))
       case "cdxj-convert" =>
         // cdxj-convert to|from <input> <outDir> — CDX-11 ↔ CDXJ text
@@ -175,8 +182,11 @@ object GraftCli {
         println(s"rebuilt ALL.summary + manifest.txt from ${idxs.length} shard indexes")
       case "wat-extract" =>
         // wat-extract <outDir> <warc...> [--soft] — WAT JSON lines
-        val spark = session("wat-extract")
         val (flags, pos) = rest.partition(_.startsWith("--"))
+        // outDir plus at least one input — flag-only args otherwise die
+        // on pos.head with a bare NoSuchElementException
+        if (pos.length < 2) { usage(); sys.exit(2) }
+        val spark = session("wat-extract")
         graft.operators.WarcExtract.watRows(spark, pos.tail.toSeq,
             soft = flags.contains("--soft"))
           .select(org.apache.spark.sql.functions.col("wat"))
@@ -185,8 +195,9 @@ object GraftCli {
         spark.stop()
       case "warc-extract" =>
         // warc-extract <outDir> <warc...> [--soft] — one .cdx per input
-        val spark = session("warc-extract")
         val (flags, pos) = rest.partition(_.startsWith("--"))
+        if (pos.length < 2) { usage(); sys.exit(2) }
+        val spark = session("warc-extract")
         val n = graft.operators.WarcExtract.extractToFiles(spark,
           pos.tail.toSeq, pos.head, soft = flags.contains("--soft"))
         println(s"extracted $n cdx lines -> ${pos.head}")
@@ -197,8 +208,9 @@ object GraftCli {
         // chunked de-chunked) and decode every payload the codec set
         // sniffs (BMP/PNG/JPEG/GIF/WAV/AVI/MP4/MKV); one parquet of
         // per-record features (the q121 composition as a tool)
-        val spark = session("media-decode")
         val (flags, pos) = rest.partition(_.startsWith("--"))
+        if (pos.length < 2) { usage(); sys.exit(2) }
+        val spark = session("media-decode")
         import spark.implicits._
         val ex = graft.operators.WarcExtract
           .payloadRows(spark, pos.tail.toSeq,
@@ -214,12 +226,16 @@ object GraftCli {
             graft.operators.llm.MultimodalOps.MediaRecord(
               id, r.payload, r.mimetype, 0, 0)
           }
-        graft.operators.llm.MultimodalOps.decode(media)
-          .write.mode("overwrite").parquet(pos.head)
-        // accumulator is valid only after the action above ran
+        val (decoded, capRejected) =
+          graft.operators.llm.MultimodalOps.decodeCounted(media)
+        decoded.write.mode("overwrite").parquet(pos.head)
+        // accumulators are valid only after the action above ran
         println(s"wrote media features -> ${pos.head}" +
           (if (ex.badMembers.value > 0)
-            s" (skipped ${ex.badMembers.value} corrupt members)" else ""))
+            s" (skipped ${ex.badMembers.value} corrupt members)" else "") +
+          (if (capRejected.value > 0)
+            s" (${capRejected.value} payloads over the pixel cap took the " +
+              "fallback row; raise -Dgraft.media.maxDecodePixels)" else ""))
         spark.stop()
       case "date-filter" =>
         // date-filter <root> <expr> [extSuffix] — list files accepted by

@@ -65,17 +65,21 @@ private[zipnum] object ZipNumShardIO {
                    shards: Seq[(String, String)]): Unit = {
     val out = new Path(outDir)
     val summary = fs.create(new Path(out, "ALL.summary"), true)
-    shards.foreach { case (part, tmpName) =>
-      require(fs.rename(new Path(s"$outDir/_tmp/$tmpName.gz"),
-        new Path(out, s"$part.gz")), s"commit: rename of $part.gz failed")
-      val idxTmp = new Path(s"$outDir/_tmp/$tmpName-idx")
-      val in = fs.open(idxTmp)
-      graft.util.IoUtil.copy(in, summary)
-      in.close()
-      require(fs.rename(idxTmp, new Path(out, s"$part-idx")),
-        s"commit: rename of $part-idx failed")
-    }
-    summary.close()
+    // close-on-failure (r20 review): a rename failing mid-fold used to
+    // leave both the summary stream and the current idx stream open —
+    // the r19 leak-sweep class, on the commit path itself. The failure
+    // still propagates; the caller's abort cleans the directory.
+    try {
+      shards.foreach { case (part, tmpName) =>
+        require(fs.rename(new Path(s"$outDir/_tmp/$tmpName.gz"),
+          new Path(out, s"$part.gz")), s"commit: rename of $part.gz failed")
+        val idxTmp = new Path(s"$outDir/_tmp/$tmpName-idx")
+        val in = fs.open(idxTmp)
+        try graft.util.IoUtil.copy(in, summary) finally in.close()
+        require(fs.rename(idxTmp, new Path(out, s"$part-idx")),
+          s"commit: rename of $part-idx failed")
+      }
+    } finally summary.close()
     val manifest = fs.create(new Path(out, "manifest.txt"), true)
     shards.foreach { case (part, _) =>
       manifest.write(s"$part.gz\n".getBytes(UTF_8))
