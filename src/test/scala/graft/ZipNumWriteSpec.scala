@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.zipnum.ZipNumReader
 
+/** Local filesystem under a `fault://` scheme whose rename can be made
+  * to fail on demand — the only way to drive the DSv2 swap's failure
+  * branches (commit-time rename results are unobservable otherwise). */
+class FaultRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "fault"
+  override def getUri: java.net.URI = java.net.URI.create("fault:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (FaultRenameFs.failWhen(src, dst)) false else super.rename(src, dst)
+}
+
+object FaultRenameFs {
+  @volatile var failWhen: (org.apache.hadoop.fs.Path,
+    org.apache.hadoop.fs.Path) => Boolean = (_, _) => false
+}
+
 class ZipNumWriteSpec extends AnyFunSuite with SparkTestSession {
 
   import spark.implicits._
@@ -64,6 +80,73 @@ class ZipNumWriteSpec extends AnyFunSuite with SparkTestSession {
       mkLines(5).toDF("line").coalesce(1)
         .write.format("zipnum").save(dir) // default ErrorIfExists
     }
+  }
+
+  test("a failed swap-in rename preserves BOTH copies: old cluster " +
+      "restored at the target, complete staged cluster kept through " +
+      "abort (r20 fault injection)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setClass("fs.fault.impl", classOf[FaultRenameFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val local = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "faultw").resolve("c").toString
+    val dir = s"fault://$local"
+    FaultRenameFs.failWhen = (_, _) => false
+    mkLines(10).toDF("line").coalesce(1).sortWithinPartitions("line")
+      .write.format("zipnum").mode("overwrite").save(dir)
+    assert(spark.read.format("zipnum").load(dir).count() == 10)
+
+    // Scenario A: the stage -> target rename fails; the restore works.
+    FaultRenameFs.failWhen = (src, _) => src.getName.endsWith(".__stage")
+    val eA = intercept[Exception] {
+      mkLines(5).toDF("line").coalesce(1).sortWithinPartitions("line")
+        .write.format("zipnum").mode("overwrite").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs(eA).exists(_.contains("old cluster restored")), msgs(eA))
+    FaultRenameFs.failWhen = (_, _) => false
+    // the target still serves the OLD cluster (restored whole) ...
+    assert(spark.read.format("zipnum").load(dir).count() == 10)
+    // ... and the COMPLETE new cluster survived Spark's abort() in the
+    // stage dir (the r20 preserve-on-abort fix: before it, abort
+    // deleted the only copy of the new data)
+    val stage = new java.io.File(s"$local.__stage")
+    assert(stage.isDirectory, "staged cluster must survive the abort")
+    assert(stage.list().contains("ALL.summary"),
+      "staged cluster must be complete (commitShards finished)")
+    // a clean retry sweeps the stale stage and lands the new data
+    mkLines(5).toDF("line").coalesce(1).sortWithinPartitions("line")
+      .write.format("zipnum").mode("overwrite").save(dir)
+    assert(spark.read.format("zipnum").load(dir).count() == 5)
+    assert(!stage.exists() && !new java.io.File(s"$local.__old").exists())
+
+    // Scenario B: the restore rename ALSO fails — the message must say
+    // so (not claim "restored"), and the old data must sit at .__old.
+    FaultRenameFs.failWhen = (src, _) =>
+      src.getName.endsWith(".__stage") || src.getName.endsWith(".__old")
+    val eB = intercept[Exception] {
+      mkLines(3).toDF("line").coalesce(1).sortWithinPartitions("line")
+        .write.format("zipnum").mode("overwrite").save(dir)
+    }
+    FaultRenameFs.failWhen = (_, _) => false
+    assert(msgs(eB).exists(_.contains("restore rename ALSO failed")), msgs(eB))
+    assert(new java.io.File(s"$local.__old").isDirectory,
+      "old cluster must be recoverable at .__old")
+    assert(!new java.io.File(local).exists(), "target empty after double failure")
+    // the next write refuses to run while .__old is the only copy,
+    // naming the recovery move
+    val eC = intercept[Exception] {
+      mkLines(3).toDF("line").coalesce(1).sortWithinPartitions("line")
+        .write.format("zipnum").mode("overwrite").save(dir)
+    }
+    assert(msgs(eC).exists(_.contains("mid-swap")), msgs(eC))
+    // manual recovery, then life goes on
+    val ffs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(ffs.rename(new org.apache.hadoop.fs.Path(s"$dir.__old"),
+      new org.apache.hadoop.fs.Path(dir)))
+    assert(spark.read.format("zipnum").load(dir).count() == 5)
   }
 
   test("WAT rows render the JSON metadata envelope") {
