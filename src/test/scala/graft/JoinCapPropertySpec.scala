@@ -131,6 +131,109 @@ class JoinCapPropertySpec extends AnyFunSuite with SparkTestSession {
   }
 
   // ------------------------------------------------------------------
+  // interval join
+  // ------------------------------------------------------------------
+
+  test("PROPERTY: interval join equals brute force on 30 random fixtures " +
+      "(boundary-equal ts, null ts, reversed and multi-day intervals)") {
+    (0 until 30).foreach { case_ =>
+      val seed = 0x17E4 + case_ * 163L
+      val nEv = sample(Gen.chooseNum(0, 8), seed)
+      val nIv = sample(Gen.chooseNum(0, 5), seed + 1)
+      // event times on the same grid the intervals use, so ts == ws and
+      // ts == we collisions are routine; day multiples make multi-day
+      // spans common
+      val evRows = (0 until nEv).map { i =>
+        Row(i.toLong, sample(Gen.chooseNum(0L, 1L), seed + 10 + i),
+          toTs(sample(tsGen, seed + 50 + i)))
+      }
+      val ivRows = (0 until nIv).map { i =>
+        val ws = Base + sample(Gen.chooseNum(0, 6), seed + 100 + i) * 900000000L
+        // span -1..+3 grid steps: reversed (dropped), empty, intra-day,
+        // and multi-day (900 s steps never cross a day here, so stretch
+        // some ends by 2 days)
+        val span = sample(Gen.chooseNum(-1, 3), seed + 140 + i) * 900000000L +
+          sample(Gen.oneOf(0L, 2L * 86400000000L), seed + 180 + i)
+        Row(100L + i, sample(Gen.chooseNum(0L, 1L), seed + 220 + i),
+          toTs(Some(ws)), toTs(Some(ws + span)))
+      }
+      val ev = df("event_id LONG, k LONG, ts TIMESTAMP", evRows)
+      val iv = df("win_id LONG, wk LONG, ws TIMESTAMP, we TIMESTAMP", ivRows)
+      val got = graft.operators.IntervalJoin.byDay(
+          ev, "k", "ts", iv, "wk", "ws", "we")
+        .select("event_id", "win_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val expect = (for {
+        e <- evRows
+        t <- Option(e.getTimestamp(2)).map(_.getTime).toSeq
+        w <- ivRows
+        if e.getLong(1) == w.getLong(1) &&
+          t >= w.getTimestamp(2).getTime && t < w.getTimestamp(3).getTime
+      } yield (e.getLong(0), w.getLong(0))).toSet
+      assert(got == expect, s"case $case_: ev=$evRows iv=$ivRows")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // revisit resolution
+  // ------------------------------------------------------------------
+
+  test("PROPERTY: revisit resolution equals the tuple-order brute force " +
+      "on 30 random fixtures (null fields, every tie class)") {
+    val REV = "warc/revisit"
+    (0 until 30).foreach { case_ =>
+      val seed = 0x4E51 + case_ * 173L
+      val n = sample(Gen.chooseNum(0, 10), seed)
+      val tsPool = Seq("20120101000000", "20120102000000", "20120103000000")
+      val rows = (0 until n).map { i =>
+        Row(s"k)/${sample(Gen.chooseNum(0, 1), seed + 10 + i)}",
+          sample(Gen.oneOf(tsPool), seed + 40 + i),
+          if (sample(Gen.chooseNum(0, 2), seed + 70 + i) == 0) REV
+          else "text/html",
+          "d0", // one digest: maximal within-group collision pressure
+          sample(Gen.frequency(
+            3 -> Gen.chooseNum(0, 2).map(k => s"f$k.gz"),
+            1 -> Gen.const(null: String)), seed + 100 + i),
+          sample(Gen.frequency(
+            3 -> Gen.chooseNum(0L, 2L).map(java.lang.Long.valueOf),
+            1 -> Gen.const(null: java.lang.Long)), seed + 140 + i))
+      }
+      val d = df("urlkey STRING, timestamp STRING, mimetype STRING, " +
+        "digest STRING, filename STRING, offset LONG", rows)
+      // rows are not uniquely keyed (ties are the point) — compare the
+      // SORTED multiset of full output rows instead of a map
+      def norm(x: Row, fIdx: Int, oIdx: Int) =
+        (x.getString(0), x.getString(1), x.getString(2),
+          Option(x.getString(4)),
+          if (x.isNullAt(5)) None else Some(x.getLong(5)),
+          Option(x.getString(fIdx)),
+          if (x.isNullAt(oIdx)) None else Some(x.getLong(oIdx)))
+      val out = graft.operators.RevisitResolve.resolve(d)
+      val fI = out.schema.fieldIndex("resolved_filename")
+      val oI = out.schema.fieldIndex("resolved_offset")
+      val got = out.collect().map(norm(_, fI, oI)).sortBy(_.toString).toSeq
+      val expect = rows.groupBy(x => (x.getString(0), x.getString(3)))
+        .flatMap { case (_, g) =>
+          val sorted = g.sortBy(x => (x.getString(1), x.getString(2) == REV,
+            Option(x.getString(4)),
+            if (x.isNullAt(5)) None else Some(x.getLong(5))))
+          sorted.zipWithIndex.map { case (x, i) =>
+            val prior = sorted.take(i + 1).filter(_.getString(2) != REV)
+            val res = prior.lastOption
+              .map(o => (Option(o.getString(4)),
+                if (o.isNullAt(5)) None else Some(o.getLong(5))))
+              .getOrElse((None, None))
+            (x.getString(0), x.getString(1), x.getString(2),
+              Option(x.getString(4)),
+              if (x.isNullAt(5)) None else Some(x.getLong(5)),
+              res._1, res._2)
+          }
+        }.toSeq.sortBy(_.toString)
+      assert(got == expect, s"case $case_: rows=$rows")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // day cap
   // ------------------------------------------------------------------
 
