@@ -30,7 +30,7 @@ object ScaleRehearsal {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
           m == "substr" || m == "chunk" || m == "fuzzydecon" ||
           m == "pagerank" || m == "stream" || m == "media" ||
-          m == "semdedup" || m == "spine" =>
+          m == "semdedup" || m == "spine" || m == "joins" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -47,6 +47,7 @@ object ScaleRehearsal {
         case "media" => 8 // frame-sampling stride
         case "semdedup" => 64 // k (seed count; q81 uses 8 at oracle scale)
         case "spine" => 10 // dupEvery (every Nth doc triplicated, q45's rule)
+        case "joins" => 1800 // sessionize gap seconds (q64's setting)
         case _ => 400
       })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
@@ -91,6 +92,8 @@ object ScaleRehearsal {
     if (mode == "semdedup") { semDedupRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
     if (mode == "spine") { spineRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
+    if (mode == "joins") { joinsRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
 
     // the q69 corpus rule (base + appended-text variants), replicated
@@ -180,6 +183,117 @@ object ScaleRehearsal {
     * copy's text should vanish. Reports wall, shuffle volume, and the
     * dropped-word mass (whose fraction must approach (copies-1)/copies
     * — a built-in correctness check at every decade). */
+  /** Join-family decades (r20 — the family the gate-blindness sweep
+    * hardened for correctness, measured at scale): the events table
+    * replicated N× with DISJOINT user/event namespaces (+c·10⁶ user,
+    * +c·10⁹ event; 10⁶ ≡ 0 mod 8 keeps the interval bucket), so per-user
+    * timelines are identical across copies and every result count must
+    * scale EXACTLY ×copies — asserted in-run against the copy-0 slice,
+    * not just printed. Three one-shuffle operators:
+    *   as-of join (purchases × signups per user, union+window),
+    *   sessionize (gap sessions + per-session agg),
+    *   interval join against a FIXED 24-window set (the production
+    *   asymmetry: intervals constant while the fact side grows 100×).
+    * The scale claim: each is ONE shuffle on its key, so shuffle bytes
+    * track the replicated fact rows linearly and wall stays
+    * scan-dominated — no quadratic term anywhere in the family. */
+  private def joinsRehearsal(spark: SparkSession, copies: Int,
+                             gapSec: Int, sfDir: String,
+                             read: AtomicLong, write: AtomicLong): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        // testdata stores TIMESTAMP(MICROS, tz-less) = NTZ; the session
+        // tz is pinned UTC, so this cast is value-preserving (the
+        // SparkEntry.tbl shim, locally)
+        col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val ev = ev0
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+      .select((col("event_id") + col("__c") * 1000000000L).as("event_id"),
+        (col("user_id") + col("__c") * 1000000L).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+      .repartition(cpus) // testdata is one row group (SCALE.md caveat)
+    val nEvents = ev.count()
+
+    def timed(label: String)(invariant: => Unit): Unit = {
+      graftshim.ListenerShim.drain(spark.sparkContext)
+      val (r0, w0) = (read.get, write.get)
+      val t0 = System.nanoTime()
+      invariant
+      val wall = (System.nanoTime() - t0) / 1e9
+      graftshim.ListenerShim.drain(spark.sparkContext)
+      def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+      println(f"[rehearsal-joins] $label copies=$copies events=$nEvents " +
+        f"wall=$wall%.1f s shuffleRead=${mib(read.get - r0)} MiB " +
+        s"shuffleWrite=${mib(write.get - w0)} MiB")
+    }
+
+    // copy-0 rows are user_id < 10^6 / event_id < 10^9 by construction
+    val isCopy0 = col("user_id") < 1000000L
+
+    timed("asof") {
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"),
+          col("event_id").as("signup_event"))
+      val out = graft.operators.AsOfJoin.latestPrior(
+        purchases, signups, Seq("user_id"), "ts", "sts",
+        payloadCols = Seq("signup_event"),
+        rightTieCols = Seq("signup_event"))
+      val s = out.agg(count(lit(1)).as("n"),
+        count(col("asof_signup_event")).as("resolved"),
+        sum(when(isCopy0, 1L).otherwise(0L)).as("n0"),
+        sum(when(isCopy0 && col("asof_signup_event").isNotNull, 1L)
+          .otherwise(0L)).as("resolved0")).collect()(0)
+      require(s.getLong(0) == copies * s.getLong(2) &&
+        s.getLong(1) == copies * s.getLong(3),
+        s"asof not replication-exact: $s vs copies=$copies")
+      println(s"[rehearsal-joins] asof rows=${s.getLong(0)} " +
+        s"resolved=${s.getLong(1)} (copy0 ${s.getLong(3)} x $copies exact)")
+    }
+
+    timed("sessionize") {
+      val out = graft.operators.Sessionize(
+          ev.select(col("user_id"), col("event_id"), col("ts"), col("value")),
+          "user_id", "ts", gapSeconds = gapSec.toLong, tieCol = "event_id")
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"))
+      val s = out.agg(count(lit(1)).as("sessions"),
+        sum(when(isCopy0, 1L).otherwise(0L)).as("sessions0"),
+        sum(col("n_events")).as("rows")).collect()(0)
+      require(s.getLong(0) == copies * s.getLong(1) &&
+        s.getLong(2) == nEvents,
+        s"sessionize not replication-exact: $s vs copies=$copies")
+      println(s"[rehearsal-joins] sessionize sessions=${s.getLong(0)} " +
+        s"(copy0 ${s.getLong(1)} x $copies exact, all $nEvents rows placed)")
+    }
+
+    timed("interval") {
+      val windows = spark.range(24).select(col("id").as("win_id"),
+        (col("id") % 8).as("bucket"),
+        expr("timestampadd(HOUR, CAST(id * 30 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("ws"),
+        expr("timestampadd(HOUR, CAST(id * 30 + 6 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("we"))
+      val facts = ev.select(col("event_id"), col("ts"),
+        (col("user_id") % 8).as("ebucket"),
+        isCopy0.as("__c0"))
+      val out = graft.operators.IntervalJoin.byDay(
+        facts, "ebucket", "ts", windows, "bucket", "ws", "we")
+      val s = out.agg(count(lit(1)).as("n"),
+        sum(when(col("__c0"), 1L).otherwise(0L)).as("n0")).collect()(0)
+      require(s.getLong(0) == copies * s.getLong(1),
+        s"interval join not replication-exact: $s vs copies=$copies")
+      println(s"[rehearsal-joins] interval matches=${s.getLong(0)} " +
+        s"(copy0 ${s.getLong(1)} x $copies exact; 24 windows fixed)")
+    }
+  }
+
   private def substrRehearsal(spark: SparkSession, copies: Int, k: Int,
                               sfDir: String, read: AtomicLong,
                               write: AtomicLong): Unit = {
