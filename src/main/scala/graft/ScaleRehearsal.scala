@@ -30,7 +30,8 @@ object ScaleRehearsal {
       case Some(m) if m == "ann" || m == "dedup" || m == "kmeans" ||
           m == "substr" || m == "chunk" || m == "fuzzydecon" ||
           m == "pagerank" || m == "stream" || m == "media" ||
-          m == "semdedup" || m == "spine" || m == "joins" =>
+          m == "semdedup" || m == "spine" || m == "joins" ||
+          m == "sketches" =>
         (m, args.drop(1))
       case _ => ("dedup", args)
     }
@@ -48,6 +49,7 @@ object ScaleRehearsal {
         case "semdedup" => 64 // k (seed count; q81 uses 8 at oracle scale)
         case "spine" => 10 // dupEvery (every Nth doc triplicated, q45's rule)
         case "joins" => 1800 // sessionize gap seconds (q64's setting)
+        case "sketches" => 256 // KMV k (q57's setting)
         case _ => 400
       })
     val sfDir = rest.lift(2).getOrElse("/root/testdata/sf0.1")
@@ -94,6 +96,8 @@ object ScaleRehearsal {
     if (mode == "spine") { spineRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
     if (mode == "joins") { joinsRehearsal(spark, copies, maxBucket,
+      sfDir, read, write); spark.stop(); return }
+    if (mode == "sketches") { sketchesRehearsal(spark, copies, maxBucket,
       sfDir, read, write); spark.stop(); return }
 
     // the q69 corpus rule (base + appended-text variants), replicated
@@ -292,6 +296,75 @@ object ScaleRehearsal {
       println(s"[rehearsal-joins] interval matches=${s.getLong(0)} " +
         s"(copy0 ${s.getLong(1)} x $copies exact; 24 windows fixed)")
     }
+  }
+
+  /** Sketch-family decades (r20): the family's scale claim is unlike
+    * any other — under pure DUPLICATION (the corpus replicated with the
+    * SAME values, not disjoint ids) the sketches must come out
+    * BIT-IDENTICAL at every decade (KMV mins are the bottom-k distinct
+    * hashes; HLL registers are per-bucket rank maxima — both are
+    * functions of the distinct value SET alone), while shuffle stays
+    * ~flat (bounded mergeable buffers: ≤ k×partitions rows for KMV,
+    * ≤ m registers per bucket group for HLL — never the row count).
+    * Both claims asserted in-run: the replicated corpus's summaries are
+    * require'd row-equal to the base corpus's, computed once outside
+    * the timed sections. */
+  private def sketchesRehearsal(spark: SparkSession, copies: Int, k: Int,
+                                sfDir: String, read: AtomicLong,
+                                write: AtomicLong): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").cast("long").as("v"))
+    val corpus = base
+      .select(explode(sequence(lit(0L), lit(copies - 1L))).as("__c"),
+        col("v"))
+      .select(col("v")) // SAME values: duplication, not new identities
+      .repartition(cpus) // testdata is one row group (SCALE.md caveat)
+      // persist + materialize BEFORE timing: the fan-out repartition is
+      // harness scaffolding (the one-row-group caveat), and un-cached it
+      // would re-execute inside every timed section and drown the
+      // sketch's own exchange — the number under test — in raw-row bytes
+      .persist()
+    val nRows = corpus.count()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    import graft.operators.Sketches
+    def kmv(d: org.apache.spark.sql.DataFrame) = Sketches.kmvDistinct(d, "v", k)
+    def hll(d: org.apache.spark.sql.DataFrame) = Sketches.hllDistinct(d, "v", 6)
+    val sk = udaf(Sketches.hllGroupAgg(6))
+    def hllGroups(d: org.apache.spark.sql.DataFrame) =
+      d.select((col("v") % 20).as("g"), Sketches.hash48Col(col("v")).as("hv"))
+        .groupBy(col("g")).agg(sk(col("hv")).as("h"))
+        .select(col("g"), col("h._1").as("filled"), col("h._2").as("s"),
+          col("h._3").as("est"))
+    // base summaries once, outside the timed sections
+    val baseKmv = rows(kmv(base))
+    val baseHll = rows(hll(base))
+    val baseGroups = rows(hllGroups(base))
+
+    def timed(label: String)(got: => Seq[String], want: Seq[String]): Unit = {
+      graftshim.ListenerShim.drain(spark.sparkContext)
+      val (r0, w0) = (read.get, write.get)
+      val t0 = System.nanoTime()
+      val g = got
+      val wall = (System.nanoTime() - t0) / 1e9
+      graftshim.ListenerShim.drain(spark.sparkContext)
+      require(g == want,
+        s"$label sketch not duplication-invariant at copies=$copies: " +
+          s"got $g, want $want")
+      def mib(v: Long): String = f"${v / 1048576.0}%.1f"
+      println(f"[rehearsal-sketches] $label copies=$copies rows=$nRows " +
+        f"wall=$wall%.1f s shuffleRead=${mib(read.get - r0)} MiB " +
+        s"shuffleWrite=${mib(write.get - w0)} MiB " +
+        "(summary BIT-EQUAL to the base corpus's)")
+    }
+
+    timed("kmv")(rows(kmv(corpus)), baseKmv)
+    timed("hll")(rows(hll(corpus)), baseHll)
+    timed("hll-groups")(rows(hllGroups(corpus)), baseGroups)
+    corpus.unpersist(blocking = false)
   }
 
   private def substrRehearsal(spark: SparkSession, copies: Int, k: Int,
