@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, countDistinct}
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -230,6 +231,57 @@ class JoinCapPropertySpec extends AnyFunSuite with SparkTestSession {
           }
         }.toSeq.sortBy(_.toString)
       assert(got == expect, s"case $case_: rows=$rows")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // skew machinery — salting and distinct-spread must be result-invisible
+  // ------------------------------------------------------------------
+
+  test("PROPERTY: salted join equals the plain inner join on 30 random " +
+      "fixtures (null keys, dim misses, hot keys)") {
+    (0 until 30).foreach { case_ =>
+      val seed = 0x5A17 + case_ * 191L
+      val nBig = sample(Gen.chooseNum(0, 12), seed)
+      // a hot key: most rows share key "h"; nulls and dim-missing keys mixed
+      val keyGen = Gen.frequency(4 -> Gen.const("h"),
+        2 -> Gen.oneOf("a", "b"), 1 -> Gen.const("zz-missing"),
+        1 -> Gen.const(null: String))
+      val big = (0 until nBig).map(i =>
+        Row(sample(keyGen, seed + 10 + i), i.toLong))
+      val dims = Seq(Row("h", 100L), Row("a", 200L), Row("b", 300L),
+        Row(null: String, 999L)) // null dim key matches NOTHING
+      val b = df("k STRING, v LONG", big)
+      val d = df("dk STRING, w LONG", dims)
+      def pairs(out: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        out.select(col("v"), col("w")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val salted = pairs(graft.operators.SkewAgg.saltedJoin(
+        b, d, "k", "dk", buckets = 4))
+      val plain = pairs(b.join(d, b("k") === d("dk"))) // the spec
+      assert(salted == plain, s"case $case_: big=$big")
+      assert(!salted.exists(_._2 == 999L), "null keys never match")
+    }
+  }
+
+  test("PROPERTY: skew-spread distinct equals countDistinct on 30 " +
+      "random fixtures (hot keys, null values)") {
+    (0 until 30).foreach { case_ =>
+      val seed = 0xD157 + case_ * 197L
+      val n = sample(Gen.chooseNum(0, 15), seed)
+      val rows = (0 until n).map { i =>
+        Row(sample(Gen.oneOf("x", "y"), seed + 10 + i),
+          sample(Gen.frequency(
+            4 -> Gen.chooseNum(0L, 3L).map(java.lang.Long.valueOf),
+            1 -> Gen.const(null: java.lang.Long)), seed + 40 + i))
+      }
+      val d = df("k STRING, v LONG", rows)
+      val got = graft.operators.SkewAgg.distinctByKey(d, "k", "v")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = d.groupBy(col("k"))
+        .agg(countDistinct(col("v")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"case $case_: rows=$rows")
     }
   }
 
