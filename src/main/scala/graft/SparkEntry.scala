@@ -717,11 +717,29 @@ object SparkEntry {
           emb, "vec_id", "embedding", qp, k = 5)
         .select(col("query_id"), col("cand_id"),
           explode(array(methods.map(lit): _*)).as("method"))
-      val approxAll = graft.operators.llm.AnnOps.ivfPqTopK(
-          emb, "vec_id", "embedding", coarse, qp, cbs, dim = 64, k = 5)
+      // ONE corpus encode for BOTH approximate methods (r21 opt — guide
+      // §2.4 "remove shuffles/passes outright", §1.2 step 1): ivfPqTopK
+      // and pqTopKReranked each used to materialize their OWN
+      // localCheckpoint of the PQ-encoded corpus, but the (id, __codes)
+      // projection of the IVF-PQ encode is byte-identical to the plain
+      // PQ encode for the same codebooks (same pqCodesCol over the same
+      // quantized vectors — coarse __sid is just an extra column), so
+      // the second full corpus encode pass + checkpoint job was pure
+      // redundancy. Measured (Diag same-JVM min-of-3, sf0.1): jobs
+      // 16 → 14, corpus encode passes 2 → 1; results hash-identical
+      // (oracle-verified). At 100 TB this is the difference between
+      // encoding the corpus once and twice per recall audit.
+      val cand = graft.operators.llm.AnnOps.ivfPqEncode(
+          emb, "vec_id", "embedding", coarse, cbs, dim = 64)
+        .localCheckpoint()
+      val approxAll = graft.operators.llm.AnnOps.ivfPqTopKFromCodes(
+          cand, "vec_id", "__sid", "__codes",
+          emb.where(qp), "vec_id", "embedding", coarse, cbs, dim = 64,
+          k = 5)
         .select(lit(methods(0)).as("method"), col("query_id"), col("cand_id"))
-        .unionByName(graft.operators.llm.AnnOps.pqTopKReranked(
-            emb, "vec_id", "embedding", qp, cbs, dim = 64, k = 5,
+        .unionByName(graft.operators.llm.AnnOps.pqTopKRerankedFromCodes(
+            cand.select(col("vec_id"), col("__codes")), "vec_id", "__codes",
+            emb, "embedding", qp, cbs, dim = 64, k = 5,
             overscan = 16)
           .select(lit(methods(1)).as("method"), col("query_id"),
             col("cand_id")))

@@ -540,7 +540,50 @@ object AnnOps {
    */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 coarse: Seq[(Long, Seq[Long])], queryPred: Column,
-                cbs: Seq[Seq[Seq[Long]]], dim: Int, k: Int): DataFrame = {
+                cbs: Seq[Seq[Seq[Long]]], dim: Int, k: Int): DataFrame =
+    // materialized for the same reason as pqTopKWithCodebooks: the
+    // assignment + encode must run once per ROW, not once per joined
+    // pair (codegen would inline them through the broadcast join)
+    ivfPqTopKFromCodes(
+      ivfPqEncode(emb, idCol, vecCol, coarse, cbs, dim).localCheckpoint(),
+      idCol, "__sid", "__codes",
+      emb.where(queryPred), idCol, vecCol, coarse, cbs, dim, k)
+
+  /** Corpus-side IVF-PQ ENCODE — (idCol, __sid coarse bucket, __codes PQ
+    * codes), the ingest-time table every IVF-PQ and plain-PQ search
+    * scans. NOT materialized here: the caller decides the persistence
+    * boundary (localCheckpoint / parquet), because the same encode can
+    * feed [[ivfPqTopKFromCodes]] AND [[pqTopKFromCodes]]/
+    * [[pqTopKRerankedFromCodes]] (its (id, __codes) projection is
+    * byte-identical to [[pqEncodeWithCodebooks]]'s output for the same
+    * `cbs` — one corpus pass serves every consumer, where separate
+    * per-method encodes would each re-scan and re-encode the corpus). */
+  def ivfPqEncode(emb: DataFrame, idCol: String, vecCol: String,
+                  coarse: Seq[(Long, Seq[Long])],
+                  cbs: Seq[Seq[Seq[Long]]], dim: Int): DataFrame = {
+    require(coarse.nonEmpty && coarse.length <= 256,
+      s"coarse codebook must have 1..256 centroids, got ${coarse.length}")
+    val mSub = cbs.length
+    require(mSub >= 1 && dim % mSub == 0,
+      s"dim=$dim must split evenly into ${mSub} codebooks")
+    require(cbs.forall(_.nonEmpty), "a subspace codebook is empty")
+    emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .select(col(idCol),
+        coarseAssignCol(col("__q"), coarse).as("__sid"),
+        pqCodesCol(col("__q"), cbs).as("__codes"))
+  }
+
+  /** [[ivfPqTopK]] over a PRECOMPUTED (id, bucket, codes) table — the
+    * production shape ([[ivfPqEncode]] runs once at ingest, persisted;
+    * every query batch executes only this): query side computes its own
+    * coarse bucket + ADC LUT, candidates prune by bucket equality and
+    * score by LUT lookups, vectors never read. */
+  def ivfPqTopKFromCodes(cand: DataFrame, idCol: String, sidCol: String,
+                         codesCol: String, queries: DataFrame,
+                         queryIdCol: String, queryVecCol: String,
+                         coarse: Seq[(Long, Seq[Long])],
+                         cbs: Seq[Seq[Seq[Long]]], dim: Int,
+                         k: Int): DataFrame = {
     require(coarse.nonEmpty && coarse.length <= 256,
       s"coarse codebook must have 1..256 centroids, got ${coarse.length}")
     val mSub = cbs.length
@@ -548,23 +591,16 @@ object AnnOps {
       s"dim=$dim must split evenly into ${mSub} codebooks")
     require(cbs.forall(_.nonEmpty), "a subspace codebook is empty")
     val subDim = dim / mSub
-    // materialized for the same reason as pqTopKWithCodebooks: the
-    // assignment + encode must run once per ROW, not once per joined
-    // pair (codegen would inline them through the broadcast join)
-    val cand = emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
-      .select(col(idCol),
-        coarseAssignCol(col("__q"), coarse).as("__sid"),
-        pqCodesCol(col("__q"), cbs).as("__codes"))
-      .localCheckpoint()
-    val qs = emb.where(queryPred)
-      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
+    val qs = queries
+      .select(col(queryIdCol).as("query_id"),
+        quantize(col(queryVecCol)).as("__qv"))
       .select(col("query_id"),
         coarseAssignCol(col("__qv"), coarse).as("__qb"),
         pqLutCol(col("__qv"), cbs, subDim).as("__lut"))
     val scored = cand.join(broadcast(qs),
-        col("__sid") === col("__qb") && col(idCol) =!= col("query_id"))
+        col(sidCol) === col("__qb") && col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
-        adcScoreCol(col("__lut"), col("__codes"), cbs).as("dot"))
+        adcScoreCol(col("__lut"), col(codesCol), cbs).as("dot"))
     topK(scored, k)
   }
 
@@ -596,11 +632,26 @@ object AnnOps {
     * O(queries·k·overscan), never O(corpus). */
   def pqTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, cbs: Seq[Seq[Seq[Long]]],
-                     dim: Int, k: Int, overscan: Int = 4): DataFrame = {
+                     dim: Int, k: Int, overscan: Int = 4): DataFrame =
+    pqTopKRerankedFromCodes(
+      pqEncodeWithCodebooks(emb, idCol, vecCol, cbs, dim).localCheckpoint(),
+      idCol, "codes", emb, vecCol, queryPred, cbs, dim, k, overscan)
+
+  /** [[pqTopKReranked]] over a PRECOMPUTED code table — lets one
+    * materialized encode (e.g. the (id, codes) projection of
+    * [[ivfPqEncode]], byte-identical for the same `cbs`) serve both the
+    * ADC propose stage here and any other PQ consumer, instead of each
+    * method re-encoding the corpus. `emb` supplies full-precision
+    * vectors for the exact re-rank of the shortlist only. */
+  def pqTopKRerankedFromCodes(codes: DataFrame, idCol: String,
+                              codesCol: String, emb: DataFrame,
+                              vecCol: String, queryPred: Column,
+                              cbs: Seq[Seq[Seq[Long]]], dim: Int, k: Int,
+                              overscan: Int = 4): DataFrame = {
     require(overscan >= 1, s"overscan must be >= 1, got $overscan")
     exactRerank(
-      pqTopKWithCodebooks(emb, idCol, vecCol, queryPred, cbs, dim,
-        k * overscan),
+      pqTopKFromCodes(codes, idCol, codesCol,
+        emb.where(queryPred), idCol, vecCol, cbs, dim, k * overscan),
       emb, idCol, vecCol, queryPred, k)
   }
 

@@ -511,6 +511,49 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(cbsLocal == cbs, "localBelow pqTrain diverged from distributed")
   }
 
+  test("shared IVF-PQ encode: ivfPqTopKFromCodes and pqTopKRerankedFromCodes " +
+      "over one ivfPqEncode reproduce the per-method encode paths exactly") {
+    // the r21 q129 optimization: one materialized corpus encode feeds
+    // BOTH approximate methods; this pins that the (id, __codes)
+    // projection of ivfPqEncode is interchangeable with the plain PQ
+    // encode, and the FromCodes search wrappers match the monolithic
+    // entrypoints row for row
+    val dim = 16; val mSub = 4; val kC = 8
+    val vecs = (0L until 40L).map(i => (i, Array.tabulate(dim)(d =>
+      (((i * 17 + d * 5) % 19) - 9).toFloat / 3.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qp = col("vec_id") % 13 === 0
+    val coarse = KMeans.codebook(df, "vec_id", "embedding",
+      seedPred = col("vec_id") < 4, iters = 2)
+    val cbs = AnnOps.pqCodebooks(mSub, kC, dim)
+
+    val cand = AnnOps.ivfPqEncode(df, "vec_id", "embedding", coarse,
+      cbs, dim).localCheckpoint()
+    // encode equivalence: (id, __codes) == pqEncodeWithCodebooks output
+    val viaIvf = cand.select(col("vec_id"), col("__codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaPq = AnnOps.pqEncodeWithCodebooks(df, "vec_id", "embedding",
+      cbs, dim).as[(Long, Seq[Int])].collect().toMap
+    assert(viaIvf == viaPq, "ivfPqEncode codes diverge from pqEncode")
+
+    // search equivalence, both methods
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      d.select(col("query_id"), col("cand_id"), col("dot"))
+        .as[(Long, Long, Long)].collect().toSet
+    assert(rows(AnnOps.ivfPqTopKFromCodes(cand, "vec_id", "__sid",
+        "__codes", df.where(qp), "vec_id", "embedding", coarse, cbs,
+        dim, k = 3)) ==
+      rows(AnnOps.ivfPqTopK(df, "vec_id", "embedding", coarse, qp,
+        cbs, dim, k = 3)),
+      "ivfPqTopKFromCodes diverges from ivfPqTopK")
+    assert(rows(AnnOps.pqTopKRerankedFromCodes(
+        cand.select(col("vec_id"), col("__codes")), "vec_id", "__codes",
+        df, "embedding", qp, cbs, dim, k = 3, overscan = 4)) ==
+      rows(AnnOps.pqTopKReranked(df, "vec_id", "embedding", qp, cbs,
+        dim, k = 3, overscan = 4)),
+      "pqTopKRerankedFromCodes diverges from pqTopKReranked")
+  }
+
   test("vocab: df dedups per doc, tf counts occurrences, ties break on token") {
     val df = Seq(
       (1L, "b b a c"),
