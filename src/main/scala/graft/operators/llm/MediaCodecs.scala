@@ -47,9 +47,17 @@ object MediaCodecs {
     * instead of silently folding oversized-but-valid media into the
     * damage class. */
   val DefaultMaxDecodePixels: Long = 1L << 26
+  /** Upper clamp on the configurable cap (r21 advice fix): allocation
+    * sizes downstream are Int-typed — JPEG coefficient planes allocate
+    * up to pixels×64 ints (JpegCodec) — so a cap past Int.MaxValue/64
+    * would let the Int arithmetic overflow AFTER the Long-typed cap
+    * check passed, yielding NegativeArraySizeException or wrongly-sized
+    * planes instead of the deterministic DecodeCapExceeded path. */
+  val MaxConfigurableDecodePixels: Long = Int.MaxValue.toLong / 64
   val MaxDecodePixels: Long =
     sys.props.get("graft.media.maxDecodePixels")
-      .flatMap(_.toLongOption).filter(_ > 0)
+      .flatMap(_.toLongOption)
+      .filter(v => v > 0 && v <= MaxConfigurableDecodePixels)
       .getOrElse(DefaultMaxDecodePixels)
 
   /** Geometry-cap rejection: a subtype so callers can tell "too big to

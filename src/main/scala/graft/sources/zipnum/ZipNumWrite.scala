@@ -97,15 +97,19 @@ private[zipnum] class ZipNumBatchWrite(dir: String,
       winners.map(m => (m.part, m.tmpName)).toSeq)
     if (stageDir != dir) {
       val oldPath = new Path(dir + ".__old")
+      // commitShards already completed: the staged cluster is whole, so
+      // it must survive the abort() Spark fires when this require throws
+      // (r21 advice fix — previously preserveStageOnAbort was still
+      // false here, so the message pointed at a stage dir that abort
+      // had just deleted)
+      preserveStageOnAbort = true
       require(fs.rename(out, oldPath),
         s"zipnum: swap rename $dir -> $oldPath failed " +
           s"(old cluster untouched; new cluster complete at $stageDir)")
       if (!fs.rename(new Path(stageDir), out)) {
-        // the staged cluster is complete — keep it through the abort()
-        // Spark fires when commit() throws, and report what ACTUALLY
-        // happened: the restore rename can itself fail (r20 advice —
-        // the old message asserted "restored" without checking)
-        preserveStageOnAbort = true
+        // report what ACTUALLY happened: the restore rename can itself
+        // fail (r20 advice — the old message asserted "restored"
+        // without checking)
         val restored = fs.rename(oldPath, out) // never leave the target empty
         throw new IllegalStateException(
           s"zipnum: swap rename $stageDir -> $dir failed; " +

@@ -14,12 +14,11 @@ class MediaCodecsSpec extends AnyFunSuite {
   private def px(x: Int, y: Int): (Int, Int, Int) =
     ((x * 7 + y) % 256, (x + y * 5) % 256, (x ^ y) % 256)
 
-  test("PNG hostile-header dims fail loudly BEFORE any geometry-sized " +
-      "allocation") {
-    // a ~50-byte payload declaring 50000x50000 must raise the decode's
-    // "too large" require (-> the MultimodalOps damage fallback), never
-    // allocate multi-GB planes: OutOfMemoryError is not NonFatal and
-    // would kill the executor, not the record (r19 review)
+  /** A ~50-byte syntactically valid PNG declaring 50000x50000 — shared
+    * by the hostile-header and cap-counting tests (r21 advice fix: a
+    * lazy val instead of a var stashed by one test for another, so each
+    * test runs standalone and under shuffled execution). */
+  private lazy val oversizedPng: Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte))
@@ -39,25 +38,29 @@ class MediaCodecsSpec extends AnyFunSuite {
     crc.update(lenAndType, 4, 4); crc.update(ihdr)
     val crcB = new Array[Byte](4); be32(crcB, 0, crc.getValue.toInt)
     out.write(crcB)
+    out.toByteArray
+  }
+
+  test("PNG hostile-header dims fail loudly BEFORE any geometry-sized " +
+      "allocation") {
+    // a ~50-byte payload declaring 50000x50000 must raise the decode's
+    // "too large" require (-> the MultimodalOps damage fallback), never
+    // allocate multi-GB planes: OutOfMemoryError is not NonFatal and
+    // would kill the executor, not the record (r19 review)
     val e = intercept[IllegalArgumentException] {
-      MediaCodecs.decodePng(out.toByteArray)
+      MediaCodecs.decodePng(oversizedPng)
     }
     assert(e.getMessage.contains("too large"))
     // r20: the cap rejection is its OWN exception class (still an IAE,
     // so every damage contract above holds) — callers can tell the
     // tunable policy bound apart from corruption
     assert(e.isInstanceOf[MediaCodecs.DecodeCapExceeded])
-    oversizedPng = out.toByteArray
   }
-
-  // stashed by the hostile-header test above for the counting test
-  private var oversizedPng: Array[Byte] = _
 
   test("decodeBatch counts cap rejections separately from damage " +
       "(r20 advice: oversized-but-valid media is observable)") {
     import graft.operators.llm.MultimodalOps
     import graft.operators.llm.MultimodalOps.MediaRecord
-    assert(oversizedPng != null, "hostile-header test must run first")
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G',
       0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3) // sniffs PNG, truncated = damage
     var capHits = 0
