@@ -14,9 +14,14 @@ object Explain {
         "q25_ann_ivf", "q36_embed_neardup", "q40_sorted_merge",
         "q43_ann_ivf_assign", "q54_ann_hyperplane", "q55_revisit_resolve", "q73_ann_multiprobe",
         "q56_vocab", "q60_tfidf", "q72_decontaminate")
+    // GRAFT_EXPLAIN_CPUS: plan shapes that are parallelism-gated (the
+    // fanOut of single-row-group scans fires only when the scan's
+    // partition count is far below defaultParallelism) need a
+    // bench-shaped session to show their bench-shaped plan.
+    val cpus = sys.env.getOrElse("GRAFT_EXPLAIN_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -667,10 +667,11 @@ object SparkEntry {
     // 2 codes), the LUT broadcasts, one top-k exchange.
     "q128_ann_ivfpq_trained" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val coarse = graft.operators.llm.KMeans.codebook(
-        emb, "vec_id", "embedding", seedPred = col("vec_id") < 8,
-        iters = 2, localBelow = LocalKmeansRows)
-      val cbs = graft.operators.llm.AnnOps.pqTrain(
+      // ONE training probe for both codebooks (r21 opt): the coarse
+      // Lloyd and the per-subspace PQ Lloyd used to each take() the
+      // SAME (id, quantized, seed) projection — pqTrainWithCoarse
+      // shares the probe; outputs pinned identical (LlmOpsSpec).
+      val (coarse, cbs) = graft.operators.llm.AnnOps.pqTrainWithCoarse(
         emb, "vec_id", "embedding", seedPred = col("vec_id") < 8,
         mSub = 2, dim = 64, iters = 2, localBelow = LocalKmeansRows)
       graft.operators.llm.AnnOps.ivfPqTopK(
@@ -695,10 +696,8 @@ object SparkEntry {
     "q129_ann_recall" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val qp = col("vec_id") % 101 === 0
-      val coarse = graft.operators.llm.KMeans.codebook(
-        emb, "vec_id", "embedding", seedPred = col("vec_id") < 8,
-        iters = 2, localBelow = LocalKmeansRows)
-      val cbs = graft.operators.llm.AnnOps.pqTrain(
+      // ONE training probe for both codebooks (r21 opt — see q128)
+      val (coarse, cbs) = graft.operators.llm.AnnOps.pqTrainWithCoarse(
         emb, "vec_id", "embedding", seedPred = col("vec_id") < 8,
         mSub = 2, dim = 64, iters = 2, localBelow = LocalKmeansRows)
       // The exact brute side appears ONCE in the plan (r16 verdict #3:
@@ -2170,9 +2169,17 @@ object SparkEntry {
     // Apply a trained BPE merge table (offline artifact, here a fixed
     // literal) and count tokens per doc under the learned vocab — the
     // billing signal of a training pipeline; pure map-side + one agg.
+    // fanOut (r21, AbText one-JVM ABAB, 5 pairs all favoring fanned:
+    // min 1.018 -> 0.844 s): the per-word regexp_replace + 12-literal
+    // replace chain otherwise runs inside the single-row-group scan's
+    // ONE task (guide §2.5); the fan-out exchange carries raw (id,
+    // text) rows once. q88/q90 probed the same way and LOST/washed
+    // (q88 min 0.656 vs 0.977 fanned — its colocated __gh exchange
+    // already amortizes three consumers), so only q95 opts in.
     "q95_bpe_apply" -> ((s, dir) =>
       graft.operators.llm.CorpusModels.bpeApply(
-        tbl(s, dir, "documents"), "doc_id", "text", BpeMerges)),
+        fanOut(tbl(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "doc_id", "text", BpeMerges)),
 
     // Deterministic integer PageRank over the synthesized doc link
     // graph (97 hosts, multi-edges weighted), 3 unrolled power rounds —
@@ -2365,8 +2372,7 @@ object SparkEntry {
     "q106_media_decode" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{MediaCodecs, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           if (id % 2 == 0) {
             val w = 4 + (id % 13).toInt
@@ -2489,8 +2495,7 @@ object SparkEntry {
     "q112_png_decode" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{MediaCodecs, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val w = 4 + (id % 13).toInt
           val h = 3 + (id % 7).toInt
@@ -2538,8 +2543,7 @@ object SparkEntry {
     "q115_jpeg_decode" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{JpegCodec, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val bw = 1 + (id % 3).toInt
           val bh = 1 + ((id / 3) % 2).toInt
@@ -2590,8 +2594,7 @@ object SparkEntry {
     "q116_media_resize" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{JpegCodec, MediaCodecs, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val kind = (id % 3).toInt
           // n must DIVIDE 8 (output boxes stay inside one constant
@@ -2648,8 +2651,7 @@ object SparkEntry {
     "q117_video_frames" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{AviCodec, GifCodec, JpegCodec, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val nf = 2 + (id % 5).toInt
           // every 4th doc is an ANIMATED GIF instead of an MJPEG AVI:
@@ -2706,8 +2708,7 @@ object SparkEntry {
     "q119_mp4_frames" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{JpegCodec, Mp4Codec, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val nf = 2 + (id % 5).toInt
           val nComp = if (id % 2 == 0) 3 else 1
@@ -2745,8 +2746,7 @@ object SparkEntry {
     "q120_mkv_frames" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{JpegCodec, MkvCodec, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val nf = 2 + (id % 5).toInt
           val nComp = if (id % 2 == 0) 3 else 1
@@ -2816,8 +2816,7 @@ object SparkEntry {
       import s.implicits._
       import graft.operators.llm.{AviCodec, JpegCodec, MkvCodec,
         Mp4Codec, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val nf = 2 + (id % 5).toInt
           val nComp = if (id % 2 == 0) 3 else 1
@@ -2857,8 +2856,7 @@ object SparkEntry {
     "q118_gif_decode" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{GifCodec, MultimodalOps}
-      val media = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val media = mediaIds(s, dir)
         .map { id =>
           val tr = id % 5 == 0
           val pal = Array(
@@ -3523,6 +3521,25 @@ object SparkEntry {
     * groupBy on the same keys is exchange-free: the wide intermediate
     * (e.g. LSH shingle hash pools) never reaches the wire — only the
     * narrow source columns move. */
+  /** The synthesized-media gates' id feed (q106/q112/q115-q120/q125):
+    * encode+decode are heavy PER-ROW work that otherwise runs entirely
+    * inside the documents scan stage — a single-file, single-row-group
+    * parquet at every test SF, i.e. ONE task no matter the core count
+    * (guide §2.5 "input skew: one huge unsplittable file → repartition
+    * immediately after the read"). The fan-out shuffles 8-byte ids
+    * only; the per-id media synthesis + container walk + entropy decode
+    * then spread across defaultParallelism tasks. r21 Diag A/B
+    * (min-of-3, anchor q74): q125 1.795→0.730 s, q120 1.190→0.382 s,
+    * q119 0.928→0.341 s, q117 0.680→0.323 s at jobs 2→3 — the extra
+    * exchange of ids buys back 2-5× its cost on every gate. Content is
+    * a pure function of id, so results are partition-invariant. */
+  private def mediaIds(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    fanOut(tbl(s, dir, "documents").select(col("doc_id").cast("long")))
+      .as[Long]
+  }
+
   private def fanOut(df: DataFrame, keys: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 4 >= target) df

@@ -461,10 +461,6 @@ object AnnOps {
     require(mSub >= 1 && dim % mSub == 0,
       s"dim=$dim must split evenly into mSub=$mSub subspaces")
     val subDim = dim / mSub
-    def floorMeans(cb: Seq[(Long, Long, Seq[Long])]): Seq[Seq[Long]] =
-      cb.map { case (_, n, sums) =>
-        sums.map(s => Math.floorDiv(s, n)): Seq[Long]
-      }
     // `localBelow` is the Lloyd small-input endgame: below it ALL
     // subspaces train off ONE take(n+1) probe of the full quantized
     // vectors, sliced driver-side (quantize is element-wise, so
@@ -505,6 +501,62 @@ object AnnOps {
       floorMeans(KMeans.codebookWithCounts(sub, idCol, "__sub", seedPred,
         iters))
     }
+  }
+
+  /** Exact integer floor-means of a codebook-with-counts — the PQ
+    * centroid finalization shared by [[pqTrain]] and
+    * [[pqTrainWithCoarse]]. */
+  private def floorMeans(cb: Seq[(Long, Long, Seq[Long])]): Seq[Seq[Long]] =
+    cb.map { case (_, n, sums) =>
+      sums.map(s => Math.floorDiv(s, n)): Seq[Long]
+    }
+
+  /** One-probe training for the fully-trained IVF-PQ stack (q128/q129
+    * shape): the COARSE full-vector codebook ([[KMeans.codebook]]'s
+    * integer sum vectors) and the per-subspace PQ codebooks
+    * ([[pqTrain]]'s floor-divided means) computed from a SINGLE
+    * take(localBelow+1) probe of (id, quantized vector, seed). The two
+    * trainings previously each ran an IDENTICAL probe of the same
+    * projection — same select, same rows — so below `localBelow` this
+    * halves the training jobs and scans (r21 opt, guide §1.2 step 1:
+    * don't compute things twice). Outputs are PINNED identical to the
+    * separate calls (same probeData, same localCodebookWithCounts
+    * math); above the threshold it falls back to exactly those calls. */
+  def pqTrainWithCoarse(emb: DataFrame, idCol: String, vecCol: String,
+                        seedPred: Column, mSub: Int, dim: Int,
+                        iters: Int = 3, localBelow: Long = 0L)
+      : (Seq[(Long, Seq[Long])], Seq[Seq[Seq[Long]]]) = {
+    require(mSub >= 1 && dim % mSub == 0,
+      s"dim=$dim must split evenly into mSub=$mSub subspaces")
+    val subDim = dim / mSub
+    if (localBelow > 0L) {
+      require(localBelow < Int.MaxValue, "localBelow must fit an Int take()")
+      val probe = emb.select(col(idCol).cast("long").as("__id"),
+          quantize(col(vecCol)).as("__q"), seedPred.as("__seed"))
+        .take(localBelow.toInt + 1)
+      if (probe.length <= localBelow) {
+        val (data, seeds) = KMeans.probeData(probe)
+        data.headOption.foreach { case (_, q) =>
+          require(q.length >= dim,
+            s"vectors have ${q.length} components, need dim=$dim") }
+        val coarse = KMeans.localCodebookWithCounts(data, seeds, iters)
+          .map { case (id, _, s) => (id, s) }
+        val cbs = (0 until mSub).map { m =>
+          floorMeans(KMeans.localCodebookWithCounts(
+            data.map { case (id, q) =>
+              (id, java.util.Arrays.copyOfRange(q, m * subDim,
+                (m + 1) * subDim))
+            },
+            seeds.map { case (id, q) =>
+              (id, java.util.Arrays.copyOfRange(q, m * subDim,
+                (m + 1) * subDim))
+            }, iters))
+        }
+        return (coarse, cbs)
+      }
+    }
+    (KMeans.codebook(emb, idCol, vecCol, seedPred, iters),
+      pqTrain(emb, idCol, vecCol, seedPred, mSub, dim, iters))
   }
 
   /** [[pqTopK]] with explicit codebooks — the trained-codebook

@@ -554,6 +554,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       "pqTopKRerankedFromCodes diverges from pqTopKReranked")
   }
 
+  test("pqTrainWithCoarse: the one-probe training pins identical to the " +
+      "separate KMeans.codebook + pqTrain calls, on and off the endgame") {
+    val dim = 8; val mSub = 2
+    val vecs = (0L until 36L).map(i => (i, Array.tabulate(dim)(d =>
+      (((i * 11 + d * 3) % 17) - 8).toFloat / 2.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val sp = col("vec_id") < 3
+    for (below <- Seq(0L, 1000L)) {
+      val (coarse, cbs) = AnnOps.pqTrainWithCoarse(df, "vec_id",
+        "embedding", sp, mSub, dim, iters = 2, localBelow = below)
+      assert(coarse == KMeans.codebook(df, "vec_id", "embedding", sp,
+        iters = 2, localBelow = below),
+        s"coarse diverged at localBelow=$below")
+      assert(cbs == AnnOps.pqTrain(df, "vec_id", "embedding", sp, mSub,
+        dim, iters = 2, localBelow = below),
+        s"pq codebooks diverged at localBelow=$below")
+    }
+  }
+
   test("vocab: df dedups per doc, tf counts occurrences, ties break on token") {
     val df = Seq(
       (1L, "b b a c"),
