@@ -2372,7 +2372,7 @@ object SparkEntry {
     "q106_media_decode" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{MediaCodecs, MultimodalOps}
-      val media = mediaIds(s, dir)
+      val media = mediaIds(s, dir, fan = false)
         .map { id =>
           if (id % 2 == 0) {
             val w = 4 + (id % 13).toInt
@@ -2856,7 +2856,7 @@ object SparkEntry {
     "q118_gif_decode" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.llm.{GifCodec, MultimodalOps}
-      val media = mediaIds(s, dir)
+      val media = mediaIds(s, dir, fan = false)
         .map { id =>
           val tr = id % 5 == 0
           val pal = Array(
@@ -3533,11 +3533,20 @@ object SparkEntry {
     * q119 0.928→0.341 s, q117 0.680→0.323 s at jobs 2→3 — the extra
     * exchange of ids buys back 2-5× its cost on every gate. Content is
     * a pure function of id, so results are partition-invariant. */
-  private def mediaIds(s: SparkSession, dir: String)
+  private def mediaIds(s: SparkSession, dir: String, fan: Boolean = true)
       : org.apache.spark.sql.Dataset[Long] = {
     import s.implicits._
-    fanOut(tbl(s, dir, "documents").select(col("doc_id").cast("long")))
-      .as[Long]
+    val base = tbl(s, dir, "documents").select(col("doc_id").cast("long"))
+    // `fan = false`: the LIGHT synthesis gates (q106 BMP/WAV, q118 tiny
+    // GIFs) — AbQuery one-JVM ABAB showed the id exchange costs more
+    // than their per-row work buys back (q106 min 0.262 unfanned vs
+    // 0.449 fanned, 7/7 pairs; q118 0.241 vs 0.271, 6/7), while every
+    // heavier gate keeps the fan-out (q125 ABAB/bench ~2-3x win).
+    // graft.media.nofan=1: diagnostic-only A/B toggle (graft.tools.AbQuery
+    // flips it inside ONE JVM — the only protocol this host's 2-3x
+    // cross-JVM phase swings cannot corrupt); never set in production
+    (if (!fan || sys.props.get("graft.media.nofan").contains("1")) base
+     else fanOut(base)).as[Long]
   }
 
   private def fanOut(df: DataFrame, keys: Column*): DataFrame = {
