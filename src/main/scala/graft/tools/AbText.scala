@@ -44,8 +44,12 @@ object AbText {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val reps = sys.env.get("AB_REPS").flatMap(_.toIntOption).getOrElse(5)
+    def q84(fan: Boolean): DataFrame =
+      graft.operators.llm.TextAnalysis.dupGramFraction(
+        docs(fan), "doc_id", "text", k = 8)
     val all = Map[String, Boolean => DataFrame]("q95_bpe_apply" -> q95,
-      "q88_bigram_fluency" -> q88, "q90_substring_dedup" -> q90)
+      "q88_bigram_fluency" -> q88, "q90_substring_dedup" -> q90,
+      "q84_dup_fraction" -> q84)
     val chosen = if (args.nonEmpty) args.toSeq else all.keys.toSeq.sorted
     for (name <- chosen; f = all(name)) {
       noop(f(false)); noop(f(true))
