@@ -205,7 +205,10 @@ object Bench {
     //     watchdog prints the report itself and halt()s, so a hang costs
     //     the dirty tail it used to cost, never the whole report.
     import scala.util.control.NonFatal
-    val report = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":${jstr(sfDir)}$duckField}"""
+    // cpus in-band (r22): the driver benches at two core counts; the
+    // report must say which one produced it (additive field).
+    val cpusField = cpus.toIntOption.map(c => s""","cpus":$c""").getOrElse("")
+    val report = s"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpusField,"queries":$qs,"errors":$errJson,"notes":${jstr(notes)},"sf":${jstr(sfDir)}$duckField}"""
     // Short stdout line: everything an auditor of the committed tail needs —
     // totals, counts, the duck denominator, the ratio, and where the full
     // per-query map lives. Must stay well under the driver's 2000-char tail.
@@ -241,7 +244,21 @@ object Bench {
       .getOrElse("")
     val errNames = if (errors.isEmpty) ""
       else s""","error_names":${jstr(errors.keys.mkString(",").take(300))}"""
-    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size}$errNames,"streaming_sec":${jnum(streamTotal)},"ex_streaming_sec":${jnum(total - streamTotal)}$ratioField,"detail":"BENCH_DETAIL.json"}"""
+    // Compact per-query seconds IN the parseable summary line (r22,
+    // PERF-contract fix — the r21 verdict's item 2: the driver's
+    // per-query comparator found no per-query data in either round's
+    // artifact). The full named map is 3.3 KB — it cannot fit the
+    // driver's 2000-char output tail as one parseable line (measured:
+    // every committed BENCH_r*.json tail is exactly 2000 chars, and the
+    // pre-r17 benches that printed the full map were ALWAYS head-cut to
+    // unparseable). So the summary carries the VALUES ONLY, comma-joined
+    // in sorted-query-name order (the order of "queries" in the sidecar
+    // and of CORRECTNESS_r*.json keys): ~820 chars, keeping the summary
+    // line complete inside the tail window. Name list + values pair 1:1
+    // by sorted order; n_queries cross-checks the count. Additive field —
+    // nothing renamed or removed.
+    val qtimes = results.map { case (_, v) => jnum(v) }.mkString(",")
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpusField,"sf":${jstr(sfDir)},"n_queries":${results.size},"n_errors":${errors.size}$errNames,"streaming_sec":${jnum(streamTotal)},"ex_streaming_sec":${jnum(total - streamTotal)}$ratioField,"qtimes_order":"sorted_query_names","qtimes":"$qtimes","detail":"BENCH_DETAIL.json"}"""
     val rc = if (errors.nonEmpty) 1 else 0
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
@@ -255,8 +272,18 @@ object Bench {
     // println so a teardown finishing right at the 60 s budget can't produce
     // a duplicated or interleaved tail line.
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // TWO lines, full report FIRST, summary LAST (r22 PERF-contract fix):
+    // a consumer reading the whole stream gets the complete per-query
+    // "queries" map from the report line (the driver contract's
+    // documented shape); a consumer keeping only the 2000-char tail
+    // still ends on the complete summary line exactly as in r18-r21
+    // (the report's head is cut there, but the summary — totals + the
+    // compact qtimes values — parses as before). Strictly additive:
+    // the summary line is unchanged except added fields and stays last.
     def emitSummary(): Unit =
-      if (printed.compareAndSet(false, true)) { println(summary); System.out.flush() }
+      if (printed.compareAndSet(false, true)) {
+        println(report); println(summary); System.out.flush()
+      }
     // No `return` in the runnable: inside a lambda it throws
     // NonLocalReturnControl, which escapes the Runnable and makes the dying
     // thread print "Exception in thread bench-report-watchdog ..." to stderr

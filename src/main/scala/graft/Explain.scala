@@ -18,7 +18,12 @@ object Explain {
     // fanOut of single-row-group scans fires only when the scan's
     // partition count is far below defaultParallelism) need a
     // bench-shaped session to show their bench-shaped plan.
-    val cpus = sys.env.getOrElse("GRAFT_EXPLAIN_CPUS", "4")
+    // r22 advice fix: validated — a non-numeric/non-positive value gave
+    // a confusing session-construction failure from local[$cpus]
+    val cpus = sys.env.get("GRAFT_EXPLAIN_CPUS")
+      .map(v => v.trim.toIntOption.filter(_ > 0).getOrElse(
+        sys.error(s"GRAFT_EXPLAIN_CPUS='$v' must be a positive integer")))
+      .getOrElse(4)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

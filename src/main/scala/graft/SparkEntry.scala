@@ -808,6 +808,14 @@ object SparkEntry {
     // signature shuffle, no pair expansion, no self-join.
     "q127_fuzzy_decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      // fanOut probed and REJECTED (r22, one-JVM AbQuery ABAB, two
+      // independent 5-pair runs): NOFAN min 1.368/0.757 s vs FANNED
+      // min 2.085/0.958 s — 10/10 pairs favor the narrow scan. Unlike
+      // q21 (whose larger unioned corpus + pair expansion buys the
+      // exchange back), q127's signature map-side work is too light
+      // and the round-robin exchange of full (doc_id, text) rows plus
+      // its sort-before-repartition costs more than the extra cores
+      // recover at this shape.
       graft.operators.llm.TextAnalysis.fuzzyContamination(
         docs, "doc_id", "text",
         docs.where(col("doc_id") % 41 === 0)
@@ -950,24 +958,17 @@ object SparkEntry {
     // IVF with REAL centroid assignment: seed vectors (vec_id < 8) act as
     // centroids; every vector is assigned map-side to its argmax-dot seed,
     // queries probe only their own bucket. Deterministic seeds keep the
-    // assignment recomputable by the oracle. The codebook is harvested
-    // ONCE per source-table identity and reused across runs — the
-    // production shape, where a codebook is trained offline and is an
-    // INPUT to assignment, not a per-query scan.
-    "q43_ann_ivf_assign" -> ((s, dir) => {
-      val codebook = codebookCache.getOrElseUpdate(
-        tableTag(dir, "embeddings"), {
-          import graft.functions.VectorFunctions.{quantize1000 => qz}
-          tbl(s, dir, "embeddings").where(col("vec_id") < 8)
-            .select(col("vec_id").cast("long"), qz(col("embedding")))
-            .collect()
-            .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-            .sortBy(_._1)
-        })
+    // assignment recomputable by the oracle. r22: the codebook harvest
+    // (one 8-row collect) runs INSIDE every invocation — the former
+    // JVM-lifetime codebookCache excluded it from all but the first
+    // bench rep while the DuckDB oracle replayed it every run (the r21
+    // verdict's "what's wrong" #1); the honest per-rep cost is one tiny
+    // job (measured: see OPTIMIZATION_r22.md).
+    "q43_ann_ivf_assign" -> ((s, dir) =>
       graft.operators.llm.AnnOps.ivfTopKWithCodebook(
-        tbl(s, dir, "embeddings"), "vec_id", "embedding", codebook,
-        queryPred = col("vec_id") % 97 === 0, k = 3)
-    }),
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        harvestCoarseCodebook(s, dir),
+        queryPred = col("vec_id") % 97 === 0, k = 3)),
 
     // IVF-PQ under the oracle gate — the composed billion-scale ANN
     // architecture: q43's coarse argmax assignment prunes candidates
@@ -975,22 +976,14 @@ object SparkEntry {
     // survivors; the candidate side of the join carries (id, bucket,
     // 4 codes) and never a vector. The oracle composes the two proven
     // replays (seed assignment + codebook/encode/LUT-sum) verbatim.
-    "q123_ann_ivfpq" -> ((s, dir) => {
-      val coarse = codebookCache.getOrElseUpdate(
-        tableTag(dir, "embeddings"), {
-          import graft.functions.VectorFunctions.{quantize1000 => qz}
-          tbl(s, dir, "embeddings").where(col("vec_id") < 8)
-            .select(col("vec_id").cast("long"), qz(col("embedding")))
-            .collect()
-            .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-            .sortBy(_._1)
-        })
+    "q123_ann_ivfpq" -> ((s, dir) =>
+      // r22: per-invocation harvest, same honesty fix as q43
       graft.operators.llm.AnnOps.ivfPqTopK(
-        tbl(s, dir, "embeddings"), "vec_id", "embedding", coarse,
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        harvestCoarseCodebook(s, dir),
         queryPred = col("vec_id") % 97 === 0,
         cbs = graft.operators.llm.AnnOps.pqCodebooks(4, 16, 64),
-        dim = 64, k = 3)
-    }),
+        dim = 64, k = 3)),
 
     // PQ propose + EXACT re-rank under the oracle gate — the standard
     // recall fix behind any approximate proposer: the ADC scan
@@ -1570,29 +1563,28 @@ object SparkEntry {
     // reading the table directly.
     "q49_http_paged" -> ((s, dir) => {
       import s.implicits._
-      // the served corpus is deterministic per sfDir — collect it once
-      // per session so repeated runs time the S13 loader (page-parallel
-      // HTTP fetch + parse), not the driver-side corpus collection
-      // keyed by the source table's identity (size+mtime, the same
-      // fingerprint fixtureOnce uses), not just sfDir — a documents table
-      // regenerated in-place mid-session must invalidate the served corpus
       // fixture-only driver collect, but GUARDED: limit(cap+1) bounds the
       // transfer before it happens, and the require turns an oversized
       // corpus into a loud failure instead of an OOM'd driver — this
       // path must never silently absorb a production-sized table
       val maxServedLines = 1 << 20
-      val lines = httpLinesCache.getOrElseUpdate(tableTag(dir, "documents"), {
-        val got = tbl(s, dir, "documents")
-          .select(concat_ws("\t", col("doc_id"), md5(col("text")),
-            col("lang")).as("l"))
-          .orderBy(col("doc_id"))
-          .limit(maxServedLines + 1)
-          .as[String].collect()
-        require(got.length <= maxServedLines,
-          s"q49 fixture corpus exceeds $maxServedLines lines — " +
-            "the served-text fixture is not for production-sized tables")
-        got.toIndexedSeq
-      })
+      // r22: the corpus collect runs on EVERY invocation (the former
+      // JVM-lifetime httpLinesCache excluded it from all bench reps
+      // after the first — r21 verdict "what's wrong" #1). The HTTP
+      // service itself stays shared: serveShared keys on the CONTENT of
+      // the lines, so identical re-collects reuse one server — serving
+      // infrastructure (a fixture, like the on-disk WARC files), while
+      // the per-rep derivation of the served corpus is now timed.
+      val got = tbl(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), md5(col("text")),
+          col("lang")).as("l"))
+        .orderBy(col("doc_id"))
+        .limit(maxServedLines + 1)
+        .as[String].collect()
+      require(got.length <= maxServedLines,
+        s"q49 fixture corpus exceeds $maxServedLines lines — " +
+          "the served-text fixture is not for production-sized tables")
+      val lines = got.toIndexedSeq
       val svc = graft.server.HttpTextService.serveShared(lines, pageSize = 200, s)
       graft.sources.HttpSources.pagedLines(s, svc.url)
         .select(split(col("value"), "\t").as("f"))
@@ -3288,13 +3280,23 @@ object SparkEntry {
     * 64 MB of driver heap; production corpora pass 0. */
   private val LocalKmeansRows = 1L << 17
 
-  /** q49's served corpus, collected once per source-table identity. */
-  private val httpLinesCache =
-    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[String]]
-
-  /** q43's IVF codebook, harvested once per source-table identity. */
-  private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Long])]]
+  /** q43/q123's coarse IVF codebook: the 8 seed vectors, quantized,
+    * collected per INVOCATION (one 8-row job). r22 honesty fix: the
+    * former JVM-lifetime TrieMap keyed on table identity excluded this
+    * collect from every bench rep after the first while the DuckDB
+    * oracle replayed the derivation each run — the r21 verdict counted
+    * those rows as flattered. Production trains a codebook offline and
+    * feeds [[graft.operators.llm.AnnOps.ivfTopKWithCodebook]] directly;
+    * the gate queries now pay their own harvest every time. */
+  private def harvestCoarseCodebook(s: SparkSession,
+                                    dir: String): Seq[(Long, Seq[Long])] = {
+    import graft.functions.VectorFunctions.{quantize1000 => qz}
+    tbl(s, dir, "embeddings").where(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), qz(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+      .sortBy(_._1)
+  }
 
 
   /** Set session confs for the duration of `f`, restoring (or unsetting)
@@ -3550,6 +3552,11 @@ object SparkEntry {
   }
 
   private def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    // graft.fan.nofan=1: diagnostic-only toggle (graft.tools.AbQuery's
+    // one-JVM ABAB flips it) so ANY fanned query can be probed through
+    // the real registry instead of a pasted copy (r21 ADVICE); never
+    // set by Bench, Verify, or validate.sh
+    if (sys.props.get("graft.fan.nofan").contains("1")) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 4 >= target) df
     else if (keys.isEmpty) df.repartition(target)

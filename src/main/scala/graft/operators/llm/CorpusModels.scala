@@ -496,7 +496,19 @@ object CorpusModels {
             .as("__idf"))
         (slice, qtD.join(broadcast(idfD), "__t"))
       }
-    val dl = index.dl
+    bm25ScoreTail(cand, qt, index.dl, avg100, k, qIdCol, idCol,
+      k1Num, k1Den, bNum, bDen)
+  }
+
+  /** The shared BM25 scoring tail: candidate tf slice × broadcast
+    * (query, term, idf) rows × per-doc lengths → per-(query, doc) score
+    * → top-k window. Factored so [[bm25Query]] and the fused one-shot
+    * [[bm25TopK]] run the byte-identical expression tree. */
+  private def bm25ScoreTail(cand: DataFrame, qt: DataFrame, dl: DataFrame,
+                            avg100: Long, k: Int, qIdCol: String,
+                            idCol: String, k1Num: Int, k1Den: Int,
+                            bNum: Int, bDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Saturation coefficients folded on the driver (BigInt: the folds
     // themselves must not wrap):
     //   sat = (cNum·tf) DIV (cTf·tf + cConst + cDl·dl)
@@ -547,11 +559,89 @@ object CorpusModels {
         col("__doc").as(idCol), col("n_terms"), col("score"))
   }
 
-  /** One-shot convenience: [[bm25Index]] + [[bm25Query]]. */
+  /** One-shot [[bm25Index]] + [[bm25Query]] with the driver folds FUSED
+    * (r22, guide §1.2 step 1 / the r21 verdict's q114 item — "14 jobs =
+    * 2 checkpoint materializations + 3 driver folds"): the indexed path
+    * pays three driver jobs before scoring (index totals collect, query
+    * pair probe, df(t) collect). One-shot callers don't need the totals
+    * before the probe, so this
+    *  1. probes the QUERY side first — a plain map-side take of up to
+    *     driverPairLimit+1 (query, term) OCCURRENCE rows, deduped on
+    *     the driver (the indexed path's probe pays a distinct()
+    *     exchange of the same rows first; regime choice by occurrence
+    *     count is more conservative — a set overflowing it falls to
+    *     the distributed regime, which is pinned result-identical);
+    *  2. collects corpus totals AND the term-sliced df(t) in ONE job
+    *     (a tagged union over the same lazy tf/dl checkpoints — both
+    *     checkpoints materialize inside this single job);
+    *  3. runs the byte-identical [[bm25ScoreTail]].
+    * Driver jobs 3 → 2, and the probe no longer shuffles. Results are
+    * pinned identical to bm25Index+bm25Query in CorpusModelsSpec; the
+    * index-once-query-many lifecycle keeps the unfused entry points. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int, k1Num: Int = 12, k1Den: Int = 10,
-               bNum: Int = 3, bDen: Int = 4, gram: Int = 1): DataFrame =
-    bm25Query(bm25Index(df, idCol, textCol, gram), queries,
-      qIdCol, qTextCol, k, idCol, k1Num, k1Den, bNum, bDen)
+               bNum: Int = 3, bDen: Int = 4, gram: Int = 1): DataFrame = {
+    require(gram >= 1, s"gram must be >= 1, got $gram")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1Num >= 0 && k1Den > 0 && bNum >= 0 && bDen > 0 &&
+      bNum <= bDen, s"bad BM25 params k1=$k1Num/$k1Den b=$bNum/$bDen")
+    import queries.sparkSession.implicits._
+    val driverPairLimit = 8192
+    def emptyResult: DataFrame = queries.sparkSession.emptyDataFrame
+      .select(lit(0L).as(qIdCol), lit(0L).as("rank"), lit(0L).as(idCol),
+        lit(0L).as("n_terms"), lit(0L).as("score")).limit(0)
+    // the index tables, lazily checkpointed — NOT materialized yet; the
+    // stats job below is the first (and only) materializing action
+    val tf = bm25Toks(df, idCol, textCol, "__doc", gram)
+      .groupBy(col("__doc"), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(eager = false) // consumers: dl + df(t) + scoring
+    val dl = tf.groupBy(col("__doc")).agg(sum(col("__tf")).as("__dl"))
+      .localCheckpoint(eager = false) // consumers: totals + scoring
+    val headOcc: Array[(Long, String)] =
+      bm25Toks(queries, qIdCol, qTextCol, "__q", gram)
+        .limit(driverPairLimit + 1).as[(Long, String)].collect()
+    if (headOcc.isEmpty) return emptyResult
+    if (headOcc.length <= driverPairLimit) {
+      val qPairs: Seq[(Long, String)] = headOcc.toSeq.distinct.sorted
+      val terms: Seq[String] = qPairs.map(_._2).distinct.sorted
+      // ONE stats job: corpus totals + term-sliced df(t), tagged union
+      // (counts travel as strings — exact at any magnitude)
+      val stats = dl
+        .agg(count(lit(1)).cast("string").as("a"),
+          coalesce(sum(col("__dl")), lit(0L)).cast("string").as("b"))
+        .select(lit(0).as("kind"), lit(null).cast("string").as("t"),
+          col("a"), col("b"))
+        .unionByName(tf.where(col("__t").isin(terms: _*))
+          .groupBy(col("__t")).agg(count(lit(1)).cast("string").as("a"))
+          .select(lit(1).as("kind"), col("__t").as("t"), col("a"),
+            lit(null).cast("string").as("b")))
+        .collect()
+      val totals = stats.find(_.getInt(0) == 0).get
+      val nDocs = totals.getString(2).toLong
+      if (nDocs == 0L) return emptyResult
+      val avg100 = (100L * totals.getString(3).toLong) / nDocs
+      val dft: Map[String, Long] = stats.iterator.filter(_.getInt(0) == 1)
+        .map(r => r.getString(1) -> r.getString(2).toLong).toMap
+      val idfBp: Map[String, Long] = dft.map { case (t, dfc) =>
+        t -> (10000L * (nDocs - dfc + 1)) / (dfc + 1)
+      }
+      bm25ScoreTail(
+        tf.where(col("__t").isin(terms: _*)),
+        qPairs.map { case (q, t) => (q, t, idfBp.getOrElse(t, 0L)) }
+          .toDF("__q", "__t", "__idf"),
+        dl, avg100, k, qIdCol, idCol, k1Num, k1Den, bNum, bDen)
+    } else {
+      // query set past the occurrence probe: the indexed path (its own
+      // totals job; its distinct-pair probe re-decides the regime —
+      // the one-shot fusion is for benchmark-sized query sets)
+      val Array(nDocs, totTok) = dl
+        .agg(count(lit(1)), coalesce(sum(col("__dl")), lit(0L)))
+        .as[(Long, Long)].collect()
+        .headOption.map(t => Array(t._1, t._2)).getOrElse(Array(0L, 0L))
+      bm25Query(Bm25Index(tf, dl, nDocs,
+          if (nDocs == 0) 0L else (100L * totTok) / nDocs, gram),
+        queries, qIdCol, qTextCol, k, idCol, k1Num, k1Den, bNum, bDen)
+    }
+  }
 }

@@ -47,18 +47,39 @@ object MediaCodecs {
     * instead of silently folding oversized-but-valid media into the
     * damage class. */
   val DefaultMaxDecodePixels: Long = 1L << 26
-  /** Upper clamp on the configurable cap (r21 advice fix): allocation
-    * sizes downstream are Int-typed — JPEG coefficient planes allocate
-    * up to pixels×64 ints (JpegCodec) — so a cap past Int.MaxValue/64
-    * would let the Int arithmetic overflow AFTER the Long-typed cap
-    * check passed, yielding NegativeArraySizeException or wrongly-sized
-    * planes instead of the deterministic DecodeCapExceeded path. */
-  val MaxConfigurableDecodePixels: Long = Int.MaxValue.toLong / 64
+  /** Upper clamp on the configurable cap (r22 advice fix — the r21
+    * clamp of Int.MaxValue/64 was BOTH wrong and inconsistent: it sat
+    * below the default, so raising the cap for large-media corpora was
+    * silently impossible and a value in (IntMax/64, default] silently
+    * REVERTED to the higher default; and its ×64 rationale double-
+    * counted — JpegCodec's cap checks already pass the ×64-inflated
+    * allocation count through checkPixelCap, so the ×64 lives inside
+    * the checked quantity, not outside it). The real bound: every
+    * post-check allocation count is Int-typed at ≤ 9 units per checked
+    * pixel (PNG 16-bit RGBA raw bytes = 8·px + one filter byte per row
+    * ≤ 9·px; int sample planes ≤ 4·px; JPEG planes check their own
+    * inflated counts), so cap ≤ Int.MaxValue/16 keeps all of them
+    * provably inside Int range with 7·px slack. */
+  val MaxConfigurableDecodePixels: Long = Int.MaxValue.toLong / 16
+  require(DefaultMaxDecodePixels <= MaxConfigurableDecodePixels,
+    "default decode cap must be configurable-range")
   val MaxDecodePixels: Long =
-    sys.props.get("graft.media.maxDecodePixels")
-      .flatMap(_.toLongOption)
-      .filter(v => v > 0 && v <= MaxConfigurableDecodePixels)
-      .getOrElse(DefaultMaxDecodePixels)
+    sys.props.get("graft.media.maxDecodePixels") match {
+      case None => DefaultMaxDecodePixels
+      case Some(raw) =>
+        // a SET-but-invalid cap fails loudly (r21 advice): silently
+        // reverting to the default turned a typo'd security/size policy
+        // into the opposite policy
+        val v = raw.trim.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"graft.media.maxDecodePixels='$raw' is not a number"))
+        require(v > 0 && v <= MaxConfigurableDecodePixels,
+          s"graft.media.maxDecodePixels=$v out of (0, " +
+            s"$MaxConfigurableDecodePixels]: larger caps would let " +
+            "Int-typed allocation counts overflow after the Long cap " +
+            "check passed")
+        v
+    }
 
   /** Geometry-cap rejection: a subtype so callers can tell "too big to
     * decode under the configured bound" apart from "corrupt bytes" —

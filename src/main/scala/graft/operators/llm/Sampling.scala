@@ -169,13 +169,20 @@ object Sampling {
     val w = df.select(col(idCol).cast("long").as("__doc"),
       targetPred.as("__tgt"), Shingles.words(col(textCol)).as("__w"))
     // unigrams (empties dropped) and bigrams in ONE exploded array — a
-    // two-branch union would scan and re-split the corpus twice
-    val grams = w.select(col("__doc"), col("__tgt"), explode(expr(
-        "concat(filter(__w, x -> x <> ''), " +
-          "CASE WHEN size(__w) < 2 THEN array() ELSE " +
-          "transform(sequence(1, size(__w) - 1), " +
-          "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))) " +
-          "END)")).as("__g"))
+    // two-branch union would scan and re-split the corpus twice.
+    // r22 per-task fix (guide §1.2 step 2): the bigram branch was a
+    // transform/sequence/element_at HOF chain — an INTERPRETED lambda
+    // walked per word occurrence of the whole corpus. The native
+    // wordGrams expression (codegen, one concatWs per gram) emits the
+    // byte-identical "w1 w2" grams: for k=2, transform(sequence(1,n-1),
+    // i -> concat(w_i, ' ', w_(i+1))) ≡ word_grams(__w, 2) including
+    // empty-word and short-doc (< 2 words → empty array) cases — pinned
+    // in LlmOpsSpec. array_remove(__w, '') replaces the filter() HOF
+    // for the unigram branch (split() never yields NULLs, so removing
+    // '' is exactly the x <> '' filter).
+    val grams = w.select(col("__doc"), col("__tgt"), explode(concat(
+        array_remove(col("__w"), ""),
+        graft.functions.VectorFunctions.wordGrams(col("__w"), 2))).as("__g"))
       .select(col("__doc"), col("__tgt"),
         pmod(graft.operators.Sketches.hash48Col(col("__g")),
           lit(buckets.toLong)).as("__b"))

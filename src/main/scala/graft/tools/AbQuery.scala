@@ -31,8 +31,16 @@ object AbQuery {
     val reps = sys.env.get("AB_REPS").flatMap(_.toIntOption).getOrElse(5)
     args.foreach { name =>
       def run(nofan: Boolean): Double = {
-        if (nofan) sys.props("graft.media.nofan") = "1"
-        else sys.props.remove("graft.media.nofan")
+        // both toggles: graft.media.nofan gates the media-id feed,
+        // graft.fan.nofan gates fanOut itself (r22) — so any fanned
+        // query probes through the real registry
+        if (nofan) {
+          sys.props("graft.media.nofan") = "1"
+          sys.props("graft.fan.nofan") = "1"
+        } else {
+          sys.props.remove("graft.media.nofan")
+          sys.props.remove("graft.fan.nofan")
+        }
         val t0 = System.nanoTime(); noop(name)
         (System.nanoTime() - t0) / 1e9
       }

@@ -375,6 +375,33 @@ class BatchOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top1.map(_._1).toSeq == Seq(best))
   }
 
+  test("dsirSelect gram derivation (r22 native wordGrams+array_remove " +
+      "rewrite) equals the HOF formulation on edge-case texts") {
+    // the r22 rewrite swapped the interpreted transform/sequence bigram
+    // chain for the native wordGrams expression; this pins the exact
+    // gram multiset per doc on the shapes that could diverge: empty
+    // text, single word, double spaces (empty words), trailing space
+    val rows = Seq((1L, ""), (2L, "solo"), (3L, "a  b"), (4L, "x y "),
+      (5L, "p q r")).toDF("doc_id", "text")
+    val w = rows.select(col("doc_id"),
+      split(col("text"), " ", -1).as("__w"))
+    val hof = w.select(col("doc_id"), explode(expr(
+        "concat(filter(__w, x -> x <> ''), " +
+          "CASE WHEN size(__w) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(__w) - 1), " +
+          "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))) " +
+          "END)")).as("g"))
+      .as[(Long, String)].collect().toSeq.sorted
+    val native = w.select(col("doc_id"), explode(concat(
+        array_remove(col("__w"), ""),
+        graft.functions.VectorFunctions.wordGrams(col("__w"), 2))).as("g"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(native == hof)
+    // and the gram content itself is the documented rule
+    assert(native.filter(_._1 == 3L).map(_._2) ==
+      Seq("a", "a ", " b", "b").sorted)
+  }
+
   test("deterministic shard: exact hash-order permutation, partition-invariant") {
     import graft.operators.llm.Sampling
     val df = (0L until 200L).toDF("doc_id")

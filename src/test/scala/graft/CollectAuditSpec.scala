@@ -28,6 +28,11 @@ class CollectAuditSpec extends AnyFunSuite {
   //  - operators/llm/CorpusModels.scala: BPE merge rounds (1 row each),
   //    vocab tables bounded by topK/nMerges, and the bm25 driver-fold
   //    pair probe HARD-CLAMPED at driverPairLimit <= 65536 (r16 guard).
+  //    r22 (+3, fused one-shot bm25TopK): the occurrence probe
+  //    (limit(8193) collect), the merged totals+df(t) stats union
+  //    (1 totals row + <= distinct-query-terms <= 8192 rows), and the
+  //    fallback totals readback (1 row) — each bounded by the same
+  //    driverPairLimit clamp or by construction.
   //  - operators/llm/KMeans.scala: per-round centroid readback — K×dim
   //    longs regardless of corpus size (the MLlib topology).
   //  - operators/llm/TextOps.scala: DSIR/NB feature tables over a
@@ -51,8 +56,11 @@ class CollectAuditSpec extends AnyFunSuite {
     // (12 = +2 for the semdedup mode, round 17: the cluster-size agg
     // and the kept/maxId agg — both ONE-row aggregate readbacks)
     "graft/ScaleRehearsal.scala" -> 16,
-    "graft/SparkEntry.scala" -> 9,
-    "graft/operators/llm/CorpusModels.scala" -> 4,
+    // r22: 9 -> 8 — the q43/q123 codebook harvest is one shared
+    // harvestCoarseCodebook (8 rows, per-invocation — the cross-rep
+    // TrieMap memoization is gone per the r21 verdict's adjudication)
+    "graft/SparkEntry.scala" -> 8,
+    "graft/operators/llm/CorpusModels.scala" -> 7,
     "graft/operators/llm/KMeans.scala" -> 3,
     "graft/operators/llm/TextOps.scala" -> 2,
     "graft/operators/llm/Sampling.scala" -> 2,

@@ -319,6 +319,52 @@ class CorpusModelsSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException](run(-1))
   }
 
+  test("fused one-shot bm25TopK (r22: merged totals+df(t) job, shuffle-" +
+      "free occurrence probe) equals bm25Index+bm25Query row for row") {
+    val docs = Seq(
+      (0L, "red fox jumps high today"),
+      (1L, "fox red and jumps never fox"),
+      (2L, "red fox red fox red fox"),
+      (3L, " leading space  double"), // empty words exercise the toks filter
+      (4L, "entirely different content here")).toDF("doc_id", "text")
+    val queries = Seq((10L, "red fox"), (11L, "jumps never"),
+      (12L, "nonword only")).toDF("query_id", "qtext")
+    for (gram <- Seq(1, 2)) {
+      val fused = CorpusModels.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 4, gram = gram)
+        .orderBy("query_id", "rank")
+        .select("query_id", "rank", "doc_id", "n_terms", "score")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val unfused = CorpusModels.bm25Query(
+          CorpusModels.bm25Index(docs, "doc_id", "text", gram = gram),
+          queries, "query_id", "qtext", k = 4, idCol = "doc_id")
+        .orderBy("query_id", "rank")
+        .select("query_id", "rank", "doc_id", "n_terms", "score")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(fused.nonEmpty, s"gram=$gram")
+      assert(fused == unfused, s"gram=$gram")
+    }
+    // empty query set: same empty frame (schema + zero rows)
+    val empty = CorpusModels.bm25TopK(docs, "doc_id", "text",
+      queries.where(lit(false)), "query_id", "qtext", k = 4)
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "rank", "doc_id", "n_terms", "score"))
+    assert(empty.count() == 0)
+    // occurrence-probe overflow (> 8192 query-term occurrences): the
+    // fused entry falls back to the indexed path — results identical
+    // to the driver-regime answer for the same effective term set
+    val bigQ = Seq((20L, (0 until 8200).map(_ => "red fox").mkString(" ")))
+      .toDF("query_id", "qtext")
+    val viaFallback = CorpusModels.bm25TopK(docs, "doc_id", "text",
+        bigQ, "query_id", "qtext", k = 4)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    val viaIndex = CorpusModels.bm25Query(
+        CorpusModels.bm25Index(docs, "doc_id", "text"),
+        bigQ, "query_id", "qtext", k = 4, idCol = "doc_id")
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(viaFallback == viaIndex && viaFallback.nonEmpty)
+  }
+
   test("bm25: DECIMAL fallback branch (coefficients past int64) matches " +
       "the BigInt formula exactly") {
     // k1/b chosen so cNum = 1e4·(k1n+k1d)·bd·avg100 overflows int64 →

@@ -46,8 +46,11 @@ echo "== Bench"
 # checks against the last committed detail and then copies into the
 # repo as BENCH_DETAIL.json (committed at close) so every round's
 # per-query timings are auditable from the tree, not from /tmp.
+# r22: Bench prints TWO json lines (full per-query report first, short
+# summary LAST — the PERF-contract fix); the summary is the one whose
+# size the tail-window assert below guards.
 SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" 2>&1 \
-  | grep '"metric"' | sed 's/.*\({"metric".*\)/\1/' > /tmp/graft_bench.json
+  | grep '"metric"' | tail -1 | sed 's/.*\({"metric".*\)/\1/' > /tmp/graft_bench.json
 python3 - <<'EOF'
 import json
 b = json.load(open("/tmp/graft_bench_report.json"))
