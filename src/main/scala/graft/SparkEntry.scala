@@ -17,6 +17,37 @@ import org.apache.spark.sql.expressions.Window
  */
 object SparkEntry {
 
+  /** Declared input schemas (r22, guide §6): `spark.read.parquet` without
+    * a schema runs a footer-inference JOB on every invocation — Diag
+    * measured ~1 job per table read per query rep, i.e. one-to-three
+    * driver round-trips of pure overhead on every one of the 136 gates
+    * (q02's 3-table join: 7 jobs, 3 of them inference). Declaring the
+    * schema is the production idiom (a real pipeline reads from a
+    * catalog, not from per-job inference) and removes those jobs at any
+    * scale. The DDL below is the INFERRED schema, byte-identical across
+    * all test SFs; SourcesSpec pins declared == inferred per table so a
+    * testdata regeneration that drifts a column fails loudly instead of
+    * silently reading nulls. `events` stays on inference — its ts column
+    * legitimately varies (NANOS-as-LONG vs MICROS) across generations
+    * and the tbl() shim dispatches on the arriving type. */
+  private val tableSchemas: Map[String, org.apache.spark.sql.types.StructType] =
+    Map(
+      "customer" -> "c_custkey BIGINT,c_name STRING,c_nationkey INT,c_acctbal DOUBLE,c_mktsegment STRING",
+      "documents" -> "doc_id BIGINT,text STRING,lang STRING,source STRING,n_chars BIGINT",
+      "embeddings" -> "vec_id BIGINT,embedding ARRAY<FLOAT>,label INT",
+      "lineitem" -> "l_orderkey BIGINT,l_partkey BIGINT,l_suppkey BIGINT,l_linenumber INT,l_quantity DOUBLE,l_extendedprice DOUBLE,l_discount DOUBLE,l_tax DOUBLE,l_returnflag STRING,l_linestatus STRING,l_shipdate TIMESTAMP_NTZ",
+      "nation" -> "n_nationkey INT,n_name STRING,n_regionkey INT",
+      "orders" -> "o_orderkey BIGINT,o_custkey BIGINT,o_orderstatus STRING,o_totalprice DOUBLE,o_orderdate TIMESTAMP_NTZ,o_orderpriority STRING",
+      "part" -> "p_partkey BIGINT,p_name STRING,p_brand STRING,p_type STRING,p_size INT,p_retailprice DOUBLE",
+      "region" -> "r_regionkey INT,r_name STRING",
+      "supplier" -> "s_suppkey BIGINT,s_name STRING,s_nationkey INT,s_acctbal DOUBLE"
+    ).map { case (k, ddl) =>
+      k -> org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    }
+
+  /** Declared-schema table names — exposed for the SourcesSpec pin. */
+  private[graft] def declaredTableSchemas = tableSchemas
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     // Some testdata generations store events.ts as TIMESTAMP(NANOS), which
     // Spark's parquet reader rejects by default: read nanos as LONG and
@@ -24,7 +55,10 @@ object SparkEntry {
     // generations store TIMESTAMP(MICROS), which reads natively — the shim
     // must only fire when ts actually arrives as LONG.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val df = tableSchemas.get(name) match {
+      case Some(schema) => s.read.schema(schema).parquet(s"$dir/$name.parquet")
+      case None => s.read.parquet(s"$dir/$name.parquet")
+    }
     if (name == "events") {
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       df.schema("ts").dataType match {

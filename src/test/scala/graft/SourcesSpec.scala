@@ -266,4 +266,22 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(graft.operators.CdxFilter.lines(in).collect().toSeq ==
       Seq("org,a)/ 2012 x"))
   }
+
+  test("declared table schemas (r22 inference-job removal) match the " +
+      "on-disk parquet schemas at every test SF") {
+    // tbl() reads declared-schema tables with spark.read.schema(...) —
+    // which silently yields NULL columns if the declaration drifts from
+    // the files. This pins declared == inferred for every declared
+    // table at both small SFs; a testdata regeneration that changes a
+    // column fails here loudly.
+    for (sf <- Seq("sf0.001", "sf0.01");
+         (name, declared) <- SparkEntry.declaredTableSchemas.toSeq.sortBy(_._1)) {
+      val path = s"/root/testdata/$sf/$name.parquet"
+      assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      val inferred = spark.read.parquet(path).schema
+      assert(inferred == declared,
+        s"$sf/$name: inferred $inferred != declared $declared")
+    }
+  }
 }
+
